@@ -1,0 +1,19 @@
+"""Spatial function library registration — SURVEY.md §2.A.3 (57 ST_* UDFs).
+
+Placeholder hook: the geometry core (``dataclod_spark.geo``) and the pandas
+UDF wrappers land in the spatial milestone; ``EngineSession`` calls this at
+construction mirroring the reference's registration order
+(``spatial/src/function/mod.rs:27-85``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def register_spatial_functions(spark: SparkSession) -> None:
+    try:
+        from dataclod_spark.functions import spatial_udfs
+    except ImportError:
+        return
+    spatial_udfs.register_all(spark)

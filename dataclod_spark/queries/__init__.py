@@ -1,0 +1,5 @@
+"""Query modules — importing this package populates the registry."""
+
+from dataclod_spark.queries import relational  # noqa: F401
+from dataclod_spark.queries import windows  # noqa: F401
+from dataclod_spark.queries import events  # noqa: F401

@@ -1,0 +1,1055 @@
+"""Relational surface — SURVEY.md §2.B (inherited DataFusion defaults).
+
+The reference exposes the full DataFusion relational surface through
+``QueryContext::sql`` (reference ``src/core/src/context.rs:69-79``); in this
+engine the same surface is Spark SQL / Catalyst.  These queries exercise it
+end-to-end over the driver's TPC-H-ish tables: scans with pushdown, all join
+types, two-phase aggregation, grouping sets/rollup/cube, distinct aggregates,
+set operations, correlated/scalar/EXISTS/IN subqueries, top-k, pivot.
+
+Scale notes (100 TB design):
+* fact-side scans keep filters and column pruning at the parquet source
+  (Catalyst pushes both; verified via ``.explain`` — PushedFilters/ReadSchema);
+* dimension joins (region/nation/customer/supplier/part) are broadcast —
+  dims are small even at SF100k, fact tables never sit on the build side;
+* aggregations are expressed as single groupBy so Spark plans partial
+  (map-side) + final aggregation, no extra shuffle;
+* double sums go through exact DECIMAL accumulation (``dsum``) so results are
+  order-independent — required both for the DuckDB differential gate and for
+  run-to-run determinism on a real cluster;
+* every query avoids driver-side collect loops — plans are fully declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataclod_spark.registry import davg, dsum, load, query
+
+# Oracle-side spellings of dsum/davg (see registry.dsum docstring).
+def _osum(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _oavg(expr: str) -> str:
+    return f"{_osum(expr)} / count({expr})"
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary (TPC-H Q1 shape): filter + wide aggregate
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    bench=True,
+    doc="TPC-H Q1: scan-heavy grouped aggregate with arithmetic expressions",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       round({_osum('l_quantity')}, 2)      AS sum_qty,
+       round({_osum('l_extendedprice')}, 2) AS sum_base_price,
+       round({_osum(_REV)}, 2)              AS sum_disc_price,
+       round({_osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 2) AS sum_charge,
+       round({_oavg('l_quantity')}, 4)      AS avg_qty,
+       round({_oavg('l_extendedprice')}, 4) AS avg_price,
+       round({_oavg('l_discount')}, 4)      AS avg_disc,
+       count(*)                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(dsum(disc_price), 2).alias("sum_disc_price"),
+            F.round(dsum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(davg(F.col("l_quantity")), 4).alias("avg_qty"),
+            F.round(davg(F.col("l_extendedprice")), 4).alias("avg_price"),
+            F.round(davg(F.col("l_discount")), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping-priority top-N: join fact-fact-dim, group, top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3_top_orders",
+    bench=True,
+    doc="TPC-H Q3: customer⋈orders⋈lineitem, grouped revenue, top-10",
+    oracle=f"""
+SELECT o_orderkey,
+       round({_osum(_REV)}, 2)   AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate  > TIMESTAMP '1997-03-15'
+GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        # customer acts as a filter dimension: broadcast it
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("orderdate"), "o_orderpriority")
+        .agg(F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — order-priority checking: EXISTS semi-join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    doc="TPC-H Q4 shape: EXISTS → left-semi join + grouped count",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    # EXISTS with a correlated inequality → left-semi join on key + condition
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume: 6-way join with broadcast dims
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q5_local_supplier",
+    bench=True,
+    doc="TPC-H Q5: 6-way join (2 facts + 4 broadcast dims), grouped revenue",
+    oracle=f"""
+SELECT n_name, round({_osum(_REV)}, 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecasting revenue change: pure pushed-down filter + global agg
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    doc="TPC-H Q6: all predicates pushed to the parquet scan, single-row agg",
+    oracle=f"""
+SELECT round({_osum('l_extendedprice * l_discount')}, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(dsum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7_volume_shipping",
+    doc="TPC-H Q7: nation-pair revenue by year; cross-filter via broadcast dims",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, round({_osum('volume')}, 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    df = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    )
+    return (
+        df.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(dsum(F.col("volume")), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — market share (CASE inside aggregate, ratio of sums)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8_market_share",
+    doc="TPC-H Q8: conditional aggregation ratio per year",
+    oracle=f"""
+SELECT o_year, round({_osum("CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END")}
+                     / {_osum('volume')}, 4) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    df = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "nation",
+        )
+    )
+    nation_vol = F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0.0))
+    return (
+        df.groupBy("o_year")
+        .agg(F.round(dsum(nation_vol) / dsum(F.col("volume")), 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9_profit",
+    bench=True,
+    doc="TPC-H Q9 shape: LIKE filter on part name, profit by nation/year",
+    oracle=f"""
+SELECT nation, o_year, round({_osum('amount')}, 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    df = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        )
+    )
+    return (
+        df.groupBy("nation", "o_year")
+        .agg(F.round(dsum(F.col("amount")), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned-item reporting, top 20
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q10_returned_items",
+    doc="TPC-H Q10: returned-lineitem revenue per customer, top-20",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       round({_osum(_REV)}, 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 (adapted) — priority counting by return flag
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q12_priority_by_flag",
+    doc="TPC-H Q12 shape: CASE-counting aggregate over a joined filter",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution (left outer join + double group)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q13_customer_distribution",
+    bench=True,
+    doc="TPC-H Q13: left outer join, per-customer count, count distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                         AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion effect (conditional-agg percentage)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q14_promo_revenue",
+    doc="TPC-H Q14: promo revenue percentage in one month",
+    oracle=f"""
+SELECT round(100.0 * {_osum(f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END")}
+             / {_osum(_REV)}, 4) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(F.round(F.lit(100.0) * dsum(promo) / dsum(rev), 4).alias("promo_revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (per-group avg as a join)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q17_small_qty_revenue",
+    doc="TPC-H Q17: correlated avg-per-part subquery → aggregate+join",
+    oracle=f"""
+SELECT round({_osum('l_extendedprice')} / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS ap_partkey,
+             0.5 * ({_oavg('l_quantity')}) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey) a
+  ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < half_avg_qty
+""",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    # The correlated scalar subquery decorrelates to an aggregate + join —
+    # the same shape Catalyst/DataFusion produce internally; expressing it
+    # directly means one shuffle on l_partkey.
+    avg_per_part = l.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.lit(0.5) * davg(F.col("l_quantity"))).alias("half_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_per_part, l.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(dsum(F.col("l_extendedprice")) / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING over join)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q18_large_volume_customer",
+    bench=True,
+    doc="TPC-H Q18: groupBy+having sum(qty), join back to customer/orders",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_totalprice,
+       round({_osum('l_quantity')}, 2) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING {_osum('l_quantity')} > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+""",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("tot_qty"))
+        .filter(F.col("tot_qty") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        l.join(big, l.l_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.round(dsum(F.col("l_quantity")), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunctive multi-predicate join filter)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q19_discounted_revenue",
+    doc="TPC-H Q19: OR-of-ANDs predicates across the join",
+    oracle=f"""
+SELECT round({_osum(_REV)}, 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 (adapted) — idle customers with above-average balance (anti join +
+# uncorrelated scalar subquery)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q22_idle_customers",
+    doc="TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti join",
+    oracle=f"""
+SELECT c_nationkey,
+       count(*) AS numcust,
+       round({_osum('c_acctbal')}, 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT {_oavg('c_acctbal')} FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    # Uncorrelated scalar subquery → broadcast single-row aggregate (no
+    # driver-side collect: stays in the plan as a 1-row cross join).
+    threshold = c.filter(F.col("c_acctbal") > 0.0).agg(davg(F.col("c_acctbal")).alias("avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(dsum(F.col("c_acctbal")), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants: rollup / cube / grouping sets / distinct aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "a1_rollup",
+    doc="ROLLUP with GROUPING() markers (DataFusion default feature → Spark rollup)",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       round({_osum('l_quantity')}, 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+""",
+)
+def a1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n_rows")
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "a2_cube",
+    bench=True,
+    doc="CUBE over two dimensions with count + sum",
+    oracle=f"""
+SELECT c_mktsegment, n_name,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+       CAST(GROUPING(n_name) AS INT) AS g_nat,
+       count(*) AS n_customers,
+       round({_osum('c_acctbal')}, 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (c_mktsegment, n_name)
+ORDER BY g_seg, g_nat, c_mktsegment, n_name
+""",
+)
+def a2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("c_mktsegment", "n_name")
+        .agg(
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.grouping("n_name").cast("int").alias("g_nat"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(dsum(F.col("c_acctbal")), 2).alias("total_bal"),
+        )
+        .select("c_mktsegment", "n_name", "g_seg", "g_nat", "n_customers", "total_bal")
+        .orderBy("g_seg", "g_nat", "c_mktsegment", "n_name")
+    )
+
+
+@query(
+    "a3_grouping_sets",
+    doc="explicit GROUPING SETS via SQL (Spark SQL = DataFusion SQL surface)",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round({_osum('o_totalprice')}, 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def a3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@query(
+    "a4_distinct_aggs",
+    doc="multiple DISTINCT aggregates in one grouped aggregation",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       round(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_distinct_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def a4_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.round(
+                F.sum_distinct(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_distinct_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "s1_setops",
+    doc="UNION / INTERSECT / EXCEPT over two customer populations",
+    oracle="""
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     rich     AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT 'only_building' AS tag, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM rich)
+UNION ALL
+SELECT 'only_rich' AS tag, c_custkey FROM (SELECT * FROM rich EXCEPT SELECT * FROM building)
+UNION ALL
+SELECT 'both' AS tag, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+ORDER BY tag, c_custkey
+""",
+)
+def s1_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    out = (
+        building.subtract(rich).select(F.lit("only_building").alias("tag"), "c_custkey")
+        .unionAll(rich.subtract(building).select(F.lit("only_rich").alias("tag"), "c_custkey"))
+        .unionAll(building.intersect(rich).select(F.lit("both").alias("tag"), "c_custkey"))
+    )
+    return out.orderBy("tag", "c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Subqueries: IN / NOT EXISTS / correlated scalar
+# --------------------------------------------------------------------------
+
+
+@query(
+    "s2_exists_in",
+    doc="IN subquery + NOT-IN-on-literals over suppliers",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem
+                    JOIN part ON l_partkey = p_partkey
+                    WHERE p_brand = 'Brand#11')
+  AND s_nationkey NOT IN (0, 1, 2)
+ORDER BY s_suppkey
+""",
+)
+def s2_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").filter(~F.col("s_nationkey").isin(0, 1, 2))
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    supp_keys = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select("l_suppkey")
+    return (
+        s.join(supp_keys, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "s3_scalar_subquery",
+    doc="correlated scalar subquery (avg per type) — decorrelated to agg+join",
+    oracle=f"""
+SELECT p_partkey, p_retailprice,
+       round(type_avg, 4) AS type_avg_price
+FROM part
+JOIN (SELECT p_type AS t, {_oavg('p_retailprice')} AS type_avg FROM part GROUP BY p_type) a
+  ON part.p_type = a.t
+WHERE p_retailprice > 1.5 * type_avg
+ORDER BY p_partkey
+""",
+)
+def s3_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    avg_per_type = p.groupBy(F.col("p_type").alias("t")).agg(
+        davg(F.col("p_retailprice")).alias("type_avg")
+    )
+    return (
+        p.join(F.broadcast(avg_per_type), p.p_type == F.col("t"))
+        .filter(F.col("p_retailprice") > 1.5 * F.col("type_avg"))
+        .select("p_partkey", "p_retailprice", F.round("type_avg", 4).alias("type_avg_price"))
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi/anti join counts, broadcast-dim join, pivot, top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "j1_semi_anti",
+    doc="left-semi and left-anti joins (EXISTS / NOT EXISTS counts)",
+    oracle="""
+SELECT 'with_orders' AS tag, count(*) AS n_customers
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'without_orders' AS tag, count(*) AS n_customers
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY tag
+""",
+)
+def j1_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("with_orders").alias("tag"), "n_customers")
+    )
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("without_orders").alias("tag"), "n_customers")
+    )
+    return with_orders.unionAll(without).orderBy("tag")
+
+
+@query(
+    "j2_brand_supplier_revenue",
+    bench=True,
+    doc="fact⋈broadcast(part)⋈broadcast(supplier): revenue by brand×supplier, top-20",
+    oracle=f"""
+SELECT p_brand, s_name, round({_osum(_REV)}, 2) AS revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_name
+ORDER BY revenue DESC, p_brand, s_name
+LIMIT 20
+""",
+)
+def j2_brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "p_brand", "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "p1_pivot",
+    doc="pivot (returnflag × linestatus) expressed as conditional aggregation",
+    oracle=f"""
+SELECT l_returnflag,
+       round({_osum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END")}, 2) AS qty_o,
+       round({_osum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END")}, 2) AS qty_f,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def p1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    qty_o = F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(F.lit(0.0))
+    qty_f = F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(F.lit(0.0))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(dsum(qty_o), 2).alias("qty_o"),
+            F.round(dsum(qty_f), 2).alias("qty_f"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "t1_topk",
+    doc="ORDER BY ... LIMIT top-k (TakeOrderedAndProject, no full sort)",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 15
+""",
+)
+def t1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(15)
+    )

@@ -1,0 +1,149 @@
+"""Window-function surface — SURVEY.md §2.B (ranking, analytic, frames).
+
+The reference inherits DataFusion's full window-function set (row_number,
+rank, dense_rank, ntile, lag/lead, first/last/nth_value, aggregates over
+ROWS/RANGE frames).  Spark's ``Window`` spec covers the same surface; GROUPS
+frames are the one DataFusion feature Spark lacks (documented in SURVEY §7
+Phase 5 — emulated via RANGE over a dense rank when needed).
+
+Scale notes: every window here is partitioned (never a global single-partition
+window over a fact table); ordering keys include a unique tiebreaker so
+results are deterministic under any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dataclod_spark.registry import load, query
+
+
+@query(
+    "w1_running_total",
+    bench=True,
+    doc="cumulative sum per customer ordered by (orderdate, orderkey)",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+         AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(running, 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "w2_rank_parts",
+    doc="rank/dense_rank/row_number per brand, top-3 by retail price",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, rnk, drnk, rn
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk,
+         dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS drnk,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) ranked
+WHERE rn <= 3
+ORDER BY p_brand, rn
+""",
+)
+def w2_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    )
+
+
+@query(
+    "w3_lag_lead",
+    doc="lag/lead analytics over a per-user event timeline",
+    oracle="""
+SELECT event_id, user_id,
+       round(value - lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta_prev,
+       round(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 2) AS delta_next,
+       first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_type
+FROM events
+ORDER BY user_id, event_id
+""",
+)
+def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+            F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+            F.first("event_type").over(w).alias("first_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "w4_ntile_moving_avg",
+    doc="ntile buckets + sliding-frame moving average",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def w4_ntile_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w_nt = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_ma = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, W.currentRow)
+    )
+    moving = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w_ma).cast("double")
+        / F.count(F.lit(1)).over(w_ma)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.ntile(4).over(w_nt).alias("quartile"),
+            F.round(moving, 4).alias("moving_avg"),
+        )
+        .orderBy("o_orderkey")
+    )

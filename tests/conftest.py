@@ -1,0 +1,28 @@
+"""Shared pytest fixtures: one SparkSession per test session."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from dataclod_spark.session import get_spark
+
+    spark = get_spark(app_name="dataclod_spark_tests", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def engine(spark):
+    from dataclod_spark.session import EngineSession
+
+    return EngineSession(spark)
