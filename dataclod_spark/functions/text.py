@@ -1,0 +1,115 @@
+"""Text-analysis column builders — large-scale training-data pipeline ops.
+
+Beyond the reference surface (driver north-star): language-ID (marker-word
+heuristic), quality scoring (length/punctuation/stopword ratios), token
+counting (whitespace regex), and document fingerprinting (md5 of normalized
+text).  Everything here is a pure ``pyspark.sql.functions`` expression —
+JVM-side, whole-stage-codegen'd, no Python in the row path — so the same
+pipeline runs unchanged over 100 TB of documents.
+
+Each builder has an exactly-matching ANSI-SQL spelling used by the DuckDB
+oracles in ``dataclod_spark.queries.text`` — keep the two in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/marker language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "is", "and", "of", "to"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "los", "y", "es", "de"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+# Deterministic priority order for argmax ties.
+LANG_PRIORITY = ("en", "de", "es", "fr")
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + whitespace-collapse + trim. SQL: lower(trim(regexp_replace(x,'\\s+',' ','g')))."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text. SQL: string_split_regex(norm, '\\s+')."""
+    return F.split(normalize_text(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Token count; 0 for empty/blank text."""
+    return F.when(F.length(normalize_text(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of tokens that are stopwords (0 when no tokens)."""
+    toks = tokens(col)
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.size(stops).cast("double") / F.size(toks)
+    )
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Fraction of characters that are a-z or space, over normalized text."""
+    norm = normalize_text(col)
+    alpha = F.length(F.regexp_replace(norm, r"[^a-z ]", ""))
+    return F.when(F.length(norm) == 0, F.lit(0.0)).otherwise(
+        alpha.cast("double") / F.length(norm)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]:
+    0.4·min(tokens/50, 1) + 0.3·(1 − stopword_ratio) + 0.3·alpha_ratio.
+
+    Computed as ONE integer-arithmetic ratio (num/den over exact BIGINT
+    counts) so the resulting double is bit-identical across engines — no
+    intermediate float combination, no rounding, no half-boundary ambiguity:
+        num = 4·min(nt,50)·nt·nc + 3·(nt−st)·50·nc + 3·al·50·nt
+        den = 500·nt·nc
+    where nt=token count, st=stopword count, al=[a-z ] char count,
+    nc=normalized char count.  Empty docs score 0.0.
+    """
+    norm = normalize_text(col)
+    toks = tokens(col)
+    nt = F.size(toks).cast("long")
+    st = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    al = F.length(F.regexp_replace(norm, r"[^a-z ]", "")).cast("long")
+    nc = F.length(norm).cast("long")
+    num = (
+        4 * F.least(nt, F.lit(50).cast("long")) * nt * nc
+        + 3 * (nt - st) * 50 * nc
+        + 3 * al * 50 * nt
+    )
+    den = 500 * nt * nc
+    return F.when((F.length(norm) == 0) | (nt == 0), F.lit(0.0)).otherwise(
+        num.cast("double") / den
+    )
+
+
+def marker_count(col: Column, markers: tuple[str, ...]) -> Column:
+    """Number of tokens that are in the marker set."""
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*markers)))
+
+
+def langid(col: Column) -> Column:
+    """Marker-word language-ID: argmax of per-language marker counts, ties
+    broken by LANG_PRIORITY order; 'und' (undetermined) when all zero."""
+    scores = {lang: marker_count(col, LANG_MARKERS[lang]) for lang in LANG_PRIORITY}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build CASE in reverse priority so earlier langs win ties
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 hex of normalized text."""
+    return F.md5(normalize_text(col).cast("binary"))

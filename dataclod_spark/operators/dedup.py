@@ -1,0 +1,193 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Large-scale training-data pipeline operators (driver north-star; beyond the
+reference's own surface).  All signature computation is pure
+``pyspark.sql.functions`` array expressions — shingling, hashing and the
+min-reduction happen JVM-side with no explode and no Python, so a signature
+pass over 100 TB is a single narrow projection (one scan, zero shuffles).
+Only the candidate-pair join shuffles, and it shuffles on the LSH band key —
+the whole point of banding is that this join is tiny compared to the
+all-pairs cross join.
+
+Design mapping (SURVEY.md §7 Phase 5 / driver spec):
+* exact dedup      → fingerprint groupBy (hash-partitioned, map-side combine)
+* MinHash          → char-8-gram shingles → k md5 permutations → array_min
+* LSH              → band signature equality join, pair dedup by (id1<id2)
+* SimHash          → per-bit majority over token hashes (16-bit variant has a
+                     cross-engine SQL oracle; 64-bit variant uses xxhash64)
+* embedding dedup  → label-blocked cosine pairs (the IVF-style coarse bucket)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataclod_spark.functions.text import normalize_text, tokens
+
+SHINGLE_SIZE = 8
+MINHASH_K = 4  # number of md5 "permutations"; mh_0..mh_{k-1} columns
+
+
+def char_shingles(col: Column, n: int = SHINGLE_SIZE) -> Column:
+    """Distinct character n-gram shingles of the normalized text.
+
+    SQL spelling: list_distinct(list_transform(range(1, len-n+2),
+    i -> substr(norm, i, n))), with the whole text as the single shingle
+    when shorter than n.
+    """
+    norm = normalize_text(col)
+    idx = F.sequence(F.lit(1), F.length(norm) - (n - 1))
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
+    return F.array_distinct(
+        F.when(F.length(norm) < n, F.array(norm)).otherwise(grams)
+    )
+
+
+def minhash_col(shingles: Column, seed: int) -> Column:
+    """One MinHash value: lexicographic min of md5(seed ':' shingle).
+
+    md5 acts as the random permutation; the min over hex strings is a valid
+    uniform MinHash.  Hex-string min is used (instead of parsing to int)
+    because it is identical across engines.
+    """
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s).cast("binary")))
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str = "text", k: int = MINHASH_K
+) -> DataFrame:
+    """Add mh_0..mh_{k-1} MinHash signature columns (single projection)."""
+    sh = char_shingles(F.col(text_col))
+    out = df.withColumn("__shingles", sh)
+    for s in range(k):
+        out = out.withColumn(f"mh_{s}", minhash_col(F.col("__shingles"), s))
+    return out.drop("__shingles")
+
+
+def with_lsh_bands(df: DataFrame, k: int = MINHASH_K, rows_per_band: int = 2) -> DataFrame:
+    """Add band_0..band_{k/r-1} columns: md5 of concatenated band rows."""
+    n_bands = k // rows_per_band
+    out = df
+    for b in range(n_bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        out = out.withColumn(f"band_{b}", F.md5(F.concat(*parts).cast("binary")))
+    return out
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    1. signature pass (no shuffle), 2. per-band equality self-join (shuffle on
+    band hash — the scalable step), 3. pair-level union+distinct, 4. exact
+    Jaccard over distinct shingle sets for candidates only.
+    Returns (id_1, id_2, jaccard) with id_1 < id_2 and jaccard ≥ threshold.
+    """
+    n_bands = k // rows_per_band
+    sig = with_lsh_bands(
+        with_minhash_signature(df.select(id_col, text_col), text_col, k), k, rows_per_band
+    ).withColumn("__sh", char_shingles(F.col(text_col)))
+    sig.persist()
+
+    left = sig.select(
+        F.col(id_col).alias("id_1"),
+        F.col("__sh").alias("sh_1"),
+        *[F.col(f"band_{b}").alias(f"lb_{b}") for b in range(n_bands)],
+    )
+    right = sig.select(
+        F.col(id_col).alias("id_2"),
+        F.col("__sh").alias("sh_2"),
+        *[F.col(f"band_{b}").alias(f"rb_{b}") for b in range(n_bands)],
+    )
+    pairs = None
+    for b in range(n_bands):
+        p = left.join(right, F.col(f"lb_{b}") == F.col(f"rb_{b}")).filter(
+            F.col("id_1") < F.col("id_2")
+        )
+        p = p.select("id_1", "id_2", "sh_1", "sh_2")
+        pairs = p if pairs is None else pairs.unionAll(p)
+    cand = pairs.dropDuplicates(["id_1", "id_2"])
+    inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))
+    union = F.size(F.array_union(F.col("sh_1"), F.col("sh_2")))
+    return (
+        cand.withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash of the token multiset as a '0'/'1' bit-string.
+
+    Bit j is the sign of the sum over tokens of ±1, where the token's j-th
+    md5 hex digit ≥ '8' contributes +1 and < '8' contributes −1.  Uses the
+    first 16 hex digits of md5 — fully SQL-expressible, so it carries a
+    DuckDB oracle; see simhash64 for the production-width variant.
+    """
+    toks = tokens(col)
+
+    # NB: F.transform passes (element, index) to two-argument lambdas, so the
+    # hex position must be bound via a closure, not a default argument.
+    def contrib(j: int):
+        return F.transform(
+            toks,
+            lambda t: F.when(
+                F.substring(F.md5(t.cast("binary")), j, 1) >= "8", F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    bits = []
+    for j in range(1, 17):
+        total = F.aggregate(contrib(j), F.lit(0), lambda acc, x: acc + x)
+        bits.append(F.when(total > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash (production variant) using xxhash64 token hashes.
+
+    JVM-side xxhash64 has no DuckDB twin, so this variant is covered by
+    pytest planted-duplicate tests rather than a SQL oracle.
+    """
+    toks = tokens(col)
+
+    def contrib(mask):
+        return F.transform(
+            toks,
+            lambda t: F.when(F.xxhash64(t).bitwiseAND(mask) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
+    bits = []
+    for j in range(64):
+        # shiftleft keeps the mask JVM-side (1<<63 overflows a Python-built
+        # long literal; as a shift it is just the sign bit)
+        mask = F.shiftleft(F.lit(1).cast("long"), j)
+        total = F.aggregate(contrib(mask), F.lit(0), lambda acc, x: acc + x)
+        bits.append(F.when(total > 0, mask).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the lowest-id row per normalized-text fingerprint."""
+    from dataclod_spark.functions.text import fingerprint
+
+    h = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    w_min = h.groupBy("__fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        h.join(w_min, (h["__fp"] == w_min["__fp"]) & (h["doc_id"] == w_min["keep_id"]))
+        .drop("__fp", "keep_id")
+    )

@@ -3,3 +3,6 @@
 from dataclod_spark.queries import relational  # noqa: F401
 from dataclod_spark.queries import windows  # noqa: F401
 from dataclod_spark.queries import events  # noqa: F401
+from dataclod_spark.queries import text  # noqa: F401
+from dataclod_spark.queries import dedup  # noqa: F401
+from dataclod_spark.queries import similarity  # noqa: F401

@@ -1,0 +1,178 @@
+"""Deduplication queries over ``documents``/``embeddings`` (driver north-star).
+
+Wraps ``dataclod_spark.operators.dedup``.  Exact dedup, MinHash signatures,
+LSH candidate pairs and the 16-bit SimHash all carry full DuckDB oracles
+(md5-based hashing is engine-portable); the production 64-bit SimHash uses
+xxhash64 and is covered by pytest planted-duplicate tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataclod_spark.operators import dedup as DD
+from dataclod_spark.registry import load, query
+
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_TOKS = rf"string_split_regex({_NORM}, '\s+')"
+# distinct char-8-gram shingles (same contract as operators.dedup.char_shingles)
+_SHINGLES = (
+    rf"list_distinct(CASE WHEN len({_NORM}) < 8 THEN [{_NORM}] "
+    rf"ELSE list_transform(range(1, len({_NORM}) - 6), i -> substr({_NORM}, i, 8)) END)"
+)
+
+
+def _mh(seed: int, shingles: str = "s") -> str:
+    return rf"list_aggregate(list_transform({shingles}, x -> md5('{seed}:' || x)), 'min')"
+
+
+@query(
+    "d1_exact_dedup",
+    doc="exact dedup summary: distinct normalized-text fingerprints",
+    oracle=rf"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5({_NORM})) AS n_distinct,
+       count(*) - count(DISTINCT md5({_NORM})) AS n_dup_docs
+FROM documents
+""",
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.functions.text import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_dup_docs"),
+    )
+
+
+@query(
+    "d2_minhash_signatures",
+    bench=True,
+    doc="MinHash signatures (k=4 md5 permutations over char-8-gram shingles)",
+    oracle=rf"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents)
+SELECT doc_id,
+       {_mh(0)} AS mh_0,
+       {_mh(1)} AS mh_1,
+       {_mh(2)} AS mh_2,
+       {_mh(3)} AS mh_3
+FROM sh
+ORDER BY doc_id
+""",
+)
+def d2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        DD.with_minhash_signature(d.select("doc_id", "text"))
+        .select("doc_id", "mh_0", "mh_1", "mh_2", "mh_3")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "d3_lsh_pairs",
+    doc="MinHash-LSH candidate pairs (2 bands × 2 rows) with exact-Jaccard verify",
+    oracle=rf"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+sig AS (
+  SELECT doc_id, s,
+         md5({_mh(0)} || {_mh(1)}) AS band_0,
+         md5({_mh(2)} || {_mh(3)}) AS band_1
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.s AS sh_1, b.s AS sh_2
+  FROM sig a JOIN sig b ON a.band_0 = b.band_0 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.s, b.s
+  FROM sig a JOIN sig b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id
+)
+SELECT id_1, id_2,
+       round(CAST(len(list_distinct(list_intersect(sh_1, sh_2))) AS DOUBLE)
+             / len(list_distinct(list_concat(sh_1, sh_2))), 4) AS jaccard
+FROM cand
+WHERE round(CAST(len(list_distinct(list_intersect(sh_1, sh_2))) AS DOUBLE)
+            / len(list_distinct(list_concat(sh_1, sh_2))), 4) >= 0.2
+ORDER BY id_1, id_2
+""",
+)
+def d3_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.lsh_candidate_pairs(d, jaccard_threshold=0.2).orderBy("id_1", "id_2")
+
+
+def _simhash16_sql() -> str:
+    bits = []
+    for j in range(1, 17):
+        bits.append(
+            rf"(CASE WHEN list_sum(list_transform({_TOKS}, "
+            rf"t -> CASE WHEN substr(md5(t), {j}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+            rf"THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+@query(
+    "d4_simhash",
+    doc="16-bit SimHash per document (oracle-checkable variant of simhash64)",
+    oracle=rf"""
+SELECT doc_id, {_simhash16_sql()} AS simhash16
+FROM documents
+ORDER BY doc_id
+""",
+)
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.simhash16(F.col("text")).alias("simhash16")).orderBy(
+        "doc_id"
+    )
+
+
+_DOT = (
+    "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_NORM_A = (
+    "sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+)
+_NORM_B = (
+    "sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), "
+    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
+)
+
+
+@query(
+    "d5_embedding_dups",
+    doc="embedding near-duplicate pairs, label-blocked (IVF-style coarse bucket)",
+    oracle=f"""
+SELECT a.vec_id AS id_1, b.vec_id AS id_2, a.label AS label,
+       round({_DOT} / ({_NORM_A} * {_NORM_B}), 4) AS cosine_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_DOT} / ({_NORM_A} * {_NORM_B}), 4) >= 0.8
+ORDER BY id_1, id_2
+""",
+)
+def d5_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_1"), F.col("label"), F.col("embedding").alias("emb_1")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_2"), F.col("label").alias("label_b"), F.col("embedding").alias("emb_2")
+    )
+    sim = F.round(cosine(F.col("emb_1"), F.col("emb_2")), 4)
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_1") < F.col("id_2")))
+        .withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= 0.8)
+        .select("id_1", "id_2", "label", "cosine_sim")
+        .orderBy("id_1", "id_2")
+    )

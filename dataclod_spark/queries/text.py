@@ -1,0 +1,164 @@
+"""Text-analysis queries over the ``documents`` table (driver north-star).
+
+Every query here is a thin registry wrapper over the column builders in
+``dataclod_spark.functions.text``; the oracle SQL spells the identical
+expressions in DuckDB dialect (regexp_replace needs the 'g' flag there;
+``size``→``len``, ``split``→``string_split_regex``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataclod_spark.functions import text as TX
+from dataclod_spark.registry import load, query
+
+# DuckDB spellings of the shared text expressions
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_TOKS = rf"string_split_regex({_NORM}, '\s+')"
+_NTOK = rf"CASE WHEN len({_NORM}) = 0 THEN 0 ELSE len({_TOKS}) END"
+_STOPS = ",".join(f"'{s}'" for s in TX.STOPWORDS)
+_STOP_RATIO = (
+    rf"CASE WHEN len({_TOKS}) = 0 THEN 0.0 ELSE "
+    rf"CAST(len(list_filter({_TOKS}, t -> t IN ({_STOPS}))) AS DOUBLE) / len({_TOKS}) END"
+)
+_ALPHA_RATIO = (
+    rf"CASE WHEN len({_NORM}) = 0 THEN 0.0 ELSE "
+    rf"CAST(len(regexp_replace({_NORM}, '[^a-z ]', '', 'g')) AS DOUBLE) / len({_NORM}) END"
+)
+# integer-exact quality formula (see functions.text.quality_score): one final
+# division over BIGINT counts → bit-identical doubles across engines.
+_NT = rf"len({_TOKS})"
+_ST = rf"len(list_filter({_TOKS}, t -> t IN ({_STOPS})))"
+_AL = rf"len(regexp_replace({_NORM}, '[^a-z ]', '', 'g'))"
+_NC = rf"len({_NORM})"
+_QUALITY = (
+    rf"CASE WHEN len({_NORM}) = 0 OR {_NT} = 0 THEN 0.0 ELSE "
+    rf"CAST(4 * least({_NT}, 50) * {_NT} * {_NC} "
+    rf"+ 3 * ({_NT} - {_ST}) * 50 * {_NC} "
+    rf"+ 3 * {_AL} * 50 * {_NT} AS DOUBLE) / (500 * {_NT} * {_NC}) END"
+)
+
+
+def _marker_count(markers: tuple[str, ...]) -> str:
+    inlist = ",".join(f"'{m}'" for m in markers)
+    return rf"len(list_filter({_TOKS}, t -> t IN ({inlist})))"
+
+
+@query(
+    "x1_token_stats",
+    bench=True,
+    doc="token counting + fingerprinting per document (whitespace tokenizer)",
+    oracle=rf"""
+SELECT doc_id,
+       {_NTOK} AS n_tokens,
+       len({_NORM}) AS n_chars_norm,
+       md5({_NORM}) AS fp
+FROM documents
+ORDER BY doc_id
+""",
+)
+def x1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            TX.token_count(F.col("text")).alias("n_tokens"),
+            F.length(TX.normalize_text(F.col("text"))).alias("n_chars_norm"),
+            TX.fingerprint(F.col("text")).alias("fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x2_quality_score",
+    doc="document quality scoring: length/stopword/alphabetic components",
+    oracle=rf"""
+SELECT doc_id,
+       {_STOP_RATIO}  AS stop_ratio,
+       {_ALPHA_RATIO} AS alpha_ratio,
+       {_QUALITY}     AS quality
+FROM documents
+ORDER BY doc_id
+""",
+)
+def x2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ratios/score are single integer divisions → bit-identical doubles on
+    # both engines; no rounding needed (rounding would ADD boundary risk).
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            TX.stopword_ratio(F.col("text")).alias("stop_ratio"),
+            TX.alpha_ratio(F.col("text")).alias("alpha_ratio"),
+            TX.quality_score(F.col("text")).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x3_langid",
+    doc="marker-word language ID, distribution over the corpus",
+    oracle=rf"""
+WITH scored AS (
+  SELECT doc_id,
+         {_marker_count(TX.LANG_MARKERS['en'])} AS s_en,
+         {_marker_count(TX.LANG_MARKERS['de'])} AS s_de,
+         {_marker_count(TX.LANG_MARKERS['es'])} AS s_es,
+         {_marker_count(TX.LANG_MARKERS['fr'])} AS s_fr
+  FROM documents
+), detected AS (
+  SELECT doc_id,
+         CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
+              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
+              ELSE 'und' END AS lang_detected
+  FROM scored
+)
+SELECT lang_detected, count(*) AS n_docs
+FROM detected
+GROUP BY lang_detected
+ORDER BY lang_detected
+""",
+)
+def x3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(TX.langid(F.col("text")).alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_detected")
+    )
+
+
+@query(
+    "x4_lang_quality_rollup",
+    doc="per-language corpus statistics (chars, tokens, quality)",
+    oracle=rf"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(CAST({_QUALITY} AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_quality
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def x4_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum(q.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )

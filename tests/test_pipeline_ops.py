@@ -1,0 +1,99 @@
+"""Semantic tests for the training-data pipeline operators: planted
+near-duplicates must actually be found (oracle parity alone only proves the
+two engines agree)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _docs(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+BASE = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill"
+NEAR = "the quick brown fox jumps over the lazy dog while the cat watches from the warm window sill"
+OTHER = "completely different content about distributed query engines and columnar execution formats"
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    from dataclod_spark.operators.dedup import exact_dedup
+
+    df = _docs(spark, [(1, BASE), (2, "  THE quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill "), (3, OTHER)])
+    # doc 2 normalizes to doc 1's text → dropped
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_lsh_finds_planted_near_duplicate(spark):
+    from dataclod_spark.operators.dedup import lsh_candidate_pairs
+
+    df = _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER)])
+    pairs = lsh_candidate_pairs(df, jaccard_threshold=0.5).collect()
+    assert [(p.id_1, p.id_2) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.8
+
+
+def test_simhash64_hamming_close_for_near_dups(spark):
+    from dataclod_spark.operators.dedup import simhash64
+
+    df = _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER)])
+    out = {r.doc_id: r.sh for r in df.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(out[1], out[2]) <= 16
+    assert hamming(out[1], out[3]) > 20
+
+
+def test_knn_identical_vector_is_top1(spark):
+    from dataclod_spark.operators.similarity import knn_bruteforce
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),  # ~identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, schema)
+    out = knn_bruteforce(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert out[0].neighbor_id == 1 and out[0].rank == 1
+    assert out[0].cosine_sim > 0.999
+
+
+def test_knn_lsh_bucket_recall(spark):
+    from dataclod_spark.operators.similarity import hyperplane_weights, knn_lsh
+
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.uniform(-1, 1) for _ in range(64)]
+    near = [v + 0.01 for v in base]
+    rows = [(0, base), (1, near)] + [
+        (i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(2, 30)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    df = spark.createDataFrame([(i, [float(x) for x in v]) for i, v in rows], schema)
+    out = knn_lsh(df, df.filter(F.col("vec_id") == 0), k=3, planes=hyperplane_weights())
+    top = out.filter(F.col("rank") == 1).collect()
+    # the near-identical vector lands in the same sign bucket → recalled first
+    assert top and top[0].neighbor_id == 1
