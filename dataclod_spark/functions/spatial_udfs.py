@@ -1,0 +1,204 @@
+"""ST_* spatial function registration — SURVEY.md §2.A.3 (57 UDFs).
+
+Reimplements the reference's spatial scalar library
+(``spatial/src/function/mod.rs:27-85``, bodies ``udfs.rs``) over the
+pure-Python geometry core.  The geometry column convention is BinaryType
+EWKB, mirroring the reference's Geometry extension type over (E)WKB bytes
+(``spatial/src/lib.rs:16-20``).
+
+Every UDF is Option-chained: any parse/compute failure returns SQL NULL,
+matching the reference's behavior.  Registration is by the exact reference
+names (Spark SQL resolution is case-insensitive, so ``ST_AsGeoJson`` etc.
+work as spelled in the slt corpus).
+
+Performance note: these SQL-callable UDFs run row-at-a-time Python and exist
+for SQL-surface parity; the spatial JOIN path (operators/spatial_join.py)
+calls the geo core directly inside Arrow-batched pandas UDFs and never goes
+through this per-row layer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from dataclod_spark.geo import core as C
+from dataclod_spark.geo import algos as A
+from dataclod_spark.geo import predicates as P
+
+
+def _g(b: Optional[bytes]) -> Optional[C.Geometry]:
+    return None if b is None else C.wkb_parse(bytes(b))
+
+
+def _b(g: Optional[C.Geometry]) -> Optional[bytes]:
+    return None if g is None else C.wkb_write(g)
+
+
+def _nullsafe(fn):
+    @functools.wraps(fn)
+    def wrapped(*args):
+        try:
+            if any(a is None for a in args):
+                return None
+            return fn(*args)
+        except Exception:
+            return None  # reference convention: NULL on failure (udfs.rs)
+
+    return wrapped
+
+
+# -- construction / serialization ------------------------------------------
+
+
+def st_geomfromtext(wkt, srid=None):
+    return _b(C.wkt_parse(wkt, int(srid) if srid is not None else 0))
+
+
+def st_geomfromewkt(ewkt):
+    return _b(C.wkt_parse(ewkt))
+
+
+def st_geomfromwkb(wkb, srid=None):
+    g = C.wkb_parse(bytes(wkb))
+    if srid is not None:
+        g = g.with_srid(int(srid))
+    return _b(g)
+
+
+def st_geomfromgeojson(s):
+    return _b(C.geojson_parse(s))
+
+
+def st_astext(b):
+    return C.wkt_write(_g(b))
+
+
+def st_asewkt(b):
+    return C.ewkt_write(_g(b))
+
+
+def st_asgeojson(b):
+    return C.geojson_write(_g(b))
+
+
+# -- function table: name -> (fn, return_type) -----------------------------
+
+_GEOM = T.BinaryType()
+_STR = T.StringType()
+_DBL = T.DoubleType()
+_INT = T.IntegerType()
+_BOOL = T.BooleanType()
+
+_BOX2D = T.StructType(
+    [
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+def _bounds_idx(i: int):
+    def f(b):
+        bb = A.bounds(_g(b))
+        return None if bb is None else bb[i]
+
+    return f
+
+
+FUNCTIONS: dict[str, tuple] = {
+    # serialization (udfs.rs:88-103, 439-473)
+    "ST_GeomFromText": (st_geomfromtext, _GEOM),
+    "ST_GeomFromEWKT": (st_geomfromewkt, _GEOM),
+    "ST_GeomFromWKB": (st_geomfromwkb, _GEOM),
+    "ST_GeomFromEWKB": (st_geomfromwkb, _GEOM),
+    "ST_GeomFromGeoJSON": (st_geomfromgeojson, _GEOM),
+    "ST_AsText": (st_astext, _STR),
+    "ST_AsEWKT": (st_asewkt, _STR),
+    "ST_AsGeoJSON": (st_asgeojson, _STR),
+    # accessors / measures (udfs.rs:11-103)
+    "ST_Area": (lambda b: A.area(_g(b)), _DBL),
+    "ST_Length": (lambda b: A.length(_g(b)), _DBL),
+    "ST_X": (lambda b: A.point_x(_g(b)), _DBL),
+    "ST_Y": (lambda b: A.point_y(_g(b)), _DBL),
+    "ST_XMin": (_bounds_idx(0), _DBL),
+    "ST_YMin": (_bounds_idx(1), _DBL),
+    "ST_XMax": (_bounds_idx(2), _DBL),
+    "ST_YMax": (_bounds_idx(3), _DBL),
+    "ST_IsEmpty": (lambda b: _g(b).is_empty(), _BOOL),
+    "ST_IsValid": (lambda b: A.is_valid(_g(b)), _BOOL),
+    "ST_NPoints": (lambda b: A.npoints(_g(b)), _INT),
+    "ST_NumPoints": (lambda b: A.num_points(_g(b)), _INT),
+    "ST_SRID": (lambda b: _g(b).srid, _INT),
+    "ST_GeometryType": (lambda b: _g(b).kind, _STR),
+    # constructive (udfs.rs:108-163, 321-469)
+    "ST_Centroid": (lambda b: _b(A.centroid(_g(b))), _GEOM),
+    "ST_ConvexHull": (lambda b: _b(A.convex_hull(_g(b))), _GEOM),
+    "ST_Envelope": (lambda b: _b(A.envelope(_g(b))), _GEOM),
+    "ST_Boundary": (lambda b: _b(A.boundary(_g(b))), _GEOM),
+    "ST_MakeValid": (lambda b: _b(A.make_valid_entry(_g(b))), _GEOM),
+    "ST_BuildArea": (lambda b: None, _GEOM),  # polygonization: later round
+    "ST_Buffer": (
+        lambda b, d, q=None: _b(A.buffer(_g(b), float(d), int(q) if q else 8)),
+        _GEOM,
+    ),
+    "ST_Simplify": (lambda b, t: _b(A.simplify_dp(_g(b), float(t))), _GEOM),
+    "ST_SimplifyPreserveTopology": (
+        lambda b, t: _b(A.simplify_dp(_g(b), float(t), True)),
+        _GEOM,
+    ),
+    "ST_SimplifyVW": (lambda b, t: _b(A.simplify_vw(_g(b), float(t))), _GEOM),
+    "ST_SetSRID": (lambda b, s: _b(_g(b).with_srid(int(s))), _GEOM),
+    "ST_Translate": (
+        lambda b, dx, dy: _b(A.translate(_g(b), float(dx), float(dy))),
+        _GEOM,
+    ),
+    "ST_ConcaveHull": (lambda b, *a: None, _GEOM),  # chi-shapes: later round
+    "ST_MakePoint": (lambda x, y: _b(A.make_point(float(x), float(y))), _GEOM),
+    "ST_MakeEnvelope": (
+        lambda x1, y1, x2, y2, srid=None: _b(
+            A.make_envelope(float(x1), float(y1), float(x2), float(y2), int(srid or 0))
+        ),
+        _GEOM,
+    ),
+    "ST_TileEnvelope": (
+        lambda z, x, y: _b(A.tile_envelope(int(z), int(x), int(y))),
+        _GEOM,
+    ),
+    "ST_Split": (lambda b, blade: _b(A.split(_g(b), _g(blade))), _GEOM),
+    "ST_Transform": (lambda b, s: _b(A.transform(_g(b), int(s))), _GEOM),
+    "ST_AsMVTGeom": (lambda *a: None, _GEOM),  # MVT clipping: later round
+    # binary predicates (udfs.rs:168-246, 373)
+    "ST_Contains": (lambda a, b: P.contains(_g(a), _g(b)), _BOOL),
+    "ST_Intersects": (lambda a, b: P.intersects(_g(a), _g(b)), _BOOL),
+    "ST_Within": (lambda a, b: P.within(_g(a), _g(b)), _BOOL),
+    "ST_Equals": (lambda a, b: P.equals(_g(a), _g(b)), _BOOL),
+    "ST_Covers": (lambda a, b: P.covers(_g(a), _g(b)), _BOOL),
+    "ST_CoveredBy": (lambda a, b: P.covered_by(_g(a), _g(b)), _BOOL),
+    "ST_Touches": (lambda a, b: P.touches(_g(a), _g(b)), _BOOL),
+    "ST_Overlaps": (lambda a, b: P.overlaps(_g(a), _g(b)), _BOOL),
+    "BBox_Intersects": (lambda a, b: P.bbox_intersects(_g(a), _g(b)), _BOOL),
+    "ST_DWithin": (lambda a, b, d: P.dwithin(_g(a), _g(b), float(d)), _BOOL),
+    # binary measures / constructive (udfs.rs:248-284)
+    "ST_Distance": (lambda a, b: A.distance(_g(a), _g(b)), _DBL),
+    "ST_Intersection": (lambda a, b: _b(A.intersection(_g(a), _g(b))), _GEOM),
+    "ST_Difference": (lambda a, b: _b(A.difference(_g(a), _g(b))), _GEOM),
+    "ST_Union": (lambda a, b: _b(A.union(_g(a), _g(b))), _GEOM),
+    # struct-returning (udfs.rs:295-318)
+    "Box2D": (
+        lambda b: (lambda bb: None if bb is None else {"xmin": bb[0], "ymin": bb[1], "xmax": bb[2], "ymax": bb[3]})(
+            A.bounds(_g(b))
+        ),
+        _BOX2D,
+    ),
+}
+
+
+def register_all(spark: SparkSession) -> None:
+    for name, (fn, rtype) in FUNCTIONS.items():
+        spark.udf.register(name, _nullsafe(fn), rtype)

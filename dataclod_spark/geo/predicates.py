@@ -1,0 +1,388 @@
+"""Binary spatial predicates (simplified DE-9IM over the 2D geometry model).
+
+Covers the reference's predicate set (``udfs.rs:168-246,373``): Intersects,
+Contains, Within, Equals, Covers, CoveredBy, Touches, Overlaps,
+BBox_Intersects, DWithin.  Semantics follow GEOS/OGC: Contains requires an
+interior-interior intersection (a polygon does not "contain" a point on its
+own boundary), Covers does not; Touches means intersecting without any
+interior-interior intersection; Overlaps requires same dimension, interior
+overlap, and neither side containing the other.
+
+Multi-geometries and collections are handled by decomposing into simple
+components; interior/boundary classification is computed per component pair
+and combined (a point on the shared endpoint of two segments of the same
+LineString is interior to it — handled by tracking boundary points of the
+whole geometry, not per segment).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from dataclod_spark.geo.algos import (
+    _on_segment,
+    _orient,
+    _segments,
+    bounds,
+    distance,
+)
+from dataclod_spark.geo.core import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Coord,
+    Geometry,
+)
+
+# interior/boundary/exterior codes for point-in-geometry location
+EXTERIOR, BOUNDARY, INTERIOR = 0, 1, 2
+
+
+def bbox_intersects(g1: Geometry, g2: Geometry) -> Optional[bool]:
+    b1, b2 = bounds(g1), bounds(g2)
+    if b1 is None or b2 is None:
+        return False
+    return not (
+        b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1]
+    )
+
+
+# --------------------------------------------------------------------------
+# point location
+# --------------------------------------------------------------------------
+
+
+def _point_in_ring(p: Coord, ring: list[Coord]) -> int:
+    """0 outside, 1 on boundary, 2 inside (ray casting with boundary check)."""
+    x, y = p
+    inside = False
+    for a, b in _segments(ring):
+        if _orient(a, b, p) == 0 and _on_segment(a, b, p):
+            return BOUNDARY
+        (x1, y1), (x2, y2) = a, b
+        if (y1 > y) != (y2 > y):
+            xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < xin:
+                inside = not inside
+    return INTERIOR if inside else EXTERIOR
+
+
+def _point_in_polygon(p: Coord, rings: list[list[Coord]]) -> int:
+    """Location of p relative to a polygon with holes."""
+    if not rings:
+        return EXTERIOR
+    loc = _point_in_ring(p, rings[0])
+    if loc != INTERIOR:
+        return loc
+    for hole in rings[1:]:
+        hloc = _point_in_ring(p, hole)
+        if hloc == INTERIOR:
+            return EXTERIOR
+        if hloc == BOUNDARY:
+            return BOUNDARY
+    return INTERIOR
+
+
+def _line_boundary_points(g: Geometry) -> set[Coord]:
+    """Mod-2 boundary of a (multi)linestring."""
+    lines = [g.data] if g.kind == LINESTRING else g.data
+    deg: dict[Coord, int] = {}
+    for l in lines:
+        if len(l) >= 2:
+            for p in (l[0], l[-1]):
+                deg[p] = deg.get(p, 0) + 1
+    return {p for p, d in deg.items() if d % 2 == 1}
+
+
+def _locate_point(p: Coord, g: Geometry) -> int:
+    """Location of point p in geometry g (max over components, with
+    line-boundary handled at the whole-geometry level)."""
+    if g.kind == POINT:
+        return INTERIOR if g.data == p else EXTERIOR
+    if g.kind == MULTIPOINT:
+        return INTERIOR if p in g.data else EXTERIOR
+    if g.kind in (LINESTRING, MULTILINESTRING):
+        bpts = _line_boundary_points(g)
+        lines = [g.data] if g.kind == LINESTRING else g.data
+        on_line = any(
+            _orient(a, b, p) == 0 and _on_segment(a, b, p)
+            for l in lines
+            for a, b in _segments(l)
+        )
+        if not on_line:
+            return EXTERIOR
+        return BOUNDARY if p in bpts else INTERIOR
+    if g.kind == POLYGON:
+        return _point_in_polygon(p, g.data)
+    if g.kind == MULTIPOLYGON:
+        best = EXTERIOR
+        for poly in g.data:
+            loc = _point_in_polygon(p, poly)
+            if loc == INTERIOR:
+                return INTERIOR
+            best = max(best, loc)
+        return best
+    best = EXTERIOR
+    for sub in g.data:
+        best = max(best, _locate_point(p, sub))
+        if best == INTERIOR:
+            return INTERIOR
+    return best
+
+
+# --------------------------------------------------------------------------
+# segment-level helpers
+# --------------------------------------------------------------------------
+
+
+def _segs(g: Geometry) -> list[tuple[Coord, Coord]]:
+    if g.kind == LINESTRING:
+        return _segments(g.data)
+    if g.kind == MULTILINESTRING:
+        return [s for l in g.data for s in _segments(l)]
+    if g.kind == POLYGON:
+        return [s for r in g.data for s in _segments(r)]
+    if g.kind == MULTIPOLYGON:
+        return [s for poly in g.data for r in poly for s in _segments(r)]
+    return []
+
+
+def _seg_cross_proper(a1, a2, b1, b2) -> Optional[Coord]:
+    """Proper crossing point (interiors of both segments), else None."""
+    d1 = _orient(b1, b2, a1)
+    d2 = _orient(b1, b2, a2)
+    d3 = _orient(a1, a2, b1)
+    d4 = _orient(a1, a2, b2)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and 0 not in (d1, d2, d3, d4):
+        denom = (a2[0] - a1[0]) * (b2[1] - b1[1]) - (a2[1] - a1[1]) * (b2[0] - b1[0])
+        t = ((b1[0] - a1[0]) * (b2[1] - b1[1]) - (b1[1] - a1[1]) * (b2[0] - b1[0])) / denom
+        return (a1[0] + t * (a2[0] - a1[0]), a1[1] + t * (a2[1] - a1[1]))
+    return None
+
+
+def _collinear_overlap_pts(a1, a2, b1, b2) -> Optional[tuple[Coord, Coord]]:
+    """Midpoint-representable overlap of collinear segments (lo<hi), else None."""
+    if _orient(a1, a2, b1) != 0 or _orient(a1, a2, b2) != 0:
+        return None
+    from dataclod_spark.geo.algos import _seg_param
+
+    t1, t2 = _seg_param(a1, a2, b1), _seg_param(a1, a2, b2)
+    lo, hi = max(min(t1, t2), 0.0), min(max(t1, t2), 1.0)
+    if lo < hi:
+        return (
+            (a1[0] + lo * (a2[0] - a1[0]), a1[1] + lo * (a2[1] - a1[1])),
+            (a1[0] + hi * (a2[0] - a1[0]), a1[1] + hi * (a2[1] - a1[1])),
+        )
+    return None
+
+
+def _candidate_points(g1: Geometry, g2: Geometry) -> list[Coord]:
+    """Points where the pair's interaction can change: vertices of each,
+    pairwise segment crossings, and collinear-overlap midpoints."""
+    pts: list[Coord] = []
+    pts.extend(g1.points())
+    pts.extend(g2.points())
+    s1, s2 = _segs(g1), _segs(g2)
+    for a1, a2 in s1:
+        for b1, b2 in s2:
+            p = _seg_cross_proper(a1, a2, b1, b2)
+            if p is not None:
+                pts.append(p)
+            ov = _collinear_overlap_pts(a1, a2, b1, b2)
+            if ov is not None:
+                mid = ((ov[0][0] + ov[1][0]) / 2.0, (ov[0][1] + ov[1][1]) / 2.0)
+                pts.append(mid)
+                pts.extend(ov)
+    return pts
+
+
+def _interaction_flags(g1: Geometry, g2: Geometry) -> tuple[bool, bool]:
+    """(any intersection, interior∩interior nonempty) via candidate points.
+
+    For polygon×polygon this is exact for non-degenerate inputs: if the
+    interiors overlap with positive area, either a vertex of one is interior
+    to the other or two boundaries cross properly (midpoint of a crossing
+    neighborhood is interior to both — approximated by the crossing point
+    being interior/boundary of both plus an area probe below).
+    """
+    any_hit = False
+    ii = False
+    for p in _candidate_points(g1, g2):
+        l1 = _locate_point(p, g1)
+        l2 = _locate_point(p, g2)
+        if l1 != EXTERIOR and l2 != EXTERIOR:
+            any_hit = True
+            if l1 == INTERIOR and l2 == INTERIOR:
+                ii = True
+                break
+    if any_hit and not ii:
+        ii = _interior_probe(g1, g2)
+    return any_hit, ii
+
+
+def _interior_probe(g1: Geometry, g2: Geometry) -> bool:
+    """Detect interior-interior overlap missed by vertex sampling: proper
+    boundary crossings imply interior overlap for areal×(lineal|areal), and
+    offset probes around crossings for lineal×lineal are unnecessary (a
+    proper crossing point IS interior to both lines)."""
+    d1, d2 = g1.dimension(), g2.dimension()
+    s1, s2 = _segs(g1), _segs(g2)
+    for a1, a2 in s1:
+        for b1, b2 in s2:
+            p = _seg_cross_proper(a1, a2, b1, b2)
+            if p is None:
+                continue
+            if d1 == 1 and d2 == 1:
+                # crossing of two line interiors (segment interiors)
+                return True
+            # areal side(s): probe in 8 directions around the crossing
+            for k in range(8):
+                ang = k * math.pi / 4.0
+                q = (p[0] + 1e-9 * math.cos(ang), p[1] + 1e-9 * math.sin(ang))
+                if _locate_point(q, g1) == INTERIOR and _locate_point(q, g2) == INTERIOR:
+                    return True
+    # also: collinear boundary overlap between two polygons whose interiors
+    # are on the same side — probe midpoints of shared edges
+    if d1 == 2 and d2 == 2:
+        for a1, a2 in s1:
+            for b1, b2 in s2:
+                ov = _collinear_overlap_pts(a1, a2, b1, b2)
+                if ov is None:
+                    continue
+                mid = ((ov[0][0] + ov[1][0]) / 2.0, (ov[0][1] + ov[1][1]) / 2.0)
+                # normal probes either side of the shared edge
+                dx, dy = a2[0] - a1[0], a2[1] - a1[1]
+                n = math.hypot(dx, dy) or 1.0
+                for s in (1e-9, -1e-9):
+                    q = (mid[0] - dy / n * s, mid[1] + dx / n * s)
+                    if _locate_point(q, g1) == INTERIOR and _locate_point(q, g2) == INTERIOR:
+                        return True
+    return False
+
+
+# --------------------------------------------------------------------------
+# public predicates
+# --------------------------------------------------------------------------
+
+
+def intersects(g1: Geometry, g2: Geometry) -> bool:
+    if g1.is_empty() or g2.is_empty():
+        return False
+    if not bbox_intersects(g1, g2):
+        return False
+    any_hit, _ = _interaction_flags(g1, g2)
+    return any_hit
+
+
+def _covers_impl(g1: Geometry, g2: Geometry) -> bool:
+    """Every candidate point of g2 is non-exterior to g1, and no part of g2
+    escapes (checked via crossings: a proper boundary crossing means escape
+    unless g1 is areal and the crossing stays inside)."""
+    if g1.is_empty() or g2.is_empty():
+        return False
+    # every vertex of g2 inside/boundary of g1
+    for p in g2.points():
+        if _locate_point(p, g1) == EXTERIOR:
+            return False
+    d1 = g1.dimension()
+    d2 = g2.dimension()
+    if d2 > d1:
+        return False
+    if d2 == 0:
+        return True
+    # segment midpoints of g2 must not be exterior (catches concavities)
+    for a, b in _segs(g2):
+        mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+        if _locate_point(mid, g1) == EXTERIOR:
+            return False
+    # proper crossings of g2 segments with g1 boundary → g2 exits g1
+    s1 = _segs(g1)
+    for b1, b2 in _segs(g2):
+        for a1, a2 in s1:
+            p = _seg_cross_proper(a1, a2, b1, b2)
+            if p is not None:
+                # crossing the boundary of an areal g1 means passing outside
+                if d1 == 2:
+                    # probe both sides along g2's segment direction
+                    dx, dy = b2[0] - b1[0], b2[1] - b1[1]
+                    n = math.hypot(dx, dy) or 1.0
+                    for s in (1e-9, -1e-9):
+                        q = (p[0] + dx / n * s, p[1] + dy / n * s)
+                        if _locate_point(q, g1) == EXTERIOR:
+                            return False
+                else:
+                    return False
+    # lineal-in-lineal: midpoints already checked; areal-in-areal: also check
+    # g1 hole vertices are not interior to g2 (hole poking through)
+    if d1 == 2 and d2 == 2:
+        holes = []
+        for comp in g1.flatten():
+            if comp.kind == POLYGON:
+                holes.extend(comp.data[1:])
+        for hole in holes:
+            for p in hole:
+                if _locate_point(p, g2) == INTERIOR:
+                    return False
+            # hole edge midpoints interior to g2 → g2 covers part of a hole
+            for a, b in _segments(hole):
+                mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+                if _locate_point(mid, g2) == INTERIOR and _locate_point(mid, g1) == EXTERIOR:
+                    return False
+    return True
+
+
+def covers(g1: Geometry, g2: Geometry) -> bool:
+    return _covers_impl(g1, g2)
+
+
+def covered_by(g1: Geometry, g2: Geometry) -> bool:
+    return _covers_impl(g2, g1)
+
+
+def contains(g1: Geometry, g2: Geometry) -> bool:
+    """covers + interiors intersect (OGC contains)."""
+    if not _covers_impl(g1, g2):
+        return False
+    _, ii = _interaction_flags(g1, g2)
+    return ii
+
+
+def within(g1: Geometry, g2: Geometry) -> bool:
+    return contains(g2, g1)
+
+
+def equals(g1: Geometry, g2: Geometry) -> bool:
+    """Topological equality: mutual covers."""
+    if g1.is_empty() and g2.is_empty():
+        return True
+    if g1.dimension() != g2.dimension():
+        return False
+    return _covers_impl(g1, g2) and _covers_impl(g2, g1)
+
+
+def touches(g1: Geometry, g2: Geometry) -> bool:
+    if g1.is_empty() or g2.is_empty():
+        return False
+    any_hit, ii = _interaction_flags(g1, g2)
+    return any_hit and not ii
+
+
+def overlaps(g1: Geometry, g2: Geometry) -> bool:
+    if g1.dimension() != g2.dimension():
+        return False
+    if g1.is_empty() or g2.is_empty():
+        return False
+    _, ii = _interaction_flags(g1, g2)
+    if not ii:
+        return False
+    return not _covers_impl(g1, g2) and not _covers_impl(g2, g1)
+
+
+def dwithin(g1: Geometry, g2: Geometry, dist: float) -> Optional[bool]:
+    d = distance(g1, g2)
+    return None if d is None else d <= dist

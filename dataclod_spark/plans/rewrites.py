@@ -1,0 +1,115 @@
+"""Statement rewrites applied by ``EngineSession.sql`` before planning.
+
+Mirrors the reference's parse-level statement-rewrite stage
+(``src/core/src/rewrite/mod.rs:17-20``, applied per statement in
+``context.rs:87-95``).  The reference rewrites pg-specific AST shapes; our
+engine-specific rewrite handles a Spark limitation instead: inline ``VALUES``
+tables must be foldable, so rows containing non-foldable expressions (e.g.
+Python-backed ``ST_*`` UDF calls) are rewritten to a ``UNION ALL`` chain of
+SELECTs, which Spark evaluates fine.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    parts, depth, cur, in_str = [], 0, [], False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    cur.append(s[i + 1])
+                    i += 1
+                else:
+                    in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _find_matching(s: str, start: int) -> int:
+    """Index of the ')' matching the '(' at s[start]."""
+    depth, in_str = 0, False
+    for i in range(start, len(s)):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses")
+
+
+_VALUES_RE = re.compile(r"\(\s*VALUES\b", re.IGNORECASE)
+_ALIAS_RE = re.compile(r"\s*(?:AS\s+)?(\w+)\s*\(([^)]*)\)", re.IGNORECASE)
+
+
+def rewrite_values_tables(sql: str) -> str:
+    """Rewrite ``(VALUES (a,b),(c,d)) AS t(x,y)`` → UNION ALL of SELECTs.
+
+    Only fires when the statement contains both VALUES and a non-foldable
+    function marker (``ST_`` prefix) — plain literal VALUES stay native.
+    """
+    if "values" not in sql.lower() or "st_" not in sql.lower():
+        return sql
+    out = sql
+    while True:
+        m = _VALUES_RE.search(out)
+        if m is None:
+            return out
+        open_paren = m.start()
+        close_paren = _find_matching(out, open_paren)
+        inner = out[m.end() : close_paren]  # the rows: (..), (..)
+        after = out[close_paren + 1 :]
+        am = _ALIAS_RE.match(after)
+        cols: list[str] | None = None
+        alias = None
+        if am:
+            alias = am.group(1)
+            cols = [c.strip() for c in am.group(2).split(",")]
+            after = after[am.end() :]
+        rows = _split_top_level(inner.strip())
+        selects = []
+        for row in rows:
+            row = row.strip()
+            if not (row.startswith("(") and row.endswith(")")):
+                return sql  # unexpected shape — leave untouched
+            exprs = _split_top_level(row[1:-1])
+            if cols is not None:
+                if len(exprs) != len(cols):
+                    return sql
+                sel = ", ".join(f"{e.strip()} AS {c}" for e, c in zip(exprs, cols))
+            else:
+                sel = ", ".join(e.strip() for e in exprs)
+            selects.append(f"SELECT {sel}")
+        union = " UNION ALL ".join(selects)
+        alias_sql = f" {alias}" if alias else ""
+        out = out[:open_paren] + f"({union}){alias_sql}" + after

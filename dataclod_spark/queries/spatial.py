@@ -1,0 +1,164 @@
+"""Spatial queries for the driver's DuckDB-oracle gate.
+
+DuckDB here has no spatial extension (offline container), so these queries
+synthesize geometries from INTEGER-derived coordinates of the ``events``
+table and use oracles that compute the same result with plain arithmetic.
+Integer coordinates make every double exact, so no rounding ambiguity exists
+on either side.  (The WKT-level golden corpus — the reference's own
+``spatial_udf.slt`` — is covered separately by tests/test_spatial_slt.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataclod_spark.registry import load, query
+
+
+def _spatial(spark: SparkSession) -> None:
+    from dataclod_spark.functions.spatial_udfs import register_all
+
+    register_all(spark)
+
+
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer point cloud derived from events: (event_id%100, user_id%50)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        (F.col("event_id") % 100).cast("double").alias("px"),
+        (F.col("user_id") % 50).cast("double").alias("py"),
+    )
+
+
+@query(
+    "g1_covers_count",
+    doc="ST_Covers(envelope, point) count — boundary-inclusive containment",
+    oracle="""
+SELECT count(*) AS n_inside
+FROM events
+WHERE (event_id % 100) BETWEEN 10 AND 70
+  AND (user_id % 50) BETWEEN 5 AND 40
+""",
+)
+def g1_covers_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _spatial(spark)
+    p = _pts(spark, sf_dir)
+    p.createOrReplaceTempView("g1_points")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_inside
+        FROM g1_points
+        WHERE ST_Covers(ST_MakeEnvelope(10, 5, 70, 40), ST_MakePoint(px, py))
+        """
+    )
+
+
+@query(
+    "g2_dwithin_count",
+    doc="ST_DWithin radius query around a fixed point",
+    oracle="""
+SELECT count(*) AS n_near
+FROM events
+WHERE sqrt(CAST((event_id % 100 - 50) * (event_id % 100 - 50)
+               + (user_id % 50 - 25) * (user_id % 50 - 25) AS DOUBLE)) <= 20.0
+""",
+)
+def g2_dwithin_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _spatial(spark)
+    p = _pts(spark, sf_dir)
+    p.createOrReplaceTempView("g2_points")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_near
+        FROM g2_points
+        WHERE ST_DWithin(ST_MakePoint(px, py), ST_MakePoint(50, 25), 20.0)
+        """
+    )
+
+
+@query(
+    "g3_envelope_area_sum",
+    doc="sum of ST_Area over per-row envelopes (exact integer areas)",
+    oracle="""
+SELECT CAST(sum((1 + event_id % 7) * (1 + user_id % 5)) AS BIGINT) AS total_area
+FROM events
+""",
+)
+def g3_envelope_area_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _spatial(spark)
+    e = load(spark, sf_dir, "events")
+    e.select(
+        (F.col("event_id") % 100).cast("double").alias("x"),
+        (F.col("user_id") % 50).cast("double").alias("y"),
+        (1 + F.col("event_id") % 7).cast("double").alias("w"),
+        (1 + F.col("user_id") % 5).cast("double").alias("h"),
+    ).createOrReplaceTempView("g3_boxes")
+    return spark.sql(
+        """
+        SELECT CAST(sum(ST_Area(ST_MakeEnvelope(x, y, x + w, y + h))) AS BIGINT)
+               AS total_area
+        FROM g3_boxes
+        """
+    )
+
+
+@query(
+    "g4_translate_bounds",
+    doc="ST_Translate + ST_XMin/ST_YMax bounds per geometry (exact ints)",
+    oracle="""
+SELECT (event_id % 100) + (event_id % 11) AS new_xmin,
+       (user_id % 50) + 5 + (user_id % 7)  AS new_ymax,
+       count(*) AS n
+FROM events
+GROUP BY new_xmin, new_ymax
+ORDER BY new_xmin, new_ymax
+""",
+)
+def g4_translate_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _spatial(spark)
+    e = load(spark, sf_dir, "events")
+    e.select(
+        (F.col("event_id") % 100).cast("double").alias("x"),
+        (F.col("user_id") % 50).cast("double").alias("y"),
+        (F.col("event_id") % 11).cast("double").alias("dx"),
+        (F.col("user_id") % 7).cast("double").alias("dy"),
+    ).createOrReplaceTempView("g4_boxes")
+    return spark.sql(
+        """
+        SELECT CAST(ST_XMin(t) AS BIGINT) AS new_xmin,
+               CAST(ST_YMax(t) AS BIGINT) AS new_ymax,
+               count(*) AS n
+        FROM (SELECT ST_Translate(ST_MakeEnvelope(x, y, x + 3, y + 5), dx, dy) AS t
+              FROM g4_boxes)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )
+
+
+@query(
+    "g5_wkt_roundtrip",
+    doc="ST_AsText(ST_MakePoint) WKT formatting over integer coordinates",
+    oracle="""
+SELECT 'POINT (' || CAST(event_id % 100 AS VARCHAR) || ' '
+                 || CAST(user_id % 50 AS VARCHAR) || ')' AS wkt,
+       count(*) AS n
+FROM events
+GROUP BY wkt
+ORDER BY wkt
+""",
+)
+def g5_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _spatial(spark)
+    p = _pts(spark, sf_dir)
+    p.createOrReplaceTempView("g5_points")
+    return spark.sql(
+        """
+        SELECT ST_AsText(ST_MakePoint(px, py)) AS wkt, count(*) AS n
+        FROM g5_points
+        GROUP BY wkt
+        ORDER BY wkt
+        """
+    )

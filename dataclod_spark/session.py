@@ -150,6 +150,9 @@ class EngineSession:
                 # pg-client compat: swallow unknown SET (context.rs:117-122)
                 self._swallowed_sets[key] = value
             return self.spark.range(0).select()
+        from dataclod_spark.plans.rewrites import rewrite_values_tables
+
+        query = rewrite_values_tables(query)
         if args:
             return self.spark.sql(query, args=dict(args))
         return self.spark.sql(query)
