@@ -1,0 +1,315 @@
+"""Partitioned build/probe spatial join — SURVEY.md §2.A.1 / §7 Phase 4.
+
+Re-expresses the reference's out-of-core SpatialJoinExec
+(``spatial/src/join/exec.rs:32-131``: build-side R-tree index, grid/KDB
+spatial partitioning, candidate refinement, outer-join completion) in
+Spark's execution model:
+
+1. **bbox projection** (≈ OperandEvaluator, ``operand_evaluator.rs:23-66``):
+   one Arrow-batched pandas UDF adds (xmin,ymin,xmax,ymax) per geometry —
+   the only Python touch before refinement.
+2. **Grid partitioner** (≈ KDB partitioner ``partitioning/kdb.rs:378-393``):
+   bbox sample (≤10k rows, mirroring ``option.rs:60-70``'s 10k/1k/1%
+   sampler) drives a driver-side uniform grid; boundaries broadcast as plan
+   literals.
+3. **Cell assignment** (≈ partition contract ``partitioning/mod.rs:42-77``):
+   BOTH sides explode to every grid cell their bbox intersects — pure JVM
+   ``sequence``/``explode`` arithmetic, no Python.  (The reference assigns
+   build-side rows to exactly one partition and handles probe Multi-cells
+   with dedup bitmaps; with a shuffle-based engine the symmetric-explode +
+   reference-point scheme below is equivalent and needs no shared state.)
+4. **Cell equi-join + bbox filter**: the shuffle is on the cell id; Catalyst
+   plans a hash join with the bbox range condition applied in codegen.
+5. **Reference-point dedup** (replaces the Multi-cell visited bitmaps,
+   ``stream.rs:82-86``): a candidate pair is emitted only in the cell that
+   contains the top-left corner of the bbox intersection — each pair
+   survives exactly once, with no distinct/shuffle.
+6. **Exact refinement** (≈ ``refine/{geo,geos,tg}.rs``): one pandas UDF
+   evaluates the exact predicate on candidate WKB pairs.
+7. **Outer-join completion** (≈ ``stream.rs`` final emission): unmatched
+   rows are recovered with anti-joins on row ids and unioned in.
+
+Scale: the only shuffles are (a) the cell-id hash join and (b) outer-join
+anti-joins; skewed cells are split by AQE skew-join handling.  Candidate
+refinement is Arrow-batched.  At 100 TB the grid is sized from the sample so
+that one cell's build rows fit an executor; heavily skewed data can lower
+``cell_target`` (finer grid) without touching the plan shape.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from dataclod_spark.geo import core as GC
+from dataclod_spark.geo import predicates as GP
+
+# mirrors the reference's bbox sampler bounds (option.rs:60-70)
+MAX_BBOX_SAMPLES = 10_000
+
+PREDICATES = {
+    "intersects": GP.intersects,
+    "contains": GP.contains,
+    "within": GP.within,
+    "covers": GP.covers,
+    "covered_by": GP.covered_by,
+    "touches": GP.touches,
+    "overlaps": GP.overlaps,
+    "equals": GP.equals,
+}
+
+_BBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_BBOX_SCHEMA)
+def _bbox_udf(wkb: pd.Series) -> pd.DataFrame:
+    from dataclod_spark.geo.algos import bounds
+
+    out = {"xmin": [], "ymin": [], "xmax": [], "ymax": []}
+    for b in wkb:
+        bb = None
+        if b is not None:
+            try:
+                bb = bounds(GC.wkb_parse(bytes(b)))
+            except Exception:
+                bb = None
+        if bb is None:
+            out["xmin"].append(None)
+            out["ymin"].append(None)
+            out["xmax"].append(None)
+            out["ymax"].append(None)
+        else:
+            out["xmin"].append(bb[0])
+            out["ymin"].append(bb[1])
+            out["xmax"].append(bb[2])
+            out["ymax"].append(bb[3])
+    return pd.DataFrame(out)
+
+
+def _refine_udf(predicate: str, distance: Optional[float]):
+    pred_fn = None if predicate == "dwithin" else PREDICATES[predicate]
+
+    @pandas_udf(T.BooleanType())
+    def refine(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+        from dataclod_spark.geo.predicates import dwithin
+
+        res = []
+        for b1, b2 in zip(wkb1, wkb2):
+            try:
+                g1 = GC.wkb_parse(bytes(b1))
+                g2 = GC.wkb_parse(bytes(b2))
+                if pred_fn is None:
+                    res.append(bool(dwithin(g1, g2, distance)))
+                else:
+                    res.append(bool(pred_fn(g1, g2)))
+            except Exception:
+                res.append(False)
+        return pd.Series(res)
+
+    return refine
+
+
+def with_bbox(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:
+    """Add {prefix}xmin..{prefix}ymax bbox columns for a WKB geometry column."""
+    b = _bbox_udf(F.col(geom_col))
+    return (
+        df.withColumn("__bb", b)
+        .select(
+            "*",
+            F.col("__bb.xmin").alias(f"{prefix}xmin"),
+            F.col("__bb.ymin").alias(f"{prefix}ymin"),
+            F.col("__bb.xmax").alias(f"{prefix}xmax"),
+            F.col("__bb.ymax").alias(f"{prefix}ymax"),
+        )
+        .drop("__bb")
+    )
+
+
+def _grid_from_sample(
+    samples: list[tuple[float, float, float, float]], cell_target: int
+) -> tuple[float, float, float, float, int, int]:
+    """(x0, y0, dx, dy, nx, ny) uniform grid covering the sampled extent.
+
+    ≈ the KDB partitioner's contract (balanced leaf regions from a bbox
+    sample); a uniform grid is the simpler scheme with the same cell
+    semantics — the reference itself falls back to simpler partitioners at
+    small partition counts (``partitioning/flat.rs``).
+    """
+    xmin = min(s[0] for s in samples)
+    ymin = min(s[1] for s in samples)
+    xmax = max(s[2] for s in samples)
+    ymax = max(s[3] for s in samples)
+    span_x = (xmax - xmin) or 1.0
+    span_y = (ymax - ymin) or 1.0
+    n = max(1, int(math.sqrt(cell_target)))
+    # pad the extent so boundary objects fall inside the last cell
+    pad_x = span_x * 1e-9 + 1e-12
+    pad_y = span_y * 1e-9 + 1e-12
+    return (
+        xmin - pad_x,
+        ymin - pad_y,
+        (span_x + 2 * pad_x) / n,
+        (span_y + 2 * pad_y) / n,
+        n,
+        n,
+    )
+
+
+def _cells_expr(prefix: str, grid, expand: float) -> Column:
+    """Array of cell ids intersecting the (possibly expanded) bbox.
+
+    Bboxes outside the sampled grid extent clamp into the border cells, so
+    out-of-sample rows still land in a cell (partition contract: probe rows
+    are never dropped — ``partitioning/mod.rs:42-77``).
+    """
+    x0, y0, dx, dy, nx, ny = grid
+
+    def clamp(e: Column, n: int) -> Column:
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), e.cast("int")))
+
+    ix0 = clamp(F.floor((F.col(f"{prefix}xmin") - expand - x0) / dx), nx)
+    ix1 = clamp(F.floor((F.col(f"{prefix}xmax") + expand - x0) / dx), nx)
+    iy0 = clamp(F.floor((F.col(f"{prefix}ymin") - expand - y0) / dy), ny)
+    iy1 = clamp(F.floor((F.col(f"{prefix}ymax") + expand - y0) / dy), ny)
+    xs = F.sequence(ix0, ix1)
+    ys = F.sequence(iy0, iy1)
+    return F.flatten(F.transform(xs, lambda ix: F.transform(ys, lambda iy: ix * ny + iy)))
+
+
+def _ref_point_in_cell(grid, expand: float) -> Column:
+    """Reference-point dedup: emit the pair only in the cell holding the
+    top-left corner of the (expanded) bbox intersection."""
+    x0, y0, dx, dy, nx, ny = grid
+    rx = F.greatest(F.col("l_xmin") - expand, F.col("r_xmin") - 0.0)
+    ry = F.greatest(F.col("l_ymin") - expand, F.col("r_ymin") - 0.0)
+
+    def clamp(e: Column, n: int) -> Column:
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), e.cast("int")))
+
+    cx = clamp(F.floor((rx - x0) / dx), nx)
+    cy = clamp(F.floor((ry - y0) / dy), ny)
+    return (cx * ny + cy) == F.col("__cell")
+
+
+def spatial_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+    how: str = "inner",
+    distance: Optional[float] = None,
+    cell_target: int = 1024,
+) -> DataFrame:
+    """Spatial join of two DataFrames with WKB geometry columns.
+
+    predicate: intersects|contains|within|covers|covered_by|touches|
+               overlaps|equals|dwithin (dwithin requires ``distance``).
+    how: inner|left|right|full|left_semi|left_anti.
+
+    Output: left columns + right columns (both sides' geometry included);
+    for semi/anti only left columns.
+    """
+    if predicate == "dwithin" and distance is None:
+        raise ValueError("dwithin requires distance=")
+    expand = float(distance or 0.0)
+
+    lcols = left.columns
+    rcols = right.columns
+    overlap = set(lcols) & set(rcols)
+    right_renamed = right
+    for c in overlap:
+        right_renamed = right_renamed.withColumnRenamed(c, f"{c}_right")
+    rcols_out = [c if c not in overlap else f"{c}_right" for c in rcols]
+    rgeom = right_geom if right_geom not in overlap else f"{right_geom}_right"
+
+    l = with_bbox(left, left_geom, "l_").withColumn(
+        "__lid", F.monotonically_increasing_id()
+    )
+    r = with_bbox(right_renamed, rgeom, "r_").withColumn(
+        "__rid", F.monotonically_increasing_id()
+    )
+    l = l.persist()
+    r = r.persist()
+
+    # grid from the right (build) side sample; fall back to left if empty
+    sample = [
+        (row[0], row[1], row[2], row[3])
+        for row in r.select("r_xmin", "r_ymin", "r_xmax", "r_ymax")
+        .dropna()
+        .limit(MAX_BBOX_SAMPLES)
+        .collect()
+    ]
+    if not sample:
+        sample = [
+            (row[0], row[1], row[2], row[3])
+            for row in l.select("l_xmin", "l_ymin", "l_xmax", "l_ymax")
+            .dropna()
+            .limit(MAX_BBOX_SAMPLES)
+            .collect()
+        ] or [(0.0, 0.0, 1.0, 1.0)]
+    grid = _grid_from_sample(sample, cell_target)
+
+    le = l.dropna(subset=["l_xmin"]).withColumn(
+        "__cell", F.explode(_cells_expr("l_", grid, expand))
+    )
+    re = r.dropna(subset=["r_xmin"]).withColumn(
+        "__cell", F.explode(_cells_expr("r_", grid, 0.0))
+    )
+
+    bbox_cond = (
+        (F.col("l_xmin") - expand <= F.col("r_xmax"))
+        & (F.col("r_xmin") <= F.col("l_xmax") + expand)
+        & (F.col("l_ymin") - expand <= F.col("r_ymax"))
+        & (F.col("r_ymin") <= F.col("l_ymax") + expand)
+    )
+    cand = le.join(re, "__cell").filter(bbox_cond).filter(_ref_point_in_cell(grid, expand))
+
+    refine = _refine_udf(predicate, distance)
+    matched = cand.filter(refine(F.col(left_geom), F.col(rgeom)))
+
+    bbox_helper = [c for c in matched.columns if c.startswith(("l_x", "l_y", "r_x", "r_y"))]
+    pairs = matched.drop("__cell", *bbox_helper)
+
+    if how == "inner":
+        return pairs.drop("__lid", "__rid")
+    if how == "left_semi":
+        keep = pairs.select("__lid").distinct()
+        return l.join(keep, "__lid", "left_semi").select(*lcols)
+    if how == "left_anti":
+        keep = pairs.select("__lid").distinct()
+        return l.join(keep, "__lid", "left_anti").select(*lcols)
+
+    out_cols = lcols + rcols_out
+    inner = pairs.select(*out_cols, "__lid", "__rid")
+    if how in ("left", "full"):
+        unmatched_l = l.join(inner.select("__lid").distinct(), "__lid", "left_anti")
+        null_r = unmatched_l.select(
+            *lcols, *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in rcols_out]
+        )
+    if how in ("right", "full"):
+        unmatched_r = r.join(inner.select("__rid").distinct(), "__rid", "left_anti")
+        null_l = unmatched_r.select(
+            *[F.lit(None).cast(l.schema[c].dataType).alias(c) for c in lcols], *rcols_out
+        )
+    res = inner.drop("__lid", "__rid")
+    if how == "left":
+        return res.unionByName(null_r)
+    if how == "right":
+        return res.unionByName(null_l)
+    if how == "full":
+        return res.unionByName(null_r).unionByName(null_l)
+    raise ValueError(f"unsupported how={how}")

@@ -139,6 +139,106 @@ def g4_translate_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g6_spatial_join_points_in_boxes",
+    bench=True,
+    doc="grid-partitioned spatial join: points-in-boxes counts per box",
+    oracle="""
+WITH boxes AS (
+  SELECT event_id AS box_id,
+         CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by,
+         CAST(3 + event_id % 5 AS DOUBLE) AS w, CAST(2 + user_id % 3 AS DOUBLE) AS h
+  FROM events WHERE event_id % 50 = 0
+), points AS (
+  SELECT event_id AS point_id,
+         CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
+  FROM events
+)
+SELECT box_id, count(*) AS n_points
+FROM boxes JOIN points
+  ON px BETWEEN bx AND bx + w AND py BETWEEN by AND by + h
+GROUP BY box_id
+ORDER BY box_id
+""",
+)
+def g6_spatial_join_points_in_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.geo.algos import make_envelope, make_point
+    from dataclod_spark.geo.core import wkb_write
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    _spatial(spark)
+    e = load(spark, sf_dir, "events")
+    boxes = (
+        e.filter(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("box_id"),
+            (F.col("event_id") % 97).cast("double").alias("bx"),
+            (F.col("user_id") % 41).cast("double").alias("by"),
+            (3 + F.col("event_id") % 5).cast("double").alias("w"),
+            (2 + F.col("user_id") % 3).cast("double").alias("h"),
+        )
+        .selectExpr(
+            "box_id",
+            "ST_MakeEnvelope(bx, by, bx + w, by + h) AS geom",
+        )
+    )
+    points = e.select(
+        F.col("event_id").alias("point_id"),
+        (F.col("event_id") % 89).cast("double").alias("px"),
+        (F.col("user_id") % 43).cast("double").alias("py"),
+    ).selectExpr("point_id", "ST_MakePoint(px, py) AS geom")
+    joined = spatial_join(points, boxes, "intersects", cell_target=256)
+    return (
+        joined.groupBy("box_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("box_id")
+    )
+
+
+@query(
+    "g7_dwithin_join",
+    doc="distance join (ST_DWithin) between two derived point sets",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS a_id,
+         CAST(event_id % 89 AS DOUBLE) AS ax, CAST(user_id % 43 AS DOUBLE) AS ay
+  FROM events WHERE event_id % 25 = 0
+), b AS (
+  SELECT event_id AS b_id,
+         CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by
+  FROM events WHERE event_id % 40 = 0
+)
+SELECT count(*) AS n_pairs
+FROM a JOIN b ON sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= 5.0
+""",
+)
+def g7_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    _spatial(spark)
+    e = load(spark, sf_dir, "events")
+    a = (
+        e.filter(F.col("event_id") % 25 == 0)
+        .select(
+            F.col("event_id").alias("a_id"),
+            (F.col("event_id") % 89).cast("double").alias("ax"),
+            (F.col("user_id") % 43).cast("double").alias("ay"),
+        )
+        .selectExpr("a_id", "ST_MakePoint(ax, ay) AS geom")
+    )
+    b = (
+        e.filter(F.col("event_id") % 40 == 0)
+        .select(
+            F.col("event_id").alias("b_id"),
+            (F.col("event_id") % 97).cast("double").alias("bx"),
+            (F.col("user_id") % 41).cast("double").alias("by"),
+        )
+        .selectExpr("b_id", "ST_MakePoint(bx, by) AS geom")
+    )
+    joined = spatial_join(a, b, "dwithin", distance=5.0, cell_target=256)
+    return joined.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
     "g5_wkt_roundtrip",
     doc="ST_AsText(ST_MakePoint) WKT formatting over integer coordinates",
     oracle="""

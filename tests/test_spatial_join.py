@@ -1,0 +1,133 @@
+"""Spatial join correctness vs a driver-side brute-force reference."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataclod_spark.geo import core as GC
+from dataclod_spark.geo import predicates as GP
+from dataclod_spark.geo.algos import make_envelope, make_point
+
+
+def _mk_data(seed: int, n_boxes: int = 40, n_points: int = 120):
+    rnd = random.Random(seed)
+    boxes = []
+    for i in range(n_boxes):
+        x = rnd.uniform(0, 90)
+        y = rnd.uniform(0, 90)
+        w = rnd.uniform(1, 12)
+        h = rnd.uniform(1, 12)
+        boxes.append((i, make_envelope(x, y, x + w, y + h)))
+    points = []
+    for i in range(n_points):
+        # cluster 30% of points in a small extent (skew, FIXTURES.md §3)
+        if i % 10 < 3:
+            p = make_point(rnd.uniform(40, 50), rnd.uniform(40, 50))
+        else:
+            p = make_point(rnd.uniform(-5, 105), rnd.uniform(-5, 105))
+        points.append((i, p))
+    return boxes, points
+
+
+_SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("geom", T.BinaryType())]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, GC.wkb_write(g)) for i, g in rows], _SCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    boxes, points = _mk_data(11)
+    return (
+        boxes,
+        points,
+        _df(spark, points).withColumnRenamed("id", "pid"),
+        _df(spark, boxes).withColumnRenamed("id", "bid"),
+    )
+
+
+def _brute_pairs(points, boxes, pred):
+    return {
+        (pi, bi)
+        for pi, pg in points
+        for bi, bg in boxes
+        if pred(pg, bg)
+    }
+
+
+def test_inner_intersects(spark, data):
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    boxes, points, pdf, bdf = data
+    got = spatial_join(
+        pdf, bdf, "intersects", left_geom="geom", right_geom="geom", cell_target=64
+    )
+    got_pairs = {(r.pid, r.bid) for r in got.collect()}
+    assert got_pairs == _brute_pairs(points, boxes, GP.intersects)
+    assert len(got_pairs) > 0
+
+
+def test_inner_within(spark, data):
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    boxes, points, pdf, bdf = data
+    got = spatial_join(pdf, bdf, "within", cell_target=64)
+    got_pairs = {(r.pid, r.bid) for r in got.collect()}
+    assert got_pairs == _brute_pairs(points, boxes, GP.within)
+
+
+def test_dwithin(spark, data):
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    boxes, points, pdf, bdf = data
+    d = 4.0
+    got = spatial_join(pdf, bdf, "dwithin", distance=d, cell_target=64)
+    got_pairs = {(r.pid, r.bid) for r in got.collect()}
+    expect = {
+        (pi, bi)
+        for pi, pg in points
+        for bi, bg in boxes
+        if GP.dwithin(pg, bg, d)
+    }
+    assert got_pairs == expect
+
+
+def test_left_and_semi_anti(spark, data):
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    boxes, points, pdf, bdf = data
+    brute = _brute_pairs(points, boxes, GP.intersects)
+    matched_pids = {p for p, _ in brute}
+
+    left = spatial_join(pdf, bdf, "intersects", how="left", cell_target=64).collect()
+    assert len(left) == len(brute) + (len(points) - len(matched_pids))
+    null_rows = [r for r in left if r.bid is None]
+    assert {r.pid for r in null_rows} == {p for p, _ in points} - matched_pids
+
+    semi = spatial_join(pdf, bdf, "intersects", how="left_semi", cell_target=64).collect()
+    assert {r.pid for r in semi} == matched_pids
+    anti = spatial_join(pdf, bdf, "intersects", how="left_anti", cell_target=64).collect()
+    assert {r.pid for r in anti} == {p for p, _ in points} - matched_pids
+
+
+def test_full_outer(spark, data):
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    boxes, points, pdf, bdf = data
+    brute = _brute_pairs(points, boxes, GP.intersects)
+    matched_p = {p for p, _ in brute}
+    matched_b = {b for _, b in brute}
+    full = spatial_join(pdf, bdf, "intersects", how="full", cell_target=64).collect()
+    expected_rows = (
+        len(brute) + (len(points) - len(matched_p)) + (len(boxes) - len(matched_b))
+    )
+    assert len(full) == expected_rows
