@@ -1,0 +1,124 @@
+"""Multimodal (image/audio/video) column plumbing — driver north-star.
+
+Convention: media is an opaque ``binary`` content column plus a typed
+metadata struct.  The Spark-side plumbing — schema, Arrow batching via
+``mapInPandas``, partition-preserving shape — is real and tested; the codec
+step itself is STUBBED (this container has no image/audio libraries): the
+default decoder is a deterministic fake keyed on md5(content) so pipelines
+are testable end-to-end, and ``decode_media(..., decoder=...)`` accepts a
+real codec callback unchanged when one is available.
+
+Scale notes: ``mapInPandas`` streams Arrow batches through the Python
+worker — memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+regardless of blob sizes; no shuffle is introduced, so decode parallelism
+equals scan parallelism (tune with repartition before decode when blobs are
+few-but-huge).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("source", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_FIELDS = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def fake_decode(content: Optional[bytes]) -> dict:
+    """Deterministic fake codec: dimensions/features derived from md5.
+
+    Replace with a real decoder (PIL/ffmpeg/...) via ``decode_media``'s
+    ``decoder=`` parameter — the Spark plumbing is identical.
+    """
+    if content is None:
+        return {"width": None, "height": None, "n_frames": None, "feature": None}
+    h = hashlib.md5(bytes(content)).digest()
+    width = 32 + 16 * (h[0] % 16)
+    height = 32 + 16 * (h[1] % 16)
+    n_frames = 1 + h[2] % 8
+    feature = [((b / 255.0) * 2.0 - 1.0) for b in h[:8]]
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": int(n_frames),
+        "feature": [float(x) for x in feature],
+    }
+
+
+def decode_media(
+    df: DataFrame,
+    content_col: str = "content",
+    decoder: Callable[[Optional[bytes]], dict] = fake_decode,
+) -> DataFrame:
+    """Append decoded fields (width/height/n_frames/feature) per media row.
+
+    Arrow-batched mapInPandas; output schema = input schema + DECODED_FIELDS.
+    """
+    out_schema = T.StructType(df.schema.fields + list(DECODED_FIELDS.fields))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decoder(c) for c in pdf[content_col]]
+            for field in DECODED_FIELDS.fieldNames():
+                pdf[field] = [d[field] for d in decoded]
+            yield pdf
+
+    return df.mapInPandas(decode_batches, out_schema)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 2, content_col: str = "content"
+) -> DataFrame:
+    """Frame-sampling plumbing: explode each media row into frame rows
+    (frame_no, frame_content).  The frame extraction itself is the stub —
+    frames are byte-slices of the content keyed deterministically."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("frame_no", T.IntegerType(), True),
+            T.StructField("frame_content", T.BinaryType(), True),
+        ]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = row[content_col]
+                n = fake_decode(content)["n_frames"] or 0
+                for f in range(0, n, every_n):
+                    r = dict(row)
+                    r["frame_no"] = f
+                    blob = bytes(content) if content is not None else b""
+                    r["frame_content"] = hashlib.md5(blob + f.to_bytes(4, "little")).digest()
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=list(pdf.columns) + ["frame_no", "frame_content"])
+
+    return df.mapInPandas(frames, out_schema)

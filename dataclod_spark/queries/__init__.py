@@ -7,3 +7,4 @@ from dataclod_spark.queries import text  # noqa: F401
 from dataclod_spark.queries import dedup  # noqa: F401
 from dataclod_spark.queries import similarity  # noqa: F401
 from dataclod_spark.queries import spatial  # noqa: F401
+from dataclod_spark.queries import sources  # noqa: F401

@@ -1,0 +1,126 @@
+"""Driver-gate queries for federated scans, pg_catalog, and multimodal
+plumbing (SURVEY.md §2.A.2 + north-star multimodal columns)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataclod_spark.registry import load, query
+
+
+@query(
+    "c1_scan_duckdb",
+    doc="duckdb_scan table function: mounted table equals the parquet source",
+    oracle="SELECT * FROM nation ORDER BY n_nationkey",
+)
+def c1_scan_duckdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import duckdb
+
+    from dataclod_spark.sources.scans import scan_duckdb
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"dataclod_scan_{os.path.basename(sf_dir.rstrip('/'))}.duckdb"
+    )
+    if os.path.exists(path):
+        os.remove(path)
+    con = duckdb.connect(path)
+    try:
+        con.execute(
+            f"CREATE TABLE nation AS SELECT * FROM '{sf_dir}/nation.parquet'"
+        )
+    finally:
+        con.close()
+    return scan_duckdb(spark, path, "main", "nation").orderBy("n_nationkey")
+
+
+@query(
+    "c2_scan_sqlite",
+    doc="sqlite_scan table function: mounted table equals the parquet source",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def c2_scan_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sqlite3
+
+    import duckdb
+
+    from dataclod_spark.sources.scans import scan_sqlite
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"dataclod_scan_{os.path.basename(sf_dir.rstrip('/'))}.sqlite"
+    )
+    if os.path.exists(path):
+        os.remove(path)
+    rows = duckdb.sql(f"SELECT * FROM '{sf_dir}/nation.parquet'").fetchall()
+    con = sqlite3.connect(path)
+    try:
+        con.execute(
+            "CREATE TABLE nation (n_nationkey INTEGER, n_name TEXT, n_regionkey INTEGER)"
+        )
+        con.executemany("INSERT INTO nation VALUES (?, ?, ?)", rows)
+        con.commit()
+    finally:
+        con.close()
+    df = scan_sqlite(spark, path, "nation")
+    return df.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    ).orderBy("n_nationkey")
+
+
+_HEXVAL = "(strpos('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1)"
+
+
+@query(
+    "m1_multimodal_decode",
+    doc="multimodal decode plumbing: mapInPandas stub codec over binary content",
+    oracle=f"""
+SELECT doc_id,
+       CAST(32 + 16 * ({_HEXVAL.format(pos=2)}) AS INT)      AS width,
+       CAST(32 + 16 * ({_HEXVAL.format(pos=4)}) AS INT)      AS height,
+       CAST(1 + ({_HEXVAL.format(pos=6)}) % 8 AS INT)        AS n_frames
+FROM documents
+ORDER BY doc_id
+""",
+)
+def m1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.operators.multimodal import decode_media
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    decoded = decode_media(media)
+    return decoded.select(
+        F.col("media_id").alias("doc_id"), "width", "height", "n_frames"
+    ).orderBy("doc_id")
+
+
+def _pg_type_values() -> str:
+    from dataclod_spark.catalog.pg_catalog import PG_TYPE_ROWS
+
+    rows = ", ".join(f"({oid}, '{name}', '{cat}')" for oid, name, _, cat, *_ in PG_TYPE_ROWS)
+    return rows
+
+
+@query(
+    "pg1_pg_type",
+    doc="pg_catalog emulation: pg_type contents (28 static rows)",
+    oracle=f"""
+SELECT CAST(oid AS BIGINT) AS oid, typname, typcategory
+FROM (VALUES {_pg_type_values()}) AS t(oid, typname, typcategory)
+ORDER BY oid
+""",
+)
+def pg1_pg_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.catalog.pg_catalog import register_pg_catalog
+
+    register_pg_catalog(spark)
+    return spark.sql(
+        "SELECT oid, typname, typcategory FROM pg_catalog_pg_type ORDER BY oid"
+    )
