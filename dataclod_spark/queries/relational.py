@@ -1037,6 +1037,63 @@ def p1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r1_cte_values_rangejoin",
+    doc="CTE + inline VALUES dimension + non-equi (theta) range join",
+    oracle="""
+WITH bands AS (
+  SELECT * FROM (VALUES (0.0, 500.0, 'low'), (500.0, 2000.0, 'mid'),
+                        (2000.0, 1e12, 'high')) AS t(lo, hi, band)
+)
+SELECT band, count(*) AS n_orders
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+""",
+)
+def r1_cte_values_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH bands AS (
+          SELECT * FROM VALUES (0.0D, 500.0D, 'low'), (500.0D, 2000.0D, 'mid'),
+                               (2000.0D, 1e12D, 'high') AS t(lo, hi, band)
+        )
+        SELECT band, count(*) AS n_orders
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+        ORDER BY band
+        """
+    )
+
+
+@query(
+    "r2_parameterized",
+    doc="parameterized SQL (prepared-statement surface, handler.rs:134-144)",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders
+WHERE o_totalprice > 1000.0 AND o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def r2_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # named-parameter substitution ≈ the reference's $n prepared parameters
+    # (LogicalPlan::with_param_values, parser.rs:31-44)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice > :threshold AND o_orderpriority = :prio
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        args={"threshold": 1000.0, "prio": "1-URGENT"},
+    )
+
+
+@query(
     "t1_topk",
     doc="ORDER BY ... LIMIT top-k (TakeOrderedAndProject, no full sort)",
     oracle="""
