@@ -142,7 +142,7 @@ FUNCTIONS: dict[str, tuple] = {
     "ST_Envelope": (lambda b: _b(A.envelope(_g(b))), _GEOM),
     "ST_Boundary": (lambda b: _b(A.boundary(_g(b))), _GEOM),
     "ST_MakeValid": (lambda b: _b(A.make_valid_entry(_g(b))), _GEOM),
-    "ST_BuildArea": (lambda b: None, _GEOM),  # polygonization: later round
+    "ST_BuildArea": (lambda b: _b(A.build_area(_g(b))), _GEOM),
     "ST_Buffer": (
         lambda b, d, q=None: _b(A.buffer(_g(b), float(d), int(q) if q else 8)),
         _GEOM,

@@ -547,6 +547,10 @@ def union(g1: Geometry, g2: Geometry) -> Optional[Geometry]:
         return g1
     if covers(g2, g1):
         return g2
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        from dataclod_spark.geo.overlay import overlay
+
+        return overlay(g1, g2, "union")
     return None
 
 
@@ -567,6 +571,10 @@ def intersection(g1: Geometry, g2: Geometry) -> Optional[Geometry]:
         return g1
     if covers(g1, g2):
         return g2
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        from dataclod_spark.geo.overlay import overlay
+
+        return overlay(g1, g2, "intersection")
     return None
 
 
@@ -667,6 +675,10 @@ def difference(g1: Geometry, g2: Geometry) -> Optional[Geometry]:
     if covers(g2, g1):
         # fully covered → typed empty
         return Geometry(g1.kind, [] if g1.kind != POINT else None, g1.srid)
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        from dataclod_spark.geo.overlay import overlay
+
+        return overlay(g1, g2, "difference")
     return None
 
 
@@ -766,6 +778,141 @@ def make_valid_entry(g: Geometry) -> Optional[Geometry]:
     if g.kind == LINESTRING and len(set(g.data)) == 1 and g.data:
         return Geometry(POINT, g.data[0], g.srid)
     return make_valid(g)
+
+
+# --------------------------------------------------------------------------
+# build_area: polygonize noded linework (ST_BuildArea)
+# --------------------------------------------------------------------------
+
+
+def trace_faces(edges: list[tuple[Coord, Coord]]) -> list[list[Coord]]:
+    """Minimal faces of a planar graph as closed rings (leftmost-turn walk).
+
+    Each directed edge belongs to exactly one face.  At vertex b, arriving
+    from a, the walk takes the sharpest right turn (first edge
+    counterclockwise from the reverse direction) — the traced face lies on
+    the RIGHT of the travel direction, so bounded faces come out CW
+    (negative signed area) and the unbounded face's cycles come out CCW.
+    Termination is edge-based, so faces that revisit a vertex (degree-4
+    crossing points in noded arrangements) are traced correctly.
+    """
+    directed: list[tuple[Coord, Coord]] = []
+    seen_d: set[tuple[Coord, Coord]] = set()
+    for a, b in edges:
+        for e in ((a, b), (b, a)):
+            if e not in seen_d:
+                seen_d.add(e)
+                directed.append(e)
+    out_by_vertex: dict[Coord, list[Coord]] = {}
+    for a, b in directed:
+        out_by_vertex.setdefault(a, []).append(b)
+
+    def angle(a: Coord, b: Coord) -> float:
+        return math.atan2(b[1] - a[1], b[0] - a[0])
+
+    used: set[tuple[Coord, Coord]] = set()
+    rings: list[list[Coord]] = []
+    for start in directed:
+        if start in used:
+            continue
+        ring = [start[0]]
+        cur = start
+        while True:
+            used.add(cur)
+            ring.append(cur[1])
+            a, b = cur
+            incoming = angle(b, a)
+            nxt = min(
+                out_by_vertex[b],
+                key=lambda c: ((angle(b, c) - incoming) % (2 * math.pi)) or (2 * math.pi),
+            )
+            cur = (b, nxt)
+            if cur == start:
+                break
+            if cur in used:  # safety: malformed graph
+                break
+        if len(ring) >= 4 and ring[0] == ring[-1]:
+            rings.append(ring)
+    return rings
+
+
+def build_area(g: Geometry) -> Optional[Geometry]:
+    """Assemble polygons from noded linework (lwgeom ST_BuildArea semantics:
+    even nesting depth → shell, odd → hole).  Input must be noded (segments
+    meet only at shared endpoints) — matching the reference's usage."""
+    if g.kind == LINESTRING:
+        lines = [g.data]
+    elif g.kind == MULTILINESTRING:
+        lines = g.data
+    elif g.kind == GEOMETRYCOLLECTION:
+        lines = [c.data for c in g.flatten() if c.kind == LINESTRING]
+    else:
+        return None
+    # directed edge set, insertion-ordered
+    edges: list[tuple[Coord, Coord]] = []
+    for line in lines:
+        for a, b in zip(line, line[1:]):
+            if a != b:
+                edges.append((a, b))
+                edges.append((b, a))
+    if not edges:
+        return None
+    rings = trace_faces(edges)
+    # dedupe directed rings into undirected cycles (keep first-seen version)
+    cycles: list[list[Coord]] = []
+    seen_keys: set[frozenset] = set()
+    for ring in rings:
+        if abs(_ring_area2(ring)) == 0:
+            continue
+        key = frozenset(zip(ring, ring[1:]))
+        rkey = frozenset((b, a) for a, b in zip(ring, ring[1:]))
+        if key in seen_keys or rkey in seen_keys:
+            continue
+        seen_keys.add(key)
+        cycles.append(ring)
+    if not cycles:
+        return None
+    # nesting depth: representative point of each cycle vs every other cycle
+    def rep_point(ring: list[Coord]) -> Coord:
+        # midpoint of the first edge nudged toward the ring's interior
+        (x1, y1), (x2, y2) = ring[0], ring[1]
+        mx, my = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        nx, ny = -(y2 - y1), (x2 - x1)
+        n = math.hypot(nx, ny) or 1.0
+        eps = 1e-9 * max(abs(x1), abs(y1), 1.0)
+        side = 1.0 if _ring_area2(ring) > 0 else -1.0
+        return (mx + side * nx / n * eps, my + side * ny / n * eps)
+
+    from dataclod_spark.geo.predicates import _point_in_ring, INTERIOR
+
+    depths = []
+    for i, c in enumerate(cycles):
+        p = rep_point(c)
+        d = sum(
+            1
+            for j, other in enumerate(cycles)
+            if j != i and _point_in_ring(p, other) == INTERIOR
+        )
+        depths.append(d)
+    shells = [c for c, d in zip(cycles, depths) if d % 2 == 0]
+    holes = [c for c, d in zip(cycles, depths) if d % 2 == 1]
+    polys: list[list[list[Coord]]] = []
+    for shell in shells:
+        shell_ccw = _ring_area2(shell) > 0
+        my_holes = []
+        for h in holes:
+            if _point_in_ring(rep_point(h), shell) != INTERIOR:
+                continue
+            # hole orientation is opposite to its shell (GEOS output)
+            if (_ring_area2(h) > 0) == shell_ccw:
+                h = list(reversed(h[:-1])) + [h[-2]]
+            my_holes.append(h)
+        polys.append([shell] + my_holes)
+    if not polys:
+        return None
+    if len(polys) == 1:
+        return Geometry(POLYGON, polys[0], g.srid)
+    return Geometry(MULTIPOLYGON, polys, g.srid)
 
 
 # --------------------------------------------------------------------------

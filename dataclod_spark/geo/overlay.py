@@ -1,0 +1,210 @@
+"""Polygon overlay (intersection / union / difference) via arrangement faces.
+
+Classic planar-overlay construction (the same structure GEOS's OverlayNG
+computes), in pure Python:
+
+1. **Node** both polygons' boundary segments against each other (split at
+   pairwise intersection points, including collinear-overlap endpoints).
+2. **Face extraction**: walk the noded planar graph with the leftmost-turn
+   rule to enumerate minimal faces (shared with ``algos.build_area``).
+3. **Classify** each bounded face by a representative interior point
+   against the two ORIGINAL polygons (point-in-polygon).
+4. **Dissolve** edges between two kept faces; re-polygonize the remaining
+   boundary edges with even-odd nesting (build_area) to get shells+holes.
+
+Output ring orientation/rotation follows this engine's conventions — the
+reference's golden corpus has no polygon-overlay WKT records, so only set
+semantics (verified by area identities in tests) matter here.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from dataclod_spark.geo.algos import (
+    _on_segment,
+    _orient,
+    _ring_area2,
+    _seg_param,
+    build_area,
+)
+from dataclod_spark.geo.core import (
+    GEOMETRYCOLLECTION,
+    MULTILINESTRING,
+    MULTIPOLYGON,
+    POLYGON,
+    Coord,
+    Geometry,
+)
+from dataclod_spark.geo.predicates import EXTERIOR, _locate_point
+
+
+def _poly_segments(g: Geometry) -> list[tuple[Coord, Coord]]:
+    segs = []
+    for comp in g.flatten():
+        if comp.kind != POLYGON:
+            continue
+        for ring in comp.data:
+            for a, b in zip(ring, ring[1:]):
+                if a != b:
+                    segs.append((a, b))
+    return segs
+
+
+def _split_points(seg: tuple[Coord, Coord], others: list[tuple[Coord, Coord]]) -> list[Coord]:
+    """All points where ``seg`` must be split (intersections with others)."""
+    a1, a2 = seg
+    pts: list[tuple[float, Coord]] = []
+    for b1, b2 in others:
+        d1 = _orient(b1, b2, a1)
+        d2 = _orient(b1, b2, a2)
+        d3 = _orient(a1, a2, b1)
+        d4 = _orient(a1, a2, b2)
+        if d1 == 0 and d2 == 0 and d3 == 0 and d4 == 0:
+            # collinear: split at the other's endpoints that fall inside
+            for p in (b1, b2):
+                if _on_segment(a1, a2, p) and p not in (a1, a2):
+                    pts.append((_seg_param(a1, a2, p), p))
+            continue
+        if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+            denom = (a2[0] - a1[0]) * (b2[1] - b1[1]) - (a2[1] - a1[1]) * (b2[0] - b1[0])
+            if denom != 0:
+                t = (
+                    (b1[0] - a1[0]) * (b2[1] - b1[1])
+                    - (b1[1] - a1[1]) * (b2[0] - b1[0])
+                ) / denom
+                p = (a1[0] + t * (a2[0] - a1[0]), a1[1] + t * (a2[1] - a1[1]))
+                if p not in (a1, a2):
+                    pts.append((t, p))
+            continue
+        # endpoint touching: split at the touching endpoint
+        for p, d in ((b1, d3), (b2, d4)):
+            if d == 0 and _on_segment(a1, a2, p) and p not in (a1, a2):
+                pts.append((_seg_param(a1, a2, p), p))
+    pts.sort(key=lambda x: x[0])
+    out: list[Coord] = []
+    for _, p in pts:
+        if p not in out:
+            out.append(p)
+    return out
+
+
+def _noded_edges(g1: Geometry, g2: Geometry) -> list[tuple[Coord, Coord]]:
+    s1 = _poly_segments(g1)
+    s2 = _poly_segments(g2)
+    edges: list[tuple[Coord, Coord]] = []
+    seen: set[tuple[Coord, Coord]] = set()
+    for segs, others in ((s1, s1 + s2), (s2, s1 + s2)):
+        for seg in segs:
+            chain = [seg[0]] + _split_points(seg, [o for o in others if o != seg]) + [seg[1]]
+            for a, b in zip(chain, chain[1:]):
+                if a == b:
+                    continue
+                if (a, b) in seen or (b, a) in seen:
+                    continue
+                seen.add((a, b))
+                edges.append((a, b))
+    return edges
+
+
+def _faces(edges: list[tuple[Coord, Coord]]) -> list[list[Coord]]:
+    from dataclod_spark.geo.algos import trace_faces
+
+    return trace_faces(edges)
+
+
+def _face_rep_point(ring: list[Coord]) -> Coord:
+    """Interior point of the face bounded by ``ring`` (nudged from the
+    midpoint of its longest edge toward the inside)."""
+    best = None
+    best_len = -1.0
+    for a, b in zip(ring, ring[1:]):
+        l = math.dist(a, b)
+        if l > best_len:
+            best_len = l
+            best = (a, b)
+    (x1, y1), (x2, y2) = best
+    mx, my = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+    nx, ny = -(y2 - y1), (x2 - x1)
+    n = math.hypot(nx, ny) or 1.0
+    side = 1.0 if _ring_area2(ring) > 0 else -1.0
+    scale = max(best_len, 1.0)
+    eps = 1e-9 * scale
+    return (mx + side * nx / n * eps, my + side * ny / n * eps)
+
+
+def overlay(g1: Geometry, g2: Geometry, op: str) -> Optional[Geometry]:
+    """Polygon overlay: op in {intersection, union, difference}."""
+    if g1.dimension() != 2 or g2.dimension() != 2:
+        return None
+    edges = _noded_edges(g1, g2)
+    all_cycles = _faces(edges)
+    # bounded face outlines are CW under the sharpest-right-turn trace (see
+    # algos.trace_faces) → negative signed area; positive cycles are either
+    # the unbounded face or hole-side boundaries of faces containing holes
+    faces = [r for r in all_cycles if _ring_area2(r) < 0]
+    pos_cycles = [r for r in all_cycles if _ring_area2(r) > 0]
+
+    def keep(face: list[Coord]) -> bool:
+        p = _face_rep_point(face)
+        in1 = _locate_point(p, g1) != EXTERIOR
+        in2 = _locate_point(p, g2) != EXTERIOR
+        if op == "intersection":
+            return in1 and in2
+        if op == "union":
+            return in1 or in2
+        if op == "difference":
+            return in1 and not in2
+        raise ValueError(op)
+
+    kept = [f for f in faces if keep(f)]
+    if not kept:
+        return Geometry(POLYGON, [], g1.srid)
+    kept_set = {id(f) for f in kept}
+    # assign each hole-side cycle to its parent face (smallest CW outline
+    # containing it); a hole cycle of a KEPT face contributes its edges to
+    # that region's boundary (the inner ring of an annulus face)
+    from dataclod_spark.geo.predicates import INTERIOR, _point_in_ring
+
+    hole_cycles_of_kept: list[list[Coord]] = []
+    for pc in pos_cycles:
+        rep = _face_rep_point(pc)
+        c_area = abs(_ring_area2(pc))
+        parent = None
+        parent_area = math.inf
+        for f in faces:
+            a = abs(_ring_area2(f))
+            # a hole cycle is strictly smaller than its containing outline —
+            # this also rejects the unbounded face's cycle (which CONTAINS
+            # the faces rather than being contained)
+            if a <= c_area or a >= parent_area:
+                continue
+            if (
+                _point_in_ring(rep, f) == INTERIOR
+                or _point_in_ring(pc[0], f) == INTERIOR
+            ):
+                parent = f
+                parent_area = a
+        if parent is not None and id(parent) in kept_set:
+            hole_cycles_of_kept.append(pc)
+    # dissolve: boundary edges are those used by exactly one kept region
+    # cycle (face outlines + their hole-side cycles)
+    count: dict[frozenset, int] = {}
+    for f in kept + hole_cycles_of_kept:
+        for a, b in zip(f, f[1:]):
+            k = frozenset((a, b))
+            count[k] = count.get(k, 0) + 1
+    boundary: list[list[Coord]] = []
+    emitted: set[frozenset] = set()
+    for f in kept + hole_cycles_of_kept:
+        for a, b in zip(f, f[1:]):
+            k = frozenset((a, b))
+            if count[k] == 1 and k not in emitted:
+                emitted.add(k)
+                boundary.append([a, b])
+    lines = Geometry(MULTILINESTRING, boundary, g1.srid)
+    result = build_area(lines)
+    if result is None:
+        return Geometry(POLYGON, [], g1.srid)
+    return result.with_srid(g1.srid)

@@ -333,7 +333,30 @@ def _covers_impl(g1: Geometry, g2: Geometry) -> bool:
                 mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
                 if _locate_point(mid, g2) == INTERIOR and _locate_point(mid, g1) == EXTERIOR:
                     return False
+            # hole interior probe: catches g2 exactly filling the hole
+            # (all hole vertices/midpoints then sit on g2's boundary)
+            hp = _ring_interior_point(hole)
+            if _locate_point(hp, g2) == INTERIOR and _locate_point(hp, g1) == EXTERIOR:
+                return False
     return True
+
+
+def _ring_interior_point(ring: list[Coord]) -> Coord:
+    """A point just inside the ring (midpoint of longest edge, nudged)."""
+    from dataclod_spark.geo.algos import _ring_area2
+
+    best, best_len = None, -1.0
+    for a, b in _segments(ring):
+        l = math.dist(a, b)
+        if l > best_len:
+            best_len, best = l, (a, b)
+    (x1, y1), (x2, y2) = best
+    mx, my = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+    nx, ny = -(y2 - y1), (x2 - x1)
+    n = math.hypot(nx, ny) or 1.0
+    side = 1.0 if _ring_area2(ring) > 0 else -1.0
+    eps = 1e-9 * max(best_len, 1.0)
+    return (mx + side * nx / n * eps, my + side * ny / n * eps)
 
 
 def covers(g1: Geometry, g2: Geometry) -> bool:

@@ -24,7 +24,6 @@ SLT_PATH = Path("/root/reference/src/sqllogictest/test_files/spatial_udf.slt")
 
 # record line numbers (of the `query` line) we do not support yet, with why
 EXPECTED_FAILURES: dict[int, str] = {
-    21: "ST_BuildArea: polygonization (ring assembly) not implemented yet",
     66: "ST_MakeValid: self-intersection node-splitting not implemented yet",
     71: "ST_MakeValid: self-intersection node-splitting not implemented yet",
     287: "ST_ConcaveHull: chi-shape algorithm not implemented yet",
