@@ -315,7 +315,18 @@ def is_valid(g: Geometry) -> bool:
     if g.kind == POLYGON:
         return all(_ring_valid(r) for r in g.data) if g.data else True
     if g.kind == MULTIPOLYGON:
-        return all(all(_ring_valid(r) for r in poly) for poly in g.data)
+        if not all(all(_ring_valid(r) for r in poly) for poly in g.data):
+            return False
+        # component interiors must be disjoint (OGC multipolygon validity)
+        from dataclod_spark.geo.predicates import _interaction_flags
+
+        polys = [Geometry(POLYGON, p, g.srid) for p in g.data]
+        for i in range(len(polys)):
+            for j in range(i + 1, len(polys)):
+                _, ii = _interaction_flags(polys[i], polys[j])
+                if ii:
+                    return False
+        return True
     return all(is_valid(sub) for sub in g.data)
 
 
@@ -761,8 +772,8 @@ def split(g: Geometry, blade: Geometry) -> Optional[Geometry]:
 
 
 def make_valid(g: Geometry) -> Optional[Geometry]:
-    """Limited ST_MakeValid: degenerate collapses only (full node-splitting
-    of self-intersecting polygons lands with the overlay engine)."""
+    """ST_MakeValid: degenerate collapses + node-splitting of invalid
+    polygonal input via the arrangement engine (even-odd fill rule)."""
     if is_valid(g):
         return g
     if g.kind == LINESTRING:
@@ -770,6 +781,10 @@ def make_valid(g: Geometry) -> Optional[Geometry]:
         if len(uniq) == 1:
             return Geometry(POINT, uniq[0], g.srid)
         return Geometry(LINESTRING, uniq, g.srid)
+    if g.dimension() == 2:
+        from dataclod_spark.geo.overlay import make_valid_structure
+
+        return make_valid_structure(g)
     return None
 
 

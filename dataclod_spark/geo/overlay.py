@@ -52,60 +52,74 @@ def _poly_segments(g: Geometry) -> list[tuple[Coord, Coord]]:
     return segs
 
 
-def _split_points(seg: tuple[Coord, Coord], others: list[tuple[Coord, Coord]]) -> list[Coord]:
-    """All points where ``seg`` must be split (intersections with others)."""
-    a1, a2 = seg
-    pts: list[tuple[float, Coord]] = []
-    for b1, b2 in others:
-        d1 = _orient(b1, b2, a1)
-        d2 = _orient(b1, b2, a2)
-        d3 = _orient(a1, a2, b1)
-        d4 = _orient(a1, a2, b2)
-        if d1 == 0 and d2 == 0 and d3 == 0 and d4 == 0:
-            # collinear: split at the other's endpoints that fall inside
-            for p in (b1, b2):
-                if _on_segment(a1, a2, p) and p not in (a1, a2):
-                    pts.append((_seg_param(a1, a2, p), p))
-            continue
-        if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
-            denom = (a2[0] - a1[0]) * (b2[1] - b1[1]) - (a2[1] - a1[1]) * (b2[0] - b1[0])
-            if denom != 0:
-                t = (
-                    (b1[0] - a1[0]) * (b2[1] - b1[1])
-                    - (b1[1] - a1[1]) * (b2[0] - b1[0])
-                ) / denom
-                p = (a1[0] + t * (a2[0] - a1[0]), a1[1] + t * (a2[1] - a1[1]))
-                if p not in (a1, a2):
-                    pts.append((t, p))
-            continue
-        # endpoint touching: split at the touching endpoint
-        for p, d in ((b1, d3), (b2, d4)):
-            if d == 0 and _on_segment(a1, a2, p) and p not in (a1, a2):
-                pts.append((_seg_param(a1, a2, p), p))
-    pts.sort(key=lambda x: x[0])
-    out: list[Coord] = []
-    for _, p in pts:
-        if p not in out:
-            out.append(p)
-    return out
+def _seg_pair_points(s1: tuple[Coord, Coord], s2: tuple[Coord, Coord]) -> list[Coord]:
+    """Canonical intersection point(s) of two segments — computed ONCE per
+    pair (with a fixed parameterization) so both segments split at the
+    bit-identical coordinate.  Computing the point per-segment yields
+    slightly different doubles and disconnects the noded graph."""
+    a1, a2 = s1
+    b1, b2 = s2
+    d1 = _orient(b1, b2, a1)
+    d2 = _orient(b1, b2, a2)
+    d3 = _orient(a1, a2, b1)
+    d4 = _orient(a1, a2, b2)
+    if d1 == 0 and d2 == 0 and d3 == 0 and d4 == 0:
+        pts = []
+        for p in (b1, b2):
+            if _on_segment(a1, a2, p):
+                pts.append(p)
+        for p in (a1, a2):
+            if _on_segment(b1, b2, p):
+                pts.append(p)
+        return pts
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        denom = (a2[0] - a1[0]) * (b2[1] - b1[1]) - (a2[1] - a1[1]) * (b2[0] - b1[0])
+        if denom == 0:
+            return []
+        t = (
+            (b1[0] - a1[0]) * (b2[1] - b1[1]) - (b1[1] - a1[1]) * (b2[0] - b1[0])
+        ) / denom
+        return [(a1[0] + t * (a2[0] - a1[0]), a1[1] + t * (a2[1] - a1[1]))]
+    pts = []
+    for p, d in ((b1, d3), (b2, d4)):
+        if d == 0 and _on_segment(a1, a2, p):
+            pts.append(p)
+    for p, d in ((a1, d1), (a2, d2)):
+        if d == 0 and _on_segment(b1, b2, p):
+            pts.append(p)
+    return pts
+
+
+def node_segments(segs: list[tuple[Coord, Coord]]) -> list[tuple[Coord, Coord]]:
+    """Split every segment at all pairwise intersections (canonical points)."""
+    splits: dict[int, list[Coord]] = {i: [] for i in range(len(segs))}
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            for p in _seg_pair_points(segs[i], segs[j]):
+                # p lies on both segments by construction (modulo FP); an
+                # exact-collinearity recheck would reject it and re-create
+                # the T-junction this canonical noding exists to prevent
+                for k in (i, j):
+                    a, b = segs[k]
+                    if p != a and p != b:
+                        t = _seg_param(a, b, p)
+                        if 0.0 < t < 1.0 and p not in splits[k]:
+                            splits[k].append(p)
+    edges: list[tuple[Coord, Coord]] = []
+    seen: set[tuple[Coord, Coord]] = set()
+    for i, (a, b) in enumerate(segs):
+        pts = sorted(splits[i], key=lambda p: _seg_param(a, b, p))
+        chain = [a] + pts + [b]
+        for u, v in zip(chain, chain[1:]):
+            if u == v or (u, v) in seen or (v, u) in seen:
+                continue
+            seen.add((u, v))
+            edges.append((u, v))
+    return edges
 
 
 def _noded_edges(g1: Geometry, g2: Geometry) -> list[tuple[Coord, Coord]]:
-    s1 = _poly_segments(g1)
-    s2 = _poly_segments(g2)
-    edges: list[tuple[Coord, Coord]] = []
-    seen: set[tuple[Coord, Coord]] = set()
-    for segs, others in ((s1, s1 + s2), (s2, s1 + s2)):
-        for seg in segs:
-            chain = [seg[0]] + _split_points(seg, [o for o in others if o != seg]) + [seg[1]]
-            for a, b in zip(chain, chain[1:]):
-                if a == b:
-                    continue
-                if (a, b) in seen or (b, a) in seen:
-                    continue
-                seen.add((a, b))
-                edges.append((a, b))
-    return edges
+    return node_segments(_poly_segments(g1) + _poly_segments(g2))
 
 
 def _faces(edges: list[tuple[Coord, Coord]]) -> list[list[Coord]]:
@@ -132,6 +146,78 @@ def _face_rep_point(ring: list[Coord]) -> Coord:
     scale = max(best_len, 1.0)
     eps = 1e-9 * scale
     return (mx + side * nx / n * eps, my + side * ny / n * eps)
+
+
+def make_valid_structure(g: Geometry) -> Optional[Geometry]:
+    """Node-splitting MakeValid for invalid (self-intersecting/overlapping)
+    polygonal input — GEOS 'linework' semantics: the even-odd fill rule over
+    the noded boundary arrangement decides which faces are filled.
+
+    Parity flips across every noded edge, so filled faces are never
+    edge-adjacent — each becomes its own output polygon (matching the
+    reference's MakeValid goldens structurally).
+    """
+    if g.dimension() != 2:
+        return None
+    segs = _poly_segments(g)
+    if not segs:
+        return None
+    # self-node the boundary linework (canonical pairwise points)
+    edges = node_segments(segs)
+
+    all_rings = [ring for comp in g.flatten() if comp.kind == POLYGON for ring in comp.data]
+
+    def even_odd(p: Coord) -> bool:
+        """Even-odd fill rule: total ray crossings over ALL ring segments."""
+        x, y = p
+        crossings = 0
+        for ring in all_rings:
+            for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+                if (y1 > y) != (y2 > y):
+                    xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+                    if x < xin:
+                        crossings += 1
+        return crossings % 2 == 1
+
+    cycles = _faces(edges)
+    faces = [r for r in cycles if _ring_area2(r) < 0]
+    pos_cycles = [r for r in cycles if _ring_area2(r) > 0]
+    kept = [f for f in faces if even_odd(_face_rep_point(f))]
+    if not kept:
+        return Geometry(POLYGON, [], g.srid)
+    kept_set = {id(f) for f in kept}
+    from dataclod_spark.geo.predicates import INTERIOR, _point_in_ring
+
+    hole_cycles: list[list[Coord]] = []
+    for pc in pos_cycles:
+        rep = _face_rep_point(pc)
+        c_area = abs(_ring_area2(pc))
+        parent, parent_area = None, math.inf
+        for f in faces:
+            a = abs(_ring_area2(f))
+            if a <= c_area or a >= parent_area:
+                continue
+            if _point_in_ring(rep, f) == INTERIOR or _point_in_ring(pc[0], f) == INTERIOR:
+                parent, parent_area = f, a
+        if parent is not None and id(parent) in kept_set:
+            hole_cycles.append((pc, parent))
+    # assemble directly: each kept face is its own polygon (parity flips
+    # across every edge, so kept faces are never edge-adjacent — dissolving
+    # via build_area would re-fill dropped even-parity faces)
+    polys: list[list[list[Coord]]] = []
+    for f in kept:
+        shell_ccw = _ring_area2(f) > 0
+        rings = [f]
+        for pc, parent in hole_cycles:
+            if parent is f:
+                h = pc
+                if (_ring_area2(h) > 0) == shell_ccw:
+                    h = list(reversed(h[:-1])) + [h[-2]]
+                rings.append(h)
+        polys.append(rings)
+    if len(polys) == 1:
+        return Geometry(POLYGON, polys[0], g.srid)
+    return Geometry(MULTIPOLYGON, polys, g.srid)
 
 
 def overlay(g1: Geometry, g2: Geometry, op: str) -> Optional[Geometry]:

@@ -86,3 +86,43 @@ def test_concave_overlay():
     assert ai == pytest.approx(20.0)
     assert ai + ad == pytest.approx(area(l_shape), abs=1e-9)
     assert au == pytest.approx(area(l_shape) + 36.0 - ai, abs=1e-9)
+
+
+def test_make_valid_node_splitting():
+    """Node-splitting MakeValid: semantically exact vs the reference's slt
+    goldens (same face decomposition, exact areas, valid output) — byte-level
+    ring ordering differs from GEOS and is xfailed in the slt harness."""
+    from dataclod_spark.geo.algos import is_valid, make_valid_entry
+
+    g = wkt_parse(
+        "MULTIPOLYGON(((186 194,187 194,188 195,189 195,190 195,191 195,"
+        "192 195,193 194,194 194,194 193,195 192,195 191,195 190,195 189,"
+        "195 188,194 187,194 186,14 6,13 6,12 5,11 5,10 5,9 5,8 5,7 6,6 6,"
+        "6 7,5 8,5 9,5 10,5 11,5 12,6 13,6 14,186 194)),((150 90,149 80,"
+        "146 71,142 62,135 55,128 48,119 44,110 41,100 40,90 41,81 44,72 48,"
+        "65 55,58 62,54 71,51 80,50 90,51 100,54 109,58 118,65 125,72 132,"
+        "81 136,90 139,100 140,110 139,119 136,128 132,135 125,142 118,"
+        "146 109,149 100,150 90)))"
+    )
+    assert not is_valid(g)
+    r = make_valid_entry(g)
+    assert is_valid(r)
+    assert r.kind == "MultiPolygon" and len(r.data) == 4
+    assert area(r) == pytest.approx(8534.153846153846)
+
+
+def test_make_valid_six_octagons():
+    from dataclod_spark.geo.algos import is_valid, make_valid_entry
+
+    g = wkt_parse(
+        "MULTIPOLYGON(((91 50,79 22,51 10,23 22,11 50,23 78,51 90,79 78,91 50)),"
+        "((91 100,79 72,51 60,23 72,11 100,23 128,51 140,79 128,91 100)),"
+        "((91 150,79 122,51 110,23 122,11 150,23 178,51 190,79 178,91 150)),"
+        "((141 50,129 22,101 10,73 22,61 50,73 78,101 90,129 78,141 50)),"
+        "((141 100,129 72,101 60,73 72,61 100,73 128,101 140,129 128,141 100)),"
+        "((141 150,129 122,101 110,73 122,61 150,73 178,101 190,129 178,141 150)))"
+    )
+    r = make_valid_entry(g)
+    assert is_valid(r)
+    assert len(r.data) == 14  # 6 odd-parity regions + 8 triple-covered lenses
+    assert area(r) == pytest.approx(13380.0)

@@ -24,8 +24,10 @@ SLT_PATH = Path("/root/reference/src/sqllogictest/test_files/spatial_udf.slt")
 
 # record line numbers (of the `query` line) we do not support yet, with why
 EXPECTED_FAILURES: dict[int, str] = {
-    66: "ST_MakeValid: self-intersection node-splitting not implemented yet",
-    71: "ST_MakeValid: self-intersection node-splitting not implemented yet",
+    66: "ST_MakeValid: output is semantically exact (same polygons/areas, "
+    "verified in test_make_valid_node_splitting) but GEOS's polygon/ring "
+    "ordering differs",
+    71: "ST_MakeValid: semantically exact, ring ordering differs (see L66)",
     287: "ST_ConcaveHull: chi-shape algorithm not implemented yet",
     312: "ST_Transform: arbitrary EPSG (3587) needs a proj database; only 4326<->3857 supported",
     338: "ST_ConcaveHull: chi-shape algorithm not implemented yet",
