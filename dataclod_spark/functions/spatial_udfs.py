@@ -172,7 +172,14 @@ FUNCTIONS: dict[str, tuple] = {
     ),
     "ST_Split": (lambda b, blade: _b(A.split(_g(b), _g(blade))), _GEOM),
     "ST_Transform": (lambda b, s: _b(A.transform(_g(b), int(s))), _GEOM),
-    "ST_AsMVTGeom": (lambda *a: None, _GEOM),  # MVT clipping: later round
+    "ST_AsMVTGeom": (
+        lambda g, b, extent=4096, buf=256, clip=True: _b(
+            __import__("dataclod_spark.geo.mvt", fromlist=["as_mvt_geom"]).as_mvt_geom(
+                _g(g), _g(b), int(extent), int(buf), bool(clip)
+            )
+        ),
+        _GEOM,
+    ),
     # binary predicates (udfs.rs:168-246, 373)
     "ST_Contains": (lambda a, b: P.contains(_g(a), _g(b)), _BOOL),
     "ST_Intersects": (lambda a, b: P.intersects(_g(a), _g(b)), _BOOL),

@@ -525,7 +525,104 @@ def buffer(g: Geometry, dist: float, quadsegs: int = 8) -> Optional[Geometry]:
             ring.append((x + dist * ux, y + dist * uy))
         ring.append(ring[0])
         return Geometry(POLYGON, [ring], g.srid)
-    return None  # line/polygon buffering lands in a later round
+    if dist <= 0:
+        return None  # negative buffer (erosion) unsupported
+    if g.kind in (LINESTRING, MULTILINESTRING, POLYGON, MULTIPOLYGON, MULTIPOINT):
+        return _buffer_by_union(g, dist, quadsegs)
+    if g.kind == GEOMETRYCOLLECTION:
+        return _buffer_by_union(g, dist, quadsegs)
+    return None
+
+
+def _circle(c: Coord, dist: float, quadsegs: int) -> Geometry:
+    return buffer(Geometry(POINT, c), dist, quadsegs)
+
+
+def _capsule(a: Coord, b: Coord, dist: float, quadsegs: int) -> Optional[Geometry]:
+    """Stadium shape: segment ab dilated by dist (rounded caps).  One simple
+    ring — avoids the rectangle/end-circle tangency degeneracies a union of
+    primitive pieces would create."""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    n = math.hypot(dx, dy)
+    if n == 0:
+        return _circle(a, dist, quadsegs)
+    ux, uy = dx / n, dy / n
+    theta = math.atan2(uy, ux)
+    steps = 2 * quadsegs  # half circle
+
+    def unit(ang: float) -> Coord:
+        c, s = math.cos(ang), math.sin(ang)
+        # snap near-axis components (cos(-3π/2) ≈ -1.8e-16 etc.) so arcs of
+        # axis-aligned capsules carry exact vertices — avoids degenerate
+        # micro-slivers against axis-aligned edges in the overlay
+        if abs(c) < 1e-12:
+            c = 0.0
+        if abs(s) < 1e-12:
+            s = 0.0
+        if abs(abs(c) - 1.0) < 1e-15:
+            c = math.copysign(1.0, c)
+        if abs(abs(s) - 1.0) < 1e-15:
+            s = math.copysign(1.0, s)
+        return (c, s)
+
+    ring: list[Coord] = []
+    # cap around b: from +normal (theta+π/2) sweeping through theta to −normal
+    for k in range(steps + 1):
+        c, s = unit(theta + math.pi / 2 - math.pi * k / steps)
+        ring.append((b[0] + dist * c, b[1] + dist * s))
+    # cap around a: from −normal sweeping through theta+π to +normal
+    for k in range(steps + 1):
+        c, s = unit(theta - math.pi / 2 - math.pi * k / steps)
+        ring.append((a[0] + dist * c, a[1] + dist * s))
+    if _ring_area2(ring + [ring[0]]) < 0:
+        ring = list(reversed(ring))
+    ring.append(ring[0])
+    return Geometry(POLYGON, [ring], 0)
+
+
+def _buffer_by_union(g: Geometry, dist: float, quadsegs: int) -> Optional[Geometry]:
+    """Line/polygon buffer as the union of per-segment capsules (and, for
+    areal inputs, the original polygons).
+
+    Approximation matches GEOS's arc discretization (quadsegs arcs per
+    quarter circle) but the union noding differs from GEOS's offset-curve
+    construction, so results are semantically correct rather than
+    vertex-identical (the reference's golden corpus only pins point buffers).
+    """
+    from dataclod_spark.geo.overlay import overlay
+
+    pieces: list[Geometry] = []
+    for comp in g.flatten():
+        if comp.kind == POINT:
+            pieces.append(_circle(comp.data, dist, quadsegs))
+        elif comp.kind == LINESTRING:
+            for a, b in _segments(comp.data):
+                cap = _capsule(a, b, dist, quadsegs)
+                if cap is not None:
+                    pieces.append(cap)
+        elif comp.kind == POLYGON:
+            pieces.append(comp)
+            for ring in comp.data:
+                for a, b in _segments(ring):
+                    cap = _capsule(a, b, dist, quadsegs)
+                    if cap is not None:
+                        pieces.append(cap)
+    if not pieces:
+        return None
+    acc = pieces[0]
+    for piece in pieces[1:]:
+        from dataclod_spark.geo.predicates import covers
+
+        if covers(acc, piece):
+            continue
+        if covers(piece, acc):
+            acc = piece
+            continue
+        merged = overlay(acc, piece, "union")
+        if merged is None or merged.is_empty():
+            return None
+        acc = merged
+    return acc.with_srid(g.srid)
 
 
 # --------------------------------------------------------------------------

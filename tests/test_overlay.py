@@ -126,3 +126,42 @@ def test_make_valid_six_octagons():
     assert is_valid(r)
     assert len(r.data) == 14  # 6 odd-parity regions + 8 triple-covered lenses
     assert area(r) == pytest.approx(13380.0)
+
+
+def test_buffer_lines_and_polygons():
+    """Capsule-union buffer: exact discretized areas for simple shapes."""
+    import math
+
+    from dataclod_spark.geo.algos import buffer, is_valid
+
+    # 32-gon circle area at r=2: (1/2)·n·r²·sin(2π/n)
+    circle32 = 0.5 * 32 * 4 * math.sin(2 * math.pi / 32)
+    line = buffer(wkt_parse("LINESTRING(0 0, 10 0)"), 2.0)
+    assert is_valid(line)
+    assert area(line) == pytest.approx(40 + circle32, abs=1e-9)
+
+    poly = buffer(wkt_parse("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"), 2.0)
+    assert is_valid(poly)
+    assert area(poly) == pytest.approx(100 + 80 + circle32, abs=1e-9)
+
+    # buffering fills a hole narrower than 2×dist
+    holed = buffer(
+        wkt_parse("POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4))"), 1.0
+    )
+    assert is_valid(holed)
+    assert holed.kind == "Polygon" and len(holed.data) == 1  # hole filled
+
+
+def test_mvt_geom():
+    from dataclod_spark.geo.algos import make_envelope
+    from dataclod_spark.geo.core import wkt_write
+    from dataclod_spark.geo.mvt import as_mvt_geom
+
+    bounds = make_envelope(0, 0, 100, 100)
+    assert wkt_write(as_mvt_geom(wkt_parse("POINT(50 50)"), bounds)) == "POINT (2048 2048)"
+    # Y axis flips: north edge of the tile is tile-y 0
+    assert wkt_write(as_mvt_geom(wkt_parse("POINT(0 100)"), bounds)) == "POINT (0 0)"
+    # clip to tile+buffer
+    line = as_mvt_geom(wkt_parse("LINESTRING(-50 50, 150 50)"), bounds)
+    assert wkt_write(line) == "LINESTRING (-256 2048, 4352 2048)"
+    assert as_mvt_geom(wkt_parse("POINT(500 500)"), bounds) is None
