@@ -76,16 +76,48 @@ _BBOX_SCHEMA = T.StructType(
 
 @pandas_udf(_BBOX_SCHEMA)
 def _bbox_udf(wkb: pd.Series) -> pd.DataFrame:
+    import numpy as np
+
     from dataclod_spark.geo.algos import bounds
 
+    vals = wkb.to_numpy()
+    n = len(vals)
+    # vectorized fast path: homogeneous little-endian WKB/EWKB points are
+    # fixed-width (21 bytes, 25 with the SRID flag) — decode the whole batch
+    # with one frombuffer instead of n Python parses.
+    if n and all(v is not None and len(v) in (21, 25) for v in vals):
+        width = len(vals[0])
+        if all(len(v) == width and v[0] == 1 for v in vals):
+            buf = b"".join(bytes(v) for v in vals)
+            arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, width)
+            code = arr[:, 1:5].copy().view("<u4")[:, 0]
+            plain = (code == 1).all() if width == 21 else ((code & 0x20000000) != 0).all()
+            if plain:
+                xy = arr[:, width - 16 :].copy().view("<f8")
+                x, y = xy[:, 0], xy[:, 1]
+                ok = ~(np.isnan(x) | np.isnan(y))
+                return pd.DataFrame(
+                    {
+                        "xmin": np.where(ok, x, np.nan),
+                        "ymin": np.where(ok, y, np.nan),
+                        "xmax": np.where(ok, x, np.nan),
+                        "ymax": np.where(ok, y, np.nan),
+                    }
+                )
     out = {"xmin": [], "ymin": [], "xmax": [], "ymax": []}
-    for b in wkb:
+    cache: dict[bytes, tuple] = {}
+    for b in vals:
         bb = None
         if b is not None:
-            try:
-                bb = bounds(GC.wkb_parse(bytes(b)))
-            except Exception:
-                bb = None
+            key = bytes(b)
+            if key in cache:
+                bb = cache[key]
+            else:
+                try:
+                    bb = bounds(GC.wkb_parse(key))
+                except Exception:
+                    bb = None
+                cache[key] = bb
         if bb is None:
             out["xmin"].append(None)
             out["ymin"].append(None)
@@ -99,6 +131,20 @@ def _bbox_udf(wkb: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def _axis_rect(g: GC.Geometry):
+    """(xmin,ymin,xmax,ymax) if g is an axis-aligned rectangle polygon."""
+    if g.kind != GC.POLYGON or len(g.data) != 1:
+        return None
+    ring = g.data[0]
+    if len(ring) != 5 or ring[0] != ring[-1]:
+        return None
+    xs = {p[0] for p in ring}
+    ys = {p[1] for p in ring}
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
 def _refine_udf(predicate: str, distance: Optional[float]):
     pred_fn = None if predicate == "dwithin" else PREDICATES[predicate]
 
@@ -106,20 +152,78 @@ def _refine_udf(predicate: str, distance: Optional[float]):
     def refine(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
         from dataclod_spark.geo.predicates import dwithin
 
+        # build-side geometries repeat across many candidate pairs — parse
+        # each distinct blob once per batch (≈ the reference's prepared-
+        # geometry caching, refine/geos.rs)
+        cache: dict[bytes, GC.Geometry] = {}
+        rect_cache: dict[bytes, tuple | None] = {}
+
+        def parse(b) -> GC.Geometry:
+            key = bytes(b)
+            g = cache.get(key)
+            if g is None:
+                g = GC.wkb_parse(key)
+                cache[key] = g
+                rect_cache[key] = _axis_rect(g)
+            return g
+
         res = []
         for b1, b2 in zip(wkb1, wkb2):
             try:
-                g1 = GC.wkb_parse(bytes(b1))
-                g2 = GC.wkb_parse(bytes(b2))
+                g1 = parse(b1)
+                g2 = parse(b2)
                 if pred_fn is None:
                     res.append(bool(dwithin(g1, g2, distance)))
-                else:
-                    res.append(bool(pred_fn(g1, g2)))
+                    continue
+                # point × axis-aligned rectangle: intersects ≡ closed bbox
+                # test (boundary inclusive on both sides) — skip the general
+                # predicate machinery for the dominant point-in-box workload
+                if predicate == "intersects" and g1.kind == GC.POINT and g1.data is not None:
+                    rect = rect_cache.get(bytes(b2))
+                    if rect is not None:
+                        x, y = g1.data
+                        res.append(rect[0] <= x <= rect[2] and rect[1] <= y <= rect[3])
+                        continue
+                res.append(bool(pred_fn(g1, g2)))
             except Exception:
                 res.append(False)
         return pd.Series(res)
 
     return refine
+
+
+@pandas_udf(T.BinaryType())
+def point_wkb(x: pd.Series, y: pd.Series) -> pd.Series:
+    """Vectorized WKB point constructor (little-endian, 21 bytes/row)."""
+    import numpy as np
+
+    n = len(x)
+    arr = np.zeros((n, 21), dtype=np.uint8)
+    arr[:, 0] = 1
+    arr[:, 1:5] = np.frombuffer(np.uint32(1).tobytes() * n, dtype=np.uint8).reshape(n, 4)
+    arr[:, 5:13] = x.to_numpy(dtype="<f8").view(np.uint8).reshape(n, 8)
+    arr[:, 13:21] = y.to_numpy(dtype="<f8").view(np.uint8).reshape(n, 8)
+    return pd.Series(list(arr.tobytes()[i * 21 : (i + 1) * 21] for i in range(n)))
+
+
+@pandas_udf(T.BinaryType())
+def envelope_wkb(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
+    """Vectorized WKB rectangle constructor (ST_MakeEnvelope ring order)."""
+    import numpy as np
+    import struct
+
+    out = []
+    hdr = b"\x01" + struct.pack("<I", 3) + struct.pack("<I", 1) + struct.pack("<I", 5)
+    for a, b, c, d in zip(
+        x1.to_numpy(dtype="f8"),
+        y1.to_numpy(dtype="f8"),
+        x2.to_numpy(dtype="f8"),
+        y2.to_numpy(dtype="f8"),
+    ):
+        out.append(
+            hdr + struct.pack("<10d", a, b, a, d, c, d, c, b, a, b)
+        )
+    return pd.Series(out)
 
 
 def with_bbox(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:

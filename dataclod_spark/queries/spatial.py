@@ -161,9 +161,7 @@ ORDER BY box_id
 """,
 )
 def g6_spatial_join_points_in_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dataclod_spark.geo.algos import make_envelope, make_point
-    from dataclod_spark.geo.core import wkb_write
-    from dataclod_spark.operators.spatial_join import spatial_join
+    from dataclod_spark.operators.spatial_join import envelope_wkb, point_wkb, spatial_join
 
     _spatial(spark)
     e = load(spark, sf_dir, "events")
@@ -176,16 +174,18 @@ def g6_spatial_join_points_in_boxes(spark: SparkSession, sf_dir: str) -> DataFra
             (3 + F.col("event_id") % 5).cast("double").alias("w"),
             (2 + F.col("user_id") % 3).cast("double").alias("h"),
         )
-        .selectExpr(
+        .select(
             "box_id",
-            "ST_MakeEnvelope(bx, by, bx + w, by + h) AS geom",
+            envelope_wkb(
+                F.col("bx"), F.col("by"), F.col("bx") + F.col("w"), F.col("by") + F.col("h")
+            ).alias("geom"),
         )
     )
     points = e.select(
         F.col("event_id").alias("point_id"),
         (F.col("event_id") % 89).cast("double").alias("px"),
         (F.col("user_id") % 43).cast("double").alias("py"),
-    ).selectExpr("point_id", "ST_MakePoint(px, py) AS geom")
+    ).select("point_id", point_wkb(F.col("px"), F.col("py")).alias("geom"))
     joined = spatial_join(points, boxes, "intersects", cell_target=256)
     return (
         joined.groupBy("box_id")
@@ -212,7 +212,7 @@ FROM a JOIN b ON sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= 5.0
 """,
 )
 def g7_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dataclod_spark.operators.spatial_join import spatial_join
+    from dataclod_spark.operators.spatial_join import point_wkb, spatial_join
 
     _spatial(spark)
     e = load(spark, sf_dir, "events")
@@ -223,7 +223,7 @@ def g7_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_id") % 89).cast("double").alias("ax"),
             (F.col("user_id") % 43).cast("double").alias("ay"),
         )
-        .selectExpr("a_id", "ST_MakePoint(ax, ay) AS geom")
+        .select("a_id", point_wkb(F.col("ax"), F.col("ay")).alias("geom"))
     )
     b = (
         e.filter(F.col("event_id") % 40 == 0)
@@ -232,7 +232,7 @@ def g7_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_id") % 97).cast("double").alias("bx"),
             (F.col("user_id") % 41).cast("double").alias("by"),
         )
-        .selectExpr("b_id", "ST_MakePoint(bx, by) AS geom")
+        .select("b_id", point_wkb(F.col("bx"), F.col("by")).alias("geom"))
     )
     joined = spatial_join(a, b, "dwithin", distance=5.0, cell_target=256)
     return joined.agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -74,8 +74,9 @@ def dsum(col, scale: int = 6):
     different orders, so ``round(sum(double), 2)`` can land on opposite sides
     of a cent boundary.  Casting each addend to DECIMAL(18,scale) makes the
     sum exact and order-independent; both engines then produce bit-identical
-    doubles.  (The per-addend cast is itself deterministic: a double's decimal
-    expansion never sits exactly on a half-ulp of scale 4.)
+    doubles.  (The per-addend cast is itself deterministic: at scale 6 the
+    products of 2-decimal source values are exactly representable, so the
+    cast never sits on a rounding boundary.)
     The matching oracle spelling is
     ``CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)``.
     """
