@@ -158,7 +158,14 @@ FUNCTIONS: dict[str, tuple] = {
         lambda b, dx, dy: _b(A.translate(_g(b), float(dx), float(dy))),
         _GEOM,
     ),
-    "ST_ConcaveHull": (lambda b, *a: None, _GEOM),  # chi-shapes: later round
+    "ST_ConcaveHull": (
+        lambda b, ratio, holes=False: _b(
+            __import__("dataclod_spark.geo.concave", fromlist=["concave_hull"]).concave_hull(
+                _g(b).points(), float(ratio), bool(holes)
+            )
+        ),
+        _GEOM,
+    ),
     "ST_MakePoint": (lambda x, y: _b(A.make_point(float(x), float(y))), _GEOM),
     "ST_MakeEnvelope": (
         lambda x1, y1, x2, y2, srid=None: _b(

@@ -1,0 +1,72 @@
+"""Physical-plan regression guards: the properties that make these queries
+viable at 100 TB (scan pushdown, column pruning, broadcast dims, partial
+aggregation) must survive future edits."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataclod_spark.registry import load_all_queries
+
+from conftest import SF_SMOKE
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    reg = load_all_queries()
+    df = reg[name].fn(spark, SF_SMOKE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # date filter reached parquet
+    # column pruning: comment column-free schema, no un-needed key columns
+    assert "l_orderkey" not in plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "partial_" in _plan(spark, "q1_pricing_summary", "simple")  # map-side agg
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q5_local_supplier", "simple")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier/nation/region at minimum
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q9_string_filter_pushdown(spark):
+    plan = _plan(spark, "q9_profit")
+    assert "StringContains(p_name,widget)" in plan
+
+
+def test_t1_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "t1_topk", "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_spatial_join_shuffles_once_on_cell(spark):
+    """The spatial join's only wide exchange over the candidate stream is
+    the cell-id hash join (reference-point dedup avoids a distinct)."""
+    from dataclod_spark.operators.spatial_join import spatial_join, point_wkb, envelope_wkb
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.registry import load
+
+    e = load(spark, SF_SMOKE, "events")
+    pts = e.select(
+        F.col("event_id").alias("pid"),
+        point_wkb((F.col("event_id") % 89).cast("double"), (F.col("user_id") % 43).cast("double")).alias("geom"),
+    )
+    boxes = e.filter(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("bid"),
+        envelope_wkb(
+            (F.col("event_id") % 97).cast("double"),
+            (F.col("user_id") % 41).cast("double"),
+            (F.col("event_id") % 97 + 3).cast("double"),
+            (F.col("user_id") % 41 + 2).cast("double"),
+        ).alias("geom"),
+    )
+    joined = spatial_join(pts, boxes, "intersects", cell_target=64)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = joined._jdf.queryExecution().explainString(jmode)
+    # no distinct/dedup exchange over candidate pairs
+    assert "HashAggregate(keys=[id_1" not in plan
+    assert "dropDuplicates" not in plan.lower()

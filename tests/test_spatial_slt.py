@@ -28,10 +28,12 @@ EXPECTED_FAILURES: dict[int, str] = {
     "verified in test_make_valid_node_splitting) but GEOS's polygon/ring "
     "ordering differs",
     71: "ST_MakeValid: semantically exact, ring ordering differs (see L66)",
-    287: "ST_ConcaveHull: chi-shape algorithm not implemented yet",
+    287: "ST_ConcaveHull: ring is cycle-identical to the golden (same "
+    "vertices+direction, verified in test_concave_hull_cycle_parity); "
+    "GEOS's internal ring start rotation differs",
     312: "ST_Transform: arbitrary EPSG (3587) needs a proj database; only 4326<->3857 supported",
-    338: "ST_ConcaveHull: chi-shape algorithm not implemented yet",
-    343: "ST_ConcaveHull: chi-shape algorithm not implemented yet",
+    338: "ST_ConcaveHull: cycle-identical, rotation differs (see L287)",
+    343: "ST_ConcaveHull: cycle-identical incl. hole, rotation differs (see L287)",
 }
 
 
