@@ -54,9 +54,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver parquet table (column-pruned, filter-pushdown capable).
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark does
-    not read natively — the session sets ``legacy.parquet.nanosAsLong`` and
-    this loader converts nanos → micros (matching DuckDB's truncation).
+    not read natively — the loader sets ``legacy.parquet.nanosAsLong``
+    (defensively: the driver may call queries with its own SparkSession,
+    not one from ``get_spark``) and converts nanos → micros (matching
+    DuckDB's truncation).  Session timezone is pinned to UTC for the same
+    reason — timestamp semantics must not depend on the host timezone.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
