@@ -70,6 +70,10 @@ _BBOX_SCHEMA = T.StructType(
         T.StructField("ymin", T.DoubleType()),
         T.StructField("xmax", T.DoubleType()),
         T.StructField("ymax", T.DoubleType()),
+        # geometry equals its own bbox (point / axis-aligned rectangle):
+        # for such pairs the JVM bbox join condition IS the exact intersects
+        # predicate and Python refinement can be skipped entirely
+        T.StructField("bbox_exact", T.BooleanType()),
     ]
 )
 
@@ -102,32 +106,38 @@ def _bbox_udf(wkb: pd.Series) -> pd.DataFrame:
                         "ymin": np.where(ok, y, np.nan),
                         "xmax": np.where(ok, x, np.nan),
                         "ymax": np.where(ok, y, np.nan),
+                        "bbox_exact": ok,
                     }
                 )
-    out = {"xmin": [], "ymin": [], "xmax": [], "ymax": []}
+    out = {"xmin": [], "ymin": [], "xmax": [], "ymax": [], "bbox_exact": []}
     cache: dict[bytes, tuple] = {}
     for b in vals:
         bb = None
+        exact = False
         if b is not None:
             key = bytes(b)
             if key in cache:
-                bb = cache[key]
+                bb, exact = cache[key]
             else:
                 try:
-                    bb = bounds(GC.wkb_parse(key))
+                    g = GC.wkb_parse(key)
+                    bb = bounds(g)
+                    exact = g.kind == GC.POINT or _axis_rect(g) is not None
                 except Exception:
                     bb = None
-                cache[key] = bb
+                cache[key] = (bb, exact)
         if bb is None:
             out["xmin"].append(None)
             out["ymin"].append(None)
             out["xmax"].append(None)
             out["ymax"].append(None)
+            out["bbox_exact"].append(False)
         else:
             out["xmin"].append(bb[0])
             out["ymin"].append(bb[1])
             out["xmax"].append(bb[2])
             out["ymax"].append(bb[3])
+            out["bbox_exact"].append(exact)
     return pd.DataFrame(out)
 
 
@@ -150,6 +160,8 @@ def _refine_udf(predicate: str, distance: Optional[float]):
 
     @pandas_udf(T.BooleanType())
     def refine(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+        import numpy as np
+
         from dataclod_spark.geo.predicates import dwithin
 
         # build-side geometries repeat across many candidate pairs — parse
@@ -157,6 +169,53 @@ def _refine_udf(predicate: str, distance: Optional[float]):
         # geometry caching, refine/geos.rs)
         cache: dict[bytes, GC.Geometry] = {}
         rect_cache: dict[bytes, tuple | None] = {}
+
+        # fully vectorized path: homogeneous point-WKB probe batch against
+        # axis-aligned rectangles, intersects predicate
+        if predicate == "intersects":
+            vals1 = wkb1.to_numpy()
+            n = len(vals1)
+            if n and all(v is not None and len(v) == 21 and v[0] == 1 for v in vals1):
+                buf = b"".join(bytes(v) for v in vals1)
+                arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, 21)
+                if (arr[:, 1:5].copy().view("<u4")[:, 0] == 1).all():
+                    xy = arr[:, 5:21].copy().view("<f8")
+                    rects = np.empty((n, 4), dtype="f8")
+                    general_rows = []
+                    for i, b2 in enumerate(wkb2.to_numpy()):
+                        key = bytes(b2)
+                        if key not in rect_cache:
+                            try:
+                                g2 = GC.wkb_parse(key)
+                                cache[key] = g2
+                                rect_cache[key] = _axis_rect(g2)
+                            except Exception:
+                                rect_cache[key] = None
+                        rect = rect_cache[key]
+                        if rect is None:
+                            general_rows.append(i)
+                            rects[i] = (1.0, 1.0, 0.0, 0.0)  # never matches
+                        else:
+                            rects[i] = rect
+                    res_arr = (
+                        (rects[:, 0] <= xy[:, 0])
+                        & (xy[:, 0] <= rects[:, 2])
+                        & (rects[:, 1] <= xy[:, 1])
+                        & (xy[:, 1] <= rects[:, 3])
+                    )
+                    if general_rows:
+                        from dataclod_spark.geo.predicates import intersects as gen_int
+
+                        for i in general_rows:
+                            try:
+                                g1 = GC.wkb_parse(bytes(vals1[i]))
+                                g2 = cache.get(bytes(wkb2.iloc[i]))
+                                if g2 is None:
+                                    g2 = GC.wkb_parse(bytes(wkb2.iloc[i]))
+                                res_arr[i] = bool(gen_int(g1, g2))
+                            except Exception:
+                                res_arr[i] = False
+                    return pd.Series(res_arr)
 
         def parse(b) -> GC.Geometry:
             key = bytes(b)
@@ -237,6 +296,7 @@ def with_bbox(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:
             F.col("__bb.ymin").alias(f"{prefix}ymin"),
             F.col("__bb.xmax").alias(f"{prefix}xmax"),
             F.col("__bb.ymax").alias(f"{prefix}ymax"),
+            F.col("__bb.bbox_exact").alias(f"{prefix}exact"),
         )
         .drop("__bb")
     )
@@ -383,9 +443,21 @@ def spatial_join(
     cand = le.join(re, "__cell").filter(bbox_cond).filter(_ref_point_in_cell(grid, expand))
 
     refine = _refine_udf(predicate, distance)
-    matched = cand.filter(refine(F.col(left_geom), F.col(rgeom)))
+    if predicate == "intersects":
+        # pairs where both geometries equal their own bbox are already
+        # exactly decided by the JVM bbox condition — no Python round-trip
+        both_exact = F.col("l_exact") & F.col("r_exact")
+        fast = cand.filter(both_exact)
+        slow = cand.filter(~both_exact).filter(refine(F.col(left_geom), F.col(rgeom)))
+        matched = fast.unionAll(slow)
+    else:
+        matched = cand.filter(refine(F.col(left_geom), F.col(rgeom)))
 
-    bbox_helper = [c for c in matched.columns if c.startswith(("l_x", "l_y", "r_x", "r_y"))]
+    bbox_helper = [
+        c
+        for c in matched.columns
+        if c.startswith(("l_x", "l_y", "r_x", "r_y")) or c in ("l_exact", "r_exact")
+    ]
     pairs = matched.drop("__cell", *bbox_helper)
 
     if how == "inner":
