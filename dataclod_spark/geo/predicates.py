@@ -262,6 +262,20 @@ def _interior_probe(g1: Geometry, g2: Geometry) -> bool:
                     q = (mid[0] - dy / n * s, mid[1] + dx / n * s)
                     if _locate_point(q, g1) == INTERIOR and _locate_point(q, g2) == INTERIOR:
                         return True
+    # strictly-nested shapes (no boundary contact) have no candidate point
+    # interior to BOTH: probe interior representatives — segment midpoints
+    # of lineal components and shell interior points of areal components
+    probes: list[Coord] = []
+    for g in (g1, g2):
+        for comp in g.flatten():
+            if comp.kind == LINESTRING:
+                for a, b in _segments(comp.data):
+                    probes.append(((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0))
+            elif comp.kind == POLYGON and comp.data:
+                probes.append(_ring_interior_point(comp.data[0]))
+    for p in probes:
+        if _locate_point(p, g1) == INTERIOR and _locate_point(p, g2) == INTERIOR:
+            return True
     return False
 
 

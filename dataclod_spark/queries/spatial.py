@@ -239,6 +239,57 @@ def g7_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g8_rect_within_join",
+    doc="polygon-in-polygon spatial join (within) — general refine path",
+    oracle="""
+WITH small AS (
+  SELECT event_id AS s_id,
+         CAST(event_id % 80 AS DOUBLE) AS sx, CAST(user_id % 35 AS DOUBLE) AS sy
+  FROM events WHERE event_id % 60 = 0
+), big AS (
+  SELECT event_id AS b_id,
+         CAST(event_id % 70 AS DOUBLE) AS bx, CAST(user_id % 30 AS DOUBLE) AS by
+  FROM events WHERE event_id % 35 = 0
+)
+SELECT count(*) AS n_within
+FROM small JOIN big
+  ON bx <= sx AND sx + 2 <= bx + 12 AND by <= sy AND sy + 2 <= by + 12
+""",
+)
+def g8_rect_within_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.operators.spatial_join import envelope_wkb, spatial_join
+
+    _spatial(spark)
+    e = load(spark, sf_dir, "events")
+    small = (
+        e.filter(F.col("event_id") % 60 == 0)
+        .select(
+            F.col("event_id").alias("s_id"),
+            (F.col("event_id") % 80).cast("double").alias("sx"),
+            (F.col("user_id") % 35).cast("double").alias("sy"),
+        )
+        .select(
+            "s_id",
+            envelope_wkb(F.col("sx"), F.col("sy"), F.col("sx") + 2, F.col("sy") + 2).alias("geom"),
+        )
+    )
+    big = (
+        e.filter(F.col("event_id") % 35 == 0)
+        .select(
+            F.col("event_id").alias("b_id"),
+            (F.col("event_id") % 70).cast("double").alias("bx"),
+            (F.col("user_id") % 30).cast("double").alias("by"),
+        )
+        .select(
+            "b_id",
+            envelope_wkb(F.col("bx"), F.col("by"), F.col("bx") + 12, F.col("by") + 12).alias("geom"),
+        )
+    )
+    joined = spatial_join(small, big, "within", cell_target=256)
+    return joined.agg(F.count(F.lit(1)).alias("n_within"))
+
+
+@query(
     "g5_wkt_roundtrip",
     doc="ST_AsText(ST_MakePoint) WKT formatting over integer coordinates",
     oracle="""
