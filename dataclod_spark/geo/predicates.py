@@ -309,13 +309,37 @@ def _covers_impl(g1: Geometry, g2: Geometry) -> bool:
         return False
     if d2 == 0:
         return True
-    # segment midpoints of g2 must not be exterior (catches concavities)
-    for a, b in _segs(g2):
-        mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
-        if _locate_point(mid, g1) == EXTERIOR:
-            return False
-    # proper crossings of g2 segments with g1 boundary → g2 exits g1
+    # every sub-segment of g2 (noded at all interaction points with g1) must
+    # have a non-exterior midpoint.  Noding is required for correctness: a
+    # bare segment-midpoint sample misses gaps in a lineal g1 that happen to
+    # avoid the midpoint (e.g. MULTILINESTRING((0 0,0.2 0),(0.3 0,1 0))
+    # does NOT cover LINESTRING(0 0,1 0) — the gap (0.2,0.3) is off-midpoint).
     s1 = _segs(g1)
+    g1_pts = g1.points()
+    from dataclod_spark.geo.algos import _seg_param
+
+    for b1, b2 in _segs(g2):
+        ts = [0.0, 1.0]
+        for a1, a2 in s1:
+            p = _seg_cross_proper(a1, a2, b1, b2)
+            if p is not None:
+                ts.append(_seg_param(b1, b2, p))
+            ov = _collinear_overlap_pts(b1, b2, a1, a2)
+            if ov is not None:
+                ts.append(_seg_param(b1, b2, ov[0]))
+                ts.append(_seg_param(b1, b2, ov[1]))
+        for p in g1_pts:
+            if _orient(b1, b2, p) == 0 and _on_segment(b1, b2, p):
+                ts.append(_seg_param(b1, b2, p))
+        ts = sorted({min(max(t, 0.0), 1.0) for t in ts})
+        for t0, t1 in zip(ts, ts[1:]):
+            if t1 - t0 <= 1e-12:
+                continue
+            tm = (t0 + t1) / 2.0
+            mid = (b1[0] + tm * (b2[0] - b1[0]), b1[1] + tm * (b2[1] - b1[1]))
+            if _locate_point(mid, g1) == EXTERIOR:
+                return False
+    # proper crossings of g2 segments with g1 boundary → g2 exits g1
     for b1, b2 in _segs(g2):
         for a1, a2 in s1:
             p = _seg_cross_proper(a1, a2, b1, b2)
@@ -409,12 +433,36 @@ def touches(g1: Geometry, g2: Geometry) -> bool:
     return any_hit and not ii
 
 
+def _lineal_interior_overlap(g1: Geometry, g2: Geometry) -> bool:
+    """True iff two lineal geometries share a 1-dimensional interior piece
+    (a collinear segment-overlap interval whose midpoint is interior to
+    both).  A point-crossing of two lines is 0-dimensional and must NOT
+    count for overlaps (OGC: that's ST_Crosses)."""
+    for a1, a2 in _segs(g1):
+        for b1, b2 in _segs(g2):
+            ov = _collinear_overlap_pts(a1, a2, b1, b2)
+            if ov is None:
+                continue
+            mid = ((ov[0][0] + ov[1][0]) / 2.0, (ov[0][1] + ov[1][1]) / 2.0)
+            if (
+                _locate_point(mid, g1) == INTERIOR
+                and _locate_point(mid, g2) == INTERIOR
+            ):
+                return True
+    return False
+
+
 def overlaps(g1: Geometry, g2: Geometry) -> bool:
     if g1.dimension() != g2.dimension():
         return False
     if g1.is_empty() or g2.is_empty():
         return False
-    _, ii = _interaction_flags(g1, g2)
+    if g1.dimension() == 1:
+        # dim-1 × dim-1: the interior∩interior must itself be 1-dimensional
+        # (OGC/GEOS) — a single-point crossing is Crosses, not Overlaps.
+        ii = _lineal_interior_overlap(g1, g2)
+    else:
+        _, ii = _interaction_flags(g1, g2)
     if not ii:
         return False
     return not _covers_impl(g1, g2) and not _covers_impl(g2, g1)

@@ -70,6 +70,35 @@ def _find_matching(s: str, start: int) -> int:
 
 _VALUES_RE = re.compile(r"\(\s*VALUES\b", re.IGNORECASE)
 _ALIAS_RE = re.compile(r"\s*(?:AS\s+)?(\w+)\s*\(([^)]*)\)", re.IGNORECASE)
+_ALIAS_WORD_RE = re.compile(r"\s*(?:AS\s+)?(\w+)", re.IGNORECASE)
+_IDENT_RE = re.compile(r"[A-Za-z_]\w*$")
+# words that can legally follow a closing ')' and must never be consumed as a
+# table alias (otherwise e.g. `... (VALUES (f(x))) AND (y > 1)` mis-captures
+# `AND (y > 1)` as an alias-with-columns and corrupts the statement)
+_RESERVED_ALIAS = frozenset(
+    """and or not in is between like where group order union intersect except
+    join inner left right full cross natural on using having limit offset
+    select from when then else end window qualify asc desc""".split()
+)
+
+
+def _match_alias(after: str):
+    """Parse an optional `[AS] name[(col,...)]` table alias at the start of
+    ``after``.  Returns (alias, cols, consumed_chars).  Reserved keywords are
+    never an alias, and a parenthesized list only counts as alias columns
+    when every element is a bare identifier."""
+    m = _ALIAS_RE.match(after)
+    if m:
+        word = m.group(1)
+        cols = [c.strip() for c in m.group(2).split(",")]
+        if word.lower() not in _RESERVED_ALIAS and all(
+            _IDENT_RE.fullmatch(c) for c in cols
+        ):
+            return word, cols, m.end()
+    m = _ALIAS_WORD_RE.match(after)
+    if m and m.group(1).lower() not in _RESERVED_ALIAS:
+        return m.group(1), None, m.end()
+    return None, None, 0
 
 
 def rewrite_values_tables(sql: str) -> str:
@@ -89,13 +118,8 @@ def rewrite_values_tables(sql: str) -> str:
         close_paren = _find_matching(out, open_paren)
         inner = out[m.end() : close_paren]  # the rows: (..), (..)
         after = out[close_paren + 1 :]
-        am = _ALIAS_RE.match(after)
-        cols: list[str] | None = None
-        alias = None
-        if am:
-            alias = am.group(1)
-            cols = [c.strip() for c in am.group(2).split(",")]
-            after = after[am.end() :]
+        alias, cols, consumed = _match_alias(after)
+        after = after[consumed:]
         rows = _split_top_level(inner.strip())
         selects = []
         for row in rows:

@@ -27,6 +27,12 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _quote_ident(name: str) -> str:
+    """Safely double-quote a SQL identifier (embedded quotes doubled), so a
+    table/database name can never escape its quoting (identifier injection)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 def scan_duckdb(
     spark: SparkSession, db_path: str, database: str = "main", table: str = ""
 ) -> DataFrame:
@@ -35,11 +41,20 @@ def scan_duckdb(
 
     con = duckdb.connect(db_path, read_only=True)
     try:
-        qualified = f'"{database}"."{table}"' if database not in ("", "main") else f'"{table}"'
+        qualified = (
+            f"{_quote_ident(database)}.{_quote_ident(table)}"
+            if database not in ("", "main")
+            else _quote_ident(table)
+        )
         tbl = con.execute(f"SELECT * FROM {qualified}").fetch_arrow_table()
     finally:
         con.close()
-    return spark.createDataFrame(tbl.to_pandas())
+    # hand Arrow straight to Spark — avoids the pandas round-trip that
+    # loses Arrow types (dates/decimals → object) and doubles memory
+    try:
+        return spark.createDataFrame(tbl)
+    except Exception:  # older Spark without Arrow-table support
+        return spark.createDataFrame(tbl.to_pandas())
 
 
 def scan_sqlite(spark: SparkSession, db_path: str, table: str) -> DataFrame:
@@ -50,7 +65,7 @@ def scan_sqlite(spark: SparkSession, db_path: str, table: str) -> DataFrame:
 
     con = sqlite3.connect(db_path)
     try:
-        pdf = pd.read_sql_query(f'SELECT * FROM "{table}"', con)
+        pdf = pd.read_sql_query(f"SELECT * FROM {_quote_ident(table)}", con)
     finally:
         con.close()
     return spark.createDataFrame(pdf)

@@ -1,0 +1,101 @@
+"""Regression tests for round-1 ADVICE findings (predicate + rewrite bugs).
+
+1. overlaps() must be False for two LineStrings crossing at a single point
+   (OGC: interior∩interior must be 1-dimensional for dim-1 pairs — a point
+   crossing is ST_Crosses, not ST_Overlaps).
+2. _covers_impl must node the covered geometry's segments at interaction
+   points: a gap in a covering MULTILINESTRING that avoids segment midpoints
+   must still be detected.
+3. rewrite_values_tables must not capture a following parenthesized clause
+   (e.g. ``AND (x > 1)``) as a VALUES table alias.
+"""
+
+from dataclod_spark.geo import predicates as P
+from dataclod_spark.geo.core import wkt_parse as W
+from dataclod_spark.plans.rewrites import rewrite_values_tables
+
+
+class TestLinealOverlaps:
+    def test_point_crossing_is_not_overlaps(self):
+        a = W("LINESTRING(0 0,2 2)")
+        b = W("LINESTRING(0 2,2 0)")
+        assert P.overlaps(a, b) is False
+        # but it IS an interior-interior intersection: not touches, intersects
+        assert P.intersects(a, b) is True
+        assert P.touches(a, b) is False
+
+    def test_collinear_partial_overlap_is_overlaps(self):
+        a = W("LINESTRING(0 0,2 0)")
+        b = W("LINESTRING(1 0,3 0)")
+        assert P.overlaps(a, b) is True
+
+    def test_endpoint_touch_is_not_overlaps(self):
+        a = W("LINESTRING(0 0,1 0)")
+        b = W("LINESTRING(1 0,2 0)")
+        assert P.overlaps(a, b) is False
+        assert P.touches(a, b) is True
+
+    def test_contained_line_is_not_overlaps(self):
+        a = W("LINESTRING(0 0,3 0)")
+        b = W("LINESTRING(1 0,2 0)")
+        assert P.overlaps(a, b) is False  # a covers b
+
+    def test_polygon_overlap_unchanged(self):
+        a = W("POLYGON((0 0,2 0,2 2,0 2,0 0))")
+        b = W("POLYGON((1 1,3 1,3 3,1 3,1 1))")
+        assert P.overlaps(a, b) is True
+
+
+class TestCoversNoding:
+    def test_gap_in_covering_multiline(self):
+        m = W("MULTILINESTRING((0 0,0.2 0),(0.3 0,1 0))")
+        l = W("LINESTRING(0 0,1 0)")
+        assert P.covers(m, l) is False
+        assert P.covers(l, m) is True
+
+    def test_gap_at_midpoint_still_detected(self):
+        # gap centered exactly at the midpoint (the old sample point)
+        m = W("MULTILINESTRING((0 0,0.45 0),(0.55 0,1 0))")
+        l = W("LINESTRING(0 0,1 0)")
+        assert P.covers(m, l) is False
+
+    def test_exact_cover_multiline(self):
+        m = W("MULTILINESTRING((0 0,0.5 0),(0.5 0,1 0))")
+        l = W("LINESTRING(0 0,1 0)")
+        assert P.covers(m, l) is True
+        assert P.equals(m, l) is True
+
+    def test_polygon_covers_line_unchanged(self):
+        pg = W("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+        assert P.covers(pg, W("LINESTRING(1 1,3 3)")) is True
+        assert P.covers(pg, W("LINESTRING(1 1,5 5)")) is False
+
+    def test_line_on_polygon_boundary_covered(self):
+        pg = W("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+        assert P.covers(pg, W("LINESTRING(0 0,4 0)")) is True
+        assert P.contains(pg, W("LINESTRING(0 0,4 0)")) is False
+
+
+class TestValuesRewrite:
+    def test_following_and_clause_not_an_alias(self):
+        s = "SELECT 1 WHERE 2 IN (VALUES (ST_X(p))) AND (x > 1)"
+        assert rewrite_values_tables(s) == (
+            "SELECT 1 WHERE 2 IN (SELECT ST_X(p)) AND (x > 1)"
+        )
+
+    def test_real_alias_with_columns_still_consumed(self):
+        s = "SELECT * FROM (VALUES (ST_X(p), 2)) AS t(a, b)"
+        assert rewrite_values_tables(s) == (
+            "SELECT * FROM (SELECT ST_X(p) AS a, 2 AS b) t"
+        )
+
+    def test_bare_alias_word(self):
+        s = "SELECT * FROM (VALUES (ST_X(p))) t WHERE x > 1"
+        out = rewrite_values_tables(s)
+        assert "SELECT ST_X(p)" in out and ") t " in out and "WHERE x > 1" in out
+
+    def test_reserved_word_after_values_not_alias(self):
+        s = "SELECT * FROM (VALUES (ST_X(p))) CROSS JOIN q"
+        out = rewrite_values_tables(s)
+        assert "CROSS JOIN q" in out
+        assert "AS cross" not in out.lower()
