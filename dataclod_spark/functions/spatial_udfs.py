@@ -11,10 +11,12 @@ matching the reference's behavior.  Registration is by the exact reference
 names (Spark SQL resolution is case-insensitive, so ``ST_AsGeoJson`` etc.
 work as spelled in the slt corpus).
 
-Performance note: these SQL-callable UDFs run row-at-a-time Python and exist
-for SQL-surface parity; the spatial JOIN path (operators/spatial_join.py)
-calls the geo core directly inside Arrow-batched pandas UDFs and never goes
-through this per-row layer.
+Performance note: every SQL registration is an **Arrow-batched pandas UDF**
+(``register_all`` wraps each scalar body batch-wise): argument columns cross
+the JVM/Python boundary once per Arrow batch, not once per row, matching the
+reference's vectorized evaluation over Arrow arrays (``udfs.rs`` kernels run
+per-array).  The spatial JOIN path (operators/spatial_join.py) additionally
+has fully-vectorized numpy fast paths for its hot shapes.
 """
 
 from __future__ import annotations
@@ -22,8 +24,10 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from dataclod_spark.geo import core as C
 from dataclod_spark.geo import algos as A
@@ -213,6 +217,39 @@ FUNCTIONS: dict[str, tuple] = {
 }
 
 
+def _batchify(fn, rtype):
+    """Wrap a scalar body as an Arrow-batched pandas UDF.
+
+    The body still runs per element (the geometry kernels are Python), but
+    the JVM↔Python transfer is one Arrow batch per ~10k rows instead of a
+    pickled round-trip per row — the same batching the reference gets from
+    evaluating each UDF over a whole Arrow array (``udfs.rs``).
+
+    Null semantics preserved: pandas represents SQL NULL as None (object
+    cols) or NaN (float cols); both map to NULL-in → NULL-out, and any
+    compute failure yields NULL (reference convention).
+    """
+    scalar = _nullsafe(fn)
+
+    def _cell(v):
+        # normalize pandas null representations to None for the scalar body
+        return None if v is None or (isinstance(v, float) and v != v) else v
+
+    def batch(*cols: pd.Series) -> pd.Series:
+        rows = zip(*(c.to_numpy(dtype=object) for c in cols))
+        return pd.Series(
+            [scalar(*(_cell(v) for v in row)) for row in rows], dtype=object
+        )
+
+    return pandas_udf(batch, rtype)
+
+
 def register_all(spark: SparkSession) -> None:
     for name, (fn, rtype) in FUNCTIONS.items():
-        spark.udf.register(name, _nullsafe(fn), rtype)
+        if isinstance(rtype, T.StructType):
+            # struct-returning (Box2D only): pandas UDFs can't emit a NULL
+            # struct (DataFrame return has no null rows) — keep the row UDF
+            # to preserve Box2D(NULL) -> NULL
+            spark.udf.register(name, _nullsafe(fn), rtype)
+        else:
+            spark.udf.register(name, _batchify(fn, rtype))
