@@ -87,25 +87,28 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
-    1. signature pass (no shuffle), 2. per-band equality self-join (shuffle on
-    band hash — the scalable step), 3. pair-level union+distinct, 4. exact
-    Jaccard over distinct shingle sets for candidates only.
+    1. signature pass (no shuffle), 2. per-band equality self-join carrying
+    **ids only** (shuffle on band hash — the scalable step; the
+    document-sized shingle arrays never enter the band shuffle or the pair
+    distinct), 3. pair-level union+distinct on bare (id_1, id_2), 4. exact
+    Jaccard: shingle sets re-joined once onto the surviving candidate pairs.
     Returns (id_1, id_2, jaccard) with id_1 < id_2 and jaccard ≥ threshold.
+
+    At 100 TB: the band joins and pair dedup shuffle O(pairs) rows of two
+    ids + a hash each; the only place full shingle arrays move is the final
+    per-candidate verify join, whose left side is the (small) pair set.
     """
     n_bands = k // rows_per_band
     sig = with_lsh_bands(
         with_minhash_signature(df.select(id_col, text_col), text_col, k), k, rows_per_band
-    ).withColumn("__sh", char_shingles(F.col(text_col)))
-    sig.persist()
+    )
 
     left = sig.select(
         F.col(id_col).alias("id_1"),
-        F.col("__sh").alias("sh_1"),
         *[F.col(f"band_{b}").alias(f"lb_{b}") for b in range(n_bands)],
     )
     right = sig.select(
         F.col(id_col).alias("id_2"),
-        F.col("__sh").alias("sh_2"),
         *[F.col(f"band_{b}").alias(f"rb_{b}") for b in range(n_bands)],
     )
     pairs = None
@@ -113,9 +116,20 @@ def lsh_candidate_pairs(
         p = left.join(right, F.col(f"lb_{b}") == F.col(f"rb_{b}")).filter(
             F.col("id_1") < F.col("id_2")
         )
-        p = p.select("id_1", "id_2", "sh_1", "sh_2")
+        p = p.select("id_1", "id_2")
         pairs = p if pairs is None else pairs.unionAll(p)
     cand = pairs.dropDuplicates(["id_1", "id_2"])
+
+    # attach each side's distinct-shingle set exactly once, post-dedup
+    sh = df.select(
+        F.col(id_col).alias("__sh_id"), char_shingles(F.col(text_col)).alias("__sh")
+    )
+    cand = (
+        cand.join(sh, cand["id_1"] == sh["__sh_id"])
+        .select("id_1", "id_2", F.col("__sh").alias("sh_1"))
+        .join(sh, F.col("id_2") == sh["__sh_id"])
+        .select("id_1", "id_2", "sh_1", F.col("__sh").alias("sh_2"))
+    )
     inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))
     union = F.size(F.array_union(F.col("sh_1"), F.col("sh_2")))
     return (

@@ -8,10 +8,13 @@ Spark's execution model:
 1. **bbox projection** (≈ OperandEvaluator, ``operand_evaluator.rs:23-66``):
    one Arrow-batched pandas UDF adds (xmin,ymin,xmax,ymax) per geometry —
    the only Python touch before refinement.
-2. **Grid partitioner** (≈ KDB partitioner ``partitioning/kdb.rs:378-393``):
-   bbox sample (≤10k rows, mirroring ``option.rs:60-70``'s 10k/1k/1%
-   sampler) drives a driver-side uniform grid; boundaries broadcast as plan
-   literals.
+2. **Equi-depth grid partitioner** (≈ KDB partitioner
+   ``partitioning/kdb.rs:378-393``): a seeded 1% bbox sample (10k max /
+   1k min, mirroring ``option.rs:60-70``'s reservoir sampler) drives
+   per-axis quantile boundaries, so skewed extents still give balanced
+   cells (the KDB tree's axis-alternating median splits give the same
+   marginal balancing).  Boundaries broadcast as plan literals; cell
+   lookup is a pure-JVM count-of-boundaries-≤-coordinate expression.
 3. **Cell assignment** (≈ partition contract ``partitioning/mod.rs:42-77``):
    BOTH sides explode to every grid cell their bbox intersects — pure JVM
    ``sequence``/``explode`` arithmetic, no Python.  (The reference assigns
@@ -50,8 +53,12 @@ from pyspark.sql.functions import pandas_udf
 from dataclod_spark.geo import core as GC
 from dataclod_spark.geo import predicates as GP
 
-# mirrors the reference's bbox sampler bounds (option.rs:60-70)
+# mirrors the reference's bbox sampler bounds (option.rs:60-70):
+# 1% target rate, bounded to [1k, 10k] samples, deterministic seed
 MAX_BBOX_SAMPLES = 10_000
+MIN_BBOX_SAMPLES = 1_000
+BBOX_SAMPLE_RATE = 0.01
+SAMPLE_SEED = 42
 
 PREDICATES = {
     "intersects": GP.intersects,
@@ -302,70 +309,79 @@ def with_bbox(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:
     )
 
 
-def _grid_from_sample(
-    samples: list[tuple[float, float, float, float]], cell_target: int
-) -> tuple[float, float, float, float, int, int]:
-    """(x0, y0, dx, dy, nx, ny) uniform grid covering the sampled extent.
+class _Grid:
+    """Equi-depth (quantile) grid from a bbox sample.
 
     ≈ the KDB partitioner's contract (balanced leaf regions from a bbox
-    sample); a uniform grid is the simpler scheme with the same cell
-    semantics — the reference itself falls back to simpler partitioners at
-    small partition counts (``partitioning/flat.rs``).
+    sample, ``partitioning/kdb.rs:378-393``): per-axis boundaries are
+    placed at sample quantiles of the bbox centers, so a skewed extent
+    (data clustered in one corner) still yields cells with ~equal row
+    counts — the same marginal balancing the KDB tree's axis-alternating
+    median splits provide.  Cells are open-ended at the extent borders
+    (first/last cell extend to ±inf), so out-of-sample rows always land in
+    a cell (partition contract: rows are never dropped —
+    ``partitioning/mod.rs:42-77``).
     """
-    xmin = min(s[0] for s in samples)
-    ymin = min(s[1] for s in samples)
-    xmax = max(s[2] for s in samples)
-    ymax = max(s[3] for s in samples)
-    span_x = (xmax - xmin) or 1.0
-    span_y = (ymax - ymin) or 1.0
-    n = max(1, int(math.sqrt(cell_target)))
-    # pad the extent so boundary objects fall inside the last cell
-    pad_x = span_x * 1e-9 + 1e-12
-    pad_y = span_y * 1e-9 + 1e-12
-    return (
-        xmin - pad_x,
-        ymin - pad_y,
-        (span_x + 2 * pad_x) / n,
-        (span_y + 2 * pad_y) / n,
-        n,
-        n,
-    )
 
+    def __init__(self, samples: list[tuple[float, float, float, float]], cell_target: int):
+        n = max(1, int(math.sqrt(cell_target)))
+        cx = sorted((s[0] + s[2]) / 2.0 for s in samples)
+        cy = sorted((s[1] + s[3]) / 2.0 for s in samples)
+        self.xb = self._quantile_bounds(cx, n)
+        self.yb = self._quantile_bounds(cy, n)
+        self.nx = len(self.xb) + 1
+        self.ny = len(self.yb) + 1
 
-def _cells_expr(prefix: str, grid, expand: float) -> Column:
-    """Array of cell ids intersecting the (possibly expanded) bbox.
+    @staticmethod
+    def _quantile_bounds(sorted_vals: list[float], n: int) -> list[float]:
+        if not sorted_vals or n <= 1:
+            return []
+        m = len(sorted_vals)
+        bounds: list[float] = []
+        for i in range(1, n):
+            v = sorted_vals[min(m - 1, (i * m) // n)]
+            if not bounds or v > bounds[-1]:
+                bounds.append(v)
+        return bounds
 
-    Bboxes outside the sampled grid extent clamp into the border cells, so
-    out-of-sample rows still land in a cell (partition contract: probe rows
-    are never dropped — ``partitioning/mod.rs:42-77``).
-    """
-    x0, y0, dx, dy, nx, ny = grid
+    @staticmethod
+    def _bucket(bounds: list[float], coord: Column) -> Column:
+        """Index of the cell containing ``coord`` = #boundaries <= coord.
 
-    def clamp(e: Column, n: int) -> Column:
-        return F.greatest(F.lit(0), F.least(F.lit(n - 1), e.cast("int")))
+        Pure-JVM O(len(bounds)) fold inside codegen — no Python, no lookup
+        table shuffle; bounds ride into the plan as a broadcast literal
+        array (the Spark analogue of the reference broadcasting partition
+        boundaries to every probe task).
+        """
+        if not bounds:
+            return F.lit(0)
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(b <= coord, 1).otherwise(0),
+        )
 
-    ix0 = clamp(F.floor((F.col(f"{prefix}xmin") - expand - x0) / dx), nx)
-    ix1 = clamp(F.floor((F.col(f"{prefix}xmax") + expand - x0) / dx), nx)
-    iy0 = clamp(F.floor((F.col(f"{prefix}ymin") - expand - y0) / dy), ny)
-    iy1 = clamp(F.floor((F.col(f"{prefix}ymax") + expand - y0) / dy), ny)
-    xs = F.sequence(ix0, ix1)
-    ys = F.sequence(iy0, iy1)
-    return F.flatten(F.transform(xs, lambda ix: F.transform(ys, lambda iy: ix * ny + iy)))
+    def cells_expr(self, prefix: str, expand: float) -> Column:
+        """Array of cell ids intersecting the (possibly expanded) bbox."""
+        ix0 = self._bucket(self.xb, F.col(f"{prefix}xmin") - expand)
+        ix1 = self._bucket(self.xb, F.col(f"{prefix}xmax") + expand)
+        iy0 = self._bucket(self.yb, F.col(f"{prefix}ymin") - expand)
+        iy1 = self._bucket(self.yb, F.col(f"{prefix}ymax") + expand)
+        ny = self.ny
+        xs = F.sequence(ix0, ix1)
+        ys = F.sequence(iy0, iy1)
+        return F.flatten(F.transform(xs, lambda ix: F.transform(ys, lambda iy: ix * ny + iy)))
 
-
-def _ref_point_in_cell(grid, expand: float) -> Column:
-    """Reference-point dedup: emit the pair only in the cell holding the
-    top-left corner of the (expanded) bbox intersection."""
-    x0, y0, dx, dy, nx, ny = grid
-    rx = F.greatest(F.col("l_xmin") - expand, F.col("r_xmin") - 0.0)
-    ry = F.greatest(F.col("l_ymin") - expand, F.col("r_ymin") - 0.0)
-
-    def clamp(e: Column, n: int) -> Column:
-        return F.greatest(F.lit(0), F.least(F.lit(n - 1), e.cast("int")))
-
-    cx = clamp(F.floor((rx - x0) / dx), nx)
-    cy = clamp(F.floor((ry - y0) / dy), ny)
-    return (cx * ny + cy) == F.col("__cell")
+    def ref_point_in_cell(self, expand: float) -> Column:
+        """Reference-point dedup: emit the pair only in the cell holding the
+        top-left corner of the (expanded) bbox intersection — each pair
+        survives exactly once with no distinct/shuffle (replaces the
+        reference's Multi-cell visited bitmaps, ``stream.rs:82-86``)."""
+        rx = F.greatest(F.col("l_xmin") - expand, F.col("r_xmin"))
+        ry = F.greatest(F.col("l_ymin") - expand, F.col("r_ymin"))
+        cell = self._bucket(self.xb, rx) * self.ny + self._bucket(self.yb, ry)
+        return cell == F.col("__cell")
 
 
 def spatial_join(
@@ -400,38 +416,55 @@ def spatial_join(
     rcols_out = [c if c not in overlap else f"{c}_right" for c in rcols]
     rgeom = right_geom if right_geom not in overlap else f"{right_geom}_right"
 
-    l = with_bbox(left, left_geom, "l_").withColumn(
-        "__lid", F.monotonically_increasing_id()
-    )
-    r = with_bbox(right_renamed, rgeom, "r_").withColumn(
-        "__rid", F.monotonically_increasing_id()
-    )
-    l = l.persist()
-    r = r.persist()
+    # Deterministic 128-bit row ids (two independent xxhash64 seeds over the
+    # natural columns).  Unlike monotonically_increasing_id, these survive
+    # partition recomputation, so the outer-join anti-joins below are exact
+    # without pinning the inputs in cache (≈ the reference's positional
+    # visited bitmaps, which are likewise recompute-stable).  Identical rows
+    # share an id; that is correct here — twins match or miss identically.
+    def _rowid(cols: list[str]) -> Column:
+        return F.struct(
+            F.xxhash64(*[F.col(c) for c in cols]).alias("h1"),
+            F.xxhash64(F.lit(0x9E3779B9), *[F.col(c) for c in cols]).alias("h2"),
+        )
 
-    # grid from the right (build) side sample; fall back to left if empty
-    sample = [
-        (row[0], row[1], row[2], row[3])
-        for row in r.select("r_xmin", "r_ymin", "r_xmax", "r_ymax")
-        .dropna()
-        .limit(MAX_BBOX_SAMPLES)
-        .collect()
-    ]
-    if not sample:
-        sample = [
-            (row[0], row[1], row[2], row[3])
-            for row in l.select("l_xmin", "l_ymin", "l_xmax", "l_ymax")
+    l = with_bbox(left, left_geom, "l_").withColumn("__lid", _rowid(lcols))
+    r = with_bbox(right_renamed, rgeom, "r_").withColumn("__rid", _rowid(rcols_out))
+
+    # grid from a seeded 1% sample of the right (build) side, 10k cap / 1k
+    # min (option.rs:60-70); the bbox UDF runs only over the sampled rows.
+    # Falls back to the left side if the right has no geometries.
+    def _collect_sample(src: DataFrame, geom: str) -> list[tuple]:
+        base = src.select(F.col(geom).alias("__g")).dropna()
+        samp = base.sample(fraction=BBOX_SAMPLE_RATE, seed=SAMPLE_SEED).limit(
+            MAX_BBOX_SAMPLES
+        )
+        rows = (
+            with_bbox(samp, "__g", "s_")
+            .select("s_xmin", "s_ymin", "s_xmax", "s_ymax")
             .dropna()
-            .limit(MAX_BBOX_SAMPLES)
             .collect()
-        ] or [(0.0, 0.0, 1.0, 1.0)]
-    grid = _grid_from_sample(sample, cell_target)
+        )
+        if len(rows) < MIN_BBOX_SAMPLES:
+            # small input: the 1% sample is too thin — take the head instead
+            rows = (
+                with_bbox(base.limit(MAX_BBOX_SAMPLES), "__g", "s_")
+                .select("s_xmin", "s_ymin", "s_xmax", "s_ymax")
+                .dropna()
+                .collect()
+            )
+        return [(row[0], row[1], row[2], row[3]) for row in rows]
+
+    sample = _collect_sample(right_renamed, rgeom) or _collect_sample(
+        left, left_geom
+    ) or [(0.0, 0.0, 1.0, 1.0)]
+    grid = _Grid(sample, cell_target)
 
     le = l.dropna(subset=["l_xmin"]).withColumn(
-        "__cell", F.explode(_cells_expr("l_", grid, expand))
+        "__cell", F.explode(grid.cells_expr("l_", expand))
     )
     re = r.dropna(subset=["r_xmin"]).withColumn(
-        "__cell", F.explode(_cells_expr("r_", grid, 0.0))
+        "__cell", F.explode(grid.cells_expr("r_", 0.0))
     )
 
     bbox_cond = (
@@ -440,7 +473,7 @@ def spatial_join(
         & (F.col("l_ymin") - expand <= F.col("r_ymax"))
         & (F.col("r_ymin") <= F.col("l_ymax") + expand)
     )
-    cand = le.join(re, "__cell").filter(bbox_cond).filter(_ref_point_in_cell(grid, expand))
+    cand = le.join(re, "__cell").filter(bbox_cond).filter(grid.ref_point_in_cell(expand))
 
     refine = _refine_udf(predicate, distance)
     if predicate == "intersects":

@@ -131,3 +131,49 @@ def test_full_outer(spark, data):
         len(brute) + (len(points) - len(matched_p)) + (len(boxes) - len(matched_b))
     )
     assert len(full) == expected_rows
+
+
+def test_skewed_extent_balanced_cells(spark):
+    """Build data clustered in one corner + probe spread wide: the
+    equi-depth grid must (a) stay correct and (b) concentrate boundaries
+    where the data is, so no single cell holds almost all build rows."""
+    from dataclod_spark.operators.spatial_join import _Grid, spatial_join, with_bbox
+
+    rnd = random.Random(7)
+    # 95% of boxes live in the [0,1]x[0,1] corner of a [0,1000]^2 extent
+    boxes = []
+    for i in range(200):
+        if i % 20 == 0:
+            x, y = rnd.uniform(0, 990), rnd.uniform(0, 990)
+        else:
+            x, y = rnd.uniform(0, 0.9), rnd.uniform(0, 0.9)
+        boxes.append((i, make_envelope(x, y, x + 0.05, y + 0.05)))
+    points = [
+        (i, make_point(rnd.uniform(0, 1000), rnd.uniform(0, 1000)))
+        for i in range(300)
+    ] + [(300 + i, make_point(rnd.uniform(0, 1), rnd.uniform(0, 1))) for i in range(300)]
+
+    pdf = _df(spark, points).withColumnRenamed("id", "pid")
+    bdf = _df(spark, boxes).withColumnRenamed("id", "bid")
+
+    got = spatial_join(pdf, bdf, "intersects", cell_target=64)
+    got_pairs = {(r.pid, r.bid) for r in got.collect()}
+    assert got_pairs == _brute_pairs(points, boxes, GP.intersects)
+
+    # partition balance: with an equi-depth grid over the build sample, the
+    # largest cell must hold a bounded share of build rows (a uniform grid
+    # would put ~95% of them into one corner cell)
+    sample = [
+        (r[0], r[1], r[2], r[3])
+        for r in with_bbox(bdf, "geom", "b_")
+        .select("b_xmin", "b_ymin", "b_xmax", "b_ymax")
+        .collect()
+    ]
+    grid = _Grid(sample, 64)
+    counts: dict[int, int] = {}
+    for (x0, y0, x1, y1) in sample:
+        cx = sum(b <= (x0 + x1) / 2 for b in grid.xb)
+        cy = sum(b <= (y0 + y1) / 2 for b in grid.yb)
+        cell = cx * grid.ny + cy
+        counts[cell] = counts.get(cell, 0) + 1
+    assert max(counts.values()) <= len(sample) * 0.3
