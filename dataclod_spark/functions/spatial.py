@@ -17,3 +17,8 @@ def register_spatial_functions(spark: SparkSession) -> None:
     except ImportError:
         return
     spatial_udfs.register_all(spark)
+    # internal helper for the SQL-path spatial join dispatch
+    # (plans/spatial_dispatch.py): bbox struct per geometry, Arrow-batched
+    from dataclod_spark.operators.spatial_join import _bbox_udf
+
+    spark.udf.register("__st_bbox", _bbox_udf)

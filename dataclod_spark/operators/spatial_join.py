@@ -384,6 +384,34 @@ class _Grid:
         return cell == F.col("__cell")
 
 
+def collect_bbox_sample(src: DataFrame, geom_col: str) -> list[tuple]:
+    """Seeded 1% bbox sample, 10k cap / 1k min (≈ BoundingBoxSampler,
+    ``join/utils/bbox_sampler.rs:61-88`` + ``option.rs:60-70``).
+
+    Sampling happens on the raw geometry column, so the bbox UDF runs only
+    over sampled rows; for small inputs (where 1% is under the minimum) the
+    head of the data is used instead — at that size partition skew is moot.
+    """
+    base = src.select(F.col(geom_col).alias("__g")).dropna()
+    samp = base.sample(fraction=BBOX_SAMPLE_RATE, seed=SAMPLE_SEED).limit(
+        MAX_BBOX_SAMPLES
+    )
+    rows = (
+        with_bbox(samp, "__g", "s_")
+        .select("s_xmin", "s_ymin", "s_xmax", "s_ymax")
+        .dropna()
+        .collect()
+    )
+    if len(rows) < MIN_BBOX_SAMPLES:
+        rows = (
+            with_bbox(base.limit(MAX_BBOX_SAMPLES), "__g", "s_")
+            .select("s_xmin", "s_ymin", "s_xmax", "s_ymax")
+            .dropna()
+            .collect()
+        )
+    return [(row[0], row[1], row[2], row[3]) for row in rows]
+
+
 def spatial_join(
     left: DataFrame,
     right: DataFrame,
@@ -434,28 +462,7 @@ def spatial_join(
     # grid from a seeded 1% sample of the right (build) side, 10k cap / 1k
     # min (option.rs:60-70); the bbox UDF runs only over the sampled rows.
     # Falls back to the left side if the right has no geometries.
-    def _collect_sample(src: DataFrame, geom: str) -> list[tuple]:
-        base = src.select(F.col(geom).alias("__g")).dropna()
-        samp = base.sample(fraction=BBOX_SAMPLE_RATE, seed=SAMPLE_SEED).limit(
-            MAX_BBOX_SAMPLES
-        )
-        rows = (
-            with_bbox(samp, "__g", "s_")
-            .select("s_xmin", "s_ymin", "s_xmax", "s_ymax")
-            .dropna()
-            .collect()
-        )
-        if len(rows) < MIN_BBOX_SAMPLES:
-            # small input: the 1% sample is too thin — take the head instead
-            rows = (
-                with_bbox(base.limit(MAX_BBOX_SAMPLES), "__g", "s_")
-                .select("s_xmin", "s_ymin", "s_xmax", "s_ymax")
-                .dropna()
-                .collect()
-            )
-        return [(row[0], row[1], row[2], row[3]) for row in rows]
-
-    sample = _collect_sample(right_renamed, rgeom) or _collect_sample(
+    sample = collect_bbox_sample(right_renamed, rgeom) or collect_bbox_sample(
         left, left_geom
     ) or [(0.0, 0.0, 1.0, 1.0)]
     grid = _Grid(sample, cell_target)

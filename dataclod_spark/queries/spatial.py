@@ -313,3 +313,72 @@ def g5_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY wkt
         """
     )
+
+
+@query(
+    "g9_sql_spatial_join",
+    bench=True,
+    doc="SQL-path spatial join dispatch: plain JOIN ON ST_Intersects SQL text "
+    "routed into the grid equi-join (plans/spatial_dispatch.py)",
+    oracle="""
+WITH boxes AS (
+  SELECT event_id AS box_id,
+         CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by,
+         CAST(3 + event_id % 5 AS DOUBLE) AS w, CAST(2 + user_id % 3 AS DOUBLE) AS h
+  FROM events WHERE event_id % 50 = 0
+), points AS (
+  SELECT event_id AS point_id,
+         CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
+  FROM events
+)
+SELECT box_id, count(*) AS n_points
+FROM boxes JOIN points
+  ON px BETWEEN bx AND bx + w AND py BETWEEN by AND by + h
+GROUP BY box_id
+ORDER BY box_id
+""",
+)
+def g9_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same workload as g6 but expressed as *SQL text* through
+    EngineSession.sql — exercises the logical-rewrite parity path
+    (reference optimizer.rs:33-113): the nested-loop plan is replaced by
+    the cell equi-join before Catalyst sees it."""
+    from dataclod_spark.operators.spatial_join import envelope_wkb, point_wkb
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    e = load(spark, sf_dir, "events")
+    (
+        e.filter(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("box_id"),
+            (F.col("event_id") % 97).cast("double").alias("bx"),
+            (F.col("user_id") % 41).cast("double").alias("by"),
+            (3 + F.col("event_id") % 5).cast("double").alias("w"),
+            (2 + F.col("user_id") % 3).cast("double").alias("h"),
+        )
+        .select(
+            "box_id",
+            envelope_wkb(
+                F.col("bx"), F.col("by"), F.col("bx") + F.col("w"), F.col("by") + F.col("h")
+            ).alias("geom"),
+        )
+        .createOrReplaceTempView("g9_boxes")
+    )
+    (
+        e.select(
+            F.col("event_id").alias("point_id"),
+            (F.col("event_id") % 89).cast("double").alias("px"),
+            (F.col("user_id") % 43).cast("double").alias("py"),
+        )
+        .select("point_id", point_wkb(F.col("px"), F.col("py")).alias("geom"))
+        .createOrReplaceTempView("g9_points")
+    )
+    return sess.sql(
+        """
+        SELECT b.box_id AS box_id, count(*) AS n_points
+        FROM g9_points p JOIN g9_boxes b ON ST_Intersects(p.geom, b.geom)
+        GROUP BY b.box_id
+        ORDER BY b.box_id
+        """
+    )

@@ -106,6 +106,9 @@ class EngineSession:
     ) -> None:
         self.spark = spark or get_spark()
         self._swallowed_sets: dict[str, str] = {}
+        # grid cell budget for SQL-dispatched spatial joins
+        # (plans/spatial_dispatch.py); ≈ reference partition-count option
+        self.spatial_join_cells = 1024
         if register_catalog:
             from dataclod_spark.catalog.pg_catalog import register_pg_catalog
 
@@ -151,8 +154,15 @@ class EngineSession:
                 self._swallowed_sets[key] = value
             return self.spark.range(0).select()
         from dataclod_spark.plans.rewrites import rewrite_values_tables
+        from dataclod_spark.plans.spatial_dispatch import try_rewrite_spatial_join
 
         query = rewrite_values_tables(query)
+        # SQL-path spatial join dispatch (≈ the reference's logical rewrite,
+        # optimizer.rs:33-113): JOIN ON ST_pred(...) becomes a grid
+        # equi-join instead of a nested-loop cross product.
+        rewritten = try_rewrite_spatial_join(self, query)
+        if rewritten is not None:
+            query = rewritten
         if args:
             return self.spark.sql(query, args=dict(args))
         return self.spark.sql(query)

@@ -1,0 +1,124 @@
+"""SQL-path spatial join dispatch: correctness vs brute force + plan shape.
+
+The reference's only user interface is SQL, and its optimizer rewrites
+``JOIN ... ON ST_pred(...)`` into SpatialJoinExec
+(``spatial/src/join/planner/optimizer.rs:33-113``).  These tests pin the
+Spark-side parity: the same SQL text must (a) produce brute-force-exact
+results and (b) plan as a cell equi-join — never a BroadcastNestedLoopJoin
+evaluating the predicate UDF over the cross product.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import types as T
+
+from dataclod_spark.geo import core as GC
+from dataclod_spark.geo import predicates as GP
+from dataclod_spark.geo.algos import make_envelope, make_point
+
+_SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("geom", T.BinaryType())]
+)
+
+
+@pytest.fixture(scope="module")
+def sdata(engine):
+    rnd = random.Random(3)
+    boxes = []
+    for i in range(40):
+        x, y = rnd.uniform(0, 90), rnd.uniform(0, 90)
+        boxes.append((i, make_envelope(x, y, x + rnd.uniform(1, 10), y + rnd.uniform(1, 10))))
+    points = [(i, make_point(rnd.uniform(-5, 105), rnd.uniform(-5, 105))) for i in range(200)]
+    spark = engine.spark
+    spark.createDataFrame(
+        [(i, GC.wkb_write(g)) for i, g in points], _SCHEMA
+    ).withColumnRenamed("id", "pid").createOrReplaceTempView("disp_pts")
+    spark.createDataFrame(
+        [(i, GC.wkb_write(g)) for i, g in boxes], _SCHEMA
+    ).withColumnRenamed("id", "bid").createOrReplaceTempView("disp_boxes")
+    return boxes, points
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_intersects_sql_dispatch(engine, sdata):
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid, b.bid FROM disp_pts p JOIN disp_boxes b "
+        "ON ST_Intersects(p.geom, b.geom)"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    want = {(pi, bi) for pi, pg in points for bi, bg in boxes if GP.intersects(pg, bg)}
+    assert got == want and got
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__cell" in plan  # the grid equi-join key is the join key
+
+
+def test_distance_comparison_dispatch(engine, sdata):
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid, b.bid FROM disp_pts p JOIN disp_boxes b "
+        "ON ST_Distance(p.geom, b.geom) <= 4.0"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    want = {(pi, bi) for pi, pg in points for bi, bg in boxes if GP.dwithin(pg, bg, 4.0)}
+    assert got == want
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
+
+
+def test_dwithin_extra_conjunct_dispatch(engine, sdata):
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid, b.bid FROM disp_pts p JOIN disp_boxes b "
+        "ON ST_DWithin(p.geom, b.geom, 4.0) AND p.pid % 2 = 0"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    want = {
+        (pi, bi)
+        for pi, pg in points
+        for bi, bg in boxes
+        if pi % 2 == 0 and GP.dwithin(pg, bg, 4.0)
+    }
+    assert got == want
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
+
+
+def test_asymmetric_reversed_args_dispatch(engine, sdata):
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid, b.bid FROM disp_pts p JOIN disp_boxes b "
+        "ON ST_Contains(b.geom, p.geom)"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    want = {(pi, bi) for pi, pg in points for bi, bg in boxes if GP.contains(bg, pg)}
+    assert got == want
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
+
+
+def test_non_spatial_join_untouched(engine, sdata):
+    df = engine.sql(
+        "SELECT count(*) AS n FROM disp_pts p JOIN disp_boxes b ON p.pid = b.bid"
+    )
+    assert df.collect()[0].n == 40
+    assert "__cell" not in _plan(df)
+
+
+def test_group_by_tail_preserved(engine, sdata):
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT b.bid AS bid, count(*) AS n FROM disp_pts p JOIN disp_boxes b "
+        "ON ST_Intersects(p.geom, b.geom) GROUP BY b.bid ORDER BY b.bid"
+    )
+    want: dict[int, int] = {}
+    for pi, pg in points:
+        for bi, bg in boxes:
+            if GP.intersects(pg, bg):
+                want[bi] = want.get(bi, 0) + 1
+    got = {r.bid: r.n for r in df.collect()}
+    assert got == want
