@@ -1039,26 +1039,20 @@ _TILE_MAX = 20037508.342789
 
 
 def transform(g: Geometry, to_srid: int) -> Optional[Geometry]:
+    """Reproject via the embedded proj engine (geo/proj.py) — cached
+    per-SRID-pair transformer mirroring the reference's ProjCache
+    (``spatial/src/function/st_transform.rs:18-120``); NULL for SRIDs
+    outside the embedded EPSG table (reference convention: NULL when
+    proj4rs lacks the code)."""
     src = g.srid
     if src == to_srid:
         return g
-    if src == 4326 and to_srid == 3857:
+    from dataclod_spark.geo.proj import get_transformer
 
-        def fwd(p: Coord) -> Coord:
-            x = math.radians(p[0]) * _EARTH_R
-            y = math.log(math.tan(math.pi / 4.0 + math.radians(p[1]) / 2.0)) * _EARTH_R
-            return (x, y)
-
-        return _map_coords(g, fwd).with_srid(3857)
-    if src == 3857 and to_srid == 4326:
-
-        def inv(p: Coord) -> Coord:
-            lon = math.degrees(p[0] / _EARTH_R)
-            lat = math.degrees(2.0 * math.atan(math.exp(p[1] / _EARTH_R)) - math.pi / 2.0)
-            return (lon, lat)
-
-        return _map_coords(g, inv).with_srid(4326)
-    return None  # arbitrary CRS needs a proj database — unsupported in v1
+    tx = get_transformer(src, to_srid)
+    if tx is None:
+        return None
+    return _map_coords(g, lambda p: tx(p[0], p[1])).with_srid(to_srid)
 
 
 def tile_envelope(z: int, x: int, y: int) -> Optional[Geometry]:

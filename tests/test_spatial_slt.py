@@ -31,7 +31,6 @@ EXPECTED_FAILURES: dict[int, str] = {
     287: "ST_ConcaveHull: ring is cycle-identical to the golden (same "
     "vertices+direction, verified in test_concave_hull_cycle_parity); "
     "GEOS's internal ring start rotation differs",
-    312: "ST_Transform: arbitrary EPSG (3587) needs a proj database; only 4326<->3857 supported",
     338: "ST_ConcaveHull: cycle-identical, rotation differs (see L287)",
     343: "ST_ConcaveHull: cycle-identical incl. hole, rotation differs (see L287)",
 }
