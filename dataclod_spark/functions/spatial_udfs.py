@@ -178,7 +178,17 @@ FUNCTIONS: dict[str, tuple] = {
         _GEOM,
     ),
     "ST_TileEnvelope": (
-        lambda z, x, y: _b(A.tile_envelope(int(z), int(x), int(y))),
+        # 3-5 arg forms (udfs.rs:426): optional custom bounds geometry and
+        # margin fraction, PostGIS/liblwgeom semantics
+        lambda z, x, y, bounds=None, margin=None: _b(
+            A.tile_envelope(
+                int(z),
+                int(x),
+                int(y),
+                _g(bounds) if bounds is not None else None,
+                float(margin) if margin is not None else 0.0,
+            )
+        ),
         _GEOM,
     ),
     "ST_Split": (lambda b, blade: _b(A.split(_g(b), _g(blade))), _GEOM),

@@ -525,8 +525,31 @@ def buffer(g: Geometry, dist: float, quadsegs: int = 8) -> Optional[Geometry]:
             ring.append((x + dist * ux, y + dist * uy))
         ring.append(ring[0])
         return Geometry(POLYGON, [ring], g.srid)
-    if dist <= 0:
-        return None  # negative buffer (erosion) unsupported
+    if dist == 0:
+        # GEOS: zero-distance buffer of a non-areal geometry is empty; of a
+        # polygon it is the polygon itself
+        if g.kind in (POLYGON, MULTIPOLYGON):
+            return g
+        return Geometry(POLYGON, [], g.srid)
+    if dist < 0:
+        # erosion (GEOS negative buffer): for areal input,
+        # P ⊖ disk(d) = P \ (∂P ⊕ disk(d)) — the boundary band's inner
+        # envelope along straight edges is the exact inward offset, so the
+        # morphological identity holds with the same arc discretization
+        # GEOS uses on the outer side.  Non-areal input erodes to empty.
+        if g.kind not in (POLYGON, MULTIPOLYGON):
+            return Geometry(POLYGON, [], g.srid)
+        out: Optional[Geometry] = g
+        for comp in g.flatten():
+            for ring in comp.data:
+                for a, b in _segments(ring):
+                    cap = _capsule(a, b, -dist, quadsegs)
+                    if cap is None:
+                        continue
+                    out = difference(out, cap)
+                    if out is None or out.is_empty():
+                        return Geometry(POLYGON, [], g.srid)
+        return out.with_srid(g.srid)
     if g.kind in (LINESTRING, MULTILINESTRING, POLYGON, MULTIPOLYGON, MULTIPOINT):
         return _buffer_by_union(g, dist, quadsegs)
     if g.kind == GEOMETRYCOLLECTION:
@@ -1055,14 +1078,45 @@ def transform(g: Geometry, to_srid: int) -> Optional[Geometry]:
     return _map_coords(g, lambda p: tx(p[0], p[1])).with_srid(to_srid)
 
 
-def tile_envelope(z: int, x: int, y: int) -> Optional[Geometry]:
-    """Web mercator XYZ tile bounds (ST_TileEnvelope default bounds)."""
-    if z < 0 or x < 0 or y < 0 or x >= (1 << z) or y >= (1 << z):
+def tile_envelope(
+    z: int,
+    x: int,
+    y: int,
+    bounds: Optional[Geometry] = None,
+    margin: float = 0.0,
+) -> Optional[Geometry]:
+    """XYZ tile bounds with optional custom tiling bounds and margin.
+
+    Follows the PostGIS/liblwgeom ST_TileEnvelope semantics the reference
+    delegates to (``udfs.rs:426``: 3–5 arg forms): the bounds geometry's
+    bbox defines the tiled extent (default: the web-mercator square,
+    SRID 3857); ``margin`` expands the tile by that fraction of a tile per
+    side, clipped to the bounds; margin < -0.5 is invalid (would collapse).
+    """
+    if z < 0 or z > 31 or x < 0 or y < 0 or x >= (1 << z) or y >= (1 << z):
         return None
-    world = 2.0 * _TILE_MAX
-    size = world / (1 << z)
-    xmin = -_TILE_MAX + x * size
-    xmax = -_TILE_MAX + (x + 1) * size
-    ymax = _TILE_MAX - y * size
-    ymin = _TILE_MAX - (y + 1) * size
-    return make_envelope(xmin, ymin, xmax, ymax, 3857)
+    if margin < -0.5:
+        return None
+    if bounds is None:
+        bxmin, bymin, bxmax, bymax = -_TILE_MAX, -_TILE_MAX, _TILE_MAX, _TILE_MAX
+        srid = 3857
+    else:
+        # the parameter shadows this module's bounds(); fetch it explicitly
+        bb = globals()["bounds"](bounds)
+        if bb is None:
+            return None
+        bxmin, bymin, bxmax, bymax = bb
+        if bxmax - bxmin <= 0 or bymax - bymin <= 0:
+            return None
+        srid = bounds.srid
+    n = 1 << z
+    tsx = (bxmax - bxmin) / n
+    tsy = (bymax - bymin) / n
+    if margin * 2 + 1 > n:
+        x1, x2 = bxmin, bxmax
+    else:
+        x1 = max(bxmin, bxmin + tsx * (x - margin))
+        x2 = min(bxmax, bxmin + tsx * (x + 1 + margin))
+    y1 = max(bymin, bymax - tsy * (y + 1 + margin))
+    y2 = min(bymax, bymax - tsy * (y - margin))
+    return make_envelope(x1, y1, x2, y2, srid)
