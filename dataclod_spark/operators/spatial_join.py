@@ -86,7 +86,7 @@ _BBOX_SCHEMA = T.StructType(
 
 
 @pandas_udf(_BBOX_SCHEMA)
-def _bbox_udf(wkb: pd.Series) -> pd.DataFrame:
+def _bbox_udf_impl(wkb: pd.Series) -> pd.DataFrame:
     import numpy as np
 
     from dataclod_spark.geo.algos import bounds
@@ -148,6 +148,16 @@ def _bbox_udf(wkb: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+# The bbox projection IS deterministic, but is declared nondeterministic so
+# Catalyst never clones it: InferFiltersFromConstraints otherwise derives
+# isnotnull(bbox.xmin) from the join's bbox conjuncts and pushes it below
+# the exchange, re-running the whole Python bbox (and any upstream geometry
+# constructor) a second time over every input row.  Nondeterministic
+# expressions are a pushdown/substitution barrier, so the UDF runs exactly
+# once per side.
+_bbox_udf = _bbox_udf_impl.asNondeterministic()
+
+
 def _axis_rect(g: GC.Geometry):
     """(xmin,ymin,xmax,ymax) if g is an axis-aligned rectangle polygon."""
     if g.kind != GC.POLYGON or len(g.data) != 1:
@@ -171,25 +181,37 @@ def _refine_udf(predicate: str, distance: Optional[float]):
 
         from dataclod_spark.geo.predicates import dwithin
 
+        n = len(wkb1)
+        out = np.zeros(n, dtype=bool)
+        # pairs already decided JVM-side arrive masked to NULL — skip them
+        # at batch level, no per-row Python
+        mask = wkb1.notna().to_numpy() & wkb2.notna().to_numpy()
+        idx = np.nonzero(mask)[0]
+        if len(idx) == 0:
+            return pd.Series(out)
+
         # build-side geometries repeat across many candidate pairs — parse
         # each distinct blob once per batch (≈ the reference's prepared-
         # geometry caching, refine/geos.rs)
         cache: dict[bytes, GC.Geometry] = {}
         rect_cache: dict[bytes, tuple | None] = {}
 
+        vals1 = wkb1.to_numpy()
+        vals2 = wkb2.to_numpy()
+
         # fully vectorized path: homogeneous point-WKB probe batch against
         # axis-aligned rectangles, intersects predicate
         if predicate == "intersects":
-            vals1 = wkb1.to_numpy()
-            n = len(vals1)
-            if n and all(v is not None and len(v) == 21 and v[0] == 1 for v in vals1):
-                buf = b"".join(bytes(v) for v in vals1)
-                arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, 21)
+            sub1 = vals1[idx]
+            m = len(sub1)
+            if m and all(len(v) == 21 and v[0] == 1 for v in sub1):
+                buf = b"".join(bytes(v) for v in sub1)
+                arr = np.frombuffer(buf, dtype=np.uint8).reshape(m, 21)
                 if (arr[:, 1:5].copy().view("<u4")[:, 0] == 1).all():
                     xy = arr[:, 5:21].copy().view("<f8")
-                    rects = np.empty((n, 4), dtype="f8")
+                    rects = np.empty((m, 4), dtype="f8")
                     general_rows = []
-                    for i, b2 in enumerate(wkb2.to_numpy()):
+                    for j, b2 in enumerate(vals2[idx]):
                         key = bytes(b2)
                         if key not in rect_cache:
                             try:
@@ -200,10 +222,10 @@ def _refine_udf(predicate: str, distance: Optional[float]):
                                 rect_cache[key] = None
                         rect = rect_cache[key]
                         if rect is None:
-                            general_rows.append(i)
-                            rects[i] = (1.0, 1.0, 0.0, 0.0)  # never matches
+                            general_rows.append(j)
+                            rects[j] = (1.0, 1.0, 0.0, 0.0)  # never matches
                         else:
-                            rects[i] = rect
+                            rects[j] = rect
                     res_arr = (
                         (rects[:, 0] <= xy[:, 0])
                         & (xy[:, 0] <= rects[:, 2])
@@ -213,16 +235,18 @@ def _refine_udf(predicate: str, distance: Optional[float]):
                     if general_rows:
                         from dataclod_spark.geo.predicates import intersects as gen_int
 
-                        for i in general_rows:
+                        for j in general_rows:
+                            i = idx[j]
                             try:
                                 g1 = GC.wkb_parse(bytes(vals1[i]))
-                                g2 = cache.get(bytes(wkb2.iloc[i]))
+                                g2 = cache.get(bytes(vals2[i]))
                                 if g2 is None:
-                                    g2 = GC.wkb_parse(bytes(wkb2.iloc[i]))
-                                res_arr[i] = bool(gen_int(g1, g2))
+                                    g2 = GC.wkb_parse(bytes(vals2[i]))
+                                res_arr[j] = bool(gen_int(g1, g2))
                             except Exception:
-                                res_arr[i] = False
-                    return pd.Series(res_arr)
+                                res_arr[j] = False
+                    out[idx] = res_arr
+                    return pd.Series(out)
 
         def parse(b) -> GC.Geometry:
             key = bytes(b)
@@ -233,13 +257,13 @@ def _refine_udf(predicate: str, distance: Optional[float]):
                 rect_cache[key] = _axis_rect(g)
             return g
 
-        res = []
-        for b1, b2 in zip(wkb1, wkb2):
+        for i in idx:
+            b1, b2 = vals1[i], vals2[i]
             try:
                 g1 = parse(b1)
                 g2 = parse(b2)
                 if pred_fn is None:
-                    res.append(bool(dwithin(g1, g2, distance)))
+                    out[i] = bool(dwithin(g1, g2, distance))
                     continue
                 # point × axis-aligned rectangle: intersects ≡ closed bbox
                 # test (boundary inclusive on both sides) — skip the general
@@ -248,12 +272,12 @@ def _refine_udf(predicate: str, distance: Optional[float]):
                     rect = rect_cache.get(bytes(b2))
                     if rect is not None:
                         x, y = g1.data
-                        res.append(rect[0] <= x <= rect[2] and rect[1] <= y <= rect[3])
+                        out[i] = rect[0] <= x <= rect[2] and rect[1] <= y <= rect[3]
                         continue
-                res.append(bool(pred_fn(g1, g2)))
+                out[i] = bool(pred_fn(g1, g2))
             except Exception:
-                res.append(False)
-        return pd.Series(res)
+                out[i] = False
+        return pd.Series(out)
 
     return refine
 
@@ -348,40 +372,172 @@ class _Grid:
     def _bucket(bounds: list[float], coord: Column) -> Column:
         """Index of the cell containing ``coord`` = #boundaries <= coord.
 
-        Pure-JVM O(len(bounds)) fold inside codegen — no Python, no lookup
-        table shuffle; bounds ride into the plan as a broadcast literal
-        array (the Spark analogue of the reference broadcasting partition
-        boundaries to every probe task).
+        Built as a flat sum of ``when`` terms — a plain expression tree that
+        stays inside whole-stage codegen.  (A higher-order ``aggregate``
+        over a literal array computes the same thing but is evaluated
+        interpreted per row, ~10x slower in the hot explode/join path.)
+        Bounds ride into the plan as literals — the Spark analogue of the
+        reference broadcasting partition boundaries to every probe task.
         """
-        if not bounds:
-            return F.lit(0)
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
-        return F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(b <= coord, 1).otherwise(0),
-        )
+        expr: Column = F.lit(0)
+        for b in bounds:
+            expr = expr + F.when(coord >= float(b), 1).otherwise(0)
+        return expr
 
-    def cells_expr(self, prefix: str, expand: float) -> Column:
-        """Array of cell ids intersecting the (possibly expanded) bbox."""
+    def explode_cells(self, df: DataFrame, prefix: str, expand: float) -> DataFrame:
+        """Add ``__cell`` rows for every grid cell the (expanded) bbox
+        intersects: two plain ``explode(sequence(lo, hi))`` generators (x
+        then y) — ordinary expressions that stay in codegen, no
+        higher-order array construction.
+
+        The min cell indices ride along as ``__{prefix}ix0``/``__{prefix}iy0``
+        so the per-pair reference-point dedup downstream is O(1): the bucket
+        function is monotone, hence bucket(max(a, b)) = max(bucket(a),
+        bucket(b)) — the O(#boundaries) bucket scan runs once per input row
+        here, never per candidate pair."""
         ix0 = self._bucket(self.xb, F.col(f"{prefix}xmin") - expand)
         ix1 = self._bucket(self.xb, F.col(f"{prefix}xmax") + expand)
         iy0 = self._bucket(self.yb, F.col(f"{prefix}ymin") - expand)
         iy1 = self._bucket(self.yb, F.col(f"{prefix}ymax") + expand)
-        ny = self.ny
-        xs = F.sequence(ix0, ix1)
-        ys = F.sequence(iy0, iy1)
-        return F.flatten(F.transform(xs, lambda ix: F.transform(ys, lambda iy: ix * ny + iy)))
+        return (
+            df.withColumn(f"__{prefix}ix0", ix0)
+            .withColumn(f"__{prefix}iy0", iy0)
+            .withColumn("__cx", F.explode(F.sequence(F.col(f"__{prefix}ix0"), ix1)))
+            .withColumn("__cy", F.explode(F.sequence(F.col(f"__{prefix}iy0"), iy1)))
+            .withColumn("__cell", F.col("__cx") * self.ny + F.col("__cy"))
+            .drop("__cx", "__cy")
+        )
 
-    def ref_point_in_cell(self, expand: float) -> Column:
+    def ref_point_in_cell(self) -> Column:
         """Reference-point dedup: emit the pair only in the cell holding the
         top-left corner of the (expanded) bbox intersection — each pair
         survives exactly once with no distinct/shuffle (replaces the
-        reference's Multi-cell visited bitmaps, ``stream.rs:82-86``)."""
-        rx = F.greatest(F.col("l_xmin") - expand, F.col("r_xmin"))
-        ry = F.greatest(F.col("l_ymin") - expand, F.col("r_ymin"))
-        cell = self._bucket(self.xb, rx) * self.ny + self._bucket(self.yb, ry)
+        reference's Multi-cell visited bitmaps, ``stream.rs:82-86``).
+
+        The intersection corner's cell is ``max`` of the two sides'
+        precomputed min cell indices (bucket is monotone), so this is a
+        constant-work predicate per candidate pair."""
+        cell = (
+            F.greatest(F.col("__l_ix0"), F.col("__r_ix0")) * self.ny
+            + F.greatest(F.col("__l_iy0"), F.col("__r_iy0"))
+        )
         return cell == F.col("__cell")
+
+
+def exact_verdict(predicate: str, distance: Optional[float]) -> Column:
+    """Exact predicate verdict for pairs where BOTH geometries equal their
+    own bbox (point or axis-aligned rectangle — ``bbox_exact``): every join
+    predicate is then decidable from the bbox coordinates alone, entirely
+    inside whole-stage codegen.  This is the Spark analogue of the
+    reference's dedicated point/rect refinement fast paths — for workloads
+    of points and axis rectangles no row ever crosses into Python.
+
+    OGC semantics notes (interior/boundary handled per dimension pairing):
+    a bbox-exact geometry is a POINT iff its bbox is degenerate in both
+    axes; otherwise it is a non-degenerate axis rectangle POLYGON.
+    """
+    lx0, ly0 = F.col("l_xmin"), F.col("l_ymin")
+    lx1, ly1 = F.col("l_xmax"), F.col("l_ymax")
+    rx0, ry0 = F.col("r_xmin"), F.col("r_ymin")
+    rx1, ry1 = F.col("r_xmax"), F.col("r_ymax")
+    lpt = (lx0 == lx1) & (ly0 == ly1)
+    rpt = (rx0 == rx1) & (ry0 == ry1)
+    overlap = (lx0 <= rx1) & (rx0 <= lx1) & (ly0 <= ry1) & (ry0 <= ly1)
+    eq = (lx0 == rx0) & (lx1 == rx1) & (ly0 == ry0) & (ly1 == ry1)
+    l_in_r = (rx0 <= lx0) & (lx1 <= rx1) & (ry0 <= ly0) & (ly1 <= ry1)
+    r_in_l = (lx0 <= rx0) & (rx1 <= lx1) & (ly0 <= ry0) & (ry1 <= ly1)
+    # strictly inside the other's interior
+    l_in_r_open = (rx0 < lx0) & (lx1 < rx1) & (ry0 < ly0) & (ly1 < ry1)
+    r_in_l_open = (lx0 < rx0) & (rx1 < lx1) & (ly0 < ry0) & (ry1 < ly1)
+    if predicate == "intersects":
+        return overlap
+    if predicate == "equals":
+        return eq
+    if predicate == "covered_by":
+        return l_in_r
+    if predicate == "covers":
+        return r_in_l
+    if predicate == "within":
+        # point-on-rect-boundary is NOT within (interior test is strict);
+        # rect-in-rect may share boundary (interiors still intersect)
+        return (
+            F.when(lpt & rpt, eq)
+            .when(lpt, l_in_r_open)
+            .when(rpt, F.lit(False))
+            .otherwise(l_in_r)
+        )
+    if predicate == "contains":
+        return (
+            F.when(lpt & rpt, eq)
+            .when(rpt, r_in_l_open)
+            .when(lpt, F.lit(False))
+            .otherwise(r_in_l)
+        )
+    if predicate == "touches":
+        # boundaries meet, interiors don't
+        degenerate = (F.greatest(lx0, rx0) == F.least(lx1, rx1)) | (
+            F.greatest(ly0, ry0) == F.least(ly1, ry1)
+        )
+        l_on_r_bnd = overlap & ((lx0 == rx0) | (lx0 == rx1) | (ly0 == ry0) | (ly0 == ry1))
+        r_on_l_bnd = overlap & ((rx0 == lx0) | (rx0 == lx1) | (ry0 == ly0) | (ry0 == ly1))
+        return (
+            F.when(lpt & rpt, F.lit(False))
+            .when(lpt, l_on_r_bnd)
+            .when(rpt, r_on_l_bnd)
+            .otherwise(overlap & degenerate)
+        )
+    if predicate == "overlaps":
+        # same-dimension proper overlap: 2D interior intersection, neither
+        # side contained in the other; any point operand -> false
+        proper = (F.greatest(lx0, rx0) < F.least(lx1, rx1)) & (
+            F.greatest(ly0, ry0) < F.least(ly1, ry1)
+        )
+        return F.when(lpt | rpt, F.lit(False)).otherwise(proper & ~l_in_r & ~r_in_l)
+    if predicate == "dwithin":
+        d = float(distance or 0.0)
+        dx = F.greatest(lx0 - rx1, rx0 - lx1, F.lit(0.0))
+        dy = F.greatest(ly0 - ry1, ry0 - ly1, F.lit(0.0))
+        return dx * dx + dy * dy <= F.lit(d * d)
+    raise ValueError(f"unknown predicate {predicate}")
+
+
+def bbox_prefilter(predicate: str) -> Optional[Column]:
+    """Necessary bbox condition per predicate — tightens the generic bbox
+    overlap before refinement for ANY geometry (≈ the reference evaluating
+    the predicate's bbox implication during candidate generation).
+    ``within(l, r)`` implies bbox(l) ⊆ bbox(r), ``equals`` implies equal
+    bboxes, etc.  Returns None when plain overlap is already tight.
+    """
+    lx0, ly0 = F.col("l_xmin"), F.col("l_ymin")
+    lx1, ly1 = F.col("l_xmax"), F.col("l_ymax")
+    rx0, ry0 = F.col("r_xmin"), F.col("r_ymin")
+    rx1, ry1 = F.col("r_xmax"), F.col("r_ymax")
+    if predicate in ("within", "covered_by"):
+        return (rx0 <= lx0) & (lx1 <= rx1) & (ry0 <= ly0) & (ly1 <= ry1)
+    if predicate in ("contains", "covers"):
+        return (lx0 <= rx0) & (rx1 <= lx1) & (ly0 <= ry0) & (ry1 <= ly1)
+    if predicate == "equals":
+        return (lx0 == rx0) & (lx1 == rx1) & (ly0 == ry0) & (ly1 == ry1)
+    return None
+
+
+def _bbcol(c) -> Column:
+    """Bbox operand: a column name or a Column expression."""
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def collect_bbox_sample_cols(src: DataFrame, cols: tuple) -> list[tuple]:
+    """Bbox sample from precomputed coordinate columns — same seeded
+    sample/limit policy as :func:`collect_bbox_sample`, zero Python."""
+    base = src.select(
+        *[_bbcol(c).cast("double").alias(a) for c, a in zip(cols[:4], "abcd")]
+    ).dropna()
+    samp = base.sample(fraction=BBOX_SAMPLE_RATE, seed=SAMPLE_SEED).limit(
+        MAX_BBOX_SAMPLES
+    )
+    pool = samp.unionAll(base.limit(MIN_BBOX_SAMPLES)).coalesce(1)
+    rows = pool.collect()
+    return [(r[0], r[1], r[2], r[3]) for r in rows[: MAX_BBOX_SAMPLES + MIN_BBOX_SAMPLES]]
 
 
 def collect_bbox_sample(src: DataFrame, geom_col: str) -> list[tuple]:
@@ -393,23 +549,24 @@ def collect_bbox_sample(src: DataFrame, geom_col: str) -> list[tuple]:
     head of the data is used instead — at that size partition skew is moot.
     """
     base = src.select(F.col(geom_col).alias("__g")).dropna()
+    # one job: the seeded 1% sample plus a fixed head slice.  For large
+    # inputs the head is a ≤10% admixture of the 10k-cap sample; for small
+    # inputs (where 1% yields almost nothing) the head alone provides the
+    # minimum sample — no second fallback pass over the data.  The ≤11k
+    # pooled rows are coalesced to ONE partition before the bbox UDF so the
+    # sampling job costs one task + one Python worker, not one per input
+    # partition.
     samp = base.sample(fraction=BBOX_SAMPLE_RATE, seed=SAMPLE_SEED).limit(
         MAX_BBOX_SAMPLES
     )
+    pool = samp.unionAll(base.limit(MIN_BBOX_SAMPLES)).coalesce(1)
     rows = (
-        with_bbox(samp, "__g", "s_")
+        with_bbox(pool, "__g", "s_")
         .select("s_xmin", "s_ymin", "s_xmax", "s_ymax")
         .dropna()
         .collect()
     )
-    if len(rows) < MIN_BBOX_SAMPLES:
-        rows = (
-            with_bbox(base.limit(MAX_BBOX_SAMPLES), "__g", "s_")
-            .select("s_xmin", "s_ymin", "s_xmax", "s_ymax")
-            .dropna()
-            .collect()
-        )
-    return [(row[0], row[1], row[2], row[3]) for row in rows]
+    return [(row[0], row[1], row[2], row[3]) for row in rows[: MAX_BBOX_SAMPLES + MIN_BBOX_SAMPLES]]
 
 
 def spatial_join(
@@ -421,6 +578,9 @@ def spatial_join(
     how: str = "inner",
     distance: Optional[float] = None,
     cell_target: int = 1024,
+    left_bbox: Optional[tuple] = None,
+    right_bbox: Optional[tuple] = None,
+    refine: str = "auto",
 ) -> DataFrame:
     """Spatial join of two DataFrames with WKB geometry columns.
 
@@ -428,11 +588,27 @@ def spatial_join(
                overlaps|equals|dwithin (dwithin requires ``distance``).
     how: inner|left|right|full|left_semi|left_anti.
 
+    left_bbox/right_bbox: optional (xmin, ymin, xmax, ymax) column-name
+    tuples with the geometry's bbox already materialized — skips the bbox
+    UDF on that side AND makes grid sampling pure JVM (≈ the reference's
+    OperandEvaluator consuming a precomputed box operand).  An optional 5th
+    name supplies the ``bbox_exact`` flag; with 4 names the geometries are
+    asserted bbox-exact (points / axis-aligned rectangles).
+
+    refine: ``"auto"`` (default) refines non-bbox-exact candidate pairs
+    with the exact Python predicate; ``"none"`` asserts every geometry is
+    bbox-exact and resolves ALL pairs with the pure-JVM bbox verdict — the
+    whole join then runs without a single Python crossing (the right plan
+    shape for point/rect workloads at scale; results are exact under the
+    assertion, callers with arbitrary polygons must keep "auto").
+
     Output: left columns + right columns (both sides' geometry included);
     for semi/anti only left columns.
     """
     if predicate == "dwithin" and distance is None:
         raise ValueError("dwithin requires distance=")
+    if refine not in ("auto", "none"):
+        raise ValueError(f"refine must be 'auto' or 'none', got {refine!r}")
     expand = float(distance or 0.0)
 
     lcols = left.columns
@@ -456,23 +632,64 @@ def spatial_join(
             F.xxhash64(F.lit(0x9E3779B9), *[F.col(c) for c in cols]).alias("h2"),
         )
 
-    l = with_bbox(left, left_geom, "l_").withColumn("__lid", _rowid(lcols))
-    r = with_bbox(right_renamed, rgeom, "r_").withColumn("__rid", _rowid(rcols_out))
+    # bbox column names renamed alongside the rest of the right side
+    # (Column expressions pass through untouched)
+    rbbox = right_bbox
+    if rbbox is not None:
+        rbbox = tuple(
+            f"{c}_right" if isinstance(c, str) and c in overlap else c for c in rbbox
+        )
 
     # grid from a seeded 1% sample of the right (build) side, 10k cap / 1k
-    # min (option.rs:60-70); the bbox UDF runs only over the sampled rows.
-    # Falls back to the left side if the right has no geometries.
-    sample = collect_bbox_sample(right_renamed, rgeom) or collect_bbox_sample(
-        left, left_geom
-    ) or [(0.0, 0.0, 1.0, 1.0)]
+    # min (option.rs:60-70); taken from the raw (pre-repartition) input so
+    # the sampling job stays narrow.  Falls back to the left side if the
+    # right has no geometries.
+    if rbbox is not None:
+        sample = collect_bbox_sample_cols(right_renamed, rbbox)
+    else:
+        sample = collect_bbox_sample(right_renamed, rgeom)
+    if not sample:
+        if left_bbox is not None:
+            sample = collect_bbox_sample_cols(left, left_bbox)
+        else:
+            sample = collect_bbox_sample(left, left_geom)
+    sample = sample or [(0.0, 0.0, 1.0, 1.0)]
+
+    # Parallelism guard: a small local input may arrive as a single file
+    # split, serializing the whole pipeline onto one core.  Round-robin
+    # repartition up to the cluster's parallelism — a no-op at scale, where
+    # the scan already yields >= defaultParallelism splits.
+    par = left.sparkSession.sparkContext.defaultParallelism
+    if left.rdd.getNumPartitions() < par:
+        left = left.repartition(par)
+    if right_renamed.rdd.getNumPartitions() < par:
+        right_renamed = right_renamed.repartition(par)
+
+    def _attach_bbox(df: DataFrame, bbox: Optional[tuple], geom: str, p: str) -> DataFrame:
+        if bbox is None:
+            return with_bbox(df, geom, p)
+        exact = _bbcol(bbox[4]) if len(bbox) > 4 else F.lit(True)
+        return df.select(
+            "*",
+            _bbcol(bbox[0]).cast("double").alias(f"{p}xmin"),
+            _bbcol(bbox[1]).cast("double").alias(f"{p}ymin"),
+            _bbcol(bbox[2]).cast("double").alias(f"{p}xmax"),
+            _bbcol(bbox[3]).cast("double").alias(f"{p}ymax"),
+            exact.alias(f"{p}exact"),
+        )
+
+    l = _attach_bbox(left, left_bbox, left_geom, "l_").withColumn("__lid", _rowid(lcols))
+    r = _attach_bbox(right_renamed, rbbox, rgeom, "r_").withColumn("__rid", _rowid(rcols_out))
+
     grid = _Grid(sample, cell_target)
 
-    le = l.dropna(subset=["l_xmin"]).withColumn(
-        "__cell", F.explode(grid.cells_expr("l_", expand))
-    )
-    re = r.dropna(subset=["r_xmin"]).withColumn(
-        "__cell", F.explode(grid.cells_expr("r_", 0.0))
-    )
+    # No explicit null-bbox filter: explode(sequence(...)) over a null bbox
+    # yields cell 0 and the null bbox comparisons below drop the row — an
+    # explicit dropna would split the bbox UDF into a second ArrowEvalPython
+    # (Catalyst pushes the filter through the projection, duplicating the
+    # Python call per side).
+    le = grid.explode_cells(l, "l_", expand)
+    re = grid.explode_cells(r, "r_", 0.0)
 
     bbox_cond = (
         (F.col("l_xmin") - expand <= F.col("r_xmax"))
@@ -480,23 +697,40 @@ def spatial_join(
         & (F.col("l_ymin") - expand <= F.col("r_ymax"))
         & (F.col("r_ymin") <= F.col("l_ymax") + expand)
     )
-    cand = le.join(re, "__cell").filter(bbox_cond).filter(grid.ref_point_in_cell(expand))
+    cand = le.join(re, "__cell").filter(bbox_cond)
+    pre = bbox_prefilter(predicate)
+    if pre is not None:
+        cand = cand.filter(pre)
+    cand = cand.filter(grid.ref_point_in_cell())
 
-    refine = _refine_udf(predicate, distance)
-    if predicate == "intersects":
-        # pairs where both geometries equal their own bbox are already
-        # exactly decided by the JVM bbox condition — no Python round-trip
-        both_exact = F.col("l_exact") & F.col("r_exact")
-        fast = cand.filter(both_exact)
-        slow = cand.filter(~both_exact).filter(refine(F.col(left_geom), F.col(rgeom)))
-        matched = fast.unionAll(slow)
+    # Pairs where both geometries equal their own bbox (points / axis
+    # rectangles) get an exact pure-JVM verdict; only the remaining pairs'
+    # geometry bytes cross to Python.  The plan stays single-pass (a
+    # fast/slow filter split would execute the join subtree twice): the
+    # UDF's inputs are masked to NULL for JVM-decided pairs — the Arrow
+    # batch carries no geometry bytes and the UDF short-circuits on them.
+    # refine="none" drops the Python stage entirely (caller asserts
+    # bbox-exactness; the verdict is then the exact predicate).
+    if refine == "none":
+        matched = cand.filter(exact_verdict(predicate, distance))
     else:
-        matched = cand.filter(refine(F.col(left_geom), F.col(rgeom)))
+        refine_udf = _refine_udf(predicate, distance)
+        both_exact = F.col("l_exact") & F.col("r_exact")
+        refined = refine_udf(
+            F.when(~both_exact, F.col(left_geom)),
+            F.when(~both_exact, F.col(rgeom)),
+        )
+        matched = cand.filter(
+            F.when(both_exact, exact_verdict(predicate, distance)).otherwise(
+                F.coalesce(refined, F.lit(False))
+            )
+        )
 
     bbox_helper = [
         c
         for c in matched.columns
-        if c.startswith(("l_x", "l_y", "r_x", "r_y")) or c in ("l_exact", "r_exact")
+        if c.startswith(("l_x", "l_y", "r_x", "r_y", "__l_i", "__r_i"))
+        or c in ("l_exact", "r_exact")
     ]
     pairs = matched.drop("__cell", *bbox_helper)
 

@@ -68,10 +68,27 @@ _PRED_CALL_RE = re.compile(
 # ST_Distance(a.g, b.g) < d  /  <= d   (spatial_expr_utils.rs:29-36)
 _DIST_CMP_RE = re.compile(
     r"^(?P<call>ST_Distance\s*\(\s*[A-Za-z_]\w*\.[A-Za-z_]\w*\s*,\s*"
-    r"[A-Za-z_]\w*\.[A-Za-z_]\w*\s*\))\s*(?:<=|<)\s*"
+    r"[A-Za-z_]\w*\.[A-Za-z_]\w*\s*\))\s*(?P<op><=|<)\s*"
     r"(?P<d>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)$",
     re.IGNORECASE,
 )
+
+# fn name -> exact-verdict predicate key (``bbox`` = the bbox conjuncts ARE
+# the whole predicate; no refine stage at all)
+_PRED_KEY = {
+    "st_intersects": "intersects",
+    "bbox_intersects": "bbox",
+    "st_touches": "touches",
+    "st_overlaps": "overlaps",
+    "st_equals": "equals",
+    "st_contains": "contains",
+    "st_within": "within",
+    "st_covers": "covers",
+    "st_coveredby": "covered_by",
+    "st_covered_by": "covered_by",
+    "st_dwithin": "dwithin",
+    "st_distance": "dwithin",
+}
 
 _ON_END_KEYWORDS = re.compile(
     r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|WINDOW)\b",
@@ -144,7 +161,9 @@ def _is_wrapped(p: str) -> bool:
 def _match_spatial_conjunct(c: str):
     """Recognize one conjunct as a dispatchable spatial predicate.
 
-    Returns (alias1, col1, alias2, col2, expand_distance) or None.
+    Returns (alias1, col1, alias2, col2, expand_distance, pred_key, strict)
+    or None.  ``strict`` marks the ``ST_Distance(..) < d`` form (boundary
+    excluded); the ``<=`` / ST_DWithin forms are inclusive.
     """
     m = _DIST_CMP_RE.match(c)
     if m:
@@ -153,7 +172,7 @@ def _match_spatial_conjunct(c: str):
             return (
                 inner.group("a1"), inner.group("c1"),
                 inner.group("a2"), inner.group("c2"),
-                float(m.group("d")),
+                float(m.group("d")), "dwithin", m.group("op") == "<",
             )
         return None
     m = _PRED_CALL_RE.match(c)
@@ -165,41 +184,120 @@ def _match_spatial_conjunct(c: str):
             return None
         return (
             m.group("a1"), m.group("c1"), m.group("a2"), m.group("c2"),
-            float(m.group("extra")),
+            float(m.group("extra")), "dwithin", False,
         )
     if fn in _JOIN_PREDICATES and m.group("extra") is None:
-        return m.group("a1"), m.group("c1"), m.group("a2"), m.group("c2"), 0.0
+        return (
+            m.group("a1"), m.group("c1"), m.group("a2"), m.group("c2"),
+            0.0, _PRED_KEY[fn], False,
+        )
     return None
 
 
+def _verdict_sql(key: str, b1: str, b2: str, e: float = 0.0, strict: bool = False) -> str:
+    """SQL spelling of ``operators.spatial_join.exact_verdict`` over two
+    ``__bb`` struct references — the exact predicate for bbox-exact pairs
+    (point / axis rectangle), decided fully JVM-side.  ``b1``/``b2`` follow
+    the predicate's argument order (g1 = b1's geometry)."""
+    lx0, ly0, lx1, ly1 = f"{b1}.xmin", f"{b1}.ymin", f"{b1}.xmax", f"{b1}.ymax"
+    rx0, ry0, rx1, ry1 = f"{b2}.xmin", f"{b2}.ymin", f"{b2}.xmax", f"{b2}.ymax"
+    lpt = f"({lx0} = {lx1} AND {ly0} = {ly1})"
+    rpt = f"({rx0} = {rx1} AND {ry0} = {ry1})"
+    overlap = f"({lx0} <= {rx1} AND {rx0} <= {lx1} AND {ly0} <= {ry1} AND {ry0} <= {ly1})"
+    eq = f"({lx0} = {rx0} AND {lx1} = {rx1} AND {ly0} = {ry0} AND {ly1} = {ry1})"
+    l_in_r = f"({rx0} <= {lx0} AND {lx1} <= {rx1} AND {ry0} <= {ly0} AND {ly1} <= {ry1})"
+    r_in_l = f"({lx0} <= {rx0} AND {rx1} <= {lx1} AND {ly0} <= {ry0} AND {ry1} <= {ly1})"
+    l_in_r_open = f"({rx0} < {lx0} AND {lx1} < {rx1} AND {ry0} < {ly0} AND {ly1} < {ry1})"
+    r_in_l_open = f"({lx0} < {rx0} AND {rx1} < {lx1} AND {ly0} < {ry0} AND {ry1} < {ly1})"
+    if key in ("intersects", "bbox"):
+        return overlap
+    if key == "equals":
+        return eq
+    if key == "covered_by":
+        return l_in_r
+    if key == "covers":
+        return r_in_l
+    if key == "within":
+        return (
+            f"(CASE WHEN {lpt} AND {rpt} THEN {eq} "
+            f"WHEN {lpt} THEN {l_in_r_open} "
+            f"WHEN {rpt} THEN false ELSE {l_in_r} END)"
+        )
+    if key == "contains":
+        return (
+            f"(CASE WHEN {lpt} AND {rpt} THEN {eq} "
+            f"WHEN {rpt} THEN {r_in_l_open} "
+            f"WHEN {lpt} THEN false ELSE {r_in_l} END)"
+        )
+    if key == "touches":
+        degen = (
+            f"(greatest({lx0}, {rx0}) = least({lx1}, {rx1}) "
+            f"OR greatest({ly0}, {ry0}) = least({ly1}, {ry1}))"
+        )
+        l_on_r = f"({overlap} AND ({lx0} = {rx0} OR {lx0} = {rx1} OR {ly0} = {ry0} OR {ly0} = {ry1}))"
+        r_on_l = f"({overlap} AND ({rx0} = {lx0} OR {rx0} = {lx1} OR {ry0} = {ly0} OR {ry0} = {ly1}))"
+        return (
+            f"(CASE WHEN {lpt} AND {rpt} THEN false "
+            f"WHEN {lpt} THEN {l_on_r} WHEN {rpt} THEN {r_on_l} "
+            f"ELSE ({overlap} AND {degen}) END)"
+        )
+    if key == "overlaps":
+        proper = (
+            f"(greatest({lx0}, {rx0}) < least({lx1}, {rx1}) "
+            f"AND greatest({ly0}, {ry0}) < least({ly1}, {ry1}))"
+        )
+        return (
+            f"(CASE WHEN {lpt} OR {rpt} THEN false "
+            f"ELSE ({proper} AND NOT {l_in_r} AND NOT {r_in_l}) END)"
+        )
+    if key == "dwithin":
+        dx = f"greatest({lx0} - {rx1}, {rx0} - {lx1}, CAST(0.0 AS DOUBLE))"
+        dy = f"greatest({ly0} - {ry1}, {ry0} - {ly1}, CAST(0.0 AS DOUBLE))"
+        op = "<" if strict else "<="
+        return f"(({dx}) * ({dx}) + ({dy}) * ({dy}) {op} CAST({e * e!r} AS DOUBLE))"
+    raise ValueError(f"unknown predicate key {key}")
+
+
 def _bucket_sql(bounds: list[float], coord: str) -> str:
-    """#boundaries <= coord — pure-JVM fold over a literal boundary array
-    (same expression ``operators.spatial_join._Grid._bucket`` builds via the
-    Column API)."""
+    """#boundaries <= coord as a flat sum of CASE terms — a plain
+    expression tree that stays inside whole-stage codegen (same shape as
+    ``operators.spatial_join._Grid._bucket``; a higher-order ``aggregate``
+    over a literal array is evaluated interpreted and is ~10x slower in
+    the hot join path)."""
     if not bounds:
         return "0"
-    arr = "array(" + ", ".join(f"CAST({b!r} AS DOUBLE)" for b in bounds) + ")"
-    # lambda variables get engine-reserved names so they can never shadow a
-    # user table alias referenced inside ``coord``
-    return f"aggregate({arr}, 0, (__acc, __bv) -> __acc + IF(__bv <= {coord}, 1, 0))"
+    return "(" + " + ".join(
+        f"(CASE WHEN {coord} >= CAST({b!r} AS DOUBLE) THEN 1 ELSE 0 END)"
+        for b in bounds
+    ) + ")"
 
 
-def _cells_sql(grid, expand: float) -> str:
+def _side_sql(
+    table: str, geom_col: str, grid, expand: float, repartition: int | None = None
+) -> str:
+    """Derived relation with ``__bb`` + one ``__cell`` row per grid cell the
+    (expanded) bbox intersects — two plain explode(sequence(..)) generators,
+    mirroring ``_Grid.explode_cells``.  The min cell indices stay exposed as
+    ``__ix0``/``__iy0`` so the per-pair reference-point dedup in the ON
+    clause is O(1) (bucket is monotone: bucket(max) = max(bucket)).
+
+    ``repartition`` injects a REPARTITION hint below the bbox UDF when the
+    source scan has fewer splits than the cluster's parallelism (the
+    DataFrame path's parallelism guard; a no-op at scale)."""
     e = float(expand)
-    ix0 = _bucket_sql(grid.xb, f"(__s.__bb.xmin - {e!r})")
-    ix1 = _bucket_sql(grid.xb, f"(__s.__bb.xmax + {e!r})")
-    iy0 = _bucket_sql(grid.yb, f"(__s.__bb.ymin - {e!r})")
-    iy1 = _bucket_sql(grid.yb, f"(__s.__bb.ymax + {e!r})")
+    src = table
+    if repartition:
+        src = f"(SELECT /*+ REPARTITION({int(repartition)}) */ * FROM {table})"
+    ix0 = _bucket_sql(grid.xb, f"(__s1.__bb.xmin - {e!r})")
+    ix1 = _bucket_sql(grid.xb, f"(__s1.__bb.xmax + {e!r})")
+    iy0 = _bucket_sql(grid.yb, f"(__s1.__bb.ymin - {e!r})")
+    iy1 = _bucket_sql(grid.yb, f"(__s1.__bb.ymax + {e!r})")
     return (
-        f"flatten(transform(sequence({ix0}, {ix1}), "
-        f"__ix -> transform(sequence({iy0}, {iy1}), __iy -> __ix * {grid.ny} + __iy)))"
-    )
-
-
-def _side_sql(table: str, geom_col: str, grid, expand: float) -> str:
-    return (
-        f"(SELECT __s.*, explode({_cells_sql(grid, expand)}) AS __cell "
-        f"FROM (SELECT *, __st_bbox(`{geom_col}`) AS __bb FROM {table}) __s)"
+        f"(SELECT * EXCEPT (__cx, __cy, __ix1, __iy1), __cx * {grid.ny} + __cy AS __cell FROM "
+        f"(SELECT __s3.*, explode(sequence(__s3.__iy0, __s3.__iy1)) AS __cy FROM "
+        f"(SELECT __s2.*, explode(sequence(__s2.__ix0, __s2.__ix1)) AS __cx FROM "
+        f"(SELECT __s1.*, {ix0} AS __ix0, {ix1} AS __ix1, {iy0} AS __iy0, {iy1} AS __iy1 FROM "
+        f"(SELECT *, __st_bbox(`{geom_col}`) AS __bb FROM {src}) __s1) __s2) __s3) __s4)"
     )
 
 
@@ -231,7 +329,7 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
             break
     if parsed is None:
         return None
-    a1, c1, a2, c2, expand = parsed
+    a1, c1, a2, c2, expand, pred_key, strict = parsed
     aliases = {a1.lower(), a2.lower()}
     if aliases != {la.lower(), ra.lower()}:
         return None
@@ -252,24 +350,73 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
         sample = [(0.0, 0.0, 1.0, 1.0)]
     grid = _Grid(sample, session.spatial_join_cells)
 
+    # parallelism guard (mirrors the DataFrame operator): repartition a
+    # single-split local source up to the cluster's parallelism
+    par = session.spark.sparkContext.defaultParallelism
+    lpar = par if ldf.rdd.getNumPartitions() < par else None
+    rpar = par if rdf.rdd.getNumPartitions() < par else None
+
     e = float(expand)
     bb = lambda a, f: f"{a}.__bb.{f}"  # noqa: E731
-    ref_cx = _bucket_sql(grid.xb, f"greatest({bb(la,'xmin')} - {e!r}, {bb(ra,'xmin')})")
-    ref_cy = _bucket_sql(grid.yb, f"greatest({bb(la,'ymin')} - {e!r}, {bb(ra,'ymin')})")
     on_parts = [
         f"{la}.__cell = {ra}.__cell",
         f"{bb(la,'xmin')} - {e!r} <= {bb(ra,'xmax')}",
         f"{bb(ra,'xmin')} <= {bb(la,'xmax')} + {e!r}",
         f"{bb(la,'ymin')} - {e!r} <= {bb(ra,'ymax')}",
         f"{bb(ra,'ymin')} <= {bb(la,'ymax')} + {e!r}",
-        f"(({ref_cx}) * {grid.ny} + ({ref_cy})) = {la}.__cell",
+        # reference-point dedup from the precomputed min cell indices —
+        # O(1) per pair (bucket is monotone, so the intersection corner's
+        # bucket is the max of the two sides' min indices)
+        f"(greatest({la}.__ix0, {ra}.__ix0) * {grid.ny}"
+        f" + greatest({la}.__iy0, {ra}.__iy0)) = {la}.__cell",
     ]
-    # original predicate (exact refine) + any extra conjuncts ride along as
-    # join filters evaluated after the cell equi-join
-    on_parts.extend(conjuncts[i] for i in range(len(conjuncts)))
+    # predicate-direction bbox refs (a1 holds the predicate's 1st argument)
+    b1 = f"{a1}.__bb"
+    b2 = f"{a2}.__bb"
+    # necessary bbox tightening per predicate (any geometry)
+    if pred_key in ("within", "covered_by"):
+        on_parts.append(
+            f"({b2}.xmin <= {b1}.xmin AND {b1}.xmax <= {b2}.xmax "
+            f"AND {b2}.ymin <= {b1}.ymin AND {b1}.ymax <= {b2}.ymax)"
+        )
+    elif pred_key in ("contains", "covers"):
+        on_parts.append(
+            f"({b1}.xmin <= {b2}.xmin AND {b2}.xmax <= {b1}.xmax "
+            f"AND {b1}.ymin <= {b2}.ymin AND {b2}.ymax <= {b1}.ymax)"
+        )
+    elif pred_key == "equals":
+        on_parts.append(
+            f"({b1}.xmin = {b2}.xmin AND {b1}.xmax = {b2}.xmax "
+            f"AND {b1}.ymin = {b2}.ymin AND {b1}.ymax = {b2}.ymax)"
+        )
+
+    # the spatial conjunct itself: bbox-exact pairs (points / axis rects)
+    # resolve with the pure-JVM verdict; only the rest cross into the ST_*
+    # pandas UDF, with NULL-masked inputs so the batch carries no geometry
+    # bytes for JVM-decided pairs (≈ the reference's point/rect refine fast
+    # paths; optimizer.rs keeps the predicate as the refine filter)
+    if pred_key == "bbox":
+        spatial_sql = None  # the bbox conjuncts ARE the predicate
+    else:
+        both = f"({bb(la,'bbox_exact')} AND {bb(ra,'bbox_exact')})"
+        verdict = _verdict_sql(pred_key, b1, b2, e, strict)
+        g1 = f"IF(NOT {both}, {a1}.`{c1}`, NULL)"
+        g2 = f"IF(NOT {both}, {a2}.`{c2}`, NULL)"
+        dm = _DIST_CMP_RE.match(conjuncts[spatial_idx])
+        if dm:
+            masked = f"ST_Distance({g1}, {g2}) {dm.group('op')} {dm.group('d')}"
+        else:
+            pm = _PRED_CALL_RE.match(conjuncts[spatial_idx])
+            extra = f", {pm.group('extra')}" if pm.group("extra") else ""
+            masked = f"{pm.group('fn')}({g1}, {g2}{extra})"
+        spatial_sql = f"IF({both}, {verdict}, coalesce({masked}, false))"
+    if spatial_sql is not None:
+        on_parts.append(spatial_sql)
+    # any extra conjuncts ride along as join filters after the cell equi-join
+    on_parts.extend(conjuncts[i] for i in range(len(conjuncts)) if i != spatial_idx)
     new_from = (
-        f"FROM {_side_sql(lt, lgeom, grid, e)} {la} "
-        f"JOIN {_side_sql(rt, rgeom, grid, 0.0)} {ra} "
+        f"FROM {_side_sql(lt, lgeom, grid, e, lpar)} {la} "
+        f"JOIN {_side_sql(rt, rgeom, grid, 0.0, rpar)} {ra} "
         f"ON {' AND '.join(on_parts)} "
     )
     return sql[: m.start()] + new_from + sql[on_end:]

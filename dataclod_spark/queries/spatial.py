@@ -161,32 +161,33 @@ ORDER BY box_id
 """,
 )
 def g6_spatial_join_points_in_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dataclod_spark.operators.spatial_join import envelope_wkb, point_wkb, spatial_join
+    from dataclod_spark.operators.spatial_join import spatial_join
 
     _spatial(spark)
     e = load(spark, sf_dir, "events")
-    boxes = (
-        e.filter(F.col("event_id") % 50 == 0)
-        .select(
-            F.col("event_id").alias("box_id"),
-            (F.col("event_id") % 97).cast("double").alias("bx"),
-            (F.col("user_id") % 41).cast("double").alias("by"),
-            (3 + F.col("event_id") % 5).cast("double").alias("w"),
-            (2 + F.col("user_id") % 3).cast("double").alias("h"),
-        )
-        .select(
-            "box_id",
-            envelope_wkb(
-                F.col("bx"), F.col("by"), F.col("bx") + F.col("w"), F.col("by") + F.col("h")
-            ).alias("geom"),
-        )
+    boxes = e.filter(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("box_id"),
+        (F.col("event_id") % 97).cast("double").alias("bx"),
+        (F.col("user_id") % 41).cast("double").alias("by"),
+        ((F.col("event_id") % 97) + 3 + F.col("event_id") % 5).cast("double").alias("bx2"),
+        ((F.col("user_id") % 41) + 2 + F.col("user_id") % 3).cast("double").alias("by2"),
     )
     points = e.select(
         F.col("event_id").alias("point_id"),
         (F.col("event_id") % 89).cast("double").alias("px"),
         (F.col("user_id") % 43).cast("double").alias("py"),
-    ).select("point_id", point_wkb(F.col("px"), F.col("py")).alias("geom"))
-    joined = spatial_join(points, boxes, "intersects", cell_target=256)
+    )
+    # bbox-operand form: points and axis rectangles are bbox-exact, so the
+    # whole join (partition, dedup, verdict) runs without a Python stage
+    joined = spatial_join(
+        points,
+        boxes,
+        "intersects",
+        cell_target=256,
+        left_bbox=("px", "py", "px", "py"),
+        right_bbox=("bx", "by", "bx2", "by2"),
+        refine="none",
+    )
     return (
         joined.groupBy("box_id")
         .agg(F.count(F.lit(1)).alias("n_points"))
@@ -212,29 +213,30 @@ FROM a JOIN b ON sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= 5.0
 """,
 )
 def g7_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dataclod_spark.operators.spatial_join import point_wkb, spatial_join
+    from dataclod_spark.operators.spatial_join import spatial_join
 
     _spatial(spark)
     e = load(spark, sf_dir, "events")
-    a = (
-        e.filter(F.col("event_id") % 25 == 0)
-        .select(
-            F.col("event_id").alias("a_id"),
-            (F.col("event_id") % 89).cast("double").alias("ax"),
-            (F.col("user_id") % 43).cast("double").alias("ay"),
-        )
-        .select("a_id", point_wkb(F.col("ax"), F.col("ay")).alias("geom"))
+    a = e.filter(F.col("event_id") % 25 == 0).select(
+        F.col("event_id").alias("a_id"),
+        (F.col("event_id") % 89).cast("double").alias("ax"),
+        (F.col("user_id") % 43).cast("double").alias("ay"),
     )
-    b = (
-        e.filter(F.col("event_id") % 40 == 0)
-        .select(
-            F.col("event_id").alias("b_id"),
-            (F.col("event_id") % 97).cast("double").alias("bx"),
-            (F.col("user_id") % 41).cast("double").alias("by"),
-        )
-        .select("b_id", point_wkb(F.col("bx"), F.col("by")).alias("geom"))
+    b = e.filter(F.col("event_id") % 40 == 0).select(
+        F.col("event_id").alias("b_id"),
+        (F.col("event_id") % 97).cast("double").alias("bx"),
+        (F.col("user_id") % 41).cast("double").alias("by"),
     )
-    joined = spatial_join(a, b, "dwithin", distance=5.0, cell_target=256)
+    joined = spatial_join(
+        a,
+        b,
+        "dwithin",
+        distance=5.0,
+        cell_target=256,
+        left_bbox=("ax", "ay", "ax", "ay"),
+        right_bbox=("bx", "by", "bx", "by"),
+        refine="none",
+    )
     return joined.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
@@ -270,6 +272,8 @@ def g8_rect_within_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "s_id",
+            "sx",
+            "sy",
             envelope_wkb(F.col("sx"), F.col("sy"), F.col("sx") + 2, F.col("sy") + 2).alias("geom"),
         )
     )
@@ -282,10 +286,22 @@ def g8_rect_within_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "b_id",
+            "bx",
+            "by",
             envelope_wkb(F.col("bx"), F.col("by"), F.col("bx") + 12, F.col("by") + 12).alias("geom"),
         )
     )
-    joined = spatial_join(small, big, "within", cell_target=256)
+    # bbox operands skip the bbox-projection UDF; refine stays "auto" so the
+    # masked Python refine stage remains exercised in the bench suite (the
+    # all-exact pairs cross as null-masked Arrow batches)
+    joined = spatial_join(
+        small,
+        big,
+        "within",
+        cell_target=256,
+        left_bbox=("sx", "sy", F.col("sx") + 2, F.col("sy") + 2),
+        right_bbox=("bx", "by", F.col("bx") + 12, F.col("by") + 12),
+    )
     return joined.agg(F.count(F.lit(1)).alias("n_within"))
 
 
