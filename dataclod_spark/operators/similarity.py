@@ -27,12 +27,21 @@ N_PLANES = 8
 N_DIMS = 64
 
 
-def hyperplane_weights(n_planes: int = N_PLANES, n_dims: int = N_DIMS) -> list[list[float]]:
+def hyperplane_weights(
+    n_planes: int = N_PLANES, n_dims: int = N_DIMS, seed: int = 0
+) -> list[list[float]]:
     """Deterministic ±1 hyperplane matrix derived from md5 — reproducible in
-    any engine (the DuckDB oracle embeds the same literals)."""
+    any engine (the DuckDB oracle embeds the same literals).  ``seed``
+    selects an independent table for multi-table LSH (seed 0 keeps the
+    original key format for oracle stability)."""
     return [
         [
-            1.0 if hashlib.md5(f"{p}-{d}".encode()).hexdigest()[0] >= "8" else -1.0
+            1.0
+            if hashlib.md5(
+                (f"{p}-{d}" if seed == 0 else f"{seed}:{p}-{d}").encode()
+            ).hexdigest()[0]
+            >= "8"
+            else -1.0
             for d in range(n_dims)
         ]
         for p in range(n_planes)
@@ -87,6 +96,108 @@ def knn_bruteforce(
     return (
         c.crossJoin(q)
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _probe_buckets(bucket: Column, n_planes: int, hamming: int) -> Column:
+    """Array of probe buckets: the bucket itself plus all buckets within
+    the given Hamming distance (distance 1 = flip each sign bit once).
+
+    Multi-probe LSH (Lv et al., VLDB'07): probing neighboring buckets
+    recovers most of the recall lost to boundary effects without extra
+    tables — the probe expansion happens on the (small, broadcast) query
+    side only, so the corpus is still touched once."""
+    probes = [bucket]
+    if hamming >= 1:
+        for i in range(1, n_planes + 1):
+            flipped = F.when(F.substring(bucket, i, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            )
+            probes.append(
+                F.concat(
+                    F.substring(bucket, 1, i - 1),
+                    flipped,
+                    F.substring(bucket, i + 1, n_planes),
+                )
+            )
+    return F.array(*probes)
+
+
+def knn_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_tables: int = 2,
+    n_planes: int = N_PLANES,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k with multi-table, multi-probe LSH.
+
+    ``n_tables`` independent hyperplane sets bucket the corpus in a single
+    projection (one scan — the per-table buckets are exploded from an
+    array, never re-read); each query probes its own bucket plus all
+    Hamming≤``probe_hamming`` neighbors in every table.  Candidates are
+    deduplicated on (query_id, neighbor_id) before ranking.
+
+    Scale shape: corpus side = one scan + explode(n_tables), no shuffle
+    (queries broadcast); candidate dedup + top-k window shuffle only the
+    candidate set.  Recall grows with n_tables × probes; cost grows only
+    with the candidate union size.
+    """
+    tables = [hyperplane_weights(n_planes, seed=t) for t in range(n_tables)]
+    c_entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    sign_bucket(F.col("c_vec"), planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+    ).alias("e")
+    cb = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .select("neighbor_id", "c_vec", c_entries)
+        .select("neighbor_id", "c_vec", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
+    )
+    q_entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _probe_buckets(
+                        sign_bucket(F.col("q_vec"), planes), n_planes, probe_hamming
+                    ).alias("probes"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+    ).alias("e")
+    qb = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .select("query_id", "q_vec", q_entries)
+        .select(
+            "query_id",
+            "q_vec",
+            F.col("e.tbl").alias("tbl"),
+            F.explode(F.col("e.probes")).alias("bucket"),
+        )
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine_sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -94,3 +94,92 @@ def v2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     out = SIM.knn_lsh(e, e.filter(F.col("vec_id") < 10), k=3)
     return out.orderBy("query_id", "rank")
+
+
+def _bucket_sql_seeded(alias: str, seed: int) -> str:
+    """DuckDB spelling of the sign bucket for one hyperplane table."""
+    planes = SIM.hyperplane_weights(seed=seed)
+    bits = []
+    for w in planes:
+        lits = ", ".join(str(v) for v in w)
+        dot = (
+            f"list_sum(list_transform(range(1, len({alias}.embedding) + 1), "
+            f"i -> CAST({alias}.embedding[i] AS DOUBLE) * ([{lits}]::DOUBLE[])[i]))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+# hamming-1 probe expansion of an 8-bit bucket string (DuckDB spelling)
+def _probes_sql(b: str) -> str:
+    flip = (
+        f"substr({b}, 1, CAST(i AS INT) - 1) || "
+        f"(CASE substr({b}, CAST(i AS INT), 1) WHEN '1' THEN '0' ELSE '1' END) || "
+        f"substr({b}, CAST(i AS INT) + 1)"
+    )
+    return f"list_append(list_transform(range(1, 9), i -> {flip}), {b})"
+
+
+_DOT_QECE = (
+    "list_sum(list_transform(range(1, len(qe.embedding) + 1), "
+    "i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))"
+)
+_NORM_QE = (
+    "sqrt(list_sum(list_transform(range(1, len(qe.embedding) + 1), "
+    "i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))"
+)
+_NORM_CE = (
+    "sqrt(list_sum(list_transform(range(1, len(ce.embedding) + 1), "
+    "i -> CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))))"
+)
+
+
+@query(
+    "v3_knn_multiprobe",
+    doc="ANN top-3 via multi-table (2) multi-probe (hamming-1) LSH — the "
+    "recall-tunable scale path over a single corpus scan",
+    oracle=f"""
+WITH sigs AS (
+  SELECT e.vec_id, e.embedding,
+         {_bucket_sql_seeded('e', 0)} AS b0,
+         {_bucket_sql_seeded('e', 1)} AS b1
+  FROM embeddings e
+),
+csigs AS (
+  SELECT vec_id, 0 AS tbl, b0 AS bucket FROM sigs
+  UNION ALL
+  SELECT vec_id, 1 AS tbl, b1 AS bucket FROM sigs
+),
+qprobes AS (
+  SELECT vec_id AS query_id, 0 AS tbl, unnest({_probes_sql('b0')}) AS bucket
+  FROM sigs WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id AS query_id, 1 AS tbl, unnest({_probes_sql('b1')}) AS bucket
+  FROM sigs WHERE vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qprobes q JOIN csigs c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE c.vec_id <> q.query_id
+),
+sims AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({_DOT_QECE} / ({_NORM_QE} * {_NORM_CE}), 6) AS cosine_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM sims) ranked
+WHERE rank <= 3
+ORDER BY query_id, rank
+""",
+)
+def v3_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    out = SIM.knn_ann(
+        e, e.filter(F.col("vec_id") < 10), k=3, n_tables=2, probe_hamming=1
+    )
+    return out.orderBy("query_id", "rank")
