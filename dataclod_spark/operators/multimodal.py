@@ -109,16 +109,27 @@ def sample_frames(
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                content = row[content_col]
+            # explode via index.repeat (vectorized row duplication) — Python
+            # touches each row once for the stub codec call only, never per
+            # output cell
+            counts: list[int] = []
+            frame_nos: list[int] = []
+            frame_blobs: list[bytes] = []
+            for content in pdf[content_col].to_numpy(dtype=object):
                 n = fake_decode(content)["n_frames"] or 0
-                for f in range(0, n, every_n):
-                    r = dict(row)
-                    r["frame_no"] = f
-                    blob = bytes(content) if content is not None else b""
-                    r["frame_content"] = hashlib.md5(blob + f.to_bytes(4, "little")).digest()
-                    rows.append(r)
-            yield pd.DataFrame(rows, columns=list(pdf.columns) + ["frame_no", "frame_content"])
+                nos = range(0, n, every_n)
+                blob = bytes(content) if content is not None else b""
+                k = 0
+                for f in nos:
+                    frame_nos.append(f)
+                    frame_blobs.append(
+                        hashlib.md5(blob + f.to_bytes(4, "little")).digest()
+                    )
+                    k += 1
+                counts.append(k)
+            out = pdf.loc[pdf.index.repeat(counts)].reset_index(drop=True)
+            out["frame_no"] = pd.Series(frame_nos, dtype="int32")
+            out["frame_content"] = pd.Series(frame_blobs, dtype=object)
+            yield out
 
     return df.mapInPandas(frames, out_schema)
