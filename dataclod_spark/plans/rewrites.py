@@ -137,3 +137,51 @@ def rewrite_values_tables(sql: str) -> str:
         union = " UNION ALL ".join(selects)
         alias_sql = f" {alias}" if alias else ""
         out = out[:open_paren] + f"({union}){alias_sql}" + after
+
+
+def rewrite_dollar_params(sql: str) -> tuple[str, list[int]]:
+    """Rewrite PostgreSQL positional parameters ``$1..$n`` to Spark named
+    parameters ``:__p1..:__pn``.
+
+    The reference accepts ``$n`` placeholders through the extended protocol
+    (``server/src/postgres/parser.rs:31-44`` → LogicalPlan parameter
+    substitution); Spark's parameterized SQL uses named ``:name`` markers,
+    so the shim renames them and EngineSession maps a positional argument
+    list onto the generated names.  Quoted strings ('…', with '' escapes)
+    and quoted identifiers ("…") are left untouched.
+
+    Returns (rewritten_sql, sorted list of parameter indices used).
+    """
+    out: list[str] = []
+    used: set[int] = set()
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif ch == '"':
+            j = sql.find('"', i + 1)
+            j = n - 1 if j == -1 else j
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif ch == "$" and i + 1 < n and sql[i + 1].isdigit():
+            j = i + 1
+            while j < n and sql[j].isdigit():
+                j += 1
+            idx = int(sql[i + 1 : j])
+            used.add(idx)
+            out.append(f":__p{idx}")
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), sorted(used)

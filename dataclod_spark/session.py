@@ -20,7 +20,7 @@ handling, partition coalescing) so plans written here survive a 100 TB /
 from __future__ import annotations
 
 import re
-from typing import Any, Iterable, Mapping
+from typing import Any, Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -73,6 +73,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pre-warmed worker daemon: numpy/pandas/pyarrow + geo modules are
+        # imported once pre-fork instead of per worker (see warm_daemon.py)
+        .config("spark.python.daemon.module", "dataclod_spark.warm_daemon")
         # driver testdata writes events.ts as TIMESTAMP(NANOS); read as long
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
@@ -134,12 +137,20 @@ class EngineSession:
         return self.spark.table(name)
 
     # -- SQL entry point ---------------------------------------------------
-    def sql(self, query: str, args: Mapping[str, Any] | None = None) -> DataFrame:
+    def sql(
+        self,
+        query: str,
+        args: Mapping[str, Any] | Sequence[Any] | None = None,
+    ) -> DataFrame:
         """SQL entry with pg-compat shims (SET swallow, txn no-ops).
 
         Equivalent of ``QueryContext::sql`` (context.rs:69-79) with the
         statement interception done by the pgwire handler
         (handler.rs:43-64) and execute_logical_plan (context.rs:110-124).
+
+        ``args`` may be a mapping for named ``:name`` parameters, or a
+        sequence for PostgreSQL-style positional ``$1..$n`` placeholders
+        (``parser.rs:31-44`` parity): ``sql("... WHERE a > $1", [10])``.
         """
         if _TXN_RE.match(query):
             # BEGIN/COMMIT/ROLLBACK accepted as no-ops returning empty result
@@ -153,10 +164,23 @@ class EngineSession:
                 # pg-client compat: swallow unknown SET (context.rs:117-122)
                 self._swallowed_sets[key] = value
             return self.spark.range(0).select()
-        from dataclod_spark.plans.rewrites import rewrite_values_tables
+        from dataclod_spark.plans.rewrites import (
+            rewrite_dollar_params,
+            rewrite_values_tables,
+        )
         from dataclod_spark.plans.spatial_dispatch import try_rewrite_spatial_join
 
         query = rewrite_values_tables(query)
+        if args is not None and not isinstance(args, Mapping):
+            # positional $n parameters: rename to :__pN and map the list on
+            query, used = rewrite_dollar_params(query)
+            vals = list(args)
+            if used and used[-1] > len(vals):
+                raise ValueError(
+                    f"query references ${used[-1]} but only {len(vals)} "
+                    "positional parameters were supplied"
+                )
+            args = {f"__p{i}": vals[i - 1] for i in used}
         # SQL-path spatial join dispatch (≈ the reference's logical rewrite,
         # optimizer.rs:33-113): JOIN ON ST_pred(...) becomes a grid
         # equi-join instead of a nested-loop cross product.

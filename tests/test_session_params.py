@@ -1,0 +1,56 @@
+"""EngineSession SQL shims: positional $n parameters (parser.rs:31-44)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataclod_spark.plans.rewrites import rewrite_dollar_params
+
+
+def test_rewrite_basic():
+    sql, used = rewrite_dollar_params("SELECT * FROM t WHERE a > $1 AND b = $2")
+    assert sql == "SELECT * FROM t WHERE a > :__p1 AND b = :__p2"
+    assert used == [1, 2]
+
+
+def test_rewrite_repeated_and_out_of_order():
+    sql, used = rewrite_dollar_params("SELECT $2, $1, $2")
+    assert sql == "SELECT :__p2, :__p1, :__p2"
+    assert used == [1, 2]
+
+
+def test_quoted_regions_untouched():
+    sql, used = rewrite_dollar_params(
+        "SELECT '$1', 'it''s $2', \"$3\" FROM t WHERE x = $4"
+    )
+    assert sql == "SELECT '$1', 'it''s $2', \"$3\" FROM t WHERE x = :__p4"
+    assert used == [4]
+
+
+def test_positional_execution(engine):
+    engine.spark.range(10).createOrReplaceTempView("params_t")
+    rows = engine.sql(
+        "SELECT count(*) AS n FROM params_t WHERE id >= $1 AND id < $2", [3, 8]
+    ).collect()
+    assert rows[0].n == 5
+
+
+def test_positional_repeated_execution(engine):
+    engine.spark.range(10).createOrReplaceTempView("params_t")
+    rows = engine.sql(
+        "SELECT count(*) AS n FROM params_t WHERE id BETWEEN $1 AND $1 + 2", [4]
+    ).collect()
+    assert rows[0].n == 3
+
+
+def test_missing_positional_raises(engine):
+    with pytest.raises(ValueError, match=r"\$2"):
+        engine.sql("SELECT $1 + $2 AS s", [1])
+
+
+def test_named_args_still_work(engine):
+    engine.spark.range(10).createOrReplaceTempView("params_t")
+    rows = engine.sql(
+        "SELECT count(*) AS n FROM params_t WHERE id > :lo", {"lo": 6}
+    ).collect()
+    assert rows[0].n == 3
