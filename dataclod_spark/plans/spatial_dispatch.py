@@ -345,10 +345,15 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
         return None
     if rgeom not in rdf.columns or lgeom not in ldf.columns:
         return None
-    sample = collect_bbox_sample(rdf, rgeom) or collect_bbox_sample(ldf, lgeom)
-    if not sample:
-        sample = [(0.0, 0.0, 1.0, 1.0)]
-    grid = _Grid(sample, session.spatial_join_cells)
+    cache_key = (rt.lower(), rgeom.lower(), session.spatial_join_cells)
+    grid = getattr(session, "_grid_cache", {}).get(cache_key)
+    if grid is None:
+        sample = collect_bbox_sample(rdf, rgeom) or collect_bbox_sample(ldf, lgeom)
+        if not sample:
+            sample = [(0.0, 0.0, 1.0, 1.0)]
+        grid = _Grid(sample, session.spatial_join_cells)
+        if hasattr(session, "_grid_cache"):
+            session._grid_cache[cache_key] = grid
 
     # parallelism guard (mirrors the DataFrame operator): repartition a
     # single-split local source up to the cluster's parallelism

@@ -112,6 +112,12 @@ class EngineSession:
         # grid cell budget for SQL-dispatched spatial joins
         # (plans/spatial_dispatch.py); ≈ reference partition-count option
         self.spatial_join_cells = 1024
+        # (table, geom_col, cells) -> _Grid: skips the bbox sampling pass on
+        # repeated SQL spatial joins over the same relation (the reference
+        # re-derives per query; safe to cache — a stale grid only affects
+        # cell balance, never correctness, since out-of-extent bboxes clamp
+        # to border cells).  Cleared with clear_spatial_grid_cache().
+        self._grid_cache: dict[tuple[str, str, int], object] = {}
         if register_catalog:
             from dataclod_spark.catalog.pg_catalog import register_pg_catalog
 
@@ -132,6 +138,11 @@ class EngineSession:
                 self.spark.read.parquet(path).createOrReplaceTempView(name)
             except Exception:  # table missing at this sf — skip
                 pass
+
+    def clear_spatial_grid_cache(self) -> None:
+        """Drop cached spatial-join grids (call after replacing a temp view
+        whose data extent changed significantly)."""
+        self._grid_cache.clear()
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
