@@ -185,3 +185,17 @@ def rewrite_dollar_params(sql: str) -> tuple[str, list[int]]:
             out.append(ch)
             i += 1
     return "".join(out), sorted(used)
+
+
+_PG_CATALOG_QUAL_RE = re.compile(r"\bpg_catalog\s*\.\s*(pg_\w+)", re.IGNORECASE)
+
+
+def rewrite_pg_catalog_refs(sql: str) -> str:
+    """``pg_catalog.pg_X`` → ``pg_catalog_pg_X``.
+
+    The pg_catalog tables are Spark temp views, which cannot be
+    schema-qualified; the reference registers them under the real
+    ``pg_catalog`` schema (``catalog/mod.rs``), and pg clients (psql's
+    ``\\d``, BI tools) always qualify.  The prefixed spelling is registered
+    by catalog.pg_catalog.register_pg_catalog."""
+    return _PG_CATALOG_QUAL_RE.sub(lambda m: f"pg_catalog_{m.group(1)}", sql)

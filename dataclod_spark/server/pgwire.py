@@ -1,0 +1,541 @@
+"""PostgreSQL wire-protocol (v3) endpoint over :class:`EngineSession`.
+
+The reference's front door is a pgwire server (``src/server/src/postgres/``:
+``server.rs``, ``handler.rs:35-74``, ``auth.rs``, ``types.rs``) so psql and
+BI tools can speak to the engine directly.  This module is the Spark-side
+equivalent: a thread-per-connection TCP server that authenticates with MD5
+(user ``postgres``, password from ``$DATACLOD_PASSWORD``, default
+``dataclod`` — ``auth.rs:18,107-116``), advertises the same server
+parameters (``auth.rs:91-103``), and executes SQL through
+``EngineSession.sql`` (the analogue of ``QueryContext`` in ``handler.rs``).
+
+Protocol scope (matching the reference's handlers):
+
+* **Simple protocol** (``handler.rs:34-77``): ``Q`` messages; BEGIN /
+  COMMIT / ABORT / ROLLBACK answered with bare tags (no real txn — same
+  no-op semantics), everything else planned and streamed back in text
+  format capped at ``DEFAULT_ROW_LIMIT`` = 1024 rows (``handler.rs:21,74``).
+* **Extended protocol** (``handler.rs:96-147``, ``parser.rs:31-44``):
+  Parse / Bind / Describe / Execute / Close / Sync / Flush; ``$n``
+  placeholders are bound positionally (plans/rewrites.rewrite_dollar_params
+  mirrors the reference's ``LogicalPlan::with_param_values``); Execute
+  honours its ``max_rows`` portal limit.
+* **Encoding** (``types.rs:112-200`` + ``utils.rs``): text-format results
+  for the full primitive matrix (bool ``t``/``f``, numerics, UTF-8 text,
+  ``\\x``-hex bytea, ISO dates/timestamps, decimals), arrays/structs as
+  their PostgreSQL-style text forms.  Binary result format is not offered
+  (we never advertise binary in RowDescription; format code 0 throughout),
+  which clients negotiate fine — psql always uses text.
+
+Driver-side streaming: rows leave via ``df.toLocalIterator`` so a large
+result never materializes on the driver beyond one partition (the reference
+streams record batches the same way, ``types.rs:71-108``).
+
+Start programmatically::
+
+    from dataclod_spark.server.pgwire import PgWireServer
+    srv = PgWireServer(session, port=5432); srv.start()
+
+or ``python -m dataclod_spark.server.pgwire --port 5432``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import socket
+import socketserver
+import struct
+import threading
+from datetime import date, datetime, time as dtime
+from decimal import Decimal
+from typing import Iterable, Optional
+
+DEFAULT_ROW_LIMIT = 1024  # handler.rs:21
+PG_VERSION = "10.0"  # auth.rs:17
+_DEFAULT_PASSWORD = "dataclod"  # auth.rs:18
+
+# -- pg type OIDs (types.rs into_pg_type matrix) ------------------------------
+_OID_BOOL = 16
+_OID_BYTEA = 17
+_OID_INT8 = 20
+_OID_INT2 = 21
+_OID_INT4 = 23
+_OID_TEXT = 25
+_OID_FLOAT4 = 700
+_OID_FLOAT8 = 701
+_OID_DATE = 1082
+_OID_TIME = 1083
+_OID_TIMESTAMP = 1114
+_OID_INTERVAL = 1186
+_OID_NUMERIC = 1700
+
+
+def _spark_type_oid(dt) -> int:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return _OID_BOOL
+    if isinstance(dt, T.BinaryType):
+        return _OID_BYTEA
+    if isinstance(dt, (T.ByteType, T.ShortType)):
+        return _OID_INT2
+    if isinstance(dt, T.IntegerType):
+        return _OID_INT4
+    if isinstance(dt, T.LongType):
+        return _OID_INT8
+    if isinstance(dt, T.FloatType):
+        return _OID_FLOAT4
+    if isinstance(dt, T.DoubleType):
+        return _OID_FLOAT8
+    if isinstance(dt, T.DecimalType):
+        return _OID_NUMERIC
+    if isinstance(dt, T.DateType):
+        return _OID_DATE
+    if isinstance(dt, T.TimestampType):
+        return _OID_TIMESTAMP
+    if isinstance(dt, T.DayTimeIntervalType):
+        return _OID_INTERVAL
+    return _OID_TEXT  # strings, arrays, maps, structs → text form
+
+
+def _text_encode(v) -> Optional[bytes]:
+    """PostgreSQL text-format encoding of one value (types.rs encode_value)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"t" if v else b"f"
+    if isinstance(v, (bytes, bytearray)):
+        return b"\\x" + bytes(v).hex().encode()
+    if isinstance(v, float):
+        # shortest round-trip repr, pg-style NaN/Infinity spellings
+        if v != v:
+            return b"NaN"
+        if v == float("inf"):
+            return b"Infinity"
+        if v == float("-inf"):
+            return b"-Infinity"
+        return repr(v).encode()
+    if isinstance(v, Decimal):
+        return format(v, "f").encode()
+    if isinstance(v, datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        return s.encode()
+    if isinstance(v, date):
+        return v.isoformat().encode()
+    if isinstance(v, dtime):
+        return v.isoformat().encode()
+    if isinstance(v, (list, tuple)):
+        parts = []
+        for e in v:
+            t = _text_encode(e)
+            if t is None:
+                parts.append(b"NULL")
+            else:
+                s = t.decode("utf-8", "replace")
+                if any(c in s for c in ',{}" \\') or s == "":
+                    s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+                parts.append(s.encode())
+        return b"{" + b",".join(parts) + b"}"
+    if isinstance(v, dict):
+        return str(v).encode()
+    if hasattr(v, "asDict"):  # Row (struct)
+        inner = ",".join(
+            (_text_encode(x) or b"").decode("utf-8", "replace") for x in v
+        )
+        return ("(" + inner + ")").encode()
+    return str(v).encode()
+
+
+def md5_password_hash(user: str, password: str, salt: bytes) -> str:
+    """``md5`` + hex(md5(md5(password+user) + salt)) — the exchange hashed
+    on both ends (pgwire ``hash_md5_password``, used by auth.rs:111)."""
+    inner = hashlib.md5((password + user).encode()).hexdigest()
+    return "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
+
+
+# -- low-level message plumbing ----------------------------------------------
+
+
+class _Proto:
+    """Framed read/write over one client socket."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self._buf = b""
+
+    def _recv_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("client closed")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def read_startup(self) -> tuple[int, bytes]:
+        ln = struct.unpack("!i", self._recv_exact(4))[0]
+        return ln, self._recv_exact(ln - 4)
+
+    def read_message(self) -> tuple[bytes, bytes]:
+        tag = self._recv_exact(1)
+        ln = struct.unpack("!i", self._recv_exact(4))[0]
+        return tag, self._recv_exact(ln - 4)
+
+    def send(self, tag: bytes, payload: bytes = b"") -> None:
+        self.sock.sendall(tag + struct.pack("!i", len(payload) + 4) + payload)
+
+    # -- composite messages --
+    def send_error(self, code: str, message: str, severity: str = "ERROR") -> None:
+        fields = b"S" + severity.encode() + b"\x00"
+        fields += b"C" + code.encode() + b"\x00"
+        fields += b"M" + message.encode("utf-8", "replace") + b"\x00\x00"
+        self.send(b"E", fields)
+
+    def send_ready(self, status: bytes = b"I") -> None:
+        self.send(b"Z", status)
+
+    def send_parameter(self, k: str, v: str) -> None:
+        self.send(b"S", k.encode() + b"\x00" + v.encode() + b"\x00")
+
+    def send_row_description(self, fields: list[tuple[str, int]]) -> None:
+        out = struct.pack("!h", len(fields))
+        for name, oid in fields:
+            out += name.encode() + b"\x00"
+            out += struct.pack("!ihihih", 0, 0, oid, -1, -1, 0)
+        self.send(b"T", out)
+
+    def send_data_row(self, values: Iterable[Optional[bytes]]) -> None:
+        vals = list(values)
+        out = struct.pack("!h", len(vals))
+        for v in vals:
+            out += struct.pack("!i", -1) if v is None else struct.pack("!i", len(v)) + v
+        self.send(b"D", out)
+
+    def send_command_complete(self, tag: str) -> None:
+        self.send(b"C", tag.encode() + b"\x00")
+
+
+# -- per-connection handler ---------------------------------------------------
+
+_TXN_TAGS = {"begin": "BEGIN", "commit": "COMMIT", "rollback": "ROLLBACK", "abort": "ROLLBACK"}
+
+
+class _PreparedStatement:
+    __slots__ = ("sql", "n_params", "param_oids")
+
+    def __init__(self, sql: str, n_params: int, param_oids: list[int]):
+        self.sql = sql
+        self.n_params = n_params
+        self.param_oids = param_oids
+
+
+class _Portal:
+    __slots__ = ("stmt", "params")
+
+    def __init__(self, stmt: _PreparedStatement, params: list):
+        self.stmt = stmt
+        self.params = params
+
+
+class _Connection:
+    def __init__(self, proto: _Proto, engine, password: str):
+        self.p = proto
+        self.engine = engine
+        self.password = password
+        self.statements: dict[str, _PreparedStatement] = {}
+        self.portals: dict[str, _Portal] = {}
+
+    # -- startup / auth (auth.rs on_startup) --
+    def startup(self) -> bool:
+        while True:
+            ln, payload = self.p.read_startup()
+            code = struct.unpack("!i", payload[:4])[0]
+            if code == 80877103:  # SSLRequest → not supported, keep cleartext
+                self.p.sock.sendall(b"N")
+                continue
+            if code == 80877102:  # CancelRequest: no job tracking, just close
+                return False
+            break
+        params: dict[str, str] = {}
+        parts = payload[4:].split(b"\x00")
+        for k, v in zip(parts[::2], parts[1::2]):
+            if k:
+                params[k.decode()] = v.decode()
+        user = params.get("user", "")
+        salt = os.urandom(4)
+        self.p.send(b"R", struct.pack("!i", 5) + salt)  # AuthenticationMD5Password
+        tag, body = self.p.read_message()
+        if tag != b"p":
+            return False
+        given = body.rstrip(b"\x00").decode()
+        expected = md5_password_hash(user, self.password, salt)
+        # reference requires user == postgres AND password match (auth.rs:63)
+        if user != "postgres" or given != expected:
+            self.p.send_error("28P01", "Password authentication failed", "FATAL")
+            return False
+        self.p.send(b"R", struct.pack("!i", 0))  # AuthenticationOk
+        for k, v in (
+            ("server_version", PG_VERSION),
+            ("server_encoding", "UTF8"),
+            ("client_encoding", "UTF8"),
+            ("DateStyle", "ISO YMD"),
+            ("integer_datetimes", "on"),
+        ):  # auth.rs:94-101
+            self.p.send_parameter(k, v)
+        self.p.send(b"K", struct.pack("!ii", threading.get_ident() & 0x7FFFFFFF, 0))
+        self.p.send_ready()
+        return True
+
+    # -- query execution --
+    def _run_sql(self, sql: str, params: Optional[list] = None):
+        """Returns (DataFrame|None, tag_word).  None DataFrame = tag-only."""
+        bare = sql.strip().rstrip(";").strip()
+        tag = _TXN_TAGS.get(bare.lower())
+        if tag is not None:  # handler.rs:44-66
+            return None, tag
+        if not bare:
+            return None, ""
+        df = self.engine.sql(bare, args=params if params else None)
+        if not df.columns:  # SET/txn shims return zero-column frames
+            return None, "SET"
+        return df, "SELECT"
+
+    def _stream_result(self, df, limit: int, describe_only: bool = False) -> int:
+        fields = [(f.name, _spark_type_oid(f.dataType)) for f in df.schema.fields]
+        self.p.send_row_description(fields)
+        if describe_only:
+            return 0
+        n = 0
+        it = df.limit(limit).toLocalIterator() if limit else df.toLocalIterator()
+        for row in itertools.islice(it, limit if limit else None):
+            self.p.send_data_row(_text_encode(v) for v in row)
+            n += 1
+        return n
+
+    def handle_simple(self, sql: str) -> None:
+        try:
+            df, tag = self._run_sql(sql)
+            if df is None:
+                self.p.send_command_complete(tag or "SET")
+            else:
+                n = self._stream_result(df, DEFAULT_ROW_LIMIT)
+                self.p.send_command_complete(f"SELECT {n}")
+        except Exception as e:  # noqa: BLE001 - protocol boundary
+            self.p.send_error("XX000", str(e)[:1000])
+        self.p.send_ready()
+
+    # -- extended protocol --
+    def handle_parse(self, body: bytes) -> None:
+        name, rest = body.split(b"\x00", 1)
+        sql, rest = rest.split(b"\x00", 1)
+        (n_oids,) = struct.unpack("!h", rest[:2])
+        oids = list(struct.unpack(f"!{n_oids}i", rest[2 : 2 + 4 * n_oids]))
+        text = sql.decode()
+        from dataclod_spark.plans.rewrites import rewrite_dollar_params
+
+        _, used = rewrite_dollar_params(text)
+        n_params = used[-1] if used else 0
+        self.statements[name.decode()] = _PreparedStatement(text, n_params, oids)
+        self.p.send(b"1")  # ParseComplete
+
+    def handle_bind(self, body: bytes) -> None:
+        portal, rest = body.split(b"\x00", 1)
+        stmt_name, rest = rest.split(b"\x00", 1)
+        (n_fmt,) = struct.unpack("!h", rest[:2])
+        fmts = list(struct.unpack(f"!{n_fmt}h", rest[2 : 2 + 2 * n_fmt]))
+        rest = rest[2 + 2 * n_fmt :]
+        (n_params,) = struct.unpack("!h", rest[:2])
+        rest = rest[2:]
+        stmt = self.statements.get(stmt_name.decode())
+        if stmt is None:
+            self.p.send_error("26000", f"unknown statement {stmt_name!r}")
+            return
+        params = []
+        for i in range(n_params):
+            (ln,) = struct.unpack("!i", rest[:4])
+            rest = rest[4:]
+            if ln == -1:
+                params.append(None)
+                continue
+            raw, rest = rest[:ln], rest[ln:]
+            fmt = fmts[i] if i < len(fmts) else (fmts[0] if len(fmts) == 1 else 0)
+            oid = stmt.param_oids[i] if i < len(stmt.param_oids) else 0
+            params.append(_decode_param(raw, fmt, oid))
+        self.portals[portal.decode()] = _Portal(stmt, params)
+        self.p.send(b"2")  # BindComplete
+
+    def handle_describe(self, body: bytes) -> None:
+        kind, name = body[:1], body[1:].split(b"\x00", 1)[0].decode()
+        try:
+            if kind == b"S":
+                stmt = self.statements[name]
+                # ParameterDescription then RowDescription
+                oids = stmt.param_oids + [_OID_TEXT] * (
+                    stmt.n_params - len(stmt.param_oids)
+                )
+                self.p.send(
+                    b"t", struct.pack("!h", stmt.n_params)
+                    + b"".join(struct.pack("!i", o or _OID_TEXT) for o in oids[: stmt.n_params]),
+                )
+                df, _ = self._run_sql(stmt.sql, [None] * stmt.n_params or None)
+            else:
+                po = self.portals[name]
+                df, _ = self._run_sql(po.stmt.sql, po.params or None)
+            if df is None:
+                self.p.send(b"n")  # NoData
+            else:
+                self._stream_result(df, 0, describe_only=True)
+        except KeyError:
+            self.p.send_error("26000", f"unknown {kind!r} {name!r}")
+        except Exception as e:  # noqa: BLE001
+            self.p.send_error("XX000", str(e)[:1000])
+
+    def handle_execute(self, body: bytes) -> None:
+        name, rest = body.split(b"\x00", 1)
+        (max_rows,) = struct.unpack("!i", rest[:4])
+        po = self.portals.get(name.decode())
+        if po is None:
+            self.p.send_error("26000", f"unknown portal {name.decode()!r}")
+            return
+        try:
+            df, tag = self._run_sql(po.stmt.sql, po.params or None)
+            if df is None:
+                self.p.send_command_complete(tag or "SET")
+                return
+            limit = max_rows if max_rows > 0 else 0
+            n = 0
+            it = df.limit(limit).toLocalIterator() if limit else df.toLocalIterator()
+            for row in it:
+                self.p.send_data_row(_text_encode(v) for v in row)
+                n += 1
+            self.p.send_command_complete(f"SELECT {n}")
+        except Exception as e:  # noqa: BLE001
+            self.p.send_error("XX000", str(e)[:1000])
+
+    def serve(self) -> None:
+        if not self.startup():
+            return
+        while True:
+            tag, body = self.p.read_message()
+            if tag == b"X":  # Terminate
+                return
+            if tag == b"Q":
+                self.handle_simple(body.rstrip(b"\x00").decode())
+            elif tag == b"P":
+                self.handle_parse(body)
+            elif tag == b"B":
+                self.handle_bind(body)
+            elif tag == b"D":
+                self.handle_describe(body)
+            elif tag == b"E":
+                self.handle_execute(body)
+            elif tag == b"C":  # Close statement/portal
+                kind, name = body[:1], body[1:].split(b"\x00", 1)[0].decode()
+                (self.statements if kind == b"S" else self.portals).pop(name, None)
+                self.p.send(b"3")  # CloseComplete
+            elif tag == b"S":  # Sync
+                self.p.send_ready()
+            elif tag == b"H":  # Flush — we write eagerly; nothing buffered
+                pass
+            else:
+                self.p.send_error("0A000", f"unsupported message {tag!r}")
+                self.p.send_ready()
+
+
+def _decode_param(raw: bytes, fmt: int, oid: int):
+    """Bind-parameter decode (text + the binary types encode_parameters
+    accepts, types.rs:24-68)."""
+    if fmt == 1:  # binary
+        if oid == _OID_INT2:
+            return struct.unpack("!h", raw)[0]
+        if oid == _OID_INT4:
+            return struct.unpack("!i", raw)[0]
+        if oid == _OID_INT8:
+            return struct.unpack("!q", raw)[0]
+        if oid == _OID_FLOAT4:
+            return struct.unpack("!f", raw)[0]
+        if oid == _OID_FLOAT8:
+            return struct.unpack("!d", raw)[0]
+        if oid == _OID_BOOL:
+            return raw != b"\x00"
+        if oid == _OID_BYTEA:
+            return raw
+        return raw  # pass through
+    text = raw.decode()
+    if oid in (_OID_INT2, _OID_INT4, _OID_INT8):
+        return int(text)
+    if oid in (_OID_FLOAT4, _OID_FLOAT8):
+        return float(text)
+    if oid == _OID_NUMERIC:
+        return Decimal(text)
+    if oid == _OID_BOOL:
+        return text in ("t", "true", "1", "on")
+    if oid == _OID_DATE:
+        return date.fromisoformat(text)
+    if oid == _OID_TIMESTAMP:
+        return datetime.fromisoformat(text)
+    return text
+
+
+# -- server -------------------------------------------------------------------
+
+
+class PgWireServer:
+    """Threaded pgwire endpoint bound to one EngineSession.
+
+    Spark is thread-safe for concurrent ``sql`` calls, so connections share
+    the one session (reference: one ``QueryContext`` shared across handlers,
+    ``server.rs:19-24``)."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 5432):
+        self.engine = engine
+        self.password = os.environ.get("DATACLOD_PASSWORD", _DEFAULT_PASSWORD)
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:
+                try:
+                    _Connection(
+                        _Proto(self.request), outer.engine, outer.password
+                    ).serve()
+                except (ConnectionError, OSError):
+                    pass
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def main() -> None:  # pragma: no cover - manual entry point
+    import argparse
+
+    from dataclod_spark.session import EngineSession
+
+    ap = argparse.ArgumentParser(description="dataclod-spark pgwire endpoint")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=5432)
+    args = ap.parse_args()
+    srv = PgWireServer(EngineSession(), host=args.host, port=args.port)
+    srv.start()
+    print(f"pgwire listening on {args.host}:{srv.port}")
+    threading.Event().wait()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

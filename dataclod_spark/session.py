@@ -177,11 +177,12 @@ class EngineSession:
             return self.spark.range(0).select()
         from dataclod_spark.plans.rewrites import (
             rewrite_dollar_params,
+            rewrite_pg_catalog_refs,
             rewrite_values_tables,
         )
         from dataclod_spark.plans.spatial_dispatch import try_rewrite_spatial_join
 
-        query = rewrite_values_tables(query)
+        query = rewrite_pg_catalog_refs(rewrite_values_tables(query))
         if args is not None and not isinstance(args, Mapping):
             # positional $n parameters: rename to :__pN and map the list on
             query, used = rewrite_dollar_params(query)

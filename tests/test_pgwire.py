@@ -1,0 +1,249 @@
+"""pgwire endpoint tests — a raw-socket PostgreSQL v3 client drives the
+server exactly as psql would (reference parity: server/src/postgres/
+handler.rs simple+extended protocol, auth.rs MD5 exchange)."""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import pytest
+
+from dataclod_spark.server.pgwire import PgWireServer, md5_password_hash
+
+
+class MiniPgClient:
+    """Just enough of the frontend protocol for the tests."""
+
+    def __init__(self, port: int):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        self._buf = b""
+
+    def close(self):
+        self.sock.close()
+
+    # -- framing --
+    def _recv(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("server closed")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def read_message(self) -> tuple[bytes, bytes]:
+        tag = self._recv(1)
+        (ln,) = struct.unpack("!i", self._recv(4))
+        return tag, self._recv(ln - 4)
+
+    def send(self, tag: bytes, payload: bytes = b"") -> None:
+        self.sock.sendall(tag + struct.pack("!i", len(payload) + 4) + payload)
+
+    # -- startup & auth --
+    def login(self, user: str = "postgres", password: str = "dataclod") -> list:
+        params = f"user\x00{user}\x00database\x00postgres\x00\x00".encode()
+        payload = struct.pack("!i", 196608) + params
+        self.sock.sendall(struct.pack("!i", len(payload) + 4) + payload)
+        tag, body = self.read_message()
+        assert tag == b"R"
+        code = struct.unpack("!i", body[:4])[0]
+        assert code == 5, "expected MD5Password request"
+        salt = body[4:8]
+        pwd = md5_password_hash(user, password, salt)
+        self.send(b"p", pwd.encode() + b"\x00")
+        msgs = []
+        while True:
+            tag, body = self.read_message()
+            msgs.append((tag, body))
+            if tag == b"Z":
+                return msgs
+            if tag == b"E":
+                return msgs
+
+    # -- simple protocol --
+    def query(self, sql: str):
+        """Returns (columns, rows, tag) via the simple protocol."""
+        self.send(b"Q", sql.encode() + b"\x00")
+        cols, rows, tag = [], [], None
+        while True:
+            t, body = self.read_message()
+            if t == b"T":
+                (n,) = struct.unpack("!h", body[:2])
+                off = 2
+                for _ in range(n):
+                    end = body.index(b"\x00", off)
+                    name = body[off:end].decode()
+                    off = end + 1 + 18
+                    cols.append(name)
+            elif t == b"D":
+                (n,) = struct.unpack("!h", body[:2])
+                off = 2
+                row = []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", body[off : off + 4])
+                    off += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(body[off : off + ln])
+                        off += ln
+                rows.append(row)
+            elif t == b"C":
+                tag = body.rstrip(b"\x00").decode()
+            elif t == b"E":
+                err = body.decode("utf-8", "replace")
+                while self.read_message()[0] != b"Z":  # drain to ReadyForQuery
+                    pass
+                raise RuntimeError(err)
+            elif t == b"Z":
+                return cols, rows, tag
+
+    # -- extended protocol --
+    def extended(self, sql: str, params: list[bytes | None], oids: list[int]):
+        parse = b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", len(oids))
+        for o in oids:
+            parse += struct.pack("!i", o)
+        self.send(b"P", parse)
+        bind = b"\x00\x00" + struct.pack("!h", 0) + struct.pack("!h", len(params))
+        for p in params:
+            bind += struct.pack("!i", -1) if p is None else struct.pack("!i", len(p)) + p
+        bind += struct.pack("!h", 0)
+        self.send(b"B", bind)
+        self.send(b"E", b"\x00" + struct.pack("!i", 0))
+        self.send(b"S")
+        rows, tag = [], None
+        while True:
+            t, body = self.read_message()
+            if t == b"D":
+                (n,) = struct.unpack("!h", body[:2])
+                off = 2
+                row = []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", body[off : off + 4])
+                    off += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(body[off : off + ln])
+                        off += ln
+                rows.append(row)
+            elif t == b"C":
+                tag = body.rstrip(b"\x00").decode()
+            elif t == b"E":
+                raise RuntimeError(body.decode("utf-8", "replace"))
+            elif t == b"Z":
+                return rows, tag
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = PgWireServer(engine, port=0)  # ephemeral port
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def client(server):
+    c = MiniPgClient(server.port)
+    msgs = c.login()
+    assert msgs[-1][0] == b"Z", f"login failed: {msgs}"
+    yield c
+    c.close()
+
+
+def test_auth_rejects_bad_password(server):
+    c = MiniPgClient(server.port)
+    msgs = c.login(password="wrong")
+    assert msgs[-1][0] == b"E"
+    assert b"28P01" in msgs[-1][1]
+    c.close()
+
+
+def test_auth_rejects_non_postgres_user(server):
+    c = MiniPgClient(server.port)
+    msgs = c.login(user="alice")
+    assert msgs[-1][0] == b"E"
+    c.close()
+
+
+def test_server_parameters_sent(server):
+    c = MiniPgClient(server.port)
+    msgs = c.login()
+    params = {
+        m[1].split(b"\x00")[0].decode(): m[1].split(b"\x00")[1].decode()
+        for m in msgs
+        if m[0] == b"S"
+    }
+    assert params["server_version"] == "10.0"
+    assert params["server_encoding"] == "UTF8"
+    assert params["DateStyle"] == "ISO YMD"
+    c.close()
+
+
+def test_simple_select(client):
+    cols, rows, tag = client.query("SELECT 1 + 1 AS two, 'hi' AS s, true AS b")
+    assert cols == ["two", "s", "b"]
+    assert rows == [[b"2", b"hi", b"t"]]
+    assert tag == "SELECT 1"
+
+
+def test_simple_null_and_float(client):
+    _, rows, _ = client.query(
+        "SELECT CAST(NULL AS INT) AS a, CAST(2.5 AS DOUBLE) AS f"
+    )
+    assert rows == [[None, b"2.5"]]
+
+
+def test_txn_tags(client):
+    assert client.query("BEGIN")[2] == "BEGIN"
+    assert client.query("COMMIT")[2] == "COMMIT"
+    assert client.query("ROLLBACK")[2] == "ROLLBACK"
+    assert client.query("abort")[2] == "ROLLBACK"
+
+
+def test_set_swallowed(client):
+    assert client.query("SET search_path = public")[2] == "SET"
+
+
+def test_spatial_function_through_wire(client):
+    _, rows, _ = client.query(
+        "SELECT ST_AsText(ST_GeomFromText('POINT(1 2)')) AS wkt"
+    )
+    assert rows == [[b"POINT (1 2)"]]
+
+
+def test_row_limit_1024(client):
+    _, rows, tag = client.query(
+        "SELECT id FROM range(5000)"
+    )
+    assert len(rows) == 1024  # handler.rs DEFAULT_ROW_LIMIT
+    assert tag == "SELECT 1024"
+
+
+def test_error_then_recovers(client):
+    with pytest.raises(RuntimeError):
+        client.query("SELECT definitely_not_a_column FROM nonexistent_xyz")
+    cols, rows, _ = client.query("SELECT 7 AS ok")
+    assert rows == [[b"7"]]
+
+
+def test_extended_protocol_positional_params(client):
+    rows, tag = client.extended(
+        "SELECT $1 + $2 AS total", [b"40", b"2"], [23, 23]
+    )
+    assert rows == [[b"42"]]
+    assert tag == "SELECT 1"
+
+
+def test_extended_text_param(client):
+    rows, _ = client.extended("SELECT upper($1) AS u", [b"abc"], [25])
+    assert rows == [[b"ABC"]]
+
+
+def test_pg_catalog_over_wire(client):
+    _, rows, _ = client.query(
+        "SELECT typname FROM pg_catalog.pg_type WHERE typname = 'int4'"
+    )
+    assert rows == [[b"int4"]]
