@@ -1,0 +1,95 @@
+"""Streaming gate queries — Structured Streaming executed for real and
+hash-checked against DuckDB (SURVEY §2.C; engine extension, the reference
+has no streaming).
+
+Unlike the batch twins in queries/events.py, these run an actual
+``readStream`` → transform → ``writeStream`` pipeline to completion with
+``availableNow`` and return the sink contents.  The oracles encode the
+deterministic watermark cutoffs documented in streaming/run.py:
+
+* one parquet file ⇒ a single data micro-batch, then a no-data batch
+  advances the watermark to ``max(ts) - 600s`` (ms-floored);
+* append-mode windows emit iff ``window_end <= watermark``;
+* stateful sessions flush via event-time timeout iff
+  ``watermark_ms > (session_end + gap) ms`` — sessions already closed
+  in-batch (a later session exists for the same user) always emit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataclod_spark.registry import query
+
+
+@query(
+    "st1_stream_sessionization",
+    doc="custom stateful streaming operator: applyInPandasWithState gap "
+    "sessionization with event-time timeout, run via availableNow",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(min(ts)) / 1000000) AS BIGINT) AS session_start,
+         CAST(floor(epoch_us(max(ts)) / 1000000) AS BIGINT) AS session_end,
+         count(*) AS n_events,
+         epoch_us(max(ts)) AS end_us,
+         max(sid) OVER (PARTITION BY user_id) AS max_sid, sid
+  FROM sess GROUP BY user_id, sid
+), wm AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM events)
+SELECT user_id, session_start, session_end, n_events
+FROM agg, wm
+WHERE sid < max_sid OR wm_ms > (end_us + 1800000000) // 1000
+ORDER BY user_id, session_start
+""",
+)
+def st1_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.streaming.run import (
+        read_events_stream,
+        run_to_memory,
+        sessionize_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_memory(sessionize_stream(ev), spark)
+    return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "st2_stream_tumbling",
+    doc="watermarked tumbling-window streaming aggregation (append mode: "
+    "only watermark-finalized windows emit)",
+    oracle="""
+WITH win AS (
+  SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+         event_type,
+         count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+  FROM events
+  GROUP BY window_start, event_type
+), wm AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM events)
+SELECT window_start, event_type, n_events, total_value
+FROM win, wm
+WHERE (window_start + 3600) * 1000 <= wm_ms
+ORDER BY window_start, event_type
+""",
+)
+def st2_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.streaming.run import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_memory(tumbling_stream(ev), spark)
+    return out.orderBy("window_start", "event_type")

@@ -1,0 +1,190 @@
+"""End-to-end Structured Streaming execution — engine extension (SURVEY §2.C).
+
+The reference has no streaming subsystem; this module is the engine's
+streaming surface over the driver's ``events`` shape, exercised for real
+(``readStream`` → stateful transform → ``writeStream``), not just as batch
+twins:
+
+* :func:`read_events_stream` — file-source stream over the events parquet
+  (TIMESTAMP(NANOS) handled the same way as ``registry.load``);
+* :func:`sessionize_stream` — **custom stateful operator** via
+  ``applyInPandasWithState`` (gap-based sessions, event-time timeout) — the
+  pattern for operators Spark's built-ins can't express;
+* :func:`tumbling_stream` — watermarked tumbling window in append mode;
+* :func:`run_to_memory` — drive any streaming frame with
+  ``trigger(availableNow=True)`` into a memory sink and hand back the
+  result as a batch DataFrame.
+
+Determinism contract (what the oracles encode): with ``availableNow`` over
+one parquet file the data arrives as a single micro-batch, then Spark runs
+a final no-data micro-batch (``noDataMicroBatches`` default on) that
+advances the watermark to ``max(ts) - delay``.  Append-mode windows emit
+iff ``window_end <= watermark``; sessions held in state emit via event-time
+timeout iff ``session_end + gap <= watermark``.  Both cutoffs are plain SQL
+over the same data, so even the streaming path is value-hash-checked
+against DuckDB (see queries/streaming.py).
+
+Scale: the memory sink is for the correctness gate only — production
+streams write to files/Kafka with the identical plan.  State size is
+O(open sessions) = O(active users), hash-partitioned by user_id across
+executors; the file source at 100 TB shards by file (maxFilesPerTrigger)
+so no single batch must fit in memory.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterable, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_memory_sink_counter = itertools.count()
+
+# gap/delay used by the gate queries (odd delay avoids watermark boundary
+# ties with second-granularity event times)
+SESSION_GAP_SEC = 1800
+WATERMARK_SEC = 600
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet.
+
+    Mirrors registry.load's TIMESTAMP(NANOS) handling: read ``ts`` as long
+    nanos (``legacy.parquet.nanosAsLong``), convert to micros timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory; glob-filter to the events file
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_sec: int = SESSION_GAP_SEC,
+    watermark_sec: int = WATERMARK_SEC,
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator.
+
+    ``applyInPandasWithState`` keeps one open session per user in state;
+    events extend it or close it (gap exceeded) and closed sessions are
+    appended downstream.  The open session registers an event-time timeout
+    at ``last_event + gap`` — when the watermark passes it, the session is
+    final and flushes.  Epoch-second outputs keep the comparison
+    timezone-free.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_sec * 1_000_000
+
+    def fn(
+        key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        user_id = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [start // 1_000_000],
+                    "session_end": [last // 1_000_000],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts = pd.concat([p["ts_us"] for p in pdfs]).sort_values().to_numpy()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = int(ts[0]), int(ts[0]), 0
+        out_start, out_end, out_n = [], [], []
+        for t in ts:
+            t = int(t)
+            if n and t - last > gap_us:
+                out_start.append(start // 1_000_000)
+                out_end.append(last // 1_000_000)
+                out_n.append(n)
+                start, last, n = t, t, 1
+            else:
+                last = max(last, t)
+                n += 1
+                if n == 1:
+                    start = t
+        state.update((start, last, n))
+        # event-time timeout: fires when watermark > last + gap
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if out_n:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_n),
+                    "session_start": out_start,
+                    "session_end": out_end,
+                    "n_events": out_n,
+                }
+            )
+
+    src = (
+        events.withWatermark("ts", f"{watermark_sec} seconds")
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id bigint, session_start bigint, session_end bigint, n_events bigint",
+        "start bigint, last bigint, n bigint",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def tumbling_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark_sec: int = WATERMARK_SEC,
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum in append mode (only finalized
+    windows are emitted)."""
+    return (
+        events.withWatermark("ts", f"{watermark_sec} seconds")
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, spark: SparkSession, timeout_sec: int = 300) -> DataFrame:
+    """Execute a streaming frame to completion (availableNow) into a memory
+    sink; returns the sink contents as a batch DataFrame."""
+    name = f"__stream_result_{next(_memory_sink_counter)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return df.sparkSession.table(name)
