@@ -205,3 +205,72 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
         h.join(w_min, (h["__fp"] == w_min["__fp"]) & (h["doc_id"] == w_min["keep_id"]))
         .drop("__fp", "keep_id")
     )
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word-level n-grams (space-joined) of lowercased text.
+
+    Tokenization is ``[^a-z0-9]+`` splits of ``lower(text)`` — chosen to be
+    reproducible verbatim in ANSI SQL / DuckDB for the differential oracle.
+    """
+    toks = F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs via an inverted-index join.
+
+    Pipeline (all JVM expression code):
+      1. distinct word n-grams per doc + per-doc gram count;
+      2. explode → inverted index (gram → doc ids), optionally dropping
+         grams occurring in more than ``max_doc_freq`` docs (stop-gram /
+         skew guard: a boilerplate gram shared by 1M docs would otherwise
+         produce 10^12 candidate pairs);
+      3. self-join on gram, count shared grams per (id_1 < id_2) pair —
+         shuffle is O(posting-list pairs), not all-pairs;
+      4. exact Jaccard from |A∩B| / (|A| + |B| - |A∩B|), threshold filter.
+
+    Differs from lsh_candidate_pairs: no hashing approximation — every
+    pair sharing ≥1 (kept) n-gram is scored exactly.
+    """
+    grams = df.select(
+        F.col(id_col).alias("__id"), word_ngrams(F.col(text_col), n).alias("__grams")
+    ).withColumn("__n_grams", F.size("__grams"))
+    inv = grams.select("__id", "__n_grams", F.explode("__grams").alias("__g"))
+    if max_doc_freq is not None:
+        from pyspark.sql import Window as W
+
+        inv = inv.withColumn(
+            "__df", F.count(F.lit(1)).over(W.partitionBy("__g"))
+        ).filter(F.col("__df") <= max_doc_freq).drop("__df")
+    left = inv.select(
+        F.col("__id").alias("id_1"), F.col("__n_grams").alias("n_1"), "__g"
+    )
+    right = inv.select(
+        F.col("__id").alias("id_2"), F.col("__n_grams").alias("n_2"), "__g"
+    )
+    pairs = (
+        left.join(right, "__g")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2", "n_1", "n_2")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    jac = F.col("__inter") / (F.col("n_1") + F.col("n_2") - F.col("__inter"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_1", "id_2", "jaccard")
+    )

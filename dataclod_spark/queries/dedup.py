@@ -176,3 +176,37 @@ def d5_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_1", "id_2", "label", "cosine_sim")
         .orderBy("id_1", "id_2")
     )
+
+
+@query(
+    "d6_ngram_jaccard",
+    doc="exact word-3-gram Jaccard near-dup pairs via inverted-index join "
+    "(no hashing: every pair sharing a kept gram scored exactly)",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ts) - 2, 0)),
+           i -> array_to_string(ts[i:i+2], ' '))) AS gs
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.gs AS g1, b.gs AS g2
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.gs, b.gs)) > 0
+)
+SELECT id_1, id_2,
+       round(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
+             / (len(g1) + len(g2) - len(list_intersect(g1, g2))), 6) AS jaccard
+FROM pairs
+WHERE round(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
+            / (len(g1) + len(g2) - len(list_intersect(g1, g2))), 6) >= 0.1
+ORDER BY id_1, id_2
+""",
+)
+def d6_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, jaccard_threshold=0.1).orderBy("id_1", "id_2")

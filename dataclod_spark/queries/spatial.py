@@ -398,3 +398,73 @@ def g9_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY b.box_id
         """
     )
+
+
+@query(
+    "g10_geo_statistics",
+    doc="GeoStatistics accumulator (analyze.rs parity): per-geometry "
+    "summary UDF + JVM min/max/sum aggregation over a mixed column",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
+  FROM events WHERE event_id % 7 = 0
+), boxes AS (
+  SELECT CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by,
+         CAST(3 + event_id % 5 AS DOUBLE) AS w, CAST(2 + user_id % 3 AS DOUBLE) AS h
+  FROM events WHERE event_id % 50 = 0
+), s AS (
+  SELECT count(*) AS np,
+         min(px) AS pxmin, min(py) AS pymin, max(px) AS pxmax, max(py) AS pymax
+  FROM pts
+), b AS (
+  SELECT count(*) AS nb,
+         min(bx) AS bxmin, min(by) AS bymin,
+         max(bx + w) AS bxmax, max(by + h) AS bymax
+  FROM boxes
+)
+SELECT np + nb                    AS total_geometries,
+       np * 21 + nb * 93          AS total_size_bytes,
+       np + nb * 5                AS total_points,
+       np                         AS puntal_count,
+       nb                         AS polygonal_count,
+       least(pxmin, bxmin)        AS xmin,
+       least(pymin, bymin)        AS ymin,
+       greatest(pxmax, bxmax)     AS xmax,
+       greatest(pymax, bymax)     AS ymax
+FROM s, b
+""",
+)
+def g10_geo_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accumulator's totals are recomputable from the generating
+    coordinates, so the oracle needs no WKB parsing: a point is 21 WKB
+    bytes / 1 point, an envelope 93 bytes / 5 ring points."""
+    from dataclod_spark.operators.geo_stats import geometry_statistics
+    from dataclod_spark.operators.spatial_join import envelope_wkb, point_wkb
+
+    e = load(spark, sf_dir, "events")
+    pts = e.filter(F.col("event_id") % 7 == 0).select(
+        point_wkb(
+            (F.col("event_id") % 89).cast("double"),
+            (F.col("user_id") % 43).cast("double"),
+        ).alias("geom")
+    )
+    boxes = e.filter(F.col("event_id") % 50 == 0).select(
+        envelope_wkb(
+            (F.col("event_id") % 97).cast("double"),
+            (F.col("user_id") % 41).cast("double"),
+            (F.col("event_id") % 97 + 3 + F.col("event_id") % 5).cast("double"),
+            (F.col("user_id") % 41 + 2 + F.col("user_id") % 3).cast("double"),
+        ).alias("geom")
+    )
+    stats = geometry_statistics(pts.unionAll(boxes), "geom")
+    return stats.select(
+        "total_geometries",
+        "total_size_bytes",
+        "total_points",
+        "puntal_count",
+        "polygonal_count",
+        "xmin",
+        "ymin",
+        "xmax",
+        "ymax",
+    )
