@@ -235,3 +235,68 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "bucket", "cosine_sim", "rank")
     )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate KNN — the classic ANN scale path.
+
+    Coarse quantizer: ``n_centroids`` centroid vectors partition the corpus
+    into cells; production trains them with k-means offline — here they are
+    the ``n_centroids`` lowest-id corpus vectors (deterministic, so the
+    differential oracle reproduces the exact partition).
+
+    Plan shape (100 TB story):
+      * centroids collect to the driver (k × dim floats) and ride into the
+        plan as literals — corpus assignment is a **pure projection**
+        (argmax cosine via array_max over (cos, -id) structs): one scan,
+        zero shuffle;
+      * each query probes its ``n_probe`` nearest cells — fan-out
+        multiplies only the broadcast query side;
+      * candidates = corpus rows in probed cells (bucket equi-join), exact
+        cosine + per-query top-k window over candidates only.
+    """
+    cents = [
+        (int(r[0]), [float(v) for v in r[1]])
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    ]
+
+    def cos_structs(vec: Column) -> Column:
+        entries = []
+        for cid, cvec in cents:
+            cv = F.array(*[F.lit(v) for v in cvec])
+            entries.append(
+                F.struct(cosine(vec, cv).alias("cos"), F.lit(-cid).alias("ncid"))
+            )
+        return F.array(*entries)
+
+    bucket = F.array_max(cos_structs(F.col("c_vec")))["ncid"] * -1
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("bucket", bucket)
+
+    probes = F.transform(
+        F.slice(F.sort_array(cos_structs(F.col("q_vec")), asc=False), 1, n_probe),
+        lambda s: -s["ncid"],
+    )
+    qb = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("bucket", F.explode(probes))
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "bucket", "cosine_sim", "rank")
+    )

@@ -183,3 +183,67 @@ def v3_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 10), k=3, n_tables=2, probe_hamming=1
     )
     return out.orderBy("query_id", "rank")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two 64-dim FLOAT[] expressions (summation
+    order matches Spark's F.aggregate: sequential i = 1..64, so doubles are
+    bit-identical and argmax tie-breaks agree across engines)."""
+    dot = (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform(range(1, len({b}) + 1), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    )
+    return f"({dot} / ({na} * {nb}))"
+
+
+@query(
+    "v4_knn_ivf",
+    doc="IVF approximate KNN: deterministic coarse quantizer (16 cells), "
+    "argmax-cosine assignment, 2-probe query fan-out, exact top-3 over "
+    "candidate cells only",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+), assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, cid AS bucket
+  FROM (
+    SELECT c.vec_id, c.embedding, ct.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_cos_sql('c.embedding', 'ct.cvec')} DESC, ct.cid) AS rn
+    FROM embeddings c CROSS JOIN cents ct) t
+  WHERE rn = 1
+), probes AS (
+  SELECT query_id, q_vec, cid AS bucket
+  FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_vec, ct.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_sql('q.embedding', 'ct.cvec')} DESC, ct.cid) AS rn
+    FROM embeddings q CROSS JOIN cents ct
+    WHERE q.vec_id < 10) t
+  WHERE rn <= 2
+), cand AS (
+  SELECT p.query_id, a.neighbor_id, a.bucket,
+         round({_cos_sql('p.q_vec', 'a.c_vec')}, 6) AS cosine_sim
+  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+  WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, bucket, cosine_sim, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM cand) ranked
+WHERE rank <= 3
+ORDER BY query_id, rank
+""",
+)
+def v4_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    out = SIM.knn_ivf(e, e.filter(F.col("vec_id") < 10), k=3, n_centroids=16, n_probe=2)
+    return out.orderBy("query_id", "rank")

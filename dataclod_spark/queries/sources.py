@@ -124,3 +124,31 @@ def pg1_pg_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT oid, typname, typcategory FROM pg_catalog_pg_type ORDER BY oid"
     )
+
+
+@query(
+    "m2_frame_sampling",
+    doc="multimodal frame-sampling plumbing: mapInPandas explode of media "
+    "rows into every-2nd-frame rows (stub codec)",
+    oracle=f"""
+WITH nf AS (
+  SELECT doc_id, CAST(1 + ({_HEXVAL.format(pos=6)}) % 8 AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INT) AS frame_no
+FROM nf
+ORDER BY doc_id, frame_no
+""",
+)
+def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.operators.multimodal import sample_frames
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    frames = sample_frames(media, every_n=2)
+    return frames.select(
+        F.col("media_id").alias("doc_id"), "frame_no"
+    ).orderBy("doc_id", "frame_no")
