@@ -210,6 +210,8 @@ FUNCTIONS: dict[str, tuple] = {
     "ST_CoveredBy": (lambda a, b: P.covered_by(_g(a), _g(b)), _BOOL),
     "ST_Touches": (lambda a, b: P.touches(_g(a), _g(b)), _BOOL),
     "ST_Overlaps": (lambda a, b: P.overlaps(_g(a), _g(b)), _BOOL),
+    # recognized by the reference's join planner (spatial_expr_utils.rs:51)
+    "ST_Crosses": (lambda a, b: P.crosses(_g(a), _g(b)), _BOOL),
     "BBox_Intersects": (lambda a, b: P.bbox_intersects(_g(a), _g(b)), _BOOL),
     "ST_DWithin": (lambda a, b, d: P.dwithin(_g(a), _g(b), float(d)), _BOOL),
     # binary measures / constructive (udfs.rs:248-284)

@@ -471,3 +471,26 @@ def overlaps(g1: Geometry, g2: Geometry) -> bool:
 def dwithin(g1: Geometry, g2: Geometry, dist: float) -> Optional[bool]:
     d = distance(g1, g2)
     return None if d is None else d <= dist
+
+
+def crosses(g1: Geometry, g2: Geometry) -> bool:
+    """OGC ST_Crosses: interiors intersect in a dimension lower than the
+    max input dimension ("some but not all interior points in common").
+
+    Defined for P×L, P×A, L×A (either argument order) and L×L; false for
+    equal non-lineal dimensions (reference join planner recognizes it:
+    spatial_expr_utils.rs:51,125).
+    """
+    if g1.is_empty() or g2.is_empty():
+        return False
+    d1, d2 = g1.dimension(), g2.dimension()
+    if d1 == d2:
+        if d1 != 1:
+            return False
+        # L×L: interiors meet, but only 0-dimensionally
+        _, ii = _interaction_flags(g1, g2)
+        return ii and not _lineal_interior_overlap(g1, g2)
+    lo, hi = (g1, g2) if d1 < d2 else (g2, g1)
+    _, ii = _interaction_flags(g1, g2)
+    # some interior shared (ii) but not all (lo not covered by hi)
+    return ii and not _covers_impl(hi, lo)

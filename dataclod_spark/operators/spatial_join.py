@@ -69,6 +69,7 @@ PREDICATES = {
     "touches": GP.touches,
     "overlaps": GP.overlaps,
     "equals": GP.equals,
+    "crosses": GP.crosses,
 }
 
 _BBOX_SCHEMA = T.StructType(
@@ -493,6 +494,11 @@ def exact_verdict(predicate: str, distance: Optional[float]) -> Column:
             F.greatest(ly0, ry0) < F.least(ly1, ry1)
         )
         return F.when(lpt | rpt, F.lit(False)).otherwise(proper & ~l_in_r & ~r_in_l)
+    if predicate == "crosses":
+        # bbox-exact operands are points (dim 0) or axis rectangles (dim 2):
+        # P×P and R×R have equal non-lineal dims (false); P×R intersecting
+        # is always fully covered ("all interior points in common") — false
+        return F.lit(False)
     if predicate == "dwithin":
         d = float(distance or 0.0)
         dx = F.greatest(lx0 - rx1, rx0 - lx1, F.lit(0.0))

@@ -40,7 +40,10 @@ from typing import Optional
 
 # join predicates recognized by the reference's planner
 # (spatial_expr_utils.rs:20-76)
-_SYMMETRIC = {"st_intersects", "st_touches", "st_overlaps", "st_equals", "bbox_intersects"}
+_SYMMETRIC = {
+    "st_intersects", "st_touches", "st_overlaps", "st_equals",
+    "st_crosses", "bbox_intersects",
+}
 _ASYMMETRIC = {"st_contains", "st_within", "st_covers", "st_coveredby", "st_covered_by"}
 _JOIN_PREDICATES = _SYMMETRIC | _ASYMMETRIC
 
@@ -80,6 +83,7 @@ _PRED_KEY = {
     "bbox_intersects": "bbox",
     "st_touches": "touches",
     "st_overlaps": "overlaps",
+    "st_crosses": "crosses",
     "st_equals": "equals",
     "st_contains": "contains",
     "st_within": "within",
@@ -250,6 +254,10 @@ def _verdict_sql(key: str, b1: str, b2: str, e: float = 0.0, strict: bool = Fals
             f"(CASE WHEN {lpt} OR {rpt} THEN false "
             f"ELSE ({proper} AND NOT {l_in_r} AND NOT {r_in_l}) END)"
         )
+    if key == "crosses":
+        # bbox-exact pairs are points/axis-rects: crosses is always false
+        # (equal non-lineal dims, or point fully covered by the rect)
+        return "false"
     if key == "dwithin":
         dx = f"greatest({lx0} - {rx1}, {rx0} - {lx1}, CAST(0.0 AS DOUBLE))"
         dy = f"greatest({ly0} - {ry1}, {ry0} - {ly1}, CAST(0.0 AS DOUBLE))"

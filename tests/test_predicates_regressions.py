@@ -99,3 +99,39 @@ class TestValuesRewrite:
         out = rewrite_values_tables(s)
         assert "CROSS JOIN q" in out
         assert "AS cross" not in out.lower()
+
+
+class TestCrosses:
+    """OGC ST_Crosses (reference join planner: spatial_expr_utils.rs:51)."""
+
+    CASES = [
+        ("LINESTRING(0 0,2 2)", "LINESTRING(0 2,2 0)", True),
+        ("LINESTRING(0 0,2 0)", "LINESTRING(1 0,3 0)", False),  # overlaps, not crosses
+        ("LINESTRING(0 0,1 1)", "LINESTRING(1 1,2 0)", False),  # endpoint touch
+        ("LINESTRING(-1 5, 11 5)", "POLYGON((0 0,10 0,10 10,0 10,0 0))", True),
+        ("POLYGON((0 0,10 0,10 10,0 10,0 0))", "LINESTRING(-1 5, 11 5)", True),
+        ("LINESTRING(2 2,8 8)", "POLYGON((0 0,10 0,10 10,0 10,0 0))", False),
+        ("LINESTRING(0 0,10 0)", "POLYGON((0 0,10 0,10 10,0 10,0 0))", False),
+        ("MULTIPOINT((1 1),(5 9))", "LINESTRING(0 0,2 2)", True),
+        ("POINT(1 1)", "LINESTRING(0 0,2 2)", False),
+        ("POLYGON((0 0,4 0,4 4,0 4,0 0))", "POLYGON((2 2,6 2,6 6,2 6,2 2))", False),
+        ("POINT(5 5)", "POLYGON((0 0,10 0,10 10,0 10,0 0))", False),
+        ("MULTIPOINT((5 5),(20 20))", "POLYGON((0 0,10 0,10 10,0 10,0 0))", True),
+    ]
+
+    def test_truth_table(self):
+        from dataclod_spark.geo import core as GC
+        from dataclod_spark.geo.predicates import crosses
+
+        for a, b, want in self.CASES:
+            got = crosses(GC.wkt_parse(a), GC.wkt_parse(b))
+            assert got == want, f"crosses({a}, {b}) = {got}, want {want}"
+
+    def test_sql_registration(self, engine):
+        row = engine.sql(
+            "SELECT ST_Crosses(ST_GeomFromText('LINESTRING(0 0,2 2)'), "
+            "ST_GeomFromText('LINESTRING(0 2,2 0)')) AS c, "
+            "ST_Crosses(ST_GeomFromText('LINESTRING(0 0,2 0)'), "
+            "ST_GeomFromText('LINESTRING(1 0,3 0)')) AS o"
+        ).collect()[0]
+        assert row.c is True and row.o is False
