@@ -70,3 +70,38 @@ def test_spatial_join_shuffles_once_on_cell(spark):
     # no distinct/dedup exchange over candidate pairs
     assert "HashAggregate(keys=[id_1" not in plan
     assert "dropDuplicates" not in plan.lower()
+
+
+def test_v4_ivf_corpus_assignment_is_projection(spark):
+    """IVF cell assignment must be a pure projection over the corpus scan
+    (centroid literals, no shuffle/Python before the bucket join)."""
+    plan = _plan(spark, "v4_knn_ivf", "simple")
+    assert "BroadcastHashJoin" in plan  # probe side broadcast, corpus streamed
+    pre_join = plan.split("BroadcastHashJoin")[-1]  # corpus subtree is below
+    assert "ArrowEvalPython" not in plan  # no Python anywhere in IVF
+    assert "BatchEvalPython" not in plan
+
+
+def test_d6_ngram_inverted_index_join_shape(spark):
+    """The n-gram join shuffles posting lists (gram hash), never all-pairs:
+    no cartesian/nested-loop product in the plan."""
+    plan = _plan(spark, "d6_ngram_jaccard", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_st2_streaming_uses_stateful_window_agg(spark):
+    """Streaming tumbling agg plans a stateful aggregate over the window,
+    not a driver-side collect."""
+    from dataclod_spark.streaming.run import read_events_stream, tumbling_stream
+
+    df = tumbling_stream(read_events_stream(spark, SF_SMOKE))
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+
+
+def test_g10_geo_stats_partial_aggregation(spark):
+    """GeoStatistics aggregates partially map-side: one row per task enters
+    the final exchange."""
+    plan = _plan(spark, "g10_geo_statistics", "simple")
+    assert "partial_" in plan
