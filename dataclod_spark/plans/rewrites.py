@@ -199,3 +199,17 @@ def rewrite_pg_catalog_refs(sql: str) -> str:
     ``\\d``, BI tools) always qualify.  The prefixed spelling is registered
     by catalog.pg_catalog.register_pg_catalog."""
     return _PG_CATALOG_QUAL_RE.sub(lambda m: f"pg_catalog_{m.group(1)}", sql)
+
+
+_INFO_SCHEMA_QUAL_RE = re.compile(
+    r"\binformation_schema\s*\.\s*(tables|columns|schemata)", re.IGNORECASE
+)
+
+
+def rewrite_information_schema_refs(sql: str) -> str:
+    """``information_schema.X`` → ``information_schema_X`` temp views
+    (rebuilt on use by EngineSession.sql; reference enables DataFusion's
+    information_schema at context.rs:33)."""
+    return _INFO_SCHEMA_QUAL_RE.sub(
+        lambda m: f"information_schema_{m.group(1).lower()}", sql
+    )

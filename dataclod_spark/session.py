@@ -177,12 +177,21 @@ class EngineSession:
             return self.spark.range(0).select()
         from dataclod_spark.plans.rewrites import (
             rewrite_dollar_params,
+            rewrite_information_schema_refs,
             rewrite_pg_catalog_refs,
             rewrite_values_tables,
         )
         from dataclod_spark.plans.spatial_dispatch import try_rewrite_spatial_join
 
         query = rewrite_pg_catalog_refs(rewrite_values_tables(query))
+        if "information_schema" in query.lower():
+            # refresh-on-use: snapshot views over the live catalog state
+            from dataclod_spark.catalog.information_schema import (
+                register_information_schema,
+            )
+
+            register_information_schema(self.spark)
+            query = rewrite_information_schema_refs(query)
         if args is not None and not isinstance(args, Mapping):
             # positional $n parameters: rename to :__pN and map the list on
             query, used = rewrite_dollar_params(query)

@@ -247,3 +247,17 @@ def test_pg_catalog_over_wire(client):
         "SELECT typname FROM pg_catalog.pg_type WHERE typname = 'int4'"
     )
     assert rows == [[b"int4"]]
+
+
+def test_information_schema_over_wire(client, engine):
+    engine.spark.range(3).createOrReplaceTempView("info_probe_tbl")
+    _, rows, _ = client.query(
+        "SELECT table_name, table_type FROM information_schema.tables "
+        "WHERE table_name = 'info_probe_tbl'"
+    )
+    assert rows == [[b"info_probe_tbl", b"VIEW"]]
+    _, cols_rows, _ = client.query(
+        "SELECT column_name, data_type, is_nullable FROM information_schema.columns "
+        "WHERE table_name = 'info_probe_tbl'"
+    )
+    assert cols_rows == [[b"id", b"bigint", b"NO"]]
