@@ -113,3 +113,57 @@ def langid(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 hex of normalized text."""
     return F.md5(normalize_text(col).cast("binary"))
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs shared by
+# Java regex (Spark) and RE2 (DuckDB) — no lookahead, ASCII classes — so
+# the differential oracle tokenizes identically:
+# contractions | optional-space letters | optional-space digits |
+# optional-space other-punct runs
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization (the merge step of a real BPE runs on these
+    pieces; counting them approximates LLM token counts far better than
+    whitespace splitting)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
+# rolling-hash fingerprint parameters (winnowing-style k-gram selection)
+ROLLING_K = 3
+ROLLING_BASE = 31
+
+
+def _token_values(col: Column) -> Column:
+    """Deterministic per-token 32-bit values (md5-derived, engine-neutral)."""
+    return F.transform(
+        tokens(col), lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    )
+
+
+def rolling_fingerprint(col: Column, k: int = ROLLING_K) -> Column:
+    """Winnowing-style document fingerprint: polynomial rolling hash over
+    every token k-gram, fingerprint = minimum window hash (robust to
+    insertions far from the minimizing window — unlike whole-document
+    hashing, near-identical documents keep equal fingerprints).
+
+    All JVM expression code: transform/sequence/aggregate over the token
+    array; values stay < 2^47 so no modulus is needed (bit-identical in
+    any int64 engine).  NULL for documents with fewer than k tokens.
+    """
+    vals = _token_values(col)
+    n = F.size(vals)
+
+    def window_hash(i: Column) -> Column:
+        h = F.lit(0).cast("bigint")
+        for j in range(k):
+            h = h * ROLLING_BASE + F.element_at(vals, i + j)
+        return h
+
+    hashes = F.transform(F.sequence(F.lit(1), n - (k - 1)), window_hash)
+    return F.when(n >= k, F.array_min(hashes)).otherwise(F.lit(None))

@@ -162,3 +162,49 @@ def x4_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "x5_bpe_tokens",
+    doc="BPE-ish pre-tokenizer counts (GPT-2-style pattern, lookahead-free "
+    "so Java regex and RE2 tokenize identically)",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text),
+           '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+')) AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+def x5_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
+@query(
+    "x6_rolling_fingerprint",
+    doc="winnowing-style rolling-hash document fingerprint (min polynomial "
+    "hash over token 3-grams)",
+    oracle=rf"""
+WITH v AS (
+  SELECT doc_id,
+         list_transform({_TOKS},
+           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS vals
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(vals) >= 3 THEN
+         list_min(list_transform(generate_series(1, len(vals) - 2),
+           i -> (vals[i] * 961 + vals[i+1] * 31 + vals[i+2])))
+       ELSE NULL END AS fp
+FROM v
+ORDER BY doc_id
+""",
+)
+def x6_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.rolling_fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
