@@ -22,13 +22,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+# The driver samples a bounded window (50 in r2) of the registry in dict
+# order, so present the queries most in need of a correctness row first:
+# the custom operators that had no driver row in CORRECTNESS_r02 (spatial
+# join family, ANN, scans, multimodal, pg_catalog, streaming), then the
+# previously-green set.  Every query stays registered either way.
+_PRIORITY = [
+    # unverified-in-r2 custom operators
+    "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",
+    "g4_translate_bounds", "g5_wkt_roundtrip",
+    "g6_spatial_join_points_in_boxes", "g7_dwithin_join",
+    "g8_rect_within_join", "g9_sql_spatial_join", "g10_geo_statistics",
+    "v1_knn_bruteforce", "v2_knn_lsh", "v3_knn_multiprobe", "v4_knn_ivf",
+    "c1_scan_duckdb", "c2_scan_sqlite",
+    "m1_multimodal_decode", "m2_frame_sampling",
+    "pg1_pg_type",
+    "st1_stream_sessionization", "st2_stream_tumbling",
+]
+
+
+def _ordered() -> dict[str, object]:
+    registry = load_all_queries()
+    out = {}
+    for name in _PRIORITY:
+        if name in registry:
+            out[name] = registry[name]
+    for name, qd in registry.items():
+        if name not in out:
+            out[name] = qd
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: qd.fn for name, qd in load_all_queries().items()}
+    return {name: qd.fn for name, qd in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each SQL-expressible query."""
-    return {
-        name: qd.oracle for name, qd in load_all_queries().items() if qd.oracle is not None
-    }
+    return {name: qd.oracle for name, qd in _ordered().items() if qd.oracle is not None}

@@ -26,11 +26,19 @@ def main() -> None:
     registry = load_all_queries()
     headline = {name: qd for name, qd in registry.items() if qd.bench}
 
-    # warm the JVM + parquet footer cache with one tiny action
+    # warm the JVM + parquet footer cache with one tiny action, and pay the
+    # one-time engine registration (57 spatial UDFs + catalog views) OUTSIDE
+    # any query's timing — queries constructing an EngineSession over this
+    # session hit the once-per-session guards and re-register nothing
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from dataclod_spark.session import EngineSession
+
+    EngineSession(spark)
 
     timings: dict[str, float] = {}
     for name, qd in sorted(headline.items()):
+        # defined state per query: no cross-query cache reuse
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             df = qd.fn(spark, sf_dir)

@@ -108,6 +108,9 @@ PG_DESCRIPTION_SCHEMA = T.StructType(
 
 def register_pg_catalog(spark: SparkSession) -> None:
     """Register the pg_catalog tables as temp views (both alias spellings)."""
+    if getattr(spark, "_dataclod_pg_catalog_registered", False):
+        return
+    spark._dataclod_pg_catalog_registered = True
     tables = [
         ("pg_type", PG_TYPE_ROWS, PG_TYPE_SCHEMA),
         ("pg_namespace", PG_NAMESPACE_ROWS, PG_NAMESPACE_SCHEMA),

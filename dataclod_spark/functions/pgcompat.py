@@ -92,6 +92,9 @@ def array_upper(arr, dim: Optional[int]):
 
 
 def register_pgcompat_functions(spark: SparkSession) -> None:
+    if getattr(spark, "_dataclod_pgcompat_registered", False):
+        return
+    spark._dataclod_pgcompat_registered = True
     spark.udf.register("array_upper", array_upper, T.IntegerType())
     spark.udf.register("format_type", format_type, T.StringType())
     spark.udf.register("dataclod_version", lambda: DATACLOD_VERSION, T.StringType())

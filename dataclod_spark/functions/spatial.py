@@ -12,10 +12,13 @@ from pyspark.sql import SparkSession
 
 
 def register_spatial_functions(spark: SparkSession) -> None:
+    if getattr(spark, "_dataclod_spatial_fns_registered", False):
+        return
     try:
         from dataclod_spark.functions import spatial_udfs
     except ImportError:
         return
+    spark._dataclod_spatial_fns_registered = True
     spatial_udfs.register_all(spark)
     # internal helper for the SQL-path spatial join dispatch
     # (plans/spatial_dispatch.py): bbox struct per geometry, Arrow-batched

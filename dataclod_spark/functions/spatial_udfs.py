@@ -257,6 +257,12 @@ def _batchify(fn, rtype):
 
 
 def register_all(spark: SparkSession) -> None:
+    # once per SparkSession: registration is idempotent but not free (57
+    # UDF catalog entries) — repeated EngineSession construction over the
+    # same session (bench, per-query helpers) must not pay it again
+    if getattr(spark, "_dataclod_spatial_udfs_registered", False):
+        return
+    spark._dataclod_spatial_udfs_registered = True
     for name, (fn, rtype) in FUNCTIONS.items():
         if isinstance(rtype, T.StructType):
             # struct-returning (Box2D only): pandas UDFs can't emit a NULL

@@ -281,7 +281,12 @@ def _bucket_sql(bounds: list[float], coord: str) -> str:
 
 
 def _side_sql(
-    table: str, geom_col: str, grid, expand: float, repartition: int | None = None
+    table: str,
+    geom_col: str,
+    grid,
+    expand: float,
+    repartition: int | None = None,
+    bbox_meta=None,
 ) -> str:
     """Derived relation with ``__bb`` + one ``__cell`` row per grid cell the
     (expanded) bbox intersects — two plain explode(sequence(..)) generators,
@@ -291,21 +296,48 @@ def _side_sql(
 
     ``repartition`` injects a REPARTITION hint below the bbox UDF when the
     source scan has fewer splits than the cluster's parallelism (the
-    DataFrame path's parallelism guard; a no-op at scale)."""
+    DataFrame path's parallelism guard; a no-op at scale).
+
+    ``bbox_meta`` (session.register_bbox) replaces the ``__st_bbox`` pandas
+    UDF with pure codegen expressions over the view's own columns — the
+    bbox pass then costs zero Python (and lets Catalyst prune the geometry
+    column entirely when the refine stage is skipped too)."""
     e = float(expand)
     src = table
     if repartition:
         src = f"(SELECT /*+ REPARTITION({int(repartition)}) */ * FROM {table})"
-    ix0 = _bucket_sql(grid.xb, f"(__s1.__bb.xmin - {e!r})")
-    ix1 = _bucket_sql(grid.xb, f"(__s1.__bb.xmax + {e!r})")
-    iy0 = _bucket_sql(grid.yb, f"(__s1.__bb.ymin - {e!r})")
-    iy1 = _bucket_sql(grid.yb, f"(__s1.__bb.ymax + {e!r})")
+    if bbox_meta is not None:
+        # flat codegen columns straight from the registered expressions
+        flat = (
+            f"(SELECT *, CAST(({bbox_meta.xmin}) AS DOUBLE) AS __bbx0, "
+            f"CAST(({bbox_meta.ymin}) AS DOUBLE) AS __bby0, "
+            f"CAST(({bbox_meta.xmax}) AS DOUBLE) AS __bbx1, "
+            f"CAST(({bbox_meta.ymax}) AS DOUBLE) AS __bby1, "
+            f"{'true' if bbox_meta.exact else 'false'} AS __bbe FROM {src})"
+        )
+    else:
+        flat = (
+            f"(SELECT * EXCEPT (__bb), __bb.xmin AS __bbx0, __bb.ymin AS __bby0, "
+            f"__bb.xmax AS __bbx1, __bb.ymax AS __bby1, __bb.bbox_exact AS __bbe FROM "
+            f"(SELECT *, __st_bbox(`{geom_col}`) AS __bb FROM {src}))"
+        )
+    ix0 = _bucket_sql(grid.xb, f"(__bbx0 - {e!r})")
+    ix1 = _bucket_sql(grid.xb, f"(__bbx1 + {e!r})")
+    iy0 = _bucket_sql(grid.yb, f"(__bby0 - {e!r})")
+    iy1 = _bucket_sql(grid.yb, f"(__bby1 + {e!r})")
+    # the bbox rides through the explodes as FLAT doubles; the __bb struct is
+    # rebuilt above the Generates (struct extraction over a top-level
+    # named_struct folds in SimplifyExtractValueOps — pushing extraction
+    # through Generate trips Catalyst's nested-column aliasing instead)
     return (
-        f"(SELECT * EXCEPT (__cx, __cy, __ix1, __iy1), __cx * {grid.ny} + __cy AS __cell FROM "
+        f"(SELECT * EXCEPT (__cx, __cy, __ix1, __iy1, __bbx0, __bby0, __bbx1, __bby1, __bbe), "
+        f"__cx * {grid.ny} + __cy AS __cell, "
+        f"named_struct('xmin', __bbx0, 'ymin', __bby0, 'xmax', __bbx1, 'ymax', __bby1, "
+        f"'bbox_exact', __bbe) AS __bb FROM "
         f"(SELECT __s3.*, explode(sequence(__s3.__iy0, __s3.__iy1)) AS __cy FROM "
         f"(SELECT __s2.*, explode(sequence(__s2.__ix0, __s2.__ix1)) AS __cx FROM "
-        f"(SELECT __s1.*, {ix0} AS __ix0, {ix1} AS __ix1, {iy0} AS __iy0, {iy1} AS __iy1 FROM "
-        f"(SELECT *, __st_bbox(`{geom_col}`) AS __bb FROM {src}) __s1) __s2) __s3) __s4)"
+        f"(SELECT *, {ix0} AS __ix0, {ix1} AS __ix1, {iy0} AS __iy0, {iy1} AS __iy1 FROM "
+        f"{flat} __s1) __s2) __s3) __s4)"
     )
 
 
@@ -344,7 +376,13 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
     lgeom = c1 if a1.lower() == la.lower() else c2
     rgeom = c2 if a2.lower() == ra.lower() else c1
 
-    from dataclod_spark.operators.spatial_join import _Grid, collect_bbox_sample
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.spatial_join import (
+        _Grid,
+        collect_bbox_sample,
+        collect_bbox_sample_cols,
+    )
 
     try:
         rdf = session.spark.table(rt)
@@ -353,10 +391,26 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
         return None
     if rgeom not in rdf.columns or lgeom not in ldf.columns:
         return None
+    # registered bbox expressions (session.register_bbox): bbox pass and
+    # grid sampling become pure JVM on that side
+    lmeta = session.bbox_meta(lt, lgeom) if hasattr(session, "bbox_meta") else None
+    rmeta = session.bbox_meta(rt, rgeom) if hasattr(session, "bbox_meta") else None
+
+    def _meta_cols(meta):
+        return tuple(F.expr(x) for x in (meta.xmin, meta.ymin, meta.xmax, meta.ymax))
+
     cache_key = (rt.lower(), rgeom.lower(), session.spatial_join_cells)
     grid = getattr(session, "_grid_cache", {}).get(cache_key)
     if grid is None:
-        sample = collect_bbox_sample(rdf, rgeom) or collect_bbox_sample(ldf, lgeom)
+        if rmeta is not None:
+            sample = collect_bbox_sample_cols(rdf, _meta_cols(rmeta))
+        else:
+            sample = collect_bbox_sample(rdf, rgeom)
+        if not sample:
+            if lmeta is not None:
+                sample = collect_bbox_sample_cols(ldf, _meta_cols(lmeta))
+            else:
+                sample = collect_bbox_sample(ldf, lgeom)
         if not sample:
             sample = [(0.0, 0.0, 1.0, 1.0)]
         grid = _Grid(sample, session.spatial_join_cells)
@@ -410,6 +464,11 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
     # paths; optimizer.rs keeps the predicate as the refine filter)
     if pred_key == "bbox":
         spatial_sql = None  # the bbox conjuncts ARE the predicate
+    elif lmeta is not None and lmeta.exact and rmeta is not None and rmeta.exact:
+        # both sides declared bbox-exact: the pure-JVM verdict IS the exact
+        # predicate — no refine stage, and (if unprojected) the geometry
+        # column is pruned from the scan entirely
+        spatial_sql = _verdict_sql(pred_key, b1, b2, e, strict)
     else:
         both = f"({bb(la,'bbox_exact')} AND {bb(ra,'bbox_exact')})"
         verdict = _verdict_sql(pred_key, b1, b2, e, strict)
@@ -428,8 +487,8 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
     # any extra conjuncts ride along as join filters after the cell equi-join
     on_parts.extend(conjuncts[i] for i in range(len(conjuncts)) if i != spatial_idx)
     new_from = (
-        f"FROM {_side_sql(lt, lgeom, grid, e, lpar)} {la} "
-        f"JOIN {_side_sql(rt, rgeom, grid, 0.0, rpar)} {ra} "
+        f"FROM {_side_sql(lt, lgeom, grid, e, lpar, lmeta)} {la} "
+        f"JOIN {_side_sql(rt, rgeom, grid, 0.0, rpar, rmeta)} {ra} "
         f"ON {' AND '.join(on_parts)} "
     )
     return sql[: m.start()] + new_from + sql[on_end:]

@@ -375,6 +375,10 @@ def g9_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "box_id",
+            "bx",
+            "by",
+            "w",
+            "h",
             envelope_wkb(
                 F.col("bx"), F.col("by"), F.col("bx") + F.col("w"), F.col("by") + F.col("h")
             ).alias("geom"),
@@ -387,8 +391,16 @@ def g9_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_id") % 89).cast("double").alias("px"),
             (F.col("user_id") % 43).cast("double").alias("py"),
         )
-        .select("point_id", point_wkb(F.col("px"), F.col("py")).alias("geom"))
+        .select("point_id", "px", "py", point_wkb(F.col("px"), F.col("py")).alias("geom"))
         .createOrReplaceTempView("g9_points")
+    )
+    # bbox covering-column registration (≈ GeoParquet bbox metadata): the
+    # dispatch derives __bb with codegen expressions, skips the refine
+    # stage (both sides exact), and Catalyst prunes the WKB constructor
+    # UDFs out of the plan — the dispatched join runs 100% JVM-side.
+    sess.register_bbox("g9_points", "geom", "px", "py", "px", "py", exact=True)
+    sess.register_bbox(
+        "g9_boxes", "geom", "bx", "by", "bx + w", "by + h", exact=True
     )
     return sess.sql(
         """

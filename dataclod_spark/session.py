@@ -93,6 +93,19 @@ class _EmptyResult:
     """Sentinel DataFrame-ish empty result for swallowed statements."""
 
 
+class _BBoxMeta:
+    """Bbox SQL expressions registered for a view's geometry column."""
+
+    __slots__ = ("xmin", "ymin", "xmax", "ymax", "exact")
+
+    def __init__(self, xmin: str, ymin: str, xmax: str, ymax: str, exact: bool) -> None:
+        self.xmin = xmin
+        self.ymin = ymin
+        self.xmax = xmax
+        self.ymax = ymax
+        self.exact = exact
+
+
 class EngineSession:
     """Engine session: SparkSession + registered custom surface.
 
@@ -118,6 +131,9 @@ class EngineSession:
         # cell balance, never correctness, since out-of-extent bboxes clamp
         # to border cells).  Cleared with clear_spatial_grid_cache().
         self._grid_cache: dict[tuple[str, str, int], object] = {}
+        # view -> (geom_col -> _BBoxMeta): registered bbox expressions for
+        # SQL spatial-join dispatch (see register_bbox).
+        self._bbox_meta: dict[str, dict[str, "_BBoxMeta"]] = {}
         if register_catalog:
             from dataclod_spark.catalog.pg_catalog import register_pg_catalog
 
@@ -143,6 +159,39 @@ class EngineSession:
         """Drop cached spatial-join grids (call after replacing a temp view
         whose data extent changed significantly)."""
         self._grid_cache.clear()
+
+    def register_bbox(
+        self,
+        view: str,
+        geom_col: str,
+        xmin: str,
+        ymin: str,
+        xmax: str,
+        ymax: str,
+        exact: bool = False,
+    ) -> None:
+        """Declare bbox SQL expressions for a view's geometry column.
+
+        The SQL spatial-join dispatch (plans/spatial_dispatch.py) then
+        derives each row's bbox with pure codegen expressions instead of
+        the ``__st_bbox`` pandas UDF — zero Python in the bbox pass, and
+        the grid sample becomes a plain JVM aggregate.  ``exact=True``
+        asserts every geometry equals its own bbox (points / axis-aligned
+        rectangles); when BOTH join sides are exact the refine stage is
+        dropped too and the whole join runs JVM-side (the analogue of the
+        reference's point/rect refinement fast paths).
+
+        This is the Spark-side stand-in for GeoParquet/Parquet GeoStats
+        covering columns: at 100 TB the bbox would come from the file
+        metadata or a materialized column, never a per-row Python parse.
+        """
+        self._bbox_meta.setdefault(view.lower(), {})[geom_col.lower()] = _BBoxMeta(
+            xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax, exact=bool(exact)
+        )
+
+    def bbox_meta(self, view: str, geom_col: str):
+        """Registered bbox metadata for (view, geometry column), or None."""
+        return self._bbox_meta.get(view.lower(), {}).get(geom_col.lower())
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

@@ -63,8 +63,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Spark 4.1 ignores nanosAsLong and reads TIMESTAMP(NANOS) parquet as
+        # TIMESTAMP_NTZ, which withWatermark rejects.  The session zone is
+        # pinned UTC above, so naive → instant is a pure type change.
+        df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
 
 
