@@ -33,6 +33,7 @@ _PRIORITY = [
     "g4_translate_bounds", "g5_wkt_roundtrip",
     "g6_spatial_join_points_in_boxes", "g7_dwithin_join",
     "g8_rect_within_join", "g9_sql_spatial_join", "g10_geo_statistics",
+    "g11_sql_outer_spatial_join", "g12_sql_cte_spatial_join",
     "v1_knn_bruteforce", "v2_knn_lsh", "v3_knn_multiprobe", "v4_knn_ivf",
     "c1_scan_duckdb", "c2_scan_sqlite",
     "m1_multimodal_decode", "m2_frame_sampling",

@@ -196,15 +196,21 @@ def simhash64(col: Column) -> Column:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact dedup: keep the lowest-id row per normalized-text fingerprint."""
+    """Exact dedup: keep the lowest-id row per normalized-text fingerprint.
+
+    One shuffle total: ``min_by(struct(*), doc_id)`` aggregates the full
+    keeper row per fingerprint in a single partial+final hash aggregate —
+    no re-join of the input against the winners (at 100 TB the fingerprint
+    is the widest shuffle key; paying it twice doubles the dominant cost).
+    """
     from dataclod_spark.functions.text import fingerprint
 
+    cols = df.columns
     h = df.withColumn("__fp", fingerprint(F.col(text_col)))
-    w_min = h.groupBy("__fp").agg(F.min("doc_id").alias("keep_id"))
-    return (
-        h.join(w_min, (h["__fp"] == w_min["__fp"]) & (h["doc_id"] == w_min["keep_id"]))
-        .drop("__fp", "keep_id")
+    kept = h.groupBy("__fp").agg(
+        F.min_by(F.struct(*[F.col(c) for c in cols]), F.col("doc_id")).alias("__row")
     )
+    return kept.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:

@@ -24,17 +24,25 @@ Catalyst then plans a shuffled hash / sort-merge join on the cell id with
 the refine UDF as a post-join filter — the scalable plan shape — instead of
 a nested-loop cross product.
 
-Scope (v1, conservative — anything else falls back to default planning
+Scope (conservative — anything else falls back to default planning
 unchanged, which is always correct, just slower):
-* single ``FROM <ident> [AS] a [INNER] JOIN <ident> [AS] b ON <pred>``;
+* single ``FROM <rel> [AS] a [INNER] JOIN <rel> [AS] b ON <pred>`` where
+  ``<rel>`` is a named relation — a table, temp view, or a CTE defined in
+  the query's own WITH clause (resolved against the WITH prefix);
 * ``<pred>`` is one of the reference's join predicates over ``alias.column``
   geometry references, optionally AND-ed with extra conjuncts (kept as
   plain join filters);
-* inner joins only (outer-join completion stays on the DataFrame API).
+* LEFT/RIGHT/FULL OUTER spatial joins (single spatial conjunct) route
+  through the DataFrame operator's outer completion
+  (:func:`try_outer_spatial_join`): the joined frame is registered as a
+  temp view and the statement's alias-qualified references are rewritten
+  against it — mirroring ``optimizer.rs:33-113`` + ``exec.rs:47-131``
+  supporting every join type.
 """
 
 from __future__ import annotations
 
+import itertools
 import re
 from typing import Optional
 
@@ -341,6 +349,63 @@ def _side_sql(
     )
 
 
+_WITH_START_RE = re.compile(r"^\s*WITH\s+", re.IGNORECASE)
+_CTE_HEAD_RE = re.compile(r"\s*(?P<name>[A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+
+_outer_view_counter = itertools.count()
+
+
+def _parse_with_prefix(sql: str) -> tuple[str, list[str]]:
+    """Split a leading ``WITH a AS (...), b AS (...)`` prefix off ``sql``.
+
+    Returns (prefix_text, cte_names); prefix_text is '' when the query has
+    no WITH clause.  Only simple (non-recursive, unparenthesized-name) CTE
+    lists are recognized — anything else returns ('', [])."""
+    m = _WITH_START_RE.match(sql)
+    if not m:
+        return "", []
+    pos = m.end()
+    names: list[str] = []
+    while True:
+        h = _CTE_HEAD_RE.match(sql, pos)
+        if not h:
+            return "", []
+        names.append(h.group("name"))
+        depth = 1
+        i = h.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return "", []
+        pos = i
+        nxt = re.match(r"\s*,", sql[pos:])
+        if nxt:
+            pos += nxt.end()
+            continue
+        return sql[:pos], names
+
+
+def _resolve_relation(session, sql: str, name: str):
+    """DataFrame for a join side: a catalog table/view, or a CTE from the
+    query's own WITH prefix (planned but unexecuted — used for schema checks
+    and grid sampling only)."""
+    try:
+        return session.spark.table(name)
+    except Exception:
+        pass
+    prefix, names = _parse_with_prefix(sql)
+    if prefix and name.lower() in {n.lower() for n in names}:
+        try:
+            return session.spark.sql(f"{prefix} SELECT * FROM {name}")
+        except Exception:
+            return None
+    return None
+
+
 def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
     """Rewrite ``FROM a JOIN b ON ST_Pred(...)`` into the grid equi-join.
 
@@ -384,10 +449,9 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
         collect_bbox_sample_cols,
     )
 
-    try:
-        rdf = session.spark.table(rt)
-        ldf = session.spark.table(lt)
-    except Exception:
+    rdf = _resolve_relation(session, sql, rt)
+    ldf = _resolve_relation(session, sql, lt)
+    if rdf is None or ldf is None:
         return None
     if rgeom not in rdf.columns or lgeom not in ldf.columns:
         return None
@@ -492,3 +556,127 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
         f"ON {' AND '.join(on_parts)} "
     )
     return sql[: m.start()] + new_from + sql[on_end:]
+
+
+_OUTER_FROM_JOIN_RE = re.compile(
+    r"\bFROM\s+(?P<lt>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<la>[A-Za-z_]\w*)\s+"
+    r"(?P<jt>LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?"
+    r"JOIN\s+(?P<rt>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<ra>[A-Za-z_]\w*)\s+"
+    r"ON\s+",
+    re.IGNORECASE,
+)
+
+# asymmetric predicates flip when the SQL lists the right alias's geometry
+# as the predicate's first argument
+_SWAPPED = {
+    "contains": "within",
+    "within": "contains",
+    "covers": "covered_by",
+    "covered_by": "covers",
+    "intersects": "intersects",
+    "touches": "touches",
+    "overlaps": "overlaps",
+    "equals": "equals",
+    "crosses": "crosses",
+    "dwithin": "dwithin",
+}
+
+
+def try_outer_spatial_join(session, sql: str) -> Optional[str]:
+    """Rewrite ``FROM a LEFT|RIGHT|FULL JOIN b ON ST_Pred(...)`` through the
+    DataFrame spatial-join operator (which owns outer completion —
+    anti-join recovery of unmatched rows), exposed back to SQL as a temp
+    view with the statement's alias-qualified references rewritten.
+
+    Scope: single spatial conjunct, named relations, no ``ST_Distance < d``
+    strict form (the operator's dwithin is boundary-inclusive).  Returns
+    the rewritten SQL or None (fall back to default planning)."""
+    if sql.upper().count("JOIN") != 1:
+        return None
+    m = _OUTER_FROM_JOIN_RE.search(sql)
+    if not m:
+        return None
+    lt, la, rt, ra = m.group("lt"), m.group("la"), m.group("rt"), m.group("ra")
+    how = m.group("jt").lower()
+    if la.lower() in _RESERVED_ALIAS or ra.lower() in _RESERVED_ALIAS:
+        return None
+    on_text, on_end = _scan_on_clause(sql, m.end())
+    conjuncts = _split_top_and(on_text)
+    if len(conjuncts) != 1:
+        # extra conjuncts are join-condition semantics for outer joins, not
+        # post-filters — out of the conservative scope
+        return None
+    parsed = _match_spatial_conjunct(conjuncts[0])
+    if parsed is None:
+        return None
+    a1, c1, a2, c2, expand, pred_key, strict = parsed
+    if strict or pred_key == "bbox":
+        return None
+    aliases = {a1.lower(), a2.lower()}
+    if aliases != {la.lower(), ra.lower()}:
+        return None
+    if a1.lower() == la.lower():
+        lgeom, rgeom, predicate = c1, c2, pred_key
+    else:
+        lgeom, rgeom, predicate = c2, c1, _SWAPPED[pred_key]
+
+    ldf = _resolve_relation(session, sql, lt)
+    rdf = _resolve_relation(session, sql, rt)
+    if ldf is None or rdf is None:
+        return None
+    if lgeom not in ldf.columns or rgeom not in rdf.columns:
+        return None
+
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    lmeta = session.bbox_meta(lt, lgeom) if hasattr(session, "bbox_meta") else None
+    rmeta = session.bbox_meta(rt, rgeom) if hasattr(session, "bbox_meta") else None
+
+    def _meta_bbox(meta):
+        if meta is None:
+            return None
+        return tuple(F.expr(x) for x in (meta.xmin, meta.ymin, meta.xmax, meta.ymax))
+
+    refine = (
+        "none"
+        if (lmeta is not None and lmeta.exact and rmeta is not None and rmeta.exact)
+        else "auto"
+    )
+    joined = spatial_join(
+        ldf,
+        rdf,
+        predicate,
+        left_geom=lgeom,
+        right_geom=rgeom,
+        how=how,
+        distance=(expand if predicate == "dwithin" else None),
+        cell_target=getattr(session, "spatial_join_cells", 1024),
+        left_bbox=_meta_bbox(lmeta),
+        right_bbox=_meta_bbox(rmeta),
+        refine=refine,
+    )
+    view = f"__spatial_outer_join_{next(_outer_view_counter)}"
+    joined.createOrReplaceTempView(view)
+
+    lcols = set(ldf.columns)
+
+    def _map_ref(alias: str, col: str) -> str:
+        if alias.lower() == la.lower():
+            return col
+        return f"{col}_right" if col in lcols else col
+
+    rest = sql[: m.start()] + f"FROM {view} " + sql[on_end:]
+    # rewrite alias-qualified references (a.x / b.`x` / a.*) against the view
+    star_l = ", ".join(ldf.columns)
+    star_r = ", ".join(_map_ref(ra, c) for c in rdf.columns)
+    rest = re.sub(rf"\b{re.escape(la)}\.\*", star_l, rest, flags=re.IGNORECASE)
+    rest = re.sub(rf"\b{re.escape(ra)}\.\*", star_r, rest, flags=re.IGNORECASE)
+    rest = re.sub(
+        rf"\b({re.escape(la)}|{re.escape(ra)})\.`?(\w+)`?",
+        lambda mm: _map_ref(mm.group(1), mm.group(2)),
+        rest,
+        flags=re.IGNORECASE,
+    )
+    return rest

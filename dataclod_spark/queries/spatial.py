@@ -413,6 +413,154 @@ def g9_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g11_sql_outer_spatial_join",
+    doc="SQL-path LEFT OUTER spatial join: routed through the DataFrame "
+    "operator's outer completion (plans/spatial_dispatch.try_outer_spatial_join)",
+    oracle="""
+WITH boxes AS (
+  SELECT event_id AS box_id,
+         CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by,
+         CAST(3 + event_id % 5 AS DOUBLE) AS w, CAST(2 + user_id % 3 AS DOUBLE) AS h
+  FROM events WHERE event_id % 50 = 0
+), points AS (
+  SELECT event_id AS point_id,
+         CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT count(*) AS n_rows,
+       count(box_id) AS n_matched,
+       count(*) - count(box_id) AS n_unmatched
+FROM points LEFT JOIN boxes
+  ON px BETWEEN bx AND bx + w AND py BETWEEN by AND by + h
+""",
+)
+def g11_sql_outer_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN ... ON ST_Intersects in plain SQL: unmatched points must
+    survive exactly once with a NULL right side (reference exec.rs:47-131
+    supports all join types; the grid join's outer completion recovers
+    unmatched rows via anti-join)."""
+    from dataclod_spark.operators.spatial_join import envelope_wkb, point_wkb
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    e = load(spark, sf_dir, "events")
+    (
+        e.filter(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("box_id"),
+            (F.col("event_id") % 97).cast("double").alias("bx"),
+            (F.col("user_id") % 41).cast("double").alias("by"),
+            (3 + F.col("event_id") % 5).cast("double").alias("w"),
+            (2 + F.col("user_id") % 3).cast("double").alias("h"),
+        )
+        .select(
+            "box_id",
+            "bx",
+            "by",
+            "w",
+            "h",
+            envelope_wkb(
+                F.col("bx"), F.col("by"), F.col("bx") + F.col("w"), F.col("by") + F.col("h")
+            ).alias("geom"),
+        )
+        .createOrReplaceTempView("g11_boxes")
+    )
+    (
+        e.filter(F.col("event_id") % 3 == 0)
+        .select(
+            F.col("event_id").alias("point_id"),
+            (F.col("event_id") % 89).cast("double").alias("px"),
+            (F.col("user_id") % 43).cast("double").alias("py"),
+        )
+        .select("point_id", "px", "py", point_wkb(F.col("px"), F.col("py")).alias("geom"))
+        .createOrReplaceTempView("g11_points")
+    )
+    sess.register_bbox("g11_points", "geom", "px", "py", "px", "py", exact=True)
+    sess.register_bbox("g11_boxes", "geom", "bx", "by", "bx + w", "by + h", exact=True)
+    return sess.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count(b.box_id) AS n_matched,
+               count(*) - count(b.box_id) AS n_unmatched
+        FROM g11_points p LEFT JOIN g11_boxes b ON ST_Intersects(p.geom, b.geom)
+        """
+    )
+
+
+@query(
+    "g12_sql_cte_spatial_join",
+    doc="CTE-wrapped SQL spatial join: WITH-defined relation dispatched into "
+    "the grid equi-join (CTE resolution in plans/spatial_dispatch.py)",
+    oracle="""
+WITH boxes AS (
+  SELECT event_id AS box_id,
+         CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by,
+         CAST(3 + event_id % 5 AS DOUBLE) AS w, CAST(2 + user_id % 3 AS DOUBLE) AS h
+  FROM events WHERE event_id % 50 = 0
+), points AS (
+  SELECT event_id AS point_id,
+         CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
+  FROM events
+), big_boxes AS (
+  SELECT * FROM boxes WHERE box_id % 100 = 0
+)
+SELECT box_id, count(*) AS n_points
+FROM big_boxes JOIN points
+  ON px BETWEEN bx AND bx + w AND py BETWEEN by AND by + h
+GROUP BY box_id
+ORDER BY box_id
+""",
+)
+def g12_sql_cte_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spatial JOIN lives under a WITH clause whose CTE filters one
+    side — the dispatch resolves the CTE against the query's own WITH
+    prefix for schema checks and grid sampling, then splices the grid
+    equi-join in place.  This side exercises the __st_bbox UDF path (no
+    registered bbox metadata), keeping it driver-verified now that g9
+    uses covering columns."""
+    from dataclod_spark.operators.spatial_join import envelope_wkb, point_wkb
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    e = load(spark, sf_dir, "events")
+    (
+        e.filter(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("box_id"),
+            (F.col("event_id") % 97).cast("double").alias("bx"),
+            (F.col("user_id") % 41).cast("double").alias("by"),
+            (3 + F.col("event_id") % 5).cast("double").alias("w"),
+            (2 + F.col("user_id") % 3).cast("double").alias("h"),
+        )
+        .select(
+            "box_id",
+            envelope_wkb(
+                F.col("bx"), F.col("by"), F.col("bx") + F.col("w"), F.col("by") + F.col("h")
+            ).alias("geom"),
+        )
+        .createOrReplaceTempView("g12_boxes")
+    )
+    (
+        e.select(
+            F.col("event_id").alias("point_id"),
+            (F.col("event_id") % 89).cast("double").alias("px"),
+            (F.col("user_id") % 43).cast("double").alias("py"),
+        )
+        .select("point_id", point_wkb(F.col("px"), F.col("py")).alias("geom"))
+        .createOrReplaceTempView("g12_points")
+    )
+    return sess.sql(
+        """
+        WITH big_boxes AS (SELECT * FROM g12_boxes WHERE box_id % 100 = 0)
+        SELECT b.box_id AS box_id, count(*) AS n_points
+        FROM big_boxes b JOIN g12_points p ON ST_Intersects(p.geom, b.geom)
+        GROUP BY b.box_id
+        ORDER BY box_id
+        """
+    )
+
+
+@query(
     "g10_geo_statistics",
     doc="GeoStatistics accumulator (analyze.rs parity): per-geometry "
     "summary UDF + JVM min/max/sum aggregation over a mixed column",

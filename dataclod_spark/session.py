@@ -230,7 +230,10 @@ class EngineSession:
             rewrite_pg_catalog_refs,
             rewrite_values_tables,
         )
-        from dataclod_spark.plans.spatial_dispatch import try_rewrite_spatial_join
+        from dataclod_spark.plans.spatial_dispatch import (
+            try_outer_spatial_join,
+            try_rewrite_spatial_join,
+        )
 
         query = rewrite_pg_catalog_refs(rewrite_values_tables(query))
         if "information_schema" in query.lower():
@@ -255,6 +258,10 @@ class EngineSession:
         # optimizer.rs:33-113): JOIN ON ST_pred(...) becomes a grid
         # equi-join instead of a nested-loop cross product.
         rewritten = try_rewrite_spatial_join(self, query)
+        if rewritten is None:
+            # LEFT/RIGHT/FULL spatial joins route through the DataFrame
+            # operator's outer completion (exec.rs:47-131 parity)
+            rewritten = try_outer_spatial_join(self, query)
         if rewritten is not None:
             query = rewritten
         if args:

@@ -122,3 +122,101 @@ def test_group_by_tail_preserved(engine, sdata):
                 want[bi] = want.get(bi, 0) + 1
     got = {r.bid: r.n for r in df.collect()}
     assert got == want
+
+
+def test_left_outer_sql_dispatch(engine, sdata):
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid, b.bid FROM disp_pts p LEFT JOIN disp_boxes b "
+        "ON ST_Intersects(p.geom, b.geom)"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    matched = {(pi, bi) for pi, pg in points for bi, bg in boxes if GP.intersects(pg, bg)}
+    matched_pids = {p for p, _ in matched}
+    want = matched | {(pi, None) for pi, _ in points if pi not in matched_pids}
+    assert got == want
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
+
+
+def test_full_outer_sql_dispatch(engine, sdata):
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid, b.bid FROM disp_pts p FULL OUTER JOIN disp_boxes b "
+        "ON ST_Contains(b.geom, p.geom)"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    matched = {(pi, bi) for pi, pg in points for bi, bg in boxes if GP.contains(bg, pg)}
+    mp = {p for p, _ in matched}
+    mb = {b for _, b in matched}
+    want = (
+        matched
+        | {(pi, None) for pi, _ in points if pi not in mp}
+        | {(None, bi) for bi, _ in boxes if bi not in mb}
+    )
+    assert got == want
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
+
+
+def test_cte_sql_dispatch(engine, sdata):
+    boxes, points = sdata
+    df = engine.sql(
+        "WITH even_boxes AS (SELECT * FROM disp_boxes WHERE bid % 2 = 0) "
+        "SELECT p.pid, b.bid FROM disp_pts p JOIN even_boxes b "
+        "ON ST_Intersects(p.geom, b.geom)"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    want = {
+        (pi, bi)
+        for pi, pg in points
+        for bi, bg in boxes
+        if bi % 2 == 0 and GP.intersects(pg, bg)
+    }
+    assert got == want and got
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__cell" in plan
+
+
+def test_bbox_metadata_dispatch_prunes_python(engine, sdata):
+    """register_bbox covering columns: the dispatched join must carry no
+    Python stage at all (bbox + verdict fully codegen)."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.spatial_join import envelope_wkb, point_wkb
+
+    spark = engine.spark
+    pts = spark.table("disp_pts").selectExpr("pid", "geom")
+    # rebuild coordinate columns alongside the WKB so metadata can cover them
+    import random as _r
+
+    rnd = _r.Random(3)
+    boxes_rows = []
+    for i in range(40):
+        x, y = rnd.uniform(0, 90), rnd.uniform(0, 90)
+        boxes_rows.append((i, x, y, x + rnd.uniform(1, 10), y + rnd.uniform(1, 10)))
+    bdf = spark.createDataFrame(boxes_rows, "bid long, x0 double, y0 double, x1 double, y1 double")
+    bdf.select(
+        "bid", "x0", "y0", "x1", "y1",
+        envelope_wkb(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")).alias("geom"),
+    ).createOrReplaceTempView("meta_boxes")
+    pts_rows = [(i, rnd.uniform(-5, 105), rnd.uniform(-5, 105)) for i in range(200)]
+    pdf = spark.createDataFrame(pts_rows, "pid long, px double, py double")
+    pdf.select("pid", "px", "py", point_wkb(F.col("px"), F.col("py")).alias("geom")) \
+        .createOrReplaceTempView("meta_pts")
+    engine.register_bbox("meta_pts", "geom", "px", "py", "px", "py", exact=True)
+    engine.register_bbox("meta_boxes", "geom", "x0", "y0", "x1", "y1", exact=True)
+    df = engine.sql(
+        "SELECT p.pid, b.bid FROM meta_pts p JOIN meta_boxes b "
+        "ON ST_Intersects(p.geom, b.geom)"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    want = {
+        (pi, bi)
+        for pi, px, py in pts_rows
+        for bi, x0, y0, x1, y1 in boxes_rows
+        if x0 <= px <= x1 and y0 <= py <= y1
+    }
+    assert got == want and got
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan  # fully JVM: no bbox UDF, no refine
