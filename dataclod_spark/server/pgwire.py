@@ -20,12 +20,14 @@ Protocol scope (matching the reference's handlers):
   placeholders are bound positionally (plans/rewrites.rewrite_dollar_params
   mirrors the reference's ``LogicalPlan::with_param_values``); Execute
   honours its ``max_rows`` portal limit.
-* **Encoding** (``types.rs:112-200`` + ``utils.rs``): text-format results
+* **Encoding** (``types.rs:112-386`` + ``utils.rs``): text-format results
   for the full primitive matrix (bool ``t``/``f``, numerics, UTF-8 text,
   ``\\x``-hex bytea, ISO dates/timestamps, decimals), arrays/structs as
-  their PostgreSQL-style text forms.  Binary result format is not offered
-  (we never advertise binary in RowDescription; format code 0 throughout),
-  which clients negotiate fine — psql always uses text.
+  their PostgreSQL-style text forms; **binary results** for the primitive
+  matrix (bool, int2/4/8, float4/8, bytea, text, date, timestamp, time,
+  numeric — the ``encode_value`` binary arm, ``types.rs:191-386``) honoring
+  the Bind message's result-format codes; non-primitive columns requested
+  in binary raise a clean protocol error.
 
 Driver-side streaming: rows leave via ``df.toLocalIterator`` so a large
 result never materializes on the driver beyond one partition (the reference
@@ -150,6 +152,81 @@ def _text_encode(v) -> Optional[bytes]:
     return str(v).encode()
 
 
+_PG_EPOCH_DATE = date(2000, 1, 1)
+_PG_EPOCH_DT = datetime(2000, 1, 1)
+
+
+def _numeric_binary(d: Decimal) -> bytes:
+    """PostgreSQL NUMERIC binary format: int16 ndigits/weight/sign/dscale
+    then base-10000 digit groups, most significant first."""
+    if d.is_nan():
+        return struct.pack("!hhHh", 0, 0, 0xC000, 0)
+    sign = 0x4000 if d < 0 else 0x0000
+    ad = abs(d)
+    exp = ad.as_tuple().exponent
+    dscale = max(0, -exp) if isinstance(exp, int) else 0
+    s = format(ad, "f")
+    intpart, _, frac = s.partition(".")
+    intpart = intpart.lstrip("0")
+    if intpart:
+        intpart = "0" * ((-len(intpart)) % 4) + intpart
+        igroups = [int(intpart[i : i + 4]) for i in range(0, len(intpart), 4)]
+    else:
+        igroups = []
+    if frac:
+        frac = frac + "0" * ((-len(frac)) % 4)
+        fgroups = [int(frac[i : i + 4]) for i in range(0, len(frac), 4)]
+    else:
+        fgroups = []
+    digits = igroups + fgroups
+    weight = len(igroups) - 1
+    while digits and digits[0] == 0:
+        digits.pop(0)
+        weight -= 1
+    while digits and digits[-1] == 0:
+        digits.pop()
+    if not digits:
+        weight = 0
+    return struct.pack("!hhHh", len(digits), weight, sign, dscale) + b"".join(
+        struct.pack("!h", g) for g in digits
+    )
+
+
+def _binary_encode(v, oid: int) -> Optional[bytes]:
+    """Binary-format encoding of one value (types.rs:191-386 binary arm)."""
+    if v is None:
+        return None
+    if oid == _OID_BOOL:
+        return b"\x01" if v else b"\x00"
+    if oid == _OID_INT2:
+        return struct.pack("!h", int(v))
+    if oid == _OID_INT4:
+        return struct.pack("!i", int(v))
+    if oid == _OID_INT8:
+        return struct.pack("!q", int(v))
+    if oid == _OID_FLOAT4:
+        return struct.pack("!f", float(v))
+    if oid == _OID_FLOAT8:
+        return struct.pack("!d", float(v))
+    if oid == _OID_BYTEA:
+        return bytes(v)
+    if oid == _OID_NUMERIC:
+        return _numeric_binary(v if isinstance(v, Decimal) else Decimal(str(v)))
+    if oid == _OID_DATE:
+        return struct.pack("!i", (v - _PG_EPOCH_DATE).days)
+    if oid == _OID_TIMESTAMP:
+        delta = v.replace(tzinfo=None) - _PG_EPOCH_DT
+        micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return struct.pack("!q", micros)
+    if oid == _OID_TIME:
+        micros = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000 + v.microsecond
+        return struct.pack("!q", micros)
+    if oid == _OID_TEXT:
+        # text payload is identical in binary format for textual types
+        return _text_encode(v)
+    raise ValueError(f"no binary result encoding for oid {oid}")
+
+
 def md5_password_hash(user: str, password: str, salt: bytes) -> str:
     """``md5`` + hex(md5(md5(password+user) + salt)) — the exchange hashed
     on both ends (pgwire ``hash_md5_password``, used by auth.rs:111)."""
@@ -201,11 +278,14 @@ class _Proto:
     def send_parameter(self, k: str, v: str) -> None:
         self.send(b"S", k.encode() + b"\x00" + v.encode() + b"\x00")
 
-    def send_row_description(self, fields: list[tuple[str, int]]) -> None:
+    def send_row_description(
+        self, fields: list[tuple[str, int]], fmts: Optional[list[int]] = None
+    ) -> None:
         out = struct.pack("!h", len(fields))
-        for name, oid in fields:
+        for i, (name, oid) in enumerate(fields):
+            fmt = fmts[i] if fmts else 0
             out += name.encode() + b"\x00"
-            out += struct.pack("!ihihih", 0, 0, oid, -1, -1, 0)
+            out += struct.pack("!ihihih", 0, 0, oid, -1, -1, fmt)
         self.send(b"T", out)
 
     def send_data_row(self, values: Iterable[Optional[bytes]]) -> None:
@@ -234,11 +314,22 @@ class _PreparedStatement:
 
 
 class _Portal:
-    __slots__ = ("stmt", "params")
+    __slots__ = ("stmt", "params", "result_formats")
 
-    def __init__(self, stmt: _PreparedStatement, params: list):
+    def __init__(self, stmt: _PreparedStatement, params: list, result_formats: list[int]):
         self.stmt = stmt
         self.params = params
+        self.result_formats = result_formats
+
+    def column_formats(self, n_cols: int) -> list[int]:
+        """Per-column result format per the Bind rules: none → all text,
+        one → applies to every column, else positional."""
+        rf = self.result_formats
+        if not rf:
+            return [0] * n_cols
+        if len(rf) == 1:
+            return [rf[0]] * n_cols
+        return [rf[i] if i < len(rf) else 0 for i in range(n_cols)]
 
 
 class _Connection:
@@ -365,7 +456,12 @@ class _Connection:
             fmt = fmts[i] if i < len(fmts) else (fmts[0] if len(fmts) == 1 else 0)
             oid = stmt.param_oids[i] if i < len(stmt.param_oids) else 0
             params.append(_decode_param(raw, fmt, oid))
-        self.portals[portal.decode()] = _Portal(stmt, params)
+        # trailing result-format codes (Bind message tail)
+        result_formats: list[int] = []
+        if len(rest) >= 2:
+            (n_rf,) = struct.unpack("!h", rest[:2])
+            result_formats = list(struct.unpack(f"!{n_rf}h", rest[2 : 2 + 2 * n_rf]))
+        self.portals[portal.decode()] = _Portal(stmt, params, result_formats)
         self.p.send(b"2")  # BindComplete
 
     def handle_describe(self, body: bytes) -> None:
@@ -382,13 +478,18 @@ class _Connection:
                     + b"".join(struct.pack("!i", o or _OID_TEXT) for o in oids[: stmt.n_params]),
                 )
                 df, _ = self._run_sql(stmt.sql, [None] * stmt.n_params or None)
-            else:
-                po = self.portals[name]
-                df, _ = self._run_sql(po.stmt.sql, po.params or None)
+                if df is None:
+                    self.p.send(b"n")  # NoData
+                else:
+                    self._stream_result(df, 0, describe_only=True)
+                return
+            po = self.portals[name]
+            df, _ = self._run_sql(po.stmt.sql, po.params or None)
             if df is None:
                 self.p.send(b"n")  # NoData
             else:
-                self._stream_result(df, 0, describe_only=True)
+                fields = [(f.name, _spark_type_oid(f.dataType)) for f in df.schema.fields]
+                self.p.send_row_description(fields, po.column_formats(len(fields)))
         except KeyError:
             self.p.send_error("26000", f"unknown {kind!r} {name!r}")
         except Exception as e:  # noqa: BLE001
@@ -406,11 +507,16 @@ class _Connection:
             if df is None:
                 self.p.send_command_complete(tag or "SET")
                 return
+            oids = [_spark_type_oid(f.dataType) for f in df.schema.fields]
+            col_fmts = po.column_formats(len(oids))
             limit = max_rows if max_rows > 0 else 0
             n = 0
             it = df.limit(limit).toLocalIterator() if limit else df.toLocalIterator()
             for row in it:
-                self.p.send_data_row(_text_encode(v) for v in row)
+                self.p.send_data_row(
+                    _binary_encode(v, oid) if fmt == 1 else _text_encode(v)
+                    for v, oid, fmt in zip(row, oids, col_fmts)
+                )
                 n += 1
             self.p.send_command_complete(f"SELECT {n}")
         except Exception as e:  # noqa: BLE001

@@ -100,7 +100,13 @@ class MiniPgClient:
                 return cols, rows, tag
 
     # -- extended protocol --
-    def extended(self, sql: str, params: list[bytes | None], oids: list[int]):
+    def extended(
+        self,
+        sql: str,
+        params: list[bytes | None],
+        oids: list[int],
+        result_formats: list[int] | None = None,
+    ):
         parse = b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", len(oids))
         for o in oids:
             parse += struct.pack("!i", o)
@@ -108,7 +114,10 @@ class MiniPgClient:
         bind = b"\x00\x00" + struct.pack("!h", 0) + struct.pack("!h", len(params))
         for p in params:
             bind += struct.pack("!i", -1) if p is None else struct.pack("!i", len(p)) + p
-        bind += struct.pack("!h", 0)
+        rf = result_formats or []
+        bind += struct.pack("!h", len(rf))
+        for f in rf:
+            bind += struct.pack("!h", f)
         self.send(b"B", bind)
         self.send(b"E", b"\x00" + struct.pack("!i", 0))
         self.send(b"S")
@@ -261,3 +270,56 @@ def test_information_schema_over_wire(client, engine):
         "WHERE table_name = 'info_probe_tbl'"
     )
     assert cols_rows == [[b"id", b"bigint", b"NO"]]
+
+
+def test_binary_result_format_primitives(client):
+    """Binary-cursor smoke test (types.rs:191-386 binary arm): one format
+    code 1 applies to every column; values arrive network-order packed."""
+    rows, tag = client.extended(
+        "SELECT CAST(7 AS INT) AS i, CAST(8 AS BIGINT) AS l, "
+        "CAST(2.5 AS DOUBLE) AS d, true AS b, 'hi' AS s, "
+        "CAST(NULL AS INT) AS nul",
+        [],
+        [],
+        result_formats=[1],
+    )
+    assert tag == "SELECT 1"
+    (row,) = rows
+    assert struct.unpack("!i", row[0])[0] == 7
+    assert struct.unpack("!q", row[1])[0] == 8
+    assert struct.unpack("!d", row[2])[0] == 2.5
+    assert row[3] == b"\x01"
+    assert row[4] == b"hi"
+    assert row[5] is None
+
+
+def test_binary_result_format_temporal_numeric(client):
+    """DATE (days since 2000-01-01), TIMESTAMP (micros since 2000-01-01),
+    NUMERIC (base-10000 digit groups)."""
+    rows, _ = client.extended(
+        "SELECT DATE'2000-01-03' AS d, TIMESTAMP'2000-01-01 00:00:01' AS t, "
+        "CAST(123.45 AS DECIMAL(10,2)) AS n",
+        [],
+        [],
+        result_formats=[1],
+    )
+    (row,) = rows
+    assert struct.unpack("!i", row[0])[0] == 2
+    assert struct.unpack("!q", row[1])[0] == 1_000_000
+    ndigits, weight, sign, dscale = struct.unpack("!hhHh", row[2][:8])
+    digits = struct.unpack(f"!{ndigits}h", row[2][8:])
+    assert (ndigits, weight, sign, dscale) == (2, 0, 0, 2)
+    assert digits == (123, 4500)
+
+
+def test_binary_mixed_per_column_formats(client):
+    """Positional format codes: column 0 text, column 1 binary."""
+    rows, _ = client.extended(
+        "SELECT CAST(5 AS INT) AS a, CAST(6 AS INT) AS b",
+        [],
+        [],
+        result_formats=[0, 1],
+    )
+    (row,) = rows
+    assert row[0] == b"5"
+    assert struct.unpack("!i", row[1])[0] == 6
