@@ -60,6 +60,51 @@ MIN_BBOX_SAMPLES = 1_000
 BBOX_SAMPLE_RATE = 0.01
 SAMPLE_SEED = 42
 
+# adaptive grid sizing (≈ the reference choosing partition count from
+# GeoStatistics during build collection, exec_mode_selector.rs /
+# memory_plan.rs): aim for this many build rows per cell, bounded so the
+# grid neither under-parallelizes nor explodes large bboxes across cells
+TARGET_BUILD_ROWS_PER_CELL = 2048
+MIN_AUTO_CELLS = 64
+MAX_AUTO_CELLS = 65_536
+
+
+def auto_cell_target(sample: list[tuple]) -> int:
+    """Pick the grid cell budget from the bbox sample's GeoStatistics.
+
+    Two constraints, both computed from the (≤11k-row) driver-side sample —
+    no extra job over the data:
+
+    * **row budget**: estimated build rows / TARGET_BUILD_ROWS_PER_CELL,
+      clamped to [MIN_AUTO_CELLS, MAX_AUTO_CELLS] — more rows, finer grid
+      (the sample size inverts the 1%/10k-cap sampling policy);
+    * **explode budget**: a cell must not be smaller than the mean bbox,
+      or every build row explodes into many cells (the reference's
+      partitioner derives leaf extents from the same sampled boxes) —
+      cells_x*cells_y is capped at (extent/mean_bbox) per axis, measured
+      on the middle 98% of bbox centers so outliers don't inflate it.
+    """
+    n = len(sample)
+    if not n:
+        return 1024
+    ws = [max(0.0, s[2] - s[0]) for s in sample]
+    hs = [max(0.0, s[3] - s[1]) for s in sample]
+    cxs = sorted((s[0] + s[2]) / 2.0 for s in sample)
+    cys = sorted((s[1] + s[3]) / 2.0 for s in sample)
+    lo, hi = int(0.01 * n), max(int(0.99 * n), 1)
+    ext_w = max(cxs[hi - 1] - cxs[lo], 0.0)
+    ext_h = max(cys[hi - 1] - cys[lo], 0.0)
+    mean_w = sum(ws) / n
+    mean_h = sum(hs) / n
+    shape_cap = (ext_w / mean_w if mean_w > 0 else float("inf")) * (
+        ext_h / mean_h if mean_h > 0 else float("inf")
+    )
+    est_rows = max(n, (n - MIN_BBOX_SAMPLES) / BBOX_SAMPLE_RATE)
+    rows_cells = min(
+        max(est_rows / TARGET_BUILD_ROWS_PER_CELL, MIN_AUTO_CELLS), MAX_AUTO_CELLS
+    )
+    return max(1, int(min(shape_cap, rows_cells)))
+
 PREDICATES = {
     "intersects": GP.intersects,
     "contains": GP.contains,
@@ -583,7 +628,7 @@ def spatial_join(
     right_geom: str = "geom",
     how: str = "inner",
     distance: Optional[float] = None,
-    cell_target: int = 1024,
+    cell_target: Optional[int] = None,
     left_bbox: Optional[tuple] = None,
     right_bbox: Optional[tuple] = None,
     refine: str = "auto",
@@ -600,6 +645,11 @@ def spatial_join(
     OperandEvaluator consuming a precomputed box operand).  An optional 5th
     name supplies the ``bbox_exact`` flag; with 4 names the geometries are
     asserted bbox-exact (points / axis-aligned rectangles).
+
+    cell_target: grid cell budget; ``None`` (default) sizes the grid from
+    the bbox sample's statistics (:func:`auto_cell_target`) — row count
+    drives fineness, mean bbox size caps it so large geometries don't
+    explode across cells.
 
     refine: ``"auto"`` (default) refines non-bbox-exact candidate pairs
     with the exact Python predicate; ``"none"`` asserts every geometry is
@@ -687,6 +737,8 @@ def spatial_join(
     l = _attach_bbox(left, left_bbox, left_geom, "l_").withColumn("__lid", _rowid(lcols))
     r = _attach_bbox(right_renamed, rbbox, rgeom, "r_").withColumn("__rid", _rowid(rcols_out))
 
+    if cell_target is None:
+        cell_target = auto_cell_target(sample)
     grid = _Grid(sample, cell_target)
 
     # No explicit null-bbox filter: explode(sequence(...)) over a null bbox

@@ -477,7 +477,10 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
                 sample = collect_bbox_sample(ldf, lgeom)
         if not sample:
             sample = [(0.0, 0.0, 1.0, 1.0)]
-        grid = _Grid(sample, session.spatial_join_cells)
+        from dataclod_spark.operators.spatial_join import auto_cell_target
+
+        cells = session.spatial_join_cells or auto_cell_target(sample)
+        grid = _Grid(sample, cells)
         if hasattr(session, "_grid_cache"):
             session._grid_cache[cache_key] = grid
 
@@ -652,7 +655,7 @@ def try_outer_spatial_join(session, sql: str) -> Optional[str]:
         right_geom=rgeom,
         how=how,
         distance=(expand if predicate == "dwithin" else None),
-        cell_target=getattr(session, "spatial_join_cells", 1024),
+        cell_target=getattr(session, "spatial_join_cells", None),
         left_bbox=_meta_bbox(lmeta),
         right_bbox=_meta_bbox(rmeta),
         refine=refine,

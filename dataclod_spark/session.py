@@ -123,8 +123,10 @@ class EngineSession:
         self.spark = spark or get_spark()
         self._swallowed_sets: dict[str, str] = {}
         # grid cell budget for SQL-dispatched spatial joins
-        # (plans/spatial_dispatch.py); ≈ reference partition-count option
-        self.spatial_join_cells = 1024
+        # (plans/spatial_dispatch.py); None = adapt to the bbox sample's
+        # statistics (operators.spatial_join.auto_cell_target) ≈ the
+        # reference sizing partitions from collected GeoStatistics
+        self.spatial_join_cells: int | None = None
         # (table, geom_col, cells) -> _Grid: skips the bbox sampling pass on
         # repeated SQL spatial joins over the same relation (the reference
         # re-derives per query; safe to cache — a stale grid only affects

@@ -177,3 +177,57 @@ def test_skewed_extent_balanced_cells(spark):
         cell = cx * grid.ny + cy
         counts[cell] = counts.get(cell, 0) + 1
     assert max(counts.values()) <= len(sample) * 0.3
+
+
+def test_auto_cell_target_adapts():
+    """Grid sizing from bbox-sample GeoStatistics: row count drives
+    fineness, mean bbox size caps it (exec_mode_selector.rs-style
+    stats-driven choice instead of a fixed constant)."""
+    from dataclod_spark.operators.spatial_join import (
+        MIN_AUTO_CELLS,
+        auto_cell_target,
+    )
+
+    # 10k-point sample (cap hit => >=1M estimated rows): fine grid
+    import random
+
+    rnd = random.Random(7)
+    pts = [(x, y, x, y) for x, y in ((rnd.uniform(0, 100), rnd.uniform(0, 100)) for _ in range(10_000))]
+    fine = auto_cell_target(pts)
+    # 1.2k-point sample (small input): coarse grid
+    coarse = auto_cell_target(pts[:1_200])
+    assert fine > coarse >= MIN_AUTO_CELLS
+    # huge overlapping boxes (each ~half the extent): explode budget wins,
+    # grid collapses to a handful of cells
+    big = [(x, y, x + 50, y + 50) for x, y, _, _ in pts[:5_000]]
+    assert auto_cell_target(big) <= 16
+    # empty sample: sane default
+    assert auto_cell_target([]) == 1024
+
+
+def test_auto_cell_target_default_join_correct(spark):
+    """spatial_join with cell_target unset (auto) stays brute-force exact."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from dataclod_spark.geo import core as GC
+    from dataclod_spark.geo import predicates as GP
+    from dataclod_spark.geo.algos import make_envelope, make_point
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    rnd = random.Random(11)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("geom", T.BinaryType())]
+    )
+    boxes = []
+    for i in range(30):
+        x, y = rnd.uniform(0, 80), rnd.uniform(0, 80)
+        boxes.append((i, make_envelope(x, y, x + rnd.uniform(1, 8), y + rnd.uniform(1, 8))))
+    points = [(i, make_point(rnd.uniform(0, 90), rnd.uniform(0, 90))) for i in range(150)]
+    ldf = spark.createDataFrame([(i, GC.wkb_write(g)) for i, g in points], schema)
+    rdf = spark.createDataFrame([(i, GC.wkb_write(g)) for i, g in boxes], schema)
+    out = spatial_join(ldf, rdf, "intersects")
+    got = {(r.id, r.id_right) for r in out.collect()}
+    want = {(pi, bi) for pi, pg in points for bi, bg in boxes if GP.intersects(pg, bg)}
+    assert got == want and got
