@@ -39,6 +39,8 @@ _PRIORITY = [
     "m1_multimodal_decode", "m2_frame_sampling",
     "pg1_pg_type",
     "st1_stream_sessionization", "st2_stream_tumbling",
+    # new in round 3
+    "st3_stream_sliding", "d7_dedup_clusters", "w5_groups_frame",
 ]
 
 

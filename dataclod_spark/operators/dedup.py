@@ -213,6 +213,55 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     return kept.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every node of an undirected edge set; the
+    component label is the minimum node id reachable from the node.
+
+    This is the cluster step of near-duplicate removal: LSH/Jaccard pairs
+    → connected components → keep one representative per component.
+    Pure DataFrame ops — iterative min-label propagation: each round joins
+    the current labels across the edges and keeps the per-node minimum,
+    with a cheap early-exit once a round changes nothing.
+
+    Scale: near-dup graphs are short-diameter (pairs / small stars), so
+    propagation converges in 2–4 rounds; each round is one shuffle join +
+    partial-agg min.  Lineage grows one join per round — at extreme scale
+    swap the loop body for alternating large-star/small-star (same
+    building blocks, O(log n) rounds) and checkpoint every few rounds;
+    kept persist-free here by design.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        e.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        prop = e.join(labels, e["a"] == labels["id"]).select(
+            F.col("b").alias("id"), F.col("component")
+        )
+        new_labels = (
+            labels.unionAll(prop).groupBy("id").agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct word-level n-grams (space-joined) of lowercased text.
 

@@ -210,3 +210,59 @@ ORDER BY id_1, id_2
 def d6_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(d, jaccard_threshold=0.1).orderBy("id_1", "id_2")
+
+
+@query(
+    "d7_dedup_clusters",
+    doc="near-duplicate clusters: LSH pairs -> connected components "
+    "(iterative min-label propagation) -> one row per cluster",
+    oracle=rf"""
+WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+sig AS (
+  SELECT doc_id, s,
+         md5({_mh(0)} || {_mh(1)}) AS band_0,
+         md5({_mh(2)} || {_mh(3)}) AS band_1
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.s AS sh_1, b.s AS sh_2
+  FROM sig a JOIN sig b ON a.band_0 = b.band_0 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.s, b.s
+  FROM sig a JOIN sig b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_1, id_2 FROM cand
+  WHERE round(CAST(len(list_distinct(list_intersect(sh_1, sh_2))) AS DOUBLE)
+              / len(list_distinct(list_concat(sh_1, sh_2))), 4) >= 0.2
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION SELECT id_2, id_1 FROM pairs
+),
+walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, walk.lbl FROM walk JOIN edges e ON e.a = walk.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+SELECT component AS cluster_rep, count(*) AS cluster_size
+FROM comp
+GROUP BY component
+ORDER BY cluster_rep
+""",
+)
+def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-cluster step a training-data pipeline runs after pair
+    generation: components over the near-dup graph, one row per cluster
+    with its min-id representative.  The DuckDB oracle walks the same
+    graph with a recursive CTE (min reachable id == component label)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(d, jaccard_threshold=0.2)
+    comp = DD.connected_components(pairs, "id_1", "id_2")
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("component").alias("cluster_rep"), "cluster_size")
+        .orderBy("cluster_rep")
+    )

@@ -93,3 +93,41 @@ def st2_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     out = run_to_memory(tumbling_stream(ev), spark)
     return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "st3_stream_sliding",
+    doc="watermarked sliding-window streaming aggregation (1h window, "
+    "30m slide: each event in two windows; append mode)",
+    oracle="""
+WITH starts AS (
+  SELECT (epoch_us(ts) // 1000000 // 1800) * 1800 AS w0, event_type, value
+  FROM events
+), expl AS (
+  SELECT w0 AS ws, event_type, value FROM starts
+  UNION ALL
+  SELECT w0 - 1800 AS ws, event_type, value FROM starts
+), win AS (
+  SELECT ws AS window_start, event_type, count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+  FROM expl GROUP BY ws, event_type
+), wm AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM events)
+SELECT window_start, event_type, n_events, total_value
+FROM win, wm
+WHERE (window_start + 3600) * 1000 <= wm_ms
+ORDER BY window_start, event_type
+""",
+)
+def st3_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows double-assign each event (1h/30m ⇒ 2 windows); the
+    oracle explodes each event to its two aligned window starts and applies
+    the same watermark cutoff as st2."""
+    from dataclod_spark.streaming.run import (
+        read_events_stream,
+        run_to_memory,
+        sliding_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_memory(sliding_stream(ev), spark)
+    return out.orderBy("window_start", "event_type")

@@ -147,3 +147,56 @@ def w4_ntile_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "w5_groups_frame",
+    doc="GROUPS window frame (1 PRECEDING..CURRENT GROUP) emulated with "
+    "RANGE over a dense_rank — the SURVEY §7 Phase 5 recipe; the oracle "
+    "computes the same semantics independently (per-group sums + lag + "
+    "join back, no window-frame emulation)",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey, o_orderdate,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS gsum
+  FROM orders GROUP BY o_custkey, o_orderdate
+), gr AS (
+  SELECT o_custkey, o_orderdate, gsum,
+         lag(gsum) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev_gsum
+  FROM g
+)
+SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+       round(CAST(gr.gsum + coalesce(gr.prev_gsum, 0) AS DOUBLE), 2) AS grp_sum
+FROM orders o
+JOIN gr ON o.o_custkey = gr.o_custkey AND o.o_orderdate = gr.o_orderdate
+ORDER BY o.o_custkey, o.o_orderkey
+""",
+)
+def w5_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark has no GROUPS frames (the one DataFusion window feature it
+    lacks): ``GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW`` ≡ dense_rank
+    the ordering values, then aggregate over ``RANGE BETWEEN 1 PRECEDING
+    AND CURRENT ROW`` on the rank — peers share a rank, so rank distance
+    IS group distance.  One extra window pass, same shuffle (both windows
+    share the partitioning/ordering, Spark plans a single sort)."""
+    o = load(spark, sf_dir, "orders")
+    w_rank = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    ranked = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("tp"),
+        F.dense_rank().over(w_rank).alias("__grp"),
+    )
+    w_groups = (
+        W.partitionBy("o_custkey").orderBy("__grp").rangeBetween(-1, W.currentRow)
+    )
+    return (
+        ranked.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("tp").over(w_groups).cast("double"), 2).alias("grp_sum"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

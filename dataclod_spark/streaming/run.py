@@ -177,6 +177,34 @@ def tumbling_stream(
     )
 
 
+def sliding_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark_sec: int = WATERMARK_SEC,
+) -> DataFrame:
+    """Watermarked sliding-window count/sum in append mode — each event
+    lands in window/slide overlapping windows; only watermark-finalized
+    windows emit.  Same plan shape as tumbling (stateful agg keyed by
+    window×type); state size is bounded by watermark eviction."""
+    return (
+        events.withWatermark("ts", f"{watermark_sec} seconds")
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, spark: SparkSession, timeout_sec: int = 300) -> DataFrame:
     """Execute a streaming frame to completion (availableNow) into a memory
     sink; returns the sink contents as a batch DataFrame."""

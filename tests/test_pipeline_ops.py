@@ -125,3 +125,21 @@ def test_knn_multiprobe_recall_dominates_single_table(spark):
     # a floor showing the probes genuinely widen the candidate set
     assert recall_multi >= 0.3
     assert len(multi) >= len(single)
+
+
+def test_connected_components_clusters(spark):
+    """Min-label propagation: chain + triangle + isolated pair resolve to
+    their component minima in few rounds."""
+    from dataclod_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),  # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],  # pair
+        "id_1 long, id_2 long",
+    )
+    got = {(r.id, r.component) for r in connected_components(edges).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20)}
+    assert got == want
