@@ -183,7 +183,6 @@ def g6_spatial_join_points_in_boxes(spark: SparkSession, sf_dir: str) -> DataFra
         points,
         boxes,
         "intersects",
-        cell_target=256,
         left_bbox=("px", "py", "px", "py"),
         right_bbox=("bx", "by", "bx2", "by2"),
         refine="none",
@@ -232,7 +231,6 @@ def g7_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         "dwithin",
         distance=5.0,
-        cell_target=256,
         left_bbox=("ax", "ay", "ax", "ay"),
         right_bbox=("bx", "by", "bx", "by"),
         refine="none",
@@ -298,7 +296,6 @@ def g8_rect_within_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         small,
         big,
         "within",
-        cell_target=256,
         left_bbox=("sx", "sy", F.col("sx") + 2, F.col("sy") + 2),
         right_bbox=("bx", "by", F.col("bx") + 12, F.col("by") + 12),
     )
