@@ -143,9 +143,11 @@ class EngineSession:
         if register_functions:
             from dataclod_spark.functions.pgcompat import register_pgcompat_functions
             from dataclod_spark.functions.spatial import register_spatial_functions
+            from dataclod_spark.sources.scans import register_scan_udtfs
 
             register_pgcompat_functions(self.spark)
             register_spatial_functions(self.spark)
+            register_scan_udtfs(self.spark)
 
     # -- table loading -----------------------------------------------------
     def load_tables(self, sf_dir: str, tables: Iterable[str] = TABLES) -> None:

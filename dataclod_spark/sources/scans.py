@@ -114,3 +114,134 @@ def scan_mysql(
     """Mount a MySQL table via Spark's JDBC source (partitionable)."""
     url = dsn if dsn.startswith("jdbc:") else f"jdbc:mysql://{dsn}/{database}"
     return _jdbc_scan(spark, url, table, **options)
+
+
+# -- SQL table functions ------------------------------------------------------
+#
+# The reference registers its scans as SQL table functions
+# (``register_udtf``, src/core/src/expr/udtf/mod.rs:10-15) so users write
+# ``SELECT * FROM duckdb_scan('file.db', 'main', 't')``.  Spark 4's
+# polymorphic Python UDTFs give the same surface: ``analyze`` runs at plan
+# time on the literal arguments and derives the result schema from the
+# database file's own metadata; ``eval`` streams the rows.  Executors must
+# see the file path (embedded files are driver-local by definition — same
+# in-process model as the reference; the JDBC scans remain the scalable
+# federation path).
+
+
+def _arrow_to_spark_schema(arrow_schema):
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(arrow_schema)
+
+
+class _DuckdbScanUDTF:
+    @staticmethod
+    def analyze(db_path, database, table):
+        import duckdb
+
+        from pyspark.sql.udtf import AnalyzeResult
+
+        con = duckdb.connect(db_path.value, read_only=True)
+        try:
+            qualified = (
+                f"{_quote_ident(database.value)}.{_quote_ident(table.value)}"
+                if database.value not in ("", "main")
+                else _quote_ident(table.value)
+            )
+            empty = con.execute(f"SELECT * FROM {qualified} LIMIT 0").fetch_arrow_table()
+        finally:
+            con.close()
+        return AnalyzeResult(schema=_arrow_to_spark_schema(empty.schema))
+
+    def eval(self, db_path: str, database: str, table: str):
+        import duckdb
+
+        con = duckdb.connect(db_path, read_only=True)
+        try:
+            qualified = (
+                f"{_quote_ident(database)}.{_quote_ident(table)}"
+                if database not in ("", "main")
+                else _quote_ident(table)
+            )
+            tbl = con.execute(f"SELECT * FROM {qualified}").fetch_arrow_table()
+        finally:
+            con.close()
+        names = tbl.schema.names
+        for rec in tbl.to_pylist():
+            yield tuple(rec[n] for n in names)
+
+
+_SQLITE_TYPE_MAP = [
+    ("INT", "long"),
+    ("CHAR", "string"),
+    ("CLOB", "string"),
+    ("TEXT", "string"),
+    ("BLOB", "binary"),
+    ("REAL", "double"),
+    ("FLOA", "double"),
+    ("DOUB", "double"),
+    ("NUMERIC", "double"),
+    ("DECIMAL", "double"),
+    ("BOOLEAN", "boolean"),
+]
+
+
+def _sqlite_spark_type(declared: str) -> str:
+    up = (declared or "").upper()
+    for frag, spark_t in _SQLITE_TYPE_MAP:
+        if frag in up:
+            return spark_t
+    return "string"  # SQLite dynamic typing fallback (TEXT affinity)
+
+
+class _SqliteScanUDTF:
+    @staticmethod
+    def analyze(db_path, table):
+        import sqlite3
+
+        from pyspark.sql.types import StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        con = sqlite3.connect(db_path.value)
+        try:
+            info = con.execute(
+                f"PRAGMA table_info({_quote_ident(table.value)})"
+            ).fetchall()
+        finally:
+            con.close()
+        if not info:
+            raise ValueError(f"sqlite_scan: no such table {table.value!r}")
+        schema = StructType()
+        for _cid, name, decl, _notnull, _dflt, _pk in info:
+            schema = schema.add(name, _sqlite_spark_type(decl))
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, db_path: str, table: str):
+        import sqlite3
+
+        con = sqlite3.connect(db_path)
+        try:
+            info = con.execute(f"PRAGMA table_info({_quote_ident(table)})").fetchall()
+            types = [_sqlite_spark_type(r[2]) for r in info]
+            for row in con.execute(f"SELECT * FROM {_quote_ident(table)}"):
+                yield tuple(
+                    (str(v) if t == "string" and v is not None else v)
+                    for v, t in zip(row, types)
+                )
+        finally:
+            con.close()
+
+
+def register_scan_udtfs(spark: SparkSession) -> None:
+    """Register ``duckdb_scan``/``sqlite_scan`` as SQL table functions
+    (mod.rs:10-15 parity).  ``postgres_scan``/``mysql_scan`` stay Python-API
+    (JDBC) — a UDTF that funnels a network table through one Python worker
+    would defeat Spark's partitioned JDBC reads."""
+    if getattr(spark, "_dataclod_scan_udtfs_registered", False):
+        return
+    spark._dataclod_scan_udtfs_registered = True
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register("duckdb_scan", udtf(_DuckdbScanUDTF))
+    spark.udtf.register("sqlite_scan", udtf(_SqliteScanUDTF))
