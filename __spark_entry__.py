@@ -41,6 +41,7 @@ _PRIORITY = [
     "st1_stream_sessionization", "st2_stream_tumbling",
     # new in round 3
     "st3_stream_sliding", "d7_dedup_clusters", "w5_groups_frame",
+    "g13_mvt_points", "x7_quality_filter_pipeline",
 ]
 
 

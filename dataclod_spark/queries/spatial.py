@@ -625,3 +625,39 @@ def g10_geo_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xmax",
         "ymax",
     )
+
+
+@query(
+    "g13_mvt_points",
+    doc="ST_AsMVTGeom: tile-local affine + Y-flip + integer snap over a "
+    "point cloud (st_asmvtgeom.rs parity; clip is a no-op for in-tile "
+    "points so every coordinate is exact integer arithmetic)",
+    oracle="""
+SELECT CAST(round((event_id % 100) * 4096.0 / 100) AS BIGINT) AS mx,
+       CAST(round((50 - user_id % 50) * 4096.0 / 50) AS BIGINT) AS my,
+       count(*) AS n
+FROM events
+GROUP BY mx, my
+ORDER BY mx, my
+""",
+)
+def g13_mvt_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale factors 4096/100 and 4096/50 never land on .5 ties (96x ≡ 50
+    and 92x ≡ 50 mod 100 have no solutions), so banker's rounding here and
+    half-away rounding in DuckDB agree exactly."""
+    _spatial(spark)
+    p = _pts(spark, sf_dir)
+    p.createOrReplaceTempView("g13_points")
+    return spark.sql(
+        """
+        SELECT CAST(ST_X(m) AS BIGINT) AS mx,
+               CAST(ST_Y(m) AS BIGINT) AS my,
+               count(*) AS n
+        FROM (SELECT ST_AsMVTGeom(ST_MakePoint(px, py),
+                                  ST_MakeEnvelope(0, 0, 100, 50),
+                                  4096, 256, true) AS m
+              FROM g13_points)
+        GROUP BY mx, my
+        ORDER BY mx, my
+        """
+    )

@@ -208,3 +208,69 @@ def x6_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", TX.rolling_fingerprint(F.col("text")).alias("fp")
     ).orderBy("doc_id")
+
+
+@query(
+    "x7_quality_filter_pipeline",
+    doc="end-to-end training-data filter pipeline: lang-ID gate + quality "
+    "threshold + token-length band + exact-dedup survivor count, per "
+    "language — the composed shape a corpus-prep job runs",
+    oracle=rf"""
+WITH scored AS (
+  SELECT doc_id, text,
+         {_NTOK} AS n_tokens,
+         {_QUALITY} AS quality,
+         md5({_NORM}) AS fp,
+         {_marker_count(TX.LANG_MARKERS['en'])} AS s_en,
+         {_marker_count(TX.LANG_MARKERS['de'])} AS s_de,
+         {_marker_count(TX.LANG_MARKERS['es'])} AS s_es,
+         {_marker_count(TX.LANG_MARKERS['fr'])} AS s_fr
+  FROM documents
+), detected AS (
+  SELECT *,
+         CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
+              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
+              ELSE 'und' END AS lang
+  FROM scored
+), kept AS (
+  SELECT * FROM detected
+  WHERE lang <> 'und' AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 500
+)
+SELECT lang,
+       count(*) AS n_kept,
+       count(DISTINCT fp) AS n_unique,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM kept
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def x7_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, zero Python: every stage (lang-ID, quality, token count,
+    fingerprint) is a codegen expression, the filters compose into the
+    scan predicate, and the per-language rollup is a partial+final hash
+    aggregate.  At 100 TB this whole pipeline is a single pass."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.langid(F.col("text")).alias("lang"),
+    )
+    kept = scored.filter(
+        (F.col("lang") != "und")
+        & (F.col("quality") >= 0.5)
+        & F.col("n_tokens").between(5, 500)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
