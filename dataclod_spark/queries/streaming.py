@@ -131,3 +131,73 @@ def st3_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     out = run_to_memory(sliding_stream(ev), spark)
     return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "st4_stream_interval_join",
+    doc="stream-stream interval join: purchases x same-user clicks in the "
+    "preceding 10 minutes, bounded state via two-sided watermarks",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id AS user_id,
+       CAST(epoch_us(p.ts) // 1000000 AS BIGINT) AS purchase_sec,
+       CAST(epoch_us(c.ts) // 1000000 AS BIGINT) AS click_sec
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 600 SECONDS
+ORDER BY purchase_id, click_id
+""",
+)
+def st4_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner stream-stream joins emit matches as both rows arrive (not
+    watermark-gated), so availableNow over one file equals the batch
+    interval join — the oracle is the plain SQL spelling."""
+    from dataclod_spark.streaming.run import (
+        interval_join_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_memory(interval_join_stream(ev), spark)
+    return out.orderBy("purchase_id", "click_id")
+
+
+@query(
+    "st5_stream_dedup",
+    doc="streaming deduplication: dropDuplicates on (user_id, event_type) "
+    "over the event stream, rolled up per type",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates keeps the first row per key in state (the
+    streaming analogue of exact dedup); the per-type distinct-user rollup
+    is key-deterministic regardless of which duplicate won.  State is the
+    distinct key set — for watermark-bounded state real pipelines use
+    dropDuplicatesWithinWatermark; unbounded here because the driver's
+    events table has no late data."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.streaming.run import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    # the dedup stream runs append-mode into the memory sink; the rollup is
+    # a batch aggregate over the deduplicated sink contents
+    out = run_to_memory(deduped, spark)
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )

@@ -205,6 +205,53 @@ def sliding_stream(
     )
 
 
+def interval_join_stream(
+    events: DataFrame,
+    lookback_sec: int = 600,
+    watermark_sec: int = WATERMARK_SEC,
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins the same user's
+    clicks in the preceding ``lookback_sec``.  Both sides carry watermarks
+    and the join condition bounds event-time distance, so state on each
+    side is evicted once the watermark passes the interval — the canonical
+    bounded-state stream-stream join.  Inner-join matches emit as soon as
+    both rows have arrived (emission is not watermark-gated), so with
+    availableNow over one file the result equals the batch interval join.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", f"{watermark_sec} seconds")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", f"{watermark_sec} seconds")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_sec} SECONDS")),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_timestamp("p_ts").alias("purchase_sec"),
+        F.unix_timestamp("c_ts").alias("click_sec"),
+    )
+
+
 def run_to_memory(df: DataFrame, spark: SparkSession, timeout_sec: int = 300) -> DataFrame:
     """Execute a streaming frame to completion (availableNow) into a memory
     sink; returns the sink contents as a batch DataFrame."""
