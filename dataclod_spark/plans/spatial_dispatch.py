@@ -103,7 +103,8 @@ _PRED_KEY = {
 }
 
 _ON_END_KEYWORDS = re.compile(
-    r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|WINDOW)\b",
+    r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|WINDOW"
+    r"|(?:LEFT|RIGHT|FULL|INNER|CROSS)\s+(?:OUTER\s+)?JOIN|JOIN)\b",
     re.IGNORECASE,
 )
 
@@ -413,9 +414,13 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
     grid).  Returns the rewritten SQL, or None when the query does not match
     the conservative dispatch pattern (caller falls back to default
     planning).
+
+    Multi-join queries dispatch when the FIRST join of the chain is the
+    spatial one (``FROM a JOIN b ON ST_pred(..) JOIN dim d ON ..``): the
+    ON-clause scan stops at the next top-level JOIN keyword, so only the
+    spatial segment is rewritten and the remaining joins ride along
+    verbatim (left-associative parse order is unchanged).
     """
-    if sql.upper().count("JOIN") != 1:
-        return None
     m = _FROM_JOIN_RE.search(sql)
     if not m:
         return None
@@ -592,10 +597,9 @@ def try_outer_spatial_join(session, sql: str) -> Optional[str]:
     view with the statement's alias-qualified references rewritten.
 
     Scope: single spatial conjunct, named relations, no ``ST_Distance < d``
-    strict form (the operator's dwithin is boundary-inclusive).  Returns
-    the rewritten SQL or None (fall back to default planning)."""
-    if sql.upper().count("JOIN") != 1:
-        return None
+    strict form (the operator's dwithin is boundary-inclusive).  Subsequent
+    joins after the outer spatial one ride along against the temp view.
+    Returns the rewritten SQL or None (fall back to default planning)."""
     m = _OUTER_FROM_JOIN_RE.search(sql)
     if not m:
         return None

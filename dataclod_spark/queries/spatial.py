@@ -661,3 +661,76 @@ def g13_mvt_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY mx, my
         """
     )
+
+
+@query(
+    "g14_sql_multi_join_spatial",
+    doc="SQL spatial join followed by a dimension equi-join in one FROM "
+    "chain: only the spatial segment rewrites to the grid join, the "
+    "region join rides along (optimizer.rs handles joins inside larger "
+    "plans the same way)",
+    oracle="""
+WITH boxes AS (
+  SELECT event_id AS box_id,
+         CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by,
+         CAST(3 + event_id % 5 AS DOUBLE) AS w, CAST(2 + user_id % 3 AS DOUBLE) AS h
+  FROM events WHERE event_id % 50 = 0
+), points AS (
+  SELECT event_id AS point_id,
+         CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
+  FROM events WHERE event_id % 4 = 0
+)
+SELECT r.r_name AS r_name, count(*) AS n_pairs
+FROM points p
+JOIN boxes b ON p.px BETWEEN b.bx AND b.bx + b.w AND p.py BETWEEN b.by AND b.by + b.h
+JOIN region r ON b.box_id % 5 = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+)
+def g14_sql_multi_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.operators.spatial_join import envelope_wkb, point_wkb
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    e = load(spark, sf_dir, "events")
+    load(spark, sf_dir, "region").createOrReplaceTempView("g14_region")
+    (
+        e.filter(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("box_id"),
+            (F.col("event_id") % 97).cast("double").alias("bx"),
+            (F.col("user_id") % 41).cast("double").alias("by"),
+            (3 + F.col("event_id") % 5).cast("double").alias("w"),
+            (2 + F.col("user_id") % 3).cast("double").alias("h"),
+        )
+        .select(
+            "box_id", "bx", "by", "w", "h",
+            envelope_wkb(
+                F.col("bx"), F.col("by"), F.col("bx") + F.col("w"), F.col("by") + F.col("h")
+            ).alias("geom"),
+        )
+        .createOrReplaceTempView("g14_boxes")
+    )
+    (
+        e.filter(F.col("event_id") % 4 == 0)
+        .select(
+            F.col("event_id").alias("point_id"),
+            (F.col("event_id") % 89).cast("double").alias("px"),
+            (F.col("user_id") % 43).cast("double").alias("py"),
+        )
+        .select("point_id", "px", "py", point_wkb(F.col("px"), F.col("py")).alias("geom"))
+        .createOrReplaceTempView("g14_points")
+    )
+    sess.register_bbox("g14_points", "geom", "px", "py", "px", "py", exact=True)
+    sess.register_bbox("g14_boxes", "geom", "bx", "by", "bx + w", "by + h", exact=True)
+    return sess.sql(
+        """
+        SELECT r.r_name AS r_name, count(*) AS n_pairs
+        FROM g14_points p
+        JOIN g14_boxes b ON ST_Intersects(p.geom, b.geom)
+        JOIN g14_region r ON b.box_id % 5 = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+        """
+    )

@@ -220,3 +220,30 @@ def test_bbox_metadata_dispatch_prunes_python(engine, sdata):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan  # fully JVM: no bbox UDF, no refine
+
+
+def test_multi_join_spatial_first_dispatch(engine, sdata):
+    """Spatial join followed by an ordinary equi-join: only the spatial
+    segment is rewritten; the dimension join rides along verbatim."""
+    boxes, points = sdata
+    spark = engine.spark
+    spark.createDataFrame(
+        [(i, f"cat{i % 3}") for i in range(40)], "bid long, category string"
+    ).createOrReplaceTempView("disp_dim")
+    df = engine.sql(
+        "SELECT p.pid, b.bid, d.category FROM disp_pts p "
+        "JOIN disp_boxes b ON ST_Intersects(p.geom, b.geom) "
+        "JOIN disp_dim d ON b.bid = d.bid "
+        "WHERE p.pid % 2 = 0"
+    )
+    got = {(r.pid, r.bid, r.category) for r in df.collect()}
+    want = {
+        (pi, bi, f"cat{bi % 3}")
+        for pi, pg in points
+        for bi, bg in boxes
+        if pi % 2 == 0 and GP.intersects(pg, bg)
+    }
+    assert got == want and got
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__cell" in plan
