@@ -1234,3 +1234,42 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "s4_setops_all",
+    doc="INTERSECT ALL / EXCEPT ALL — multiplicity-preserving set ops "
+    "(intersectAll/exceptAll) over order-priority multisets",
+    oracle="""
+WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+     b AS (SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000)
+SELECT 'inter' AS tag, o_orderpriority, count(*) AS n
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'exc' AS tag, o_orderpriority, count(*) AS n
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+GROUP BY o_orderpriority
+ORDER BY tag, o_orderpriority
+""",
+)
+def s4_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-variant set ops keep duplicate multiplicity (min/count-difference
+    semantics) — a different operator than the DISTINCT forms (Spark plans
+    a row_number-tagged join under the hood)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_orderpriority")
+    inter = (
+        a.intersectAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("inter").alias("tag"), "o_orderpriority", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("exc").alias("tag"), "o_orderpriority", "n")
+    )
+    return inter.unionAll(exc).orderBy("tag", "o_orderpriority")

@@ -54,3 +54,22 @@ def test_named_args_still_work(engine):
         "SELECT count(*) AS n FROM params_t WHERE id > :lo", {"lo": 6}
     ).collect()
     assert rows[0].n == 3
+
+
+def test_ddl_roundtrip_through_session(engine, tmp_path):
+    """CREATE TABLE USING parquet + INSERT + SELECT through EngineSession
+    (the reference inherits CREATE EXTERNAL TABLE/CTAS/INSERT from
+    DataFusion; Spark SQL provides the same statements natively)."""
+    loc = tmp_path / "ddl_tbl"
+    engine.sql(f"CREATE TABLE ddl_t (id BIGINT, name STRING) USING parquet LOCATION '{loc}'")
+    try:
+        engine.sql("INSERT INTO ddl_t VALUES (1, 'a'), (2, 'b')")
+        engine.sql("INSERT INTO ddl_t SELECT 3, 'c'")
+        rows = engine.sql("SELECT id, name FROM ddl_t ORDER BY id").collect()
+        assert [tuple(r) for r in rows] == [(1, "a"), (2, "b"), (3, "c")]
+        # CTAS
+        engine.sql("CREATE TABLE ddl_t2 USING parquet AS SELECT id * 10 AS id10 FROM ddl_t")
+        assert {r.id10 for r in engine.sql("SELECT id10 FROM ddl_t2").collect()} == {10, 20, 30}
+    finally:
+        engine.sql("DROP TABLE IF EXISTS ddl_t")
+        engine.sql("DROP TABLE IF EXISTS ddl_t2")
