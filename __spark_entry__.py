@@ -43,7 +43,7 @@ _PRIORITY = [
     "st3_stream_sliding", "d7_dedup_clusters", "w5_groups_frame",
     "g13_mvt_points", "x7_quality_filter_pipeline",
     "st4_stream_interval_join", "st5_stream_dedup",
-    "g14_sql_multi_join_spatial", "s4_setops_all",
+    "g14_sql_multi_join_spatial", "s4_setops_all", "x8_langid_ngram",
 ]
 
 

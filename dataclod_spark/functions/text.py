@@ -115,6 +115,47 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col).cast("binary"))
 
 
+# Character-trigram profiles per language (top frequent trigrams incl.
+# spaces, the classic Cavnar–Trenkle n-gram shape).  Space-padded text
+# makes word-boundary trigrams ("th", "de ") count like the real method.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
+    "de": (" de", "der", "er ", "ie ", " di", "die", "und", " un", "nd ", "ch "),
+    "es": (" de", "de ", " la", "la ", "os ", " lo", "los", " es", "es ", "as "),
+    "fr": (" le", "le ", " la", " et", "et ", "es ", " de", "de ", "la ", "nt "),
+}
+
+
+def char_trigrams(col: Column) -> Column:
+    """All character trigrams of ' ' + normalized text + ' ' (overlapping,
+    non-distinct — frequency matters for profile scoring).  Pure JVM array
+    arithmetic.  SQL twin: list_transform(range(1, len(p)-1),
+    i -> substr(p, i, 3)) over the same padded string."""
+    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(0))),
+        lambda i: padded.substr(i, F.lit(3)),
+    )
+
+
+def trigram_score(col: Column, lang: str) -> Column:
+    """Count of the document's trigrams that appear in the language's
+    profile (frequency-weighted membership — the n-gram heuristic)."""
+    profile = LANG_TRIGRAMS[lang]
+    return F.size(F.filter(char_trigrams(col), lambda t: t.isin(*profile)))
+
+
+def langid_ngram(col: Column) -> Column:
+    """Character-trigram language-ID: argmax of profile-hit counts, ties
+    broken by LANG_PRIORITY, 'und' when all zero."""
+    scores = {lang: trigram_score(col, lang) for lang in LANG_PRIORITY}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
 # GPT-2-style pre-tokenizer pattern, restricted to constructs shared by
 # Java regex (Spark) and RE2 (DuckDB) — no lookahead, ASCII classes — so
 # the differential oracle tokenizes identically:

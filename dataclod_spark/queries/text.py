@@ -274,3 +274,52 @@ def x7_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _tri_score(lang: str) -> str:
+    inlist = ",".join("'" + t.replace("'", "''") + "'" for t in TX.LANG_TRIGRAMS[lang])
+    return (
+        rf"len(list_filter(list_transform(range(1, len(' ' || {_NORM} || ' ') - 1), "
+        rf"i -> substr(' ' || {_NORM} || ' ', i, 3)), t -> t IN ({inlist})))"
+    )
+
+
+@query(
+    "x8_langid_ngram",
+    doc="character-trigram language-ID (Cavnar-Trenkle-style n-gram "
+    "profile heuristic), corpus distribution vs the marker-word variant",
+    oracle=rf"""
+WITH scored AS (
+  SELECT doc_id,
+         {_tri_score('en')} AS s_en,
+         {_tri_score('de')} AS s_de,
+         {_tri_score('es')} AS s_es,
+         {_tri_score('fr')} AS s_fr
+  FROM documents
+), detected AS (
+  SELECT doc_id,
+         CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
+              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
+              ELSE 'und' END AS lang_detected
+  FROM scored
+)
+SELECT lang_detected, count(*) AS n_docs
+FROM detected
+GROUP BY lang_detected
+ORDER BY lang_detected
+""",
+)
+def x8_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping char-trigram counts against per-language profiles —
+    pure JVM array expressions, one scan; the frequency-weighted profile
+    membership is the n-gram heuristic proper (the marker-word x3 variant
+    stays as the cheap fallback)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(TX.langid_ngram(F.col("text")).alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_detected")
+    )

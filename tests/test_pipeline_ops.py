@@ -143,3 +143,17 @@ def test_connected_components_clusters(spark):
             (10, 10), (11, 10), (12, 10),
             (20, 20), (21, 20)}
     assert got == want
+
+
+def test_langid_ngram_known_sentences(spark):
+    from dataclod_spark.functions.text import langid_ngram
+
+    rows = [
+        ("the cat and the dog went to the park of things",),
+        ("der hund und die katze sind in der stadt und das haus",),
+        ("los gatos y los perros de la casa es de ellos",),
+        ("le chat et le chien est dans la maison les jours",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r[0] for r in df.select(langid_ngram(F.col("text"))).collect()]
+    assert got == ["en", "de", "es", "fr"]
