@@ -44,6 +44,7 @@ _PRIORITY = [
     "g13_mvt_points", "x7_quality_filter_pipeline",
     "st4_stream_interval_join", "st5_stream_dedup",
     "g14_sql_multi_join_spatial", "s4_setops_all", "x8_langid_ngram",
+    "m3_byte_histogram",
 ]
 
 

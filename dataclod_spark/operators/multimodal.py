@@ -133,3 +133,38 @@ def sample_frames(
             yield out
 
     return df.mapInPandas(frames, out_schema)
+
+
+def byte_histogram_features(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """REAL (non-stub) feature extraction over binary content: 32-wide byte
+    histograms + byte sum per blob — the simplest member of the
+    decode→feature-extract family that needs no codec library, so the whole
+    multimodal path (binary column → Arrow batch → vectorized numpy →
+    feature row) runs for real in this container.
+
+    One ``mapInPandas`` pass, no shuffle; per-blob work is a numpy
+    ``frombuffer`` + four masked sums (O(bytes), vectorized).  Integer
+    outputs keep the differential oracle exact.
+    """
+    import numpy as np
+
+    schema = (
+        f"{id_col} long, b0 long, b1 long, b2 long, b3 long, byte_sum long"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "b0": [], "b1": [], "b2": [], "b3": [], "byte_sum": []}
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                a = np.frombuffer(bytes(blob), dtype=np.uint8) if blob is not None else np.array([], dtype=np.uint8)
+                out[id_col].append(mid)
+                out["b0"].append(int((a < 32).sum()))
+                out["b1"].append(int(((a >= 32) & (a < 64)).sum()))
+                out["b2"].append(int(((a >= 64) & (a < 96)).sum()))
+                out["b3"].append(int((a >= 96).sum()))
+                out["byte_sum"].append(int(a.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema)

@@ -152,3 +152,43 @@ def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         F.col("media_id").alias("doc_id"), "frame_no"
     ).orderBy("doc_id", "frame_no")
+
+
+@query(
+    "m3_byte_histogram",
+    doc="real multimodal feature extraction: 32-wide byte histograms + "
+    "byte sums over binary content via one vectorized mapInPandas pass",
+    oracle="""
+WITH ascii_docs AS (
+  SELECT doc_id, text FROM documents WHERE strlen(text) = len(text)
+), codes AS (
+  SELECT doc_id,
+         list_transform(range(1, len(text) + 1), i -> ascii(substr(text, i, 1))) AS cs
+  FROM ascii_docs
+)
+SELECT doc_id,
+       len(list_filter(cs, c -> c < 32)) AS b0,
+       len(list_filter(cs, c -> c >= 32 AND c < 64)) AS b1,
+       len(list_filter(cs, c -> c >= 64 AND c < 96)) AS b2,
+       len(list_filter(cs, c -> c >= 96)) AS b3,
+       CAST(list_sum(cs) AS BIGINT) AS byte_sum
+FROM codes
+ORDER BY doc_id
+""",
+)
+def m3_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASCII-only filter (octet_length == char_length) keeps the
+    byte-level Spark view and the codepoint-level DuckDB oracle identical;
+    list_sum of an empty list is NULL in DuckDB, so empty docs coalesce to
+    0 on both sides."""
+    from dataclod_spark.operators.multimodal import byte_histogram_features
+
+    d = load(spark, sf_dir, "documents")
+    media = d.filter(F.octet_length("text") == F.char_length("text")).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    feats = byte_histogram_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"), "b0", "b1", "b2", "b3", "byte_sum"
+    ).orderBy("doc_id")
