@@ -45,6 +45,7 @@ _PRIORITY = [
     "st4_stream_interval_join", "st5_stream_dedup",
     "g14_sql_multi_join_spatial", "s4_setops_all", "x8_langid_ngram",
     "m3_byte_histogram",
+    "g15_sql_exists_spatial", "g16_sql_not_exists_spatial",
 ]
 
 

@@ -687,3 +687,223 @@ def try_outer_spatial_join(session, sql: str) -> Optional[str]:
         flags=re.IGNORECASE,
     )
     return rest
+
+
+_EXISTS_RE = re.compile(
+    r"\bFROM\s+(?P<lt>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<la>[A-Za-z_]\w*)\s+"
+    r"WHERE\s+(?P<neg>NOT\s+)?EXISTS\s*\(",
+    re.IGNORECASE,
+)
+
+_EXISTS_SUB_RE = re.compile(
+    r"^\s*SELECT\s+.+?\s+FROM\s+(?P<rt>[A-Za-z_][\w.]*)\s+(?:AS\s+)?"
+    r"(?P<ra>[A-Za-z_]\w*)\s+WHERE\s+(?P<conds>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def try_exists_spatial_join(session, sql: str) -> Optional[str]:
+    """Rewrite a correlated spatial ``[NOT] EXISTS`` into the grid
+    semi/anti join.
+
+    The reference's SpatialJoinExec supports semi/anti join types
+    (``spatial/src/join/exec.rs:47-131``) and its optimizer rewrites any
+    join shape carrying a spatial predicate — including the ExistenceJoins
+    DataFusion decorrelates ``EXISTS`` subqueries into
+    (``optimizer.rs:33-113``).  Without dispatch, Spark plans
+
+        SELECT .. FROM a WHERE [NOT] EXISTS
+          (SELECT 1 FROM b WHERE ST_Pred(a.g, b.g))
+
+    as a BroadcastNestedLoopJoin ExistenceJoin running the predicate UDF
+    over the full cross product.  This routes it through the DataFrame
+    operator's ``left_semi`` / ``left_anti`` path (same grid build/probe,
+    same refine) and rewrites the statement against a temp view.
+
+    Scope (conservative): the outer FROM is a single named relation and the
+    EXISTS is the first WHERE predicate (optionally ``AND <rest>`` after
+    it, which stays a post-filter on the outer side); the subquery is
+    ``SELECT .. FROM <rel> <alias> WHERE <spatial pred> [AND <right-only
+    conjuncts>]`` — right-only conjuncts become a pre-filter on the inner
+    side; any conjunct touching the outer alias beyond the spatial
+    predicate falls back.
+    """
+    m = _EXISTS_RE.search(sql)
+    if not m:
+        return None
+    lt, la, neg = m.group("lt"), m.group("la"), bool(m.group("neg"))
+    if la.lower() in _RESERVED_ALIAS:
+        return None
+    # balanced-paren scan for the subquery body
+    depth = 1
+    i = m.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    sub, sub_end = sql[m.end() : i - 1], i
+    sm = _EXISTS_SUB_RE.match(sub)
+    if not sm:
+        return None
+    rt, ra, conds = sm.group("rt"), sm.group("ra"), sm.group("conds")
+    if ra.lower() in _RESERVED_ALIAS or ra.lower() == la.lower():
+        return None
+    conjuncts = _split_top_and(conds)
+    spatial_idx, parsed = None, None
+    for ci, c in enumerate(conjuncts):
+        p = _match_spatial_conjunct(c)
+        if p is not None and {p[0].lower(), p[2].lower()} == {la.lower(), ra.lower()}:
+            spatial_idx, parsed = ci, p
+            break
+    if parsed is None:
+        return None
+    a1, c1, a2, c2, expand, pred_key, strict = parsed
+    if strict or pred_key == "bbox":
+        return None
+    if a1.lower() == la.lower():
+        lgeom, rgeom, predicate = c1, c2, pred_key
+    else:
+        lgeom, rgeom, predicate = c2, c1, _SWAPPED[pred_key]
+
+    ldf = _resolve_relation(session, sql, lt)
+    rdf = _resolve_relation(session, sql, rt)
+    if ldf is None or rdf is None:
+        return None
+    if lgeom not in ldf.columns or rgeom not in rdf.columns:
+        return None
+
+    # classify non-spatial conjuncts: inner-only refs become a pre-filter
+    # on the inner side (cheapest); conjuncts correlating the outer alias
+    # route through the inner-join + row-id path below (Spark itself cannot
+    # plan these at all — PYTHON_UDF_IN_ON_CLAUSE — so there is no slower
+    # fallback to fall back to); bare identifiers that could name an
+    # outer-only column are ambiguous → fall back to default planning's
+    # error, which names the real problem
+    lcols_lower = {c.lower() for c in ldf.columns}
+    rcols_lower = {c.lower() for c in rdf.columns}
+    extras = [c for ci, c in enumerate(conjuncts) if ci != spatial_idx]
+    right_filters: list[str] = []
+    correlated_filters: list[str] = []
+    for extra in extras:
+        refs = re.findall(r"\b([A-Za-z_]\w*)\s*\.\s*`?(\w+)`?", extra)
+        aliases = {a.lower() for a, _ in refs}
+        if not aliases <= {la.lower(), ra.lower()}:
+            return None
+        for a, col in refs:
+            have = lcols_lower if a.lower() == la.lower() else rcols_lower
+            if col.lower() not in have:
+                return None
+        stripped = re.sub(
+            rf"\b(?:{re.escape(la)}|{re.escape(ra)})\s*\.\s*`?\w+`?", "", extra,
+            flags=re.IGNORECASE,
+        )
+        bare = {b.lower() for b in re.findall(r"\b[A-Za-z_]\w*\b", stripped)}
+        if la.lower() in aliases:
+            if bare & (lcols_lower | rcols_lower):
+                return None
+            correlated_filters.append(extra)
+        else:
+            if (bare & lcols_lower) - rcols_lower:
+                return None
+            right_filters.append(
+                re.sub(
+                    rf"\b{re.escape(ra)}\s*\.\s*(`?\w+`?)", r"\1", extra,
+                    flags=re.IGNORECASE,
+                )
+            )
+
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    for flt in right_filters:
+        try:
+            rdf = rdf.where(flt)
+        except Exception:
+            return None
+
+    lmeta = session.bbox_meta(lt, lgeom) if hasattr(session, "bbox_meta") else None
+    rmeta = session.bbox_meta(rt, rgeom) if hasattr(session, "bbox_meta") else None
+
+    def _meta_bbox(meta):
+        if meta is None:
+            return None
+        return tuple(F.expr(x) for x in (meta.xmin, meta.ymin, meta.xmax, meta.ymax))
+
+    refine = (
+        "none"
+        if (lmeta is not None and lmeta.exact and rmeta is not None and rmeta.exact)
+        else "auto"
+    )
+    common = dict(
+        left_geom=lgeom,
+        right_geom=rgeom,
+        distance=(expand if predicate == "dwithin" else None),
+        cell_target=getattr(session, "spatial_join_cells", None),
+        left_bbox=_meta_bbox(lmeta),
+        right_bbox=_meta_bbox(rmeta),
+        refine=refine,
+    )
+    how = "left_anti" if neg else "left_semi"
+    if not correlated_filters:
+        joined = spatial_join(ldf, rdf, predicate, how=how, **common)
+    else:
+        # correlated extras join the semi/anti condition itself: run the
+        # inner grid join, apply them post-join, then semi/anti the outer
+        # side on the operator's deterministic row-id convention (two
+        # xxhash64 seeds over the natural columns — recompute-stable,
+        # identical rows share a verdict, which is exactly semi/anti
+        # semantics)
+        inner = spatial_join(ldf, rdf, predicate, how="inner", **common)
+        overlap = set(ldf.columns) & set(rdf.columns)
+
+        def _qref(mm: re.Match) -> str:
+            alias, col = mm.group(1), mm.group(2)
+            if alias.lower() == la.lower():
+                return col
+            return f"{col}_right" if col in overlap else col
+
+        flt = " AND ".join(
+            "("
+            + re.sub(
+                rf"\b({re.escape(la)}|{re.escape(ra)})\s*\.\s*`?(\w+)`?",
+                _qref, c, flags=re.IGNORECASE,
+            )
+            + ")"
+            for c in correlated_filters
+        )
+
+        def _rowid(df):
+            cols = [F.col(c) for c in ldf.columns]
+            return F.struct(
+                F.xxhash64(*cols).alias("h1"),
+                F.xxhash64(F.lit(0x9E3779B9), *cols).alias("h2"),
+            )
+
+        try:
+            matched = inner.where(flt).select(_rowid(inner).alias("__eid")).distinct()
+        except Exception:
+            return None
+        joined = (
+            ldf.withColumn("__eid", _rowid(ldf))
+            .join(matched, "__eid", how)
+            .drop("__eid")
+        )
+    view = f"__spatial_semi_join_{next(_outer_view_counter)}"
+    joined.createOrReplaceTempView(view)
+
+    tail = sql[sub_end:]
+    tm = re.match(r"\s*AND\b", tail, re.IGNORECASE)
+    if tm:
+        tail = " WHERE " + tail[tm.end() :]
+    rest = sql[: m.start()] + f"FROM {view}" + tail
+    star_l = ", ".join(ldf.columns)
+    rest = re.sub(rf"\b{re.escape(la)}\.\*", star_l, rest, flags=re.IGNORECASE)
+    rest = re.sub(
+        rf"\b{re.escape(la)}\.`?(\w+)`?", r"\1", rest, flags=re.IGNORECASE
+    )
+    return rest

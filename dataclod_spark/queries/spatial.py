@@ -734,3 +734,123 @@ def g14_sql_multi_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r.r_name
         """
     )
+
+
+def _semi_views(spark: SparkSession, sf_dir: str, sess, prefix: str) -> None:
+    """Shared point/box temp views for the EXISTS/NOT EXISTS gate queries
+    (same synthetic geometry derivation as g9/g11)."""
+    from dataclod_spark.operators.spatial_join import envelope_wkb, point_wkb
+
+    e = load(spark, sf_dir, "events")
+    (
+        e.filter(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("box_id"),
+            (F.col("event_id") % 97).cast("double").alias("bx"),
+            (F.col("user_id") % 41).cast("double").alias("by"),
+            (3 + F.col("event_id") % 5).cast("double").alias("w"),
+            (2 + F.col("user_id") % 3).cast("double").alias("h"),
+        )
+        .select(
+            "box_id", "bx", "by", "w", "h",
+            envelope_wkb(
+                F.col("bx"), F.col("by"), F.col("bx") + F.col("w"), F.col("by") + F.col("h")
+            ).alias("geom"),
+        )
+        .createOrReplaceTempView(f"{prefix}_boxes")
+    )
+    (
+        e.filter(F.col("event_id") % 3 == 0)
+        .select(
+            F.col("event_id").alias("point_id"),
+            (F.col("event_id") % 89).cast("double").alias("px"),
+            (F.col("user_id") % 43).cast("double").alias("py"),
+        )
+        .select("point_id", "px", "py", point_wkb(F.col("px"), F.col("py")).alias("geom"))
+        .createOrReplaceTempView(f"{prefix}_points")
+    )
+    sess.register_bbox(f"{prefix}_points", "geom", "px", "py", "px", "py", exact=True)
+    sess.register_bbox(f"{prefix}_boxes", "geom", "bx", "by", "bx + w", "by + h", exact=True)
+
+
+@query(
+    "g15_sql_exists_spatial",
+    doc="Correlated spatial EXISTS in SQL → grid left-semi join "
+    "(plans/spatial_dispatch.try_exists_spatial_join; exec.rs:47-131 semi "
+    "join type parity).  Spark alone cannot plan this shape at all "
+    "(PYTHON_UDF_IN_ON_CLAUSE), so the dispatch IS the operator.",
+    oracle="""
+WITH boxes AS (
+  SELECT event_id AS box_id,
+         CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by,
+         CAST(3 + event_id % 5 AS DOUBLE) AS w, CAST(2 + user_id % 3 AS DOUBLE) AS h
+  FROM events WHERE event_id % 50 = 0
+), points AS (
+  SELECT event_id AS point_id,
+         CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT count(*) AS n_points, sum(point_id) AS id_sum
+FROM points p
+WHERE EXISTS (
+  SELECT 1 FROM boxes b
+  WHERE p.px BETWEEN b.bx AND b.bx + b.w AND p.py BETWEEN b.by AND b.by + b.h
+    AND b.box_id % 2 = 0
+)
+""",
+)
+def g15_sql_exists_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    _semi_views(spark, sf_dir, sess, "g15")
+    return sess.sql(
+        """
+        SELECT count(*) AS n_points, sum(point_id) AS id_sum
+        FROM g15_points p WHERE EXISTS (
+          SELECT 1 FROM g15_boxes b
+          WHERE ST_Intersects(p.geom, b.geom) AND b.box_id % 2 = 0
+        )
+        """
+    )
+
+
+@query(
+    "g16_sql_not_exists_spatial",
+    doc="Correlated spatial NOT EXISTS in SQL → grid left-anti join with a "
+    "correlated non-spatial conjunct (inner grid join + row-id anti path)",
+    oracle="""
+WITH boxes AS (
+  SELECT event_id AS box_id,
+         CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by,
+         CAST(3 + event_id % 5 AS DOUBLE) AS w, CAST(2 + user_id % 3 AS DOUBLE) AS h
+  FROM events WHERE event_id % 50 = 0
+), points AS (
+  SELECT event_id AS point_id,
+         CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT count(*) AS n_points, sum(point_id) AS id_sum
+FROM points p
+WHERE NOT EXISTS (
+  SELECT 1 FROM boxes b
+  WHERE p.px BETWEEN b.bx AND b.bx + b.w AND p.py BETWEEN b.by AND b.by + b.h
+    AND b.box_id % 100 < p.point_id % 100
+)
+""",
+)
+def g16_sql_not_exists_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    _semi_views(spark, sf_dir, sess, "g16")
+    return sess.sql(
+        """
+        SELECT count(*) AS n_points, sum(point_id) AS id_sum
+        FROM g16_points p WHERE NOT EXISTS (
+          SELECT 1 FROM g16_boxes b
+          WHERE ST_Intersects(p.geom, b.geom)
+            AND b.box_id % 100 < p.point_id % 100
+        )
+        """
+    )

@@ -235,6 +235,7 @@ class EngineSession:
             rewrite_values_tables,
         )
         from dataclod_spark.plans.spatial_dispatch import (
+            try_exists_spatial_join,
             try_outer_spatial_join,
             try_rewrite_spatial_join,
         )
@@ -266,6 +267,9 @@ class EngineSession:
             # LEFT/RIGHT/FULL spatial joins route through the DataFrame
             # operator's outer completion (exec.rs:47-131 parity)
             rewritten = try_outer_spatial_join(self, query)
+        if rewritten is None:
+            # correlated spatial [NOT] EXISTS → grid semi/anti join
+            rewritten = try_exists_spatial_join(self, query)
         if rewritten is not None:
             query = rewritten
         if args:

@@ -247,3 +247,93 @@ def test_multi_join_spatial_first_dispatch(engine, sdata):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "__cell" in plan
+
+
+def test_exists_semi_sql_dispatch(engine, sdata):
+    """Correlated spatial EXISTS → grid left-semi join (reference
+    exec.rs:47-131 semi join type; optimizer.rs rewrites decorrelated
+    ExistenceJoins too)."""
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid FROM disp_pts p WHERE EXISTS "
+        "(SELECT 1 FROM disp_boxes b WHERE ST_Intersects(p.geom, b.geom))"
+    )
+    got = {r.pid for r in df.collect()}
+    want = {pi for pi, pg in points if any(GP.intersects(pg, bg) for _, bg in boxes)}
+    assert got == want and got
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__cell" in plan
+
+
+def test_not_exists_anti_sql_dispatch(engine, sdata):
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid FROM disp_pts p WHERE NOT EXISTS "
+        "(SELECT 1 FROM disp_boxes b WHERE ST_Contains(b.geom, p.geom))"
+    )
+    got = {r.pid for r in df.collect()}
+    want = {pi for pi, pg in points if not any(GP.contains(bg, pg) for _, bg in boxes)}
+    assert got == want and got
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
+
+
+def test_exists_right_filter_and_outer_tail(engine, sdata):
+    """Inner-only conjuncts pre-filter the inner side; an AND after the
+    EXISTS stays a post-filter on the outer side; GROUP BY tail survives."""
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid % 2 AS par, count(*) AS n FROM disp_pts p WHERE EXISTS "
+        "(SELECT 1 FROM disp_boxes b WHERE ST_Intersects(p.geom, b.geom) "
+        "AND b.bid % 2 = 0) AND p.pid < 150 "
+        "GROUP BY p.pid % 2 ORDER BY par"
+    )
+    got = {(r.par, r.n) for r in df.collect()}
+    want_pids = {
+        pi
+        for pi, pg in points
+        if pi < 150 and any(bi % 2 == 0 and GP.intersects(pg, bg) for bi, bg in boxes)
+    }
+    want: dict[int, int] = {}
+    for pi in want_pids:
+        want[pi % 2] = want.get(pi % 2, 0) + 1
+    assert got == set(want.items()) and got
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
+
+
+def test_exists_correlated_extra_dispatch(engine, sdata):
+    """A non-spatial conjunct correlating the outer alias joins the
+    semi-join condition: inner grid join + post-filter + row-id semi.
+    (Spark cannot plan this at all — PYTHON_UDF_IN_ON_CLAUSE — so dispatch
+    is the only path.)"""
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid FROM disp_pts p WHERE EXISTS "
+        "(SELECT 1 FROM disp_boxes b WHERE ST_Intersects(p.geom, b.geom) "
+        "AND b.bid < p.pid)"
+    )
+    got = {r.pid for r in df.collect()}
+    want = {
+        pi
+        for pi, pg in points
+        if any(bi < pi and GP.intersects(pg, bg) for bi, bg in boxes)
+    }
+    assert got == want and got
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
+
+
+def test_not_exists_correlated_extra_dispatch(engine, sdata):
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid FROM disp_pts p WHERE NOT EXISTS "
+        "(SELECT 1 FROM disp_boxes b WHERE ST_Intersects(p.geom, b.geom) "
+        "AND b.bid < p.pid)"
+    )
+    got = {r.pid for r in df.collect()}
+    want = {
+        pi
+        for pi, pg in points
+        if not any(bi < pi and GP.intersects(pg, bg) for bi, bg in boxes)
+    }
+    assert got == want and got
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
