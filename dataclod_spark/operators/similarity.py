@@ -139,6 +139,13 @@ def knn_ann(
 ) -> DataFrame:
     """Approximate top-k with multi-table, multi-probe LSH.
 
+    Tuning: sign-LSH bucket population ~ corpus/2^n_planes, so set
+    ``n_planes`` ≈ log2(corpus / target_bucket_size) and raise
+    ``n_tables`` (cost: one extra corpus explode row per table) until the
+    measured recall target is met — recall is monotone in tables and in
+    probe distance.  tests/test_ann_recall.py pins measured recall@5 for
+    the sf0.001 corpus (4 planes × 4 tables ≥ 0.85).
+
     ``n_tables`` independent hyperplane sets bucket the corpus in a single
     projection (one scan — the per-table buckets are exploded from an
     array, never re-read); each query probes its own bucket plus all

@@ -1,0 +1,66 @@
+"""ANN quality gates: recall@k of the approximate operators against the
+exact brute-force baseline.
+
+Oracle parity (tests/test_oracle_parity.py) proves each ANN operator
+computes exactly what it claims over its buckets; these tests prove the
+buckets are *useful* — that a tuned configuration recovers the true
+neighbors.  Bucket fineness is the recall/cost dial: sign-LSH bucket
+population ~ n/2^planes, so planes ≈ log2(n / target_bucket) — at 500
+vectors, 4 planes ≈ 30-vector buckets (high recall), while the 8-plane
+default suits ~100× larger corpora at the same cost per bucket.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataclod_spark.operators import similarity as SIM
+from dataclod_spark.registry import load
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 5
+
+
+@pytest.fixture(scope="module")
+def truth(spark):
+    e = load(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.knn_bruteforce(e, q, k=K).collect()
+    }
+    assert len(pairs) == 20 * K
+    return e, q, pairs
+
+
+def _recall(df, pairs) -> float:
+    got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    return len(got & pairs) / len(pairs)
+
+
+def test_multiprobe_lsh_recall_tuned(spark, truth):
+    """4 tables x 4 planes x hamming-1 probes: >= 0.85 recall@5 on the
+    sf0.001 corpus (measured 0.92; 1.0 at 8 tables)."""
+    e, q, pairs = truth
+    out = SIM.knn_ann(e, q, k=K, n_tables=4, n_planes=4, probe_hamming=1)
+    assert _recall(out, pairs) >= 0.85
+
+
+def test_multiprobe_more_tables_monotone(spark, truth):
+    """Adding tables only adds candidates: 8-table recall >= 4-table
+    recall (the multi-table union is monotone in tables)."""
+    e, q, pairs = truth
+    r4 = _recall(SIM.knn_ann(e, q, k=K, n_tables=4, n_planes=4, probe_hamming=1), pairs)
+    r8 = _recall(SIM.knn_ann(e, q, k=K, n_tables=8, n_planes=4, probe_hamming=1), pairs)
+    assert r8 >= r4 >= 0.85
+
+
+def test_ivf_recall(spark, truth):
+    """IVF 16 cells, 2-probe: >= 0.75 recall@5 (measured 0.83); probing
+    more cells only adds candidates."""
+    e, q, pairs = truth
+    r2 = _recall(SIM.knn_ivf(e, q, k=K, n_centroids=16, n_probe=2), pairs)
+    r4 = _recall(SIM.knn_ivf(e, q, k=K, n_centroids=16, n_probe=4), pairs)
+    assert r2 >= 0.75
+    assert r4 >= r2
