@@ -65,3 +65,82 @@ def test_tumbling_append_only_finalized_windows(spark, crafted_stream):
     # watermark = 10:00 - 10min = 09:50 → the 09:00-10:00 window (containing
     # the 09:50 event) and the 10:00-11:00 window are not finalized
     assert starts == [base, base + 3600]
+
+
+@pytest.fixture(scope="module")
+def multibatch_src(spark, tmp_path_factory):
+    """Three time-ordered parquet files with staggered mtimes: with
+    maxFilesPerTrigger=1 + availableNow the file source runs one
+    micro-batch per file, so state and the watermark must carry across
+    batches."""
+    import os
+    import shutil
+
+    rows_by_chunk = [
+        # chunk 0: user 1 session A, user 2 session A starts
+        [(1, _ts(0, 0)), (1, _ts(0, 10)), (2, _ts(0, 15))],
+        # chunk 1: user 2 session A extends; user 1 session B (gap > 30min)
+        [(2, _ts(0, 40)), (1, _ts(2, 0))],
+        # chunk 2: far-future anchor closes everything via watermark
+        [(3, _ts(9, 0))],
+    ]
+    d = tmp_path_factory.mktemp("mb_src")
+    for i, rows in enumerate(rows_by_chunk):
+        tmp = d / f"_w{i}"
+        spark.createDataFrame(rows, "user_id bigint, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp))
+        part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        target = d / f"c{i}.parquet"
+        shutil.move(str(part), str(target))
+        shutil.rmtree(str(tmp))
+        os.utime(str(target), (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(d)
+
+
+def _mb_stream(spark, src, per_trigger):
+    return (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", str(per_trigger))
+        .parquet(src)
+    )
+
+
+def test_sessionization_state_across_microbatches(spark, multibatch_src):
+    """One file per micro-batch: user 2's session spans batch 0 and 1 (open
+    state must survive the batch boundary and merge), and the final result
+    equals the single-batch run."""
+    multi = run_to_memory(
+        sessionize_stream(_mb_stream(spark, multibatch_src, 1)), spark
+    )
+    single = run_to_memory(
+        sessionize_stream(_mb_stream(spark, multibatch_src, 3)), spark
+    )
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)  # noqa: E731
+    got_multi = sorted(map(key, multi.collect()))
+    got_single = sorted(map(key, single.collect()))
+    assert got_multi == got_single
+    base = int(_ts(0, 0).replace(tzinfo=timezone.utc).timestamp())
+    # user 2's cross-batch session: 00:15 (batch 0) + 00:40 (batch 1) within
+    # one 30-min gap → one session of 2 events
+    assert (2, base + 900, base + 2400, 2) in got_multi
+    # user 1: two sessions split by the 01:50 gap
+    assert (1, base, base + 600, 2) in got_multi
+    assert (1, base + 7200, base + 7200, 1) in got_multi
+
+
+def test_tumbling_across_microbatches_matches_single_batch(spark, multibatch_src):
+    """Watermark advances batch-by-batch; the union of per-batch appends
+    must equal the single-batch append set (no loss, no duplication)."""
+    def tum(per_trigger):
+        ev = _mb_stream(spark, multibatch_src, per_trigger).selectExpr(
+            "CAST(user_id AS STRING) AS event_type", "ts", "1.0 AS value"
+        )
+        out = run_to_memory(tumbling_stream(ev), spark)
+        return sorted(
+            (r.window_start, r.event_type, r.n_events, r.total_value)
+            for r in out.collect()
+        )
+
+    multi, single = tum(1), tum(3)
+    assert multi == single and multi
