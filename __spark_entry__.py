@@ -46,6 +46,7 @@ _PRIORITY = [
     "g14_sql_multi_join_spatial", "s4_setops_all", "x8_langid_ngram",
     "m3_byte_histogram",
     "g15_sql_exists_spatial", "g16_sql_not_exists_spatial",
+    "g17_sql_region_query", "g18_sql_chain_spatial_second",
 ]
 
 

@@ -407,95 +407,51 @@ def _resolve_relation(session, sql: str, name: str):
     return None
 
 
-def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
-    """Rewrite ``FROM a JOIN b ON ST_Pred(...)`` into the grid equi-join.
-
-    ``session`` is the EngineSession (used to sample the build side for the
-    grid).  Returns the rewritten SQL, or None when the query does not match
-    the conservative dispatch pattern (caller falls back to default
-    planning).
-
-    Multi-join queries dispatch when the FIRST join of the chain is the
-    spatial one (``FROM a JOIN b ON ST_pred(..) JOIN dim d ON ..``): the
-    ON-clause scan stops at the next top-level JOIN keyword, so only the
-    spatial segment is rewritten and the remaining joins ride along
-    verbatim (left-associative parse order is unchanged).
-    """
-    m = _FROM_JOIN_RE.search(sql)
-    if not m:
-        return None
-    lt, la, rt, ra = m.group("lt"), m.group("la"), m.group("rt"), m.group("ra")
-    if la.lower() in _RESERVED_ALIAS or ra.lower() in _RESERVED_ALIAS:
-        return None
-    on_text, on_end = _scan_on_clause(sql, m.end())
-    conjuncts = _split_top_and(on_text)
-    spatial_idx = None
-    parsed = None
-    for i, c in enumerate(conjuncts):
-        p = _match_spatial_conjunct(c)
-        if p is not None:
-            spatial_idx = i
-            parsed = p
-            break
-    if parsed is None:
-        return None
-    a1, c1, a2, c2, expand, pred_key, strict = parsed
-    aliases = {a1.lower(), a2.lower()}
-    if aliases != {la.lower(), ra.lower()}:
-        return None
-    lgeom = c1 if a1.lower() == la.lower() else c2
-    rgeom = c2 if a2.lower() == ra.lower() else c1
-
+def _meta_cols_exprs(meta):
     from pyspark.sql import functions as F
 
+    return tuple(F.expr(x) for x in (meta.xmin, meta.ymin, meta.xmax, meta.ymax))
+
+
+def _get_grid(session, rt, rgeom, rdf, rmeta, ldf, lgeom, lmeta):
+    """Session-cached quantile grid sampled from the build (right) side,
+    falling back to the probe side when the build sample is empty."""
     from dataclod_spark.operators.spatial_join import (
-        _Grid,
+        auto_cell_target,
         collect_bbox_sample,
         collect_bbox_sample_cols,
+        _Grid,
     )
-
-    rdf = _resolve_relation(session, sql, rt)
-    ldf = _resolve_relation(session, sql, lt)
-    if rdf is None or ldf is None:
-        return None
-    if rgeom not in rdf.columns or lgeom not in ldf.columns:
-        return None
-    # registered bbox expressions (session.register_bbox): bbox pass and
-    # grid sampling become pure JVM on that side
-    lmeta = session.bbox_meta(lt, lgeom) if hasattr(session, "bbox_meta") else None
-    rmeta = session.bbox_meta(rt, rgeom) if hasattr(session, "bbox_meta") else None
-
-    def _meta_cols(meta):
-        return tuple(F.expr(x) for x in (meta.xmin, meta.ymin, meta.xmax, meta.ymax))
 
     cache_key = (rt.lower(), rgeom.lower(), session.spatial_join_cells)
     grid = getattr(session, "_grid_cache", {}).get(cache_key)
-    if grid is None:
-        if rmeta is not None:
-            sample = collect_bbox_sample_cols(rdf, _meta_cols(rmeta))
+    if grid is not None:
+        return grid
+    if rmeta is not None:
+        sample = collect_bbox_sample_cols(rdf, _meta_cols_exprs(rmeta))
+    else:
+        sample = collect_bbox_sample(rdf, rgeom)
+    if not sample:
+        if lmeta is not None:
+            sample = collect_bbox_sample_cols(ldf, _meta_cols_exprs(lmeta))
         else:
-            sample = collect_bbox_sample(rdf, rgeom)
-        if not sample:
-            if lmeta is not None:
-                sample = collect_bbox_sample_cols(ldf, _meta_cols(lmeta))
-            else:
-                sample = collect_bbox_sample(ldf, lgeom)
-        if not sample:
-            sample = [(0.0, 0.0, 1.0, 1.0)]
-        from dataclod_spark.operators.spatial_join import auto_cell_target
+            sample = collect_bbox_sample(ldf, lgeom)
+    if not sample:
+        sample = [(0.0, 0.0, 1.0, 1.0)]
+    cells = session.spatial_join_cells or auto_cell_target(sample)
+    grid = _Grid(sample, cells)
+    if hasattr(session, "_grid_cache"):
+        session._grid_cache[cache_key] = grid
+    return grid
 
-        cells = session.spatial_join_cells or auto_cell_target(sample)
-        grid = _Grid(sample, cells)
-        if hasattr(session, "_grid_cache"):
-            session._grid_cache[cache_key] = grid
 
-    # parallelism guard (mirrors the DataFrame operator): repartition a
-    # single-split local source up to the cluster's parallelism
-    par = session.spark.sparkContext.defaultParallelism
-    lpar = par if ldf.rdd.getNumPartitions() < par else None
-    rpar = par if rdf.rdd.getNumPartitions() < par else None
-
-    e = float(expand)
+def _grid_on_parts(
+    la, ra, a1, c1, a2, c2, grid, e, pred_key, strict,
+    lmeta, rmeta, conjuncts, spatial_idx,
+) -> list[str]:
+    """ON-clause conjuncts of the grid equi-join: cell equality, bbox
+    overlap, reference-point dedup, predicate-specific bbox tightening, the
+    NULL-masked exact refine, and any extra user conjuncts."""
     bb = lambda a, f: f"{a}.__bb.{f}"  # noqa: E731
     on_parts = [
         f"{la}.__cell = {ra}.__cell",
@@ -558,12 +514,194 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
         on_parts.append(spatial_sql)
     # any extra conjuncts ride along as join filters after the cell equi-join
     on_parts.extend(conjuncts[i] for i in range(len(conjuncts)) if i != spatial_idx)
+    return on_parts
+
+
+def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
+    """Rewrite ``FROM a JOIN b ON ST_Pred(...)`` into the grid equi-join.
+
+    ``session`` is the EngineSession (used to sample the build side for the
+    grid).  Returns the rewritten SQL, or None when the query does not match
+    the conservative dispatch pattern (caller falls back to default
+    planning).
+
+    Multi-join queries dispatch when the FIRST join of the chain is the
+    spatial one (``FROM a JOIN b ON ST_pred(..) JOIN dim d ON ..``): the
+    ON-clause scan stops at the next top-level JOIN keyword, so only the
+    spatial segment is rewritten and the remaining joins ride along
+    verbatim (left-associative parse order is unchanged).
+    """
+    m = _FROM_JOIN_RE.search(sql)
+    if not m:
+        return None
+    lt, la, rt, ra = m.group("lt"), m.group("la"), m.group("rt"), m.group("ra")
+    if la.lower() in _RESERVED_ALIAS or ra.lower() in _RESERVED_ALIAS:
+        return None
+    on_text, on_end = _scan_on_clause(sql, m.end())
+    conjuncts = _split_top_and(on_text)
+    spatial_idx = None
+    parsed = None
+    for i, c in enumerate(conjuncts):
+        p = _match_spatial_conjunct(c)
+        if p is not None:
+            spatial_idx = i
+            parsed = p
+            break
+    if parsed is None:
+        return None
+    a1, c1, a2, c2, expand, pred_key, strict = parsed
+    aliases = {a1.lower(), a2.lower()}
+    if aliases != {la.lower(), ra.lower()}:
+        return None
+    lgeom = c1 if a1.lower() == la.lower() else c2
+    rgeom = c2 if a2.lower() == ra.lower() else c1
+
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.spatial_join import (
+        _Grid,
+        collect_bbox_sample,
+        collect_bbox_sample_cols,
+    )
+
+    rdf = _resolve_relation(session, sql, rt)
+    ldf = _resolve_relation(session, sql, lt)
+    if rdf is None or ldf is None:
+        return None
+    if rgeom not in rdf.columns or lgeom not in ldf.columns:
+        return None
+    # registered bbox expressions (session.register_bbox): bbox pass and
+    # grid sampling become pure JVM on that side
+    lmeta = session.bbox_meta(lt, lgeom) if hasattr(session, "bbox_meta") else None
+    rmeta = session.bbox_meta(rt, rgeom) if hasattr(session, "bbox_meta") else None
+
+    def _meta_cols(meta):
+        return tuple(F.expr(x) for x in (meta.xmin, meta.ymin, meta.xmax, meta.ymax))
+
+    grid = _get_grid(session, rt, rgeom, rdf, rmeta, ldf, lgeom, lmeta)
+
+    # parallelism guard (mirrors the DataFrame operator): repartition a
+    # single-split local source up to the cluster's parallelism
+    par = session.spark.sparkContext.defaultParallelism
+    lpar = par if ldf.rdd.getNumPartitions() < par else None
+    rpar = par if rdf.rdd.getNumPartitions() < par else None
+
+    e = float(expand)
+    on_parts = _grid_on_parts(
+        la, ra, a1, c1, a2, c2, grid, e, pred_key, strict,
+        lmeta, rmeta, conjuncts, spatial_idx,
+    )
     new_from = (
         f"FROM {_side_sql(lt, lgeom, grid, e, lpar, lmeta)} {la} "
         f"JOIN {_side_sql(rt, rgeom, grid, 0.0, rpar, rmeta)} {ra} "
         f"ON {' AND '.join(on_parts)} "
     )
     return sql[: m.start()] + new_from + sql[on_end:]
+
+
+_CHAIN_FROM_RE = re.compile(
+    r"\bFROM\s+(?P<t>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<a>[A-Za-z_]\w*)\s+",
+    re.IGNORECASE,
+)
+_CHAIN_JOIN_RE = re.compile(
+    r"\s*(?:INNER\s+)?JOIN\s+(?P<t>[A-Za-z_][\w.]*)\s+(?:AS\s+)?"
+    r"(?P<a>[A-Za-z_]\w*)\s+ON\s+",
+    re.IGNORECASE,
+)
+
+
+def try_chain_spatial_join(session, sql: str) -> Optional[str]:
+    """Dispatch a spatial join sitting at ANY position of an inner-join
+    chain — ``FROM dim d JOIN pts p ON d.k = p.k JOIN boxes b ON
+    ST_Pred(p.geom, b.geom)`` — where :func:`try_rewrite_spatial_join`
+    only handles the chain's first join.
+
+    The reference's optimizer rule matches the spatial Join node wherever
+    it appears in the logical plan (``optimizer.rs:33-113``); this is the
+    SQL-text equivalent: parse the FROM chain of named inner-join
+    relations, find the first ON carrying a spatial conjunct between the
+    newly joined alias and any earlier alias, swap both relations for
+    their cell-exploded derived forms, and rewrite that ON into the grid
+    equi-join.  Earlier/later joins ride along verbatim — the exploded
+    copies of the probe side are collapsed by the reference-point dedup in
+    the rewritten ON, so inner-chain multiplicities are unchanged.
+    """
+    fm = _CHAIN_FROM_RE.search(sql)
+    if not fm or fm.group("a").lower() in _RESERVED_ALIAS:
+        return None
+    # rels: (table, alias, span of the "table alias" text)
+    rels = [(fm.group("t"), fm.group("a"), (fm.start("t"), fm.end("a")))]
+    joins = []  # (table, alias, rel_span, on_span, on_text)
+    pos = fm.end("a")
+    while True:
+        jm = _CHAIN_JOIN_RE.match(sql, pos)
+        if not jm:
+            break
+        if jm.group("a").lower() in _RESERVED_ALIAS:
+            return None
+        on_text, on_end = _scan_on_clause(sql, jm.end())
+        rels.append((jm.group("t"), jm.group("a"), (jm.start("t"), jm.end("a"))))
+        joins.append((jm.group("t"), jm.group("a"), (jm.start("t"), jm.end("a")),
+                      (jm.end(), on_end), on_text))
+        pos = on_end
+    if len(joins) < 2:
+        return None  # single-join chains are try_rewrite_spatial_join's case
+    aliases = [a.lower() for _, a, _ in rels]
+    if len(set(aliases)) != len(aliases):
+        return None
+
+    for k in range(1, len(joins)):  # k=0 == first join == already handled
+        jt, ja, jrel_span, jon_span, jon_text = joins[k]
+        conjuncts = _split_top_and(jon_text)
+        for si, c in enumerate(conjuncts):
+            p = _match_spatial_conjunct(c)
+            if p is None:
+                continue
+            a1, c1, a2, c2, expand, pred_key, strict = p
+            pair = {a1.lower(), a2.lower()}
+            if ja.lower() not in pair:
+                continue
+            other = (pair - {ja.lower()}).pop() if len(pair) == 2 else None
+            if other is None or other not in aliases[: k + 1]:
+                continue
+            ra = ja
+            la_idx = aliases.index(other)
+            lt, la, lrel_span = rels[la_idx][0], rels[la_idx][1], rels[la_idx][2]
+            lgeom = c1 if a1.lower() == la.lower() else c2
+            rgeom = c2 if a2.lower() == ra.lower() else c1
+            ldf = _resolve_relation(session, sql, lt)
+            rdf = _resolve_relation(session, sql, jt)
+            if ldf is None or rdf is None:
+                return None
+            if lgeom not in ldf.columns or rgeom not in rdf.columns:
+                return None
+            lmeta = session.bbox_meta(lt, lgeom) if hasattr(session, "bbox_meta") else None
+            rmeta = session.bbox_meta(jt, rgeom) if hasattr(session, "bbox_meta") else None
+            grid = _get_grid(session, jt, rgeom, rdf, rmeta, ldf, lgeom, lmeta)
+            par = session.spark.sparkContext.defaultParallelism
+            lpar = par if ldf.rdd.getNumPartitions() < par else None
+            rpar = par if rdf.rdd.getNumPartitions() < par else None
+            e = float(expand)
+            on_parts = _grid_on_parts(
+                la, ra, a1, c1, a2, c2, grid, e, pred_key, strict,
+                lmeta, rmeta, conjuncts, si,
+            )
+            # splice: both relation texts swapped for their exploded forms,
+            # the spatial ON replaced, everything else verbatim
+            pieces = [
+                (lrel_span, f"{_side_sql(lt, lgeom, grid, e, lpar, lmeta)} {la}"),
+                (jrel_span, f"{_side_sql(jt, rgeom, grid, 0.0, rpar, rmeta)} {ra}"),
+                (jon_span, " AND ".join(on_parts) + " "),
+            ]
+            pieces.sort(key=lambda pr: pr[0][0])
+            out, cur = [], 0
+            for (s0, s1), txt in pieces:
+                out.append(sql[cur:s0])
+                out.append(txt)
+                cur = s1
+            out.append(sql[cur:])
+            return "".join(out)
+    return None
 
 
 _OUTER_FROM_JOIN_RE = re.compile(
@@ -907,3 +1045,151 @@ def try_exists_spatial_join(session, sql: str) -> Optional[str]:
         rf"\b{re.escape(la)}\.`?(\w+)`?", r"\1", rest, flags=re.IGNORECASE
     )
     return rest
+
+
+# ST_Pred(alias.col | col, ST_GeomFromText('WKT'[, srid])[, d]) — both
+# argument orders; used for scan-level filter pushdown
+_LIT_PRED_RE = re.compile(
+    r"(?P<fn>ST_\w+)\s*\(\s*"
+    r"(?:"
+    r"(?:(?P<al>[A-Za-z_]\w*)\s*\.\s*)?(?P<col>[A-Za-z_]\w*)"
+    r"\s*,\s*"
+    r"ST_GeomFromText\s*\(\s*'(?P<wkt>[^']+)'\s*(?:,\s*\d+\s*)?\)"
+    r"|"
+    r"ST_GeomFromText\s*\(\s*'(?P<wkt2>[^']+)'\s*(?:,\s*\d+\s*)?\)"
+    r"\s*,\s*"
+    r"(?:(?P<al2>[A-Za-z_]\w*)\s*\.\s*)?(?P<col2>[A-Za-z_]\w*)"
+    r")"
+    r"(?:\s*,\s*(?P<d>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?))?\s*\)",
+    re.IGNORECASE,
+)
+
+_FROM_SINGLE_RE = re.compile(
+    r"\bFROM\s+(?P<t>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?P<a>[A-Za-z_]\w*))?",
+    re.IGNORECASE,
+)
+
+
+def _axis_rect_bounds(g) -> Optional[tuple[float, float, float, float]]:
+    """(xmin, ymin, xmax, ymax) when the geometry is exactly its envelope
+    (an axis-aligned rectangle, point, or degenerate axis segment)."""
+    from dataclod_spark.geo.algos import bounds as gbounds
+
+    b = gbounds(g)
+    if b is None:
+        return None
+    x0, y0, x1, y1 = b
+    if g.kind == "Point":
+        return b
+    if g.kind == "Polygon" and len(g.data) == 1:
+        corners = {(x0, y0), (x0, y1), (x1, y0), (x1, y1)}
+        if set(g.data[0]) == corners:
+            return b
+    return None
+
+
+def try_spatial_filter_pushdown(session, sql: str) -> Optional[str]:
+    """Inject codegen bbox conjuncts for spatial predicates against literal
+    geometries — the PostGIS "region query" (``WHERE ST_Intersects(t.geom,
+    ST_GeomFromText('POLYGON …'))``).
+
+    The reference gets this for free: its predicates are native expressions
+    DataFusion folds and pushes down.  Here the predicate is a pandas UDF,
+    which Catalyst can neither fold nor push — every row crosses into
+    Python.  When the session has bbox covering columns registered for the
+    scanned view (``register_bbox`` ≈ GeoParquet bbox metadata), this
+    rewrite ANDs pure-column bbox conjuncts derived from the literal's
+    envelope in front of the predicate.  Those conjuncts reach the parquet
+    scan as PushedFilters → row-group skipping at 100 TB; the UDF remains
+    only as the exact refine over surviving rows.  If the covering is
+    ``exact`` and the literal is an axis rectangle, the conjuncts ARE the
+    predicate and the UDF is dropped (zero Python in the plan).
+
+    Scope: single-relation FROM (no JOIN); literal via ST_GeomFromText.
+    Unmatched predicates are left untouched — the rewrite only ever ANDs
+    necessary conditions, so it is correctness-preserving everywhere.
+    """
+    if not _LIT_PRED_RE.search(sql):
+        return None
+    up = sql.upper()
+    if " JOIN " in up or "\nJOIN " in up:
+        return None
+    fm = _FROM_SINGLE_RE.search(sql)
+    if not fm:
+        return None
+    table = fm.group("t")
+    alias = fm.group("a")
+    if alias and alias.lower() in _RESERVED_ALIAS:
+        alias = None
+
+    from dataclod_spark.geo.core import wkt_parse
+    from dataclod_spark.geo.algos import bounds as gbounds
+
+    changed = False
+
+    def _repl(mm: re.Match) -> str:
+        nonlocal changed
+        fn = mm.group("fn").lower()
+        col_first = mm.group("col") is not None
+        al = mm.group("al") if col_first else mm.group("al2")
+        col = mm.group("col") if col_first else mm.group("col2")
+        wkt = mm.group("wkt") if col_first else mm.group("wkt2")
+        dtxt = mm.group("d")
+        orig = mm.group(0)
+        if fn == "st_dwithin":
+            if dtxt is None:
+                return orig
+            pred_key = "dwithin"
+        elif fn in _PRED_KEY and dtxt is None:
+            pred_key = _PRED_KEY[fn]
+        else:
+            return orig
+        if pred_key == "bbox":
+            return orig
+        if al is not None and (alias is None or al.lower() != alias.lower()):
+            return orig
+        meta = session.bbox_meta(table, col) if hasattr(session, "bbox_meta") else None
+        if meta is None:
+            return orig
+        try:
+            lit = wkt_parse(wkt)
+            lb = gbounds(lit)
+        except Exception:
+            return orig
+        if lb is None:
+            return orig
+        e = float(dtxt) if pred_key == "dwithin" else 0.0
+        x0, y0, x1, y1 = lb[0] - e, lb[1] - e, lb[2] + e, lb[3] + e
+        # predicate direction: col-first means the column geometry is the
+        # predicate's first argument
+        key = pred_key if col_first else _SWAPPED[pred_key]
+        cx0, cy0, cx1, cy1 = meta.xmin, meta.ymin, meta.xmax, meta.ymax
+        if key in ("within", "covered_by"):
+            conj = (
+                f"({cx0}) >= {x0!r} AND ({cx1}) <= {x1!r} "
+                f"AND ({cy0}) >= {y0!r} AND ({cy1}) <= {y1!r}"
+            )
+        elif key in ("contains", "covers"):
+            conj = (
+                f"({cx0}) <= {x0!r} AND ({cx1}) >= {x1!r} "
+                f"AND ({cy0}) <= {y0!r} AND ({cy1}) >= {y1!r}"
+            )
+        else:  # overlap classes: intersects/touches/overlaps/crosses/equals/dwithin
+            conj = (
+                f"({cx0}) <= {x1!r} AND ({cx1}) >= {x0!r} "
+                f"AND ({cy0}) <= {y1!r} AND ({cy1}) >= {y0!r}"
+            )
+        changed = True
+        # exact elimination: covering is exact (bbox IS the geometry) and
+        # the literal is an axis rectangle → for the pure containment /
+        # overlap predicates the bbox relation IS the predicate
+        if (
+            meta.exact
+            and _axis_rect_bounds(lit) is not None
+            and key in ("intersects", "within", "covered_by", "contains", "covers")
+        ):
+            return f"({conj})"
+        return f"(({conj}) AND {orig})"
+
+    out = _LIT_PRED_RE.sub(_repl, sql)
+    return out if changed else None

@@ -854,3 +854,125 @@ def g16_sql_not_exists_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "g17_sql_region_query",
+    doc="PostGIS-style region query: spatial predicate vs a WKT literal in "
+    "WHERE; bbox covering columns inject pure-JVM prefilter conjuncts that "
+    "push toward the scan (plans/spatial_dispatch.try_spatial_filter_"
+    "pushdown), UDF retained only as exact refine for the non-rectangular "
+    "literal",
+    oracle="""
+WITH points AS (
+  SELECT event_id AS point_id,
+         CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
+  FROM events
+)
+SELECT count(*) AS n_inside, sum(point_id) AS id_sum
+FROM points
+WHERE px >= 10 AND py >= 5 AND px <= 70 AND py <= 40
+  AND (px - 10) * 35 + (py - 5) * 60 <= 2100
+""",
+)
+def g17_sql_region_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points inside the triangle (10,5)-(70,5)-(10,40): the dispatcher
+    ANDs envelope conjuncts (px/py BETWEEN bounds) in front of the
+    ST_Within UDF; the oracle spells the same triangle as half-plane
+    arithmetic."""
+    from dataclod_spark.operators.spatial_join import point_wkb
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    e = load(spark, sf_dir, "events")
+    (
+        e.select(
+            F.col("event_id").alias("point_id"),
+            (F.col("event_id") % 89).cast("double").alias("px"),
+            (F.col("user_id") % 43).cast("double").alias("py"),
+        )
+        .select("point_id", "px", "py", point_wkb(F.col("px"), F.col("py")).alias("geom"))
+        .createOrReplaceTempView("g17_points")
+    )
+    sess.register_bbox("g17_points", "geom", "px", "py", "px", "py", exact=True)
+    return sess.sql(
+        """
+        SELECT count(*) AS n_inside, sum(point_id) AS id_sum
+        FROM g17_points t
+        WHERE ST_CoveredBy(t.geom, ST_GeomFromText('POLYGON((10 5,70 5,10 40,10 5))'))
+        """
+    )
+
+
+@query(
+    "g18_sql_chain_spatial_second",
+    doc="Spatial join at position 2 of an inner-join chain (dim equi-join "
+    "first): the chain dispatcher (plans/spatial_dispatch."
+    "try_chain_spatial_join) rewrites only the spatial segment wherever it "
+    "sits, mirroring optimizer.rs matching the Join node anywhere in the "
+    "plan",
+    oracle="""
+WITH boxes AS (
+  SELECT event_id AS box_id,
+         CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by,
+         CAST(3 + event_id % 5 AS DOUBLE) AS w, CAST(2 + user_id % 3 AS DOUBLE) AS h
+  FROM events WHERE event_id % 50 = 0
+), points AS (
+  SELECT event_id AS point_id,
+         CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
+  FROM events WHERE event_id % 4 = 0
+)
+SELECT r.r_name AS r_name, count(*) AS n_pairs
+FROM region r
+JOIN points p ON p.point_id % 5 = r.r_regionkey
+JOIN boxes b ON p.px BETWEEN b.bx AND b.bx + b.w AND p.py BETWEEN b.by AND b.by + b.h
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+)
+def g18_sql_chain_spatial_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.operators.spatial_join import envelope_wkb, point_wkb
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    e = load(spark, sf_dir, "events")
+    load(spark, sf_dir, "region").createOrReplaceTempView("g18_region")
+    (
+        e.filter(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("box_id"),
+            (F.col("event_id") % 97).cast("double").alias("bx"),
+            (F.col("user_id") % 41).cast("double").alias("by"),
+            (3 + F.col("event_id") % 5).cast("double").alias("w"),
+            (2 + F.col("user_id") % 3).cast("double").alias("h"),
+        )
+        .select(
+            "box_id", "bx", "by", "w", "h",
+            envelope_wkb(
+                F.col("bx"), F.col("by"), F.col("bx") + F.col("w"), F.col("by") + F.col("h")
+            ).alias("geom"),
+        )
+        .createOrReplaceTempView("g18_boxes")
+    )
+    (
+        e.filter(F.col("event_id") % 4 == 0)
+        .select(
+            F.col("event_id").alias("point_id"),
+            (F.col("event_id") % 89).cast("double").alias("px"),
+            (F.col("user_id") % 43).cast("double").alias("py"),
+        )
+        .select("point_id", "px", "py", point_wkb(F.col("px"), F.col("py")).alias("geom"))
+        .createOrReplaceTempView("g18_points")
+    )
+    sess.register_bbox("g18_points", "geom", "px", "py", "px", "py", exact=True)
+    sess.register_bbox("g18_boxes", "geom", "bx", "by", "bx + w", "by + h", exact=True)
+    return sess.sql(
+        """
+        SELECT r.r_name AS r_name, count(*) AS n_pairs
+        FROM g18_region r
+        JOIN g18_points p ON p.point_id % 5 = r.r_regionkey
+        JOIN g18_boxes b ON ST_Intersects(p.geom, b.geom)
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+        """
+    )

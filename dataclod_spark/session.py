@@ -235,9 +235,11 @@ class EngineSession:
             rewrite_values_tables,
         )
         from dataclod_spark.plans.spatial_dispatch import (
+            try_chain_spatial_join,
             try_exists_spatial_join,
             try_outer_spatial_join,
             try_rewrite_spatial_join,
+            try_spatial_filter_pushdown,
         )
 
         query = rewrite_pg_catalog_refs(rewrite_values_tables(query))
@@ -264,12 +266,19 @@ class EngineSession:
         # equi-join instead of a nested-loop cross product.
         rewritten = try_rewrite_spatial_join(self, query)
         if rewritten is None:
+            # spatial join deeper in an inner-join chain (any position)
+            rewritten = try_chain_spatial_join(self, query)
+        if rewritten is None:
             # LEFT/RIGHT/FULL spatial joins route through the DataFrame
             # operator's outer completion (exec.rs:47-131 parity)
             rewritten = try_outer_spatial_join(self, query)
         if rewritten is None:
             # correlated spatial [NOT] EXISTS → grid semi/anti join
             rewritten = try_exists_spatial_join(self, query)
+        if rewritten is None:
+            # region query: spatial predicate vs literal geometry → inject
+            # bbox covering-column conjuncts that push to the parquet scan
+            rewritten = try_spatial_filter_pushdown(self, query)
         if rewritten is not None:
             query = rewritten
         if args:

@@ -337,3 +337,139 @@ def test_not_exists_correlated_extra_dispatch(engine, sdata):
     }
     assert got == want and got
     assert "BroadcastNestedLoopJoin" not in _plan(df)
+
+
+def test_literal_filter_pushdown(engine, sdata):
+    """Region query vs a WKT literal: with bbox covering columns the
+    rewrite injects pure-column conjuncts that reach the parquet/file scan
+    as pushable filters; results stay brute-force exact."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.spatial_join import point_wkb
+
+    spark = engine.spark
+    import random as _r
+
+    rnd = _r.Random(7)
+    pts_rows = [(i, rnd.uniform(0, 100), rnd.uniform(0, 100)) for i in range(300)]
+    pdf = spark.createDataFrame(pts_rows, "pid long, px double, py double")
+    pdf.select("pid", "px", "py", point_wkb(F.col("px"), F.col("py")).alias("geom")) \
+        .createOrReplaceTempView("push_pts")
+    engine.register_bbox("push_pts", "geom", "px", "py", "px", "py", exact=True)
+
+    # non-rectangular literal: bbox conjuncts prefilter, UDF refines
+    df = engine.sql(
+        "SELECT pid FROM push_pts t WHERE "
+        "ST_Intersects(t.geom, ST_GeomFromText('POLYGON((10 10,60 10,10 60,10 10))'))"
+    )
+    got = {r.pid for r in df.collect()}
+    want = {
+        pid
+        for pid, x, y in pts_rows
+        if x >= 10 and y >= 10 and (x - 10) + (y - 10) <= 50 and x <= 60 and y <= 60
+    }
+    assert got == want and got
+    plan = _plan(df)
+    assert "Filter" in plan
+
+    # axis-rectangle literal + exact covering: UDF eliminated entirely
+    df2 = engine.sql(
+        "SELECT pid FROM push_pts t WHERE "
+        "ST_Within(t.geom, ST_GeomFromText('POLYGON((20 20,70 20,70 80,20 80,20 20))'))"
+    )
+    got2 = {r.pid for r in df2.collect()}
+    want2 = {pid for pid, x, y in pts_rows if 20 <= x <= 70 and 20 <= y <= 80}
+    assert got2 == want2 and got2
+    plan2 = _plan(df2)
+    assert "EvalPython" not in plan2  # zero Python: conjuncts ARE the predicate
+
+
+def test_literal_filter_pushdown_reversed_and_dwithin(engine, sdata):
+    """Literal-first argument order swaps the predicate direction; DWithin
+    expands the envelope but keeps the exact refine."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    spark = engine.spark
+    pts_rows = [(r.pid, r.px, r.py) for r in spark.table("push_pts").collect()]
+    df = engine.sql(
+        "SELECT pid FROM push_pts t WHERE "
+        "ST_Contains(ST_GeomFromText('POLYGON((0 0,50 0,50 50,0 50,0 0))'), t.geom)"
+    )
+    got = {r.pid for r in df.collect()}
+    want = {pid for pid, x, y in pts_rows if 0 <= x <= 50 and 0 <= y <= 50}
+    assert got == want and got
+
+    df2 = engine.sql(
+        "SELECT pid FROM push_pts t WHERE "
+        "ST_DWithin(t.geom, ST_GeomFromText('POINT(50 50)'), 10.0)"
+    )
+    got2 = {r.pid for r in df2.collect()}
+    want2 = {
+        pid for pid, x, y in pts_rows if ((x - 50) ** 2 + (y - 50) ** 2) ** 0.5 <= 10.0
+    }
+    assert got2 == want2 and got2
+
+
+def test_literal_filter_no_metadata_untouched(engine, sdata):
+    """Without registered bbox columns the query falls back to the plain
+    UDF filter and stays correct."""
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT pid FROM disp_pts t WHERE "
+        "ST_Intersects(t.geom, ST_GeomFromText('POLYGON((0 0,50 0,50 50,0 50,0 0))'))"
+    )
+    from dataclod_spark.geo import predicates as GP2
+    from dataclod_spark.geo.core import wkt_parse
+
+    lit = wkt_parse("POLYGON((0 0,50 0,50 50,0 50,0 0))")
+    got = {r.pid for r in df.collect()}
+    want = {pi for pi, pg in points if GP2.intersects(pg, lit)}
+    assert got == want and got
+
+
+def test_spatial_join_second_in_chain_dispatch(engine, sdata):
+    """Spatial join NOT first in the FROM chain: a dim equi-join precedes
+    it.  The chain dispatcher swaps both spatial relations for their
+    exploded forms and rewrites only that ON; multiplicities through the
+    dim join are unchanged."""
+    boxes, points = sdata
+    spark = engine.spark
+    spark.createDataFrame(
+        [(i, f"grp{i % 4}") for i in range(200)], "pid long, grp string"
+    ).createOrReplaceTempView("chain_dim")
+    df = engine.sql(
+        "SELECT d.grp, count(*) AS n FROM chain_dim d "
+        "JOIN disp_pts p ON d.pid = p.pid "
+        "JOIN disp_boxes b ON ST_Intersects(p.geom, b.geom) "
+        "GROUP BY d.grp ORDER BY d.grp"
+    )
+    want: dict[str, int] = {}
+    for pi, pg in points:
+        for bi, bg in boxes:
+            if GP.intersects(pg, bg):
+                g = f"grp{pi % 4}"
+                want[g] = want.get(g, 0) + 1
+    got = {(r.grp, r.n) for r in df.collect()}
+    assert got == set(want.items()) and got
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__cell" in plan
+
+
+def test_spatial_join_second_in_chain_reversed_pred(engine, sdata):
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid, b.bid FROM chain_dim d "
+        "JOIN disp_pts p ON d.pid = p.pid "
+        "JOIN disp_boxes b ON ST_Contains(b.geom, p.geom) "
+        "WHERE d.grp = 'grp1'"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    want = {
+        (pi, bi)
+        for pi, pg in points
+        for bi, bg in boxes
+        if pi % 4 == 1 and GP.contains(bg, pg)
+    }
+    assert got == want and got
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
