@@ -28,25 +28,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # join family, ANN, scans, multimodal, pg_catalog, streaming), then the
 # previously-green set.  Every query stays registered either way.
 _PRIORITY = [
-    # unverified-in-r2 custom operators
-    "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",
+    # never driver-verified (no row in CORRECTNESS_r01/r02) — these fill
+    # the driver's bounded window first
     "g4_translate_bounds", "g5_wkt_roundtrip",
     "g6_spatial_join_points_in_boxes", "g7_dwithin_join",
     "g8_rect_within_join", "g9_sql_spatial_join", "g10_geo_statistics",
     "g11_sql_outer_spatial_join", "g12_sql_cte_spatial_join",
-    "v1_knn_bruteforce", "v2_knn_lsh", "v3_knn_multiprobe", "v4_knn_ivf",
-    "c1_scan_duckdb", "c2_scan_sqlite",
-    "m1_multimodal_decode", "m2_frame_sampling",
-    "pg1_pg_type",
-    "st1_stream_sessionization", "st2_stream_tumbling",
-    # new in round 3
-    "st3_stream_sliding", "d7_dedup_clusters", "w5_groups_frame",
-    "g13_mvt_points", "x7_quality_filter_pipeline",
-    "st4_stream_interval_join", "st5_stream_dedup",
-    "g14_sql_multi_join_spatial", "s4_setops_all", "x8_langid_ngram",
-    "m3_byte_histogram",
+    "g13_mvt_points", "g14_sql_multi_join_spatial",
     "g15_sql_exists_spatial", "g16_sql_not_exists_spatial",
     "g17_sql_region_query", "g18_sql_chain_spatial_second",
+    "g19_sql_dwithin_join", "g20_sql_distance_lt_join",
+    "v3_knn_multiprobe", "v4_knn_ivf",
+    "c1_scan_duckdb", "c2_scan_sqlite", "c3_scan_csv", "c4_scan_json",
+    "m1_multimodal_decode", "m2_frame_sampling", "m3_byte_histogram",
+    "pg1_pg_type",
+    "st1_stream_sessionization", "st2_stream_tumbling",
+    "st3_stream_sliding", "st4_stream_interval_join", "st5_stream_dedup",
+    "st6_stream_static_join",
+    "d7_dedup_clusters", "d8_embedding_sign_lsh",
+    "w5_groups_frame",
+    "x7_quality_filter_pipeline", "x8_langid_ngram", "x9_vocab_topk",
+    "x10_repetition_ratio", "x11_tfidf_top_terms",
+    "s4_setops_all", "sp1_stratified_sample", "sp2_hash_sample",
+    # green in r1 only (rotated out of r2's window)
+    "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",
+    "v1_knn_bruteforce", "v2_knn_lsh",
 ]
 
 

@@ -208,3 +208,22 @@ def rolling_fingerprint(col: Column, k: int = ROLLING_K) -> Column:
 
     hashes = F.transform(F.sequence(F.lit(1), n - (k - 1)), window_hash)
     return F.when(n >= k, F.array_min(hashes)).otherwise(F.lit(None))
+
+
+def distinct_token_count(col: Column) -> Column:
+    """Number of distinct tokens; 0 for blank text."""
+    return F.when(F.length(normalize_text(col)) == 0, F.lit(0)).otherwise(
+        F.size(F.array_distinct(tokens(col)))
+    )
+
+
+def repetition_ratio(col: Column) -> Column:
+    """Intra-document repetition: 1 − distinct_tokens/tokens (0 for blank).
+
+    The boilerplate/dedup-within-doc signal used by training-data quality
+    filters; kept as an exact integer ratio so the double is bit-identical
+    across engines: (n_tokens − n_distinct) / n_tokens.
+    """
+    nt = token_count(col)
+    nd = distinct_token_count(col)
+    return F.when(nt == 0, F.lit(0.0)).otherwise((nt - nd).cast("double") / nt)

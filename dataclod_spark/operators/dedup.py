@@ -329,3 +329,19 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_1", "id_2", "jaccard")
     )
+
+
+def dim_sign_signature(emb: Column, n_bits: int = 16) -> Column:
+    """Axis-aligned sign-LSH code over the first ``n_bits`` embedding
+    dimensions: bit i set iff emb[i] > 0 (random-hyperplane LSH with unit
+    basis planes — the engine-portable variant of
+    ``similarity.sign_bucket``'s seeded hyperplanes).
+
+    Zero shuffle: a pure projection; equal codes → near-duplicate bucket
+    candidates.  At 100 TB the bucket groupBy shuffles one BIGINT per row.
+    """
+    code = F.lit(0).cast("bigint")
+    for i in range(1, n_bits + 1):
+        bit = F.when(F.element_at(emb, i) > 0, F.lit(1)).otherwise(F.lit(0))
+        code = code + bit.cast("bigint") * F.lit(2 ** (i - 1)).cast("bigint")
+    return code

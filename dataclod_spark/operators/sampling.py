@@ -1,0 +1,59 @@
+"""Deterministic sampling operators for large-scale pipeline curation.
+
+Training-data pipelines sample constantly — per-source quotas, stratified
+class balance, fixed-rate holdouts — and at 100 TB the sample must be (a)
+computable in one pass with no driver state and (b) reproducible across
+reruns and engines.  Both operators here key off a deterministic integer
+hash of a row key (Knuth multiplicative hash — engine-portable exact BIGINT
+arithmetic, standing in for ``xxhash64(seed, key)`` which DuckDB cannot
+mirror), so the "random" order is a pure projection:
+
+* :func:`hash_sample` — Bernoulli-style fixed-rate sample: keep rows whose
+  hashed key lands in the accept window.  Zero shuffle, composes with any
+  downstream plan, the sample is stable under repartitioning.
+* :func:`stratified_sample` — exact per-stratum quota (``ceil(rate·n)``):
+  rank rows within each stratum by hashed key and keep the first quota.
+  One shuffle (the window partition); at 100 TB the stratum key is the
+  partition key, so skewed strata parallelize via AQE skew-split.
+
+Reference parity: the reference engine has no sampling surface beyond SQL
+``USING SAMPLE`` delegation; these are extension operators (SURVEY §2
+LLM-pipeline tier), kept deterministic the same way the reference seeds its
+spatial-join sampling (``option.rs:102-103``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth 32-bit multiplicative hash constants — exact in BIGINT on any engine
+_KNUTH = 2654435761
+_MOD = 4294967296
+
+
+def row_hash(key: Column) -> Column:
+    """Deterministic pseudo-random BIGINT in [0, 2^32) from an integer key."""
+    return (key.cast("bigint") * F.lit(_KNUTH)) % F.lit(_MOD)
+
+
+def hash_sample(df: DataFrame, key: str, rate_pct: int) -> DataFrame:
+    """Keep ~rate_pct% of rows: hash(key) mod 100 < rate_pct.  A pure
+    filter projection — no shuffle, reproducible, partition-independent."""
+    return df.filter(row_hash(F.col(key)) % 100 < rate_pct)
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, rate_pct: int
+) -> DataFrame:
+    """Exact per-stratum quota sample: within each ``stratum``, rank rows by
+    ``hash(key)`` (ties broken by key — total order) and keep
+    ``ceil(rate_pct% · n_stratum)`` rows."""
+    w = Window.partitionBy(stratum).orderBy(row_hash(F.col(key)), F.col(key))
+    n = Window.partitionBy(stratum)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * rate_pct / 100))
+        .drop("__rn", "__n")
+    )

@@ -9,3 +9,4 @@ from dataclod_spark.queries import similarity  # noqa: F401
 from dataclod_spark.queries import spatial  # noqa: F401
 from dataclod_spark.queries import sources  # noqa: F401
 from dataclod_spark.queries import streaming  # noqa: F401
+from dataclod_spark.queries import sampling  # noqa: F401

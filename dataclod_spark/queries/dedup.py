@@ -266,3 +266,44 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("component").alias("cluster_rep"), "cluster_size")
         .orderBy("cluster_rep")
     )
+
+
+@query(
+    "d8_embedding_sign_lsh",
+    doc="embedding near-dup bucketing via axis-aligned sign-LSH (bit i = "
+    "sign of dim i): signature is a zero-shuffle projection, bucket "
+    "summary one BIGINT-keyed hash agg — the 100 TB embedding-dedup shape",
+    oracle="""
+WITH sig AS (
+  SELECT vec_id, label,
+         CAST(list_sum(list_transform(range(1, 17),
+              i -> CASE WHEN embedding[CAST(i AS INTEGER)] > 0
+                        THEN CAST(POWER(2, i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT)
+           AS bucket
+  FROM embeddings
+)
+SELECT bucket,
+       count(*) AS n_vecs,
+       count(DISTINCT label) AS n_labels,
+       min(vec_id) AS rep_vec
+FROM sig
+GROUP BY bucket
+HAVING count(*) >= 2
+ORDER BY bucket
+""",
+)
+def d8_embedding_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id", "label", DD.dim_sign_signature(F.col("embedding")).alias("bucket")
+    )
+    return (
+        sig.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("rep_vec"),
+        )
+        .filter(F.col("n_vecs") >= 2)
+        .orderBy("bucket")
+    )

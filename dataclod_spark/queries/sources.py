@@ -192,3 +192,80 @@ def m3_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         F.col("media_id").alias("doc_id"), "b0", "b1", "b2", "b3", "byte_sum"
     ).orderBy("doc_id")
+
+
+def _export_once(sf_dir: str, fmt: str) -> str:
+    """Write the nation table to a temp CSV/JSON file (setup side of the
+    external-format scan gates; ≈ the reference's CREATE EXTERNAL TABLE
+    corpus data).  DuckDB does the export so the bytes under test are not
+    produced by the engine being tested."""
+    import duckdb
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dataclod_ext_{os.path.basename(sf_dir.rstrip('/'))}.{fmt}",
+    )
+    if not os.path.exists(path):
+        if fmt == "csv":
+            duckdb.sql(
+                f"COPY (SELECT * FROM '{sf_dir}/nation.parquet' ORDER BY n_nationkey) "
+                f"TO '{path}' (FORMAT CSV, HEADER)"
+            )
+        else:
+            duckdb.sql(
+                f"COPY (SELECT * FROM '{sf_dir}/nation.parquet' ORDER BY n_nationkey) "
+                f"TO '{path}' (FORMAT JSON)"
+            )
+    return path
+
+
+@query(
+    "c3_scan_csv",
+    doc="CSV external scan (inherited format surface, context.rs:49-52 "
+    "default features): header + explicit schema, filter pushed to the scan",
+    oracle="""
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+FROM nation
+WHERE n_nationkey % 2 = 0
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def c3_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _export_once(sf_dir, "csv")
+    df = (
+        spark.read.option("header", "true")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .csv(path)
+    )
+    return (
+        df.filter(F.col("n_nationkey") % 2 == 0)
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "c4_scan_json",
+    doc="JSON-lines external scan with explicit schema (inherited format "
+    "surface) — same aggregate as c3 over the JSON encoding",
+    oracle="""
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+FROM nation
+WHERE n_nationkey % 2 = 1
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def c4_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _export_once(sf_dir, "json")
+    df = spark.read.schema(
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    ).json(path)
+    return (
+        df.filter(F.col("n_nationkey") % 2 == 1)
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )

@@ -976,3 +976,98 @@ def g18_sql_chain_spatial_second(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r.r_name
         """
     )
+
+
+def _dist_views(spark: SparkSession, sf_dir: str, sess, prefix: str) -> None:
+    """Two derived point sets for the SQL distance-join gates (same
+    derivation as g7's DataFrame twin)."""
+    from dataclod_spark.operators.spatial_join import point_wkb
+
+    e = load(spark, sf_dir, "events")
+    (
+        e.filter(F.col("event_id") % 25 == 0)
+        .select(
+            F.col("event_id").alias("a_id"),
+            (F.col("event_id") % 89).cast("double").alias("ax"),
+            (F.col("user_id") % 43).cast("double").alias("ay"),
+        )
+        .select("a_id", "ax", "ay", point_wkb(F.col("ax"), F.col("ay")).alias("geom"))
+        .createOrReplaceTempView(f"{prefix}_a")
+    )
+    (
+        e.filter(F.col("event_id") % 40 == 0)
+        .select(
+            F.col("event_id").alias("b_id"),
+            (F.col("event_id") % 97).cast("double").alias("bx"),
+            (F.col("user_id") % 41).cast("double").alias("by"),
+        )
+        .select("b_id", "bx", "by", point_wkb(F.col("bx"), F.col("by")).alias("geom"))
+        .createOrReplaceTempView(f"{prefix}_b")
+    )
+    sess.register_bbox(f"{prefix}_a", "geom", "ax", "ay", "ax", "ay", exact=True)
+    sess.register_bbox(f"{prefix}_b", "geom", "bx", "by", "bx", "by", exact=True)
+
+
+@query(
+    "g19_sql_dwithin_join",
+    doc="SQL-path distance join: JOIN ON ST_DWithin(a, b, d) dispatched to "
+    "the expanded-cell grid equi-join (spatial_expr_utils.rs:29-36 "
+    "st_dwithin recognition); bbox-exact point operands keep the verdict "
+    "pure JVM",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS a_id,
+         CAST(event_id % 89 AS DOUBLE) AS ax, CAST(user_id % 43 AS DOUBLE) AS ay
+  FROM events WHERE event_id % 25 = 0
+), b AS (
+  SELECT event_id AS b_id,
+         CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by
+  FROM events WHERE event_id % 40 = 0
+)
+SELECT count(*) AS n_pairs, sum(a_id + b_id) AS id_sum
+FROM a JOIN b ON (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= 25.0
+""",
+)
+def g19_sql_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    _dist_views(spark, sf_dir, sess, "g19")
+    return sess.sql(
+        """
+        SELECT count(*) AS n_pairs, sum(a.a_id + b.b_id) AS id_sum
+        FROM g19_a a JOIN g19_b b ON ST_DWithin(a.geom, b.geom, 5.0)
+        """
+    )
+
+
+@query(
+    "g20_sql_distance_lt_join",
+    doc="SQL-path ST_Distance(a, b) < d join predicate — the comparison "
+    "form the reference's optimizer also recognizes as a distance join "
+    "(spatial_expr_utils.rs:63-70); strict < (vs ST_DWithin's <=)",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS a_id,
+         CAST(event_id % 89 AS DOUBLE) AS ax, CAST(user_id % 43 AS DOUBLE) AS ay
+  FROM events WHERE event_id % 25 = 0
+), b AS (
+  SELECT event_id AS b_id,
+         CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by
+  FROM events WHERE event_id % 40 = 0
+)
+SELECT count(*) AS n_pairs, sum(a_id + b_id) AS id_sum
+FROM a JOIN b ON (ax - bx) * (ax - bx) + (ay - by) * (ay - by) < 25.0
+""",
+)
+def g20_sql_distance_lt_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    _dist_views(spark, sf_dir, sess, "g20")
+    return sess.sql(
+        """
+        SELECT count(*) AS n_pairs, sum(a.a_id + b.b_id) AS id_sum
+        FROM g20_a a JOIN g20_b b ON ST_Distance(a.geom, b.geom) < 5.0
+        """
+    )

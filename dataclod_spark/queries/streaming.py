@@ -201,3 +201,45 @@ def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "st6_stream_static_join",
+    doc="stream-static enrichment join (purchase stream × broadcast "
+    "customer dim) — stateless per-batch join, rolled up per market segment",
+    oracle="""
+SELECT c.c_mktsegment AS c_mktsegment,
+       count(*) AS n_purchases,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def st6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join itself runs inside the streaming query (per micro-batch,
+    static side broadcast); the segment rollup is a batch aggregate over
+    the enriched sink rows."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.registry import load
+    from dataclod_spark.streaming.run import (
+        read_events_stream,
+        run_to_memory,
+        static_enrich_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = run_to_memory(static_enrich_stream(ev, dim), spark)
+    return (
+        out.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

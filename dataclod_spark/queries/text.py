@@ -323,3 +323,118 @@ def x8_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang_detected")
     )
+
+
+@query(
+    "x9_vocab_topk",
+    doc="corpus vocabulary build: explode tokens, global term frequency + "
+    "document frequency, deterministic top-15 (partial+final hash agg; at "
+    "100 TB this is the standard one-shuffle vocab pass)",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term
+  FROM documents
+  WHERE len({_NORM}) > 0
+)
+SELECT term,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM tok
+GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT 15
+""",
+)
+def x9_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.length(TX.normalize_text(F.col("text"))) > 0)
+        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "term")
+        .limit(15)
+    )
+
+
+@query(
+    "x10_repetition_ratio",
+    doc="intra-document repetition (1 − distinct/total tokens) — the "
+    "boilerplate signal of training-data quality filters; exact integer "
+    "ratio keeps the double bit-identical across engines",
+    oracle=rf"""
+WITH r AS (
+  SELECT doc_id,
+         {_NTOK} AS n_tokens,
+         CASE WHEN len({_NORM}) = 0 THEN 0
+              ELSE len(list_distinct({_TOKS})) END AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens END AS repetition
+FROM r
+ORDER BY doc_id
+""",
+)
+def x10_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.distinct_token_count(F.col("text")).alias("n_distinct"),
+        TX.repetition_ratio(F.col("text")).alias("repetition"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x11_tfidf_top_terms",
+    doc="TF-IDF-style term salience (ratio form tf·N/df — exact integer "
+    "division keeps doubles bit-identical): two hash aggs + one broadcast "
+    "join of the df table; global top-20",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term
+  FROM documents
+  WHERE len({_NORM}) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM tok GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents WHERE len({_NORM}) > 0
+)
+SELECT tf.doc_id, tf.term,
+       CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS salience
+FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+ORDER BY salience DESC, tf.term, tf.doc_id
+LIMIT 20
+""",
+)
+def x11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df side aggregates to |vocab| rows → broadcast back onto the
+    (doc, term) tf table; n_docs is a scalar literal join.  At 100 TB the
+    tf agg is the only large shuffle and it is partial-aggregated."""
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.length(TX.normalize_text(F.col("text"))) > 0)
+    tok = base.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = base.count()
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("salience"),
+        )
+        .orderBy(F.desc("salience"), "term", "doc_id")
+        .limit(20)
+    )

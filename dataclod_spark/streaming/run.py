@@ -269,3 +269,17 @@ def run_to_memory(df: DataFrame, spark: SparkSession, timeout_sec: int = 300) ->
         if q.isActive:
             q.stop()
     return df.sparkSession.table(name)
+
+
+def static_enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch inner-joins the
+    (broadcastable) static dimension — no state, no watermark; the static
+    side is re-resolvable per batch (Spark re-reads changed static sources).
+    The canonical 100 TB shape: stream shuffles nothing, the dim broadcasts.
+    """
+    from pyspark.sql import functions as F
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    return purchases.join(F.broadcast(dim), purchases["user_id"] == dim["c_custkey"])
