@@ -44,6 +44,26 @@ _ENGINE_SET_NAMESPACES = ("spark.", "dataclod.", "datafusion.")
 _SET_RE = re.compile(r"^\s*SET\s+(?:SESSION\s+|LOCAL\s+)?([\w.]+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*$", re.IGNORECASE)
 _TXN_RE = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK|END)(\s+(WORK|TRANSACTION))?\s*;?\s*$", re.IGNORECASE)
 
+# COPY (query|table) TO 'path' [(FORMAT fmt[, HEADER bool])]  — DataFusion /
+# PostgreSQL export form (inherited surface, SURVEY §2.B DDL/DML)
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(?P<src>\(.*\)|[\w.\"]+)\s+TO\s+'(?P<path>[^']+)'"
+    r"\s*(?:\(\s*FORMAT\s+(?P<fmt>\w+)\s*(?:,\s*HEADER\s*(?P<hdr>\w*))?\s*\)|"
+    r"STORED\s+AS\s+(?P<fmt2>\w+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# CREATE EXTERNAL TABLE t [(cols)] STORED AS fmt [WITH HEADER ROW]
+# LOCATION 'path'  — DataFusion DDL (context.rs:49-52 default features)
+_EXT_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w\"]+)"
+    r"\s*(?:\((?P<cols>[^)]*)\))?\s*STORED\s+AS\s+(?P<fmt>\w+)"
+    r"\s*(?P<hdr>WITH\s+HEADER\s+ROW)?\s*LOCATION\s+'(?P<path>[^']+)'\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_EXT_FORMATS = {"parquet": "parquet", "csv": "csv", "json": "json", "avro": "avro"}
+
 
 def get_spark(
     app_name: str = "dataclod_spark",
@@ -219,6 +239,12 @@ class EngineSession:
         if _TXN_RE.match(query):
             # BEGIN/COMMIT/ROLLBACK accepted as no-ops returning empty result
             return self.spark.range(0).select()
+        m = _COPY_RE.match(query)
+        if m:
+            return self._copy_to(m)
+        m = _EXT_TABLE_RE.match(query)
+        if m:
+            return self._create_external_table(m)
         m = _SET_RE.match(query)
         if m:
             key, value = m.group(1), m.group(2).strip().strip("'\"")
@@ -284,6 +310,51 @@ class EngineSession:
         if args:
             return self.spark.sql(query, args=dict(args))
         return self.spark.sql(query)
+
+    # -- DDL/DML shims (inherited DataFusion surface, SURVEY §2.B) ---------
+    def _copy_to(self, m: "re.Match[str]") -> DataFrame:
+        """``COPY (query|table) TO 'path' [(FORMAT fmt[, HEADER])]`` →
+        execute the source and write it with the native Spark writer.
+        Returns a one-row ``count`` frame (the COPY row-count tag).
+
+        Scale note: the write is a distributed ``df.write`` — ``path``
+        becomes a directory of one part-file per partition, which is the
+        only COPY that makes sense at 100 TB (a single-file COPY would
+        serialize the cluster through one writer).
+        """
+        from pyspark.sql import functions as F
+
+        src = m.group("src").strip()
+        fmt = (m.group("fmt") or m.group("fmt2") or "parquet").lower()
+        if fmt not in _EXT_FORMATS:
+            raise ValueError(f"COPY: unsupported format {fmt!r}")
+        df = self.sql(src[1:-1]) if src.startswith("(") else self.spark.table(src)
+        n = df.count()
+        writer = df.write.mode("overwrite").format(_EXT_FORMATS[fmt])
+        if fmt == "csv" and (m.group("hdr") or "").lower() not in ("false", "0"):
+            writer = writer.option("header", "true")
+        writer.save(m.group("path"))
+        return self.spark.range(1).select(F.lit(n).alias("count"))
+
+    def _create_external_table(self, m: "re.Match[str]") -> DataFrame:
+        """``CREATE EXTERNAL TABLE t [(cols)] STORED AS fmt [WITH HEADER
+        ROW] LOCATION 'path'`` → register a reader-backed temp view (the
+        session-scoped analogue of DataFusion's external table; the scan
+        stays lazy, so pruning/pushdown reach the files).
+        """
+        name = m.group("name").strip('"')
+        fmt = m.group("fmt").lower()
+        if fmt not in _EXT_FORMATS:
+            raise ValueError(f"CREATE EXTERNAL TABLE: unsupported format {fmt!r}")
+        if m.group("ine") and name in [t.name for t in self.spark.catalog.listTables()]:
+            return self.spark.range(0).select()
+        reader = self.spark.read.format(_EXT_FORMATS[fmt])
+        if m.group("cols"):
+            reader = reader.schema(m.group("cols").strip())
+        if fmt == "csv" and m.group("hdr"):
+            reader = reader.option("header", "true")
+        reader.load(m.group("path")).createOrReplaceTempView(name)
+        return self.spark.range(0).select()
 
     def stop(self) -> None:
         self.spark.stop()
