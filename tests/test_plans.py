@@ -105,3 +105,95 @@ def test_g10_geo_stats_partial_aggregation(spark):
     the final exchange."""
     plan = _plan(spark, "g10_geo_statistics", "simple")
     assert "partial_" in plan
+
+
+def test_sp2_hash_sample_is_zero_shuffle_filter(spark):
+    """The Bernoulli hash sample must stay a pure scan+filter — no
+    Exchange, no Python — so it composes with any downstream plan."""
+    from dataclod_spark.operators.sampling import hash_sample
+    from dataclod_spark.registry import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    plan = hash_sample(d, key="doc_id", rate_pct=15)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_sp1_stratified_sample_single_stratum_shuffle(spark):
+    """Exact-quota stratified sampling costs one wide exchange (the window
+    partition on the stratum key); both windows share it."""
+    plan = _plan(spark, "sp1_stratified_sample", "simple")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # one hashpartitioning exchange for the window; the final orderBy adds a
+    # rangepartitioning exchange and the groupBy reuses the stratum hash
+    assert body.count("hashpartitioning(lang") <= 2
+    assert "Python" not in plan
+
+
+def test_sampling_stable_under_repartition(spark):
+    """Hash sampling must select the same rows regardless of physical
+    partitioning (the reproducibility contract rand()-based sampling
+    cannot give)."""
+    from dataclod_spark.operators.sampling import hash_sample, stratified_sample
+    from dataclod_spark.registry import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    a = {r.doc_id for r in hash_sample(d, "doc_id", 15).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(d.repartition(7), "doc_id", 15).select("doc_id").collect()
+    }
+    assert a == b and a
+    sa = {
+        r.doc_id
+        for r in stratified_sample(d, "doc_id", "lang", 20).select("doc_id").collect()
+    }
+    sb = {
+        r.doc_id
+        for r in stratified_sample(d.repartition(5), "doc_id", "lang", 20)
+        .select("doc_id")
+        .collect()
+    }
+    assert sa == sb and sa
+
+
+def test_d8_sign_signature_is_projection(spark):
+    """The embedding sign-LSH code is a pure JVM projection — no shuffle,
+    no Python — before the bucket aggregation."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.dedup import dim_sign_signature
+    from dataclod_spark.registry import load
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    sig = e.select("vec_id", dim_sign_signature(F.col("embedding")).alias("bucket"))
+    plan = sig._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_x11_tfidf_broadcasts_df_side(spark):
+    """The document-frequency table joins back by broadcast — the tf table
+    (the big side at 100 TB) must not shuffle for the join."""
+    plan = _plan(spark, "x11_tfidf_top_terms", "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_st6_static_side_broadcasts(spark):
+    """The stream-static enrichment join must broadcast the dim side (plan
+    checked on the batch twin of the streaming frame)."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.registry import load
+    from dataclod_spark.streaming.run import static_enrich_stream
+
+    ev = load(spark, SF_SMOKE, "events")
+    dim = load(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    plan = static_enrich_stream(ev, dim)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" in plan
