@@ -50,6 +50,7 @@ _PRIORITY = [
     "x7_quality_filter_pipeline", "x8_langid_ngram", "x9_vocab_topk",
     "x10_repetition_ratio", "x11_tfidf_top_terms",
     "s4_setops_all", "sp1_stratified_sample", "sp2_hash_sample",
+    "b1_bucketed_join", "w6_distribution_ranks", "a6_percentiles",
     # green in r1 only (rotated out of r2's window)
     "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",
     "v1_knn_bruteforce", "v2_knn_lsh",

@@ -181,24 +181,33 @@ def _collinear_overlap_pts(a1, a2, b1, b2) -> Optional[tuple[Coord, Coord]]:
     return None
 
 
-def _candidate_points(g1: Geometry, g2: Geometry) -> list[Coord]:
-    """Points where the pair's interaction can change: vertices of each,
-    pairwise segment crossings, and collinear-overlap midpoints."""
+def _candidate_points(g1: Geometry, g2: Geometry) -> tuple[list[Coord], bool]:
+    """(points where the pair's interaction can change, any-proper-crossing).
+
+    Points: vertices of each side, pairwise segment crossings, and
+    collinear-overlap midpoints.  The boolean is decided purely by the
+    exact orientation tests in ``_seg_cross_proper`` — the FP crossing
+    *coordinates* are only sampling hints and may fail to relocate exactly
+    onto both operands (they are computed in the first segment's frame),
+    so crossing-existence must not be re-derived from them.
+    """
     pts: list[Coord] = []
     pts.extend(g1.points())
     pts.extend(g2.points())
+    crossed = False
     s1, s2 = _segs(g1), _segs(g2)
     for a1, a2 in s1:
         for b1, b2 in s2:
             p = _seg_cross_proper(a1, a2, b1, b2)
             if p is not None:
+                crossed = True
                 pts.append(p)
             ov = _collinear_overlap_pts(a1, a2, b1, b2)
             if ov is not None:
                 mid = ((ov[0][0] + ov[1][0]) / 2.0, (ov[0][1] + ov[1][1]) / 2.0)
                 pts.append(mid)
                 pts.extend(ov)
-    return pts
+    return pts, crossed
 
 
 def _interaction_flags(g1: Geometry, g2: Geometry) -> tuple[bool, bool]:
@@ -210,9 +219,14 @@ def _interaction_flags(g1: Geometry, g2: Geometry) -> tuple[bool, bool]:
     neighborhood is interior to both — approximated by the crossing point
     being interior/boundary of both plus an area probe below).
     """
-    any_hit = False
+    pts, crossed = _candidate_points(g1, g2)
+    # a proper boundary crossing IS an intersection — decided by exact
+    # orientation math, independent of whether the FP crossing coordinates
+    # relocate onto both operands (they can miss the operand whose frame
+    # did not produce them, which would make the predicate order-dependent)
+    any_hit = crossed
     ii = False
-    for p in _candidate_points(g1, g2):
+    for p in pts:
         l1 = _locate_point(p, g1)
         l2 = _locate_point(p, g2)
         if l1 != EXTERIOR and l2 != EXTERIOR:
@@ -226,26 +240,25 @@ def _interaction_flags(g1: Geometry, g2: Geometry) -> tuple[bool, bool]:
 
 
 def _interior_probe(g1: Geometry, g2: Geometry) -> bool:
-    """Detect interior-interior overlap missed by vertex sampling: proper
-    boundary crossings imply interior overlap for areal×(lineal|areal), and
-    offset probes around crossings for lineal×lineal are unnecessary (a
-    proper crossing point IS interior to both lines)."""
+    """Detect interior-interior overlap missed by vertex sampling.
+
+    A proper (transversal) crossing of two segments implies interior
+    overlap for EVERY dimension pairing, by the local half-plane/quadrant
+    argument on valid geometry: the crossing is strictly inside both
+    segments, so a lineal operand's interior passes through it, and an
+    areal operand locally fills one side of its boundary edge — the
+    crossing line reaches both sides, hence the interior side.  Decided by
+    the exact orientation tests alone; ε-offset probes around the crossing
+    are NOT equivalent (the FP offset granularity differs between
+    coordinate magnitudes, so a probe meant to stay on a 1-D operand
+    drifts off it — translation-variance found by hypothesis).
+    """
     d1, d2 = g1.dimension(), g2.dimension()
     s1, s2 = _segs(g1), _segs(g2)
     for a1, a2 in s1:
         for b1, b2 in s2:
-            p = _seg_cross_proper(a1, a2, b1, b2)
-            if p is None:
-                continue
-            if d1 == 1 and d2 == 1:
-                # crossing of two line interiors (segment interiors)
+            if _seg_cross_proper(a1, a2, b1, b2) is not None:
                 return True
-            # areal side(s): probe in 8 directions around the crossing
-            for k in range(8):
-                ang = k * math.pi / 4.0
-                q = (p[0] + 1e-9 * math.cos(ang), p[1] + 1e-9 * math.sin(ang))
-                if _locate_point(q, g1) == INTERIOR and _locate_point(q, g2) == INTERIOR:
-                    return True
     # also: collinear boundary overlap between two polygons whose interiors
     # are on the same side — probe midpoints of shared edges
     if d1 == 2 and d2 == 2:

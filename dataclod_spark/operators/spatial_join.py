@@ -577,6 +577,36 @@ def _bbcol(c) -> Column:
     return c if isinstance(c, Column) else F.col(c)
 
 
+# Session-lifetime bbox-sample cache: repeated spatial joins over a
+# semantically identical build side (the common interactive / re-run shape)
+# skip the sampling job entirely.  Keyed on the *sampled projection's*
+# semantic hash, so any change to the plan — source files, filters,
+# expressions — changes the key.  Bounded FIFO (each entry ≤11k tuples);
+# ≈ the dispatch path's per-EngineSession grid cache, at the operator level.
+_SAMPLE_CACHE: dict[int, list[tuple]] = {}
+_SAMPLE_CACHE_MAX = 32
+
+
+def clear_bbox_sample_cache() -> None:
+    _SAMPLE_CACHE.clear()
+
+
+def _cached_sample(pool: DataFrame) -> list[tuple]:
+    try:
+        key = pool.semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in _SAMPLE_CACHE:
+        return _SAMPLE_CACHE[key]
+    rows = pool.collect()
+    out = [(r[0], r[1], r[2], r[3]) for r in rows[: MAX_BBOX_SAMPLES + MIN_BBOX_SAMPLES]]
+    if key is not None:
+        if len(_SAMPLE_CACHE) >= _SAMPLE_CACHE_MAX:
+            _SAMPLE_CACHE.pop(next(iter(_SAMPLE_CACHE)))
+        _SAMPLE_CACHE[key] = out
+    return out
+
+
 def collect_bbox_sample_cols(src: DataFrame, cols: tuple) -> list[tuple]:
     """Bbox sample from precomputed coordinate columns — same seeded
     sample/limit policy as :func:`collect_bbox_sample`, zero Python."""
@@ -587,8 +617,7 @@ def collect_bbox_sample_cols(src: DataFrame, cols: tuple) -> list[tuple]:
         MAX_BBOX_SAMPLES
     )
     pool = samp.unionAll(base.limit(MIN_BBOX_SAMPLES)).coalesce(1)
-    rows = pool.collect()
-    return [(r[0], r[1], r[2], r[3]) for r in rows[: MAX_BBOX_SAMPLES + MIN_BBOX_SAMPLES]]
+    return _cached_sample(pool)
 
 
 def collect_bbox_sample(src: DataFrame, geom_col: str) -> list[tuple]:
@@ -611,13 +640,11 @@ def collect_bbox_sample(src: DataFrame, geom_col: str) -> list[tuple]:
         MAX_BBOX_SAMPLES
     )
     pool = samp.unionAll(base.limit(MIN_BBOX_SAMPLES)).coalesce(1)
-    rows = (
+    return _cached_sample(
         with_bbox(pool, "__g", "s_")
         .select("s_xmin", "s_ymin", "s_xmax", "s_ymax")
         .dropna()
-        .collect()
     )
-    return [(row[0], row[1], row[2], row[3]) for row in rows[: MAX_BBOX_SAMPLES + MIN_BBOX_SAMPLES]]
 
 
 def spatial_join(

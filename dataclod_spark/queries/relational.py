@@ -1273,3 +1273,99 @@ def s4_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("exc").alias("tag"), "o_orderpriority", "n")
     )
     return inter.unionAll(exc).orderBy("tag", "o_orderpriority")
+
+
+@query(
+    "b1_bucketed_join",
+    doc="bucketed co-located join: orders and lineitem written bucketed on "
+    "the join key (8 buckets, sorted), then joined bucket-to-bucket — the "
+    "shuffle-elimination lever for repeated big joins at 100 TB (plan "
+    "asserted shuffle-free in tests/test_plans.py)",
+    oracle=f"""
+SELECT o.o_orderpriority AS o_orderpriority,
+       count(*) AS n_items,
+       round({_osum('l.l_extendedprice * (1 - l.l_discount)')}, 2) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write both fact tables bucketed+sorted on the join key, then join
+    the bucketed tables: each bucket pairs with exactly one bucket on the
+    other side, so the join runs with NO exchange on either input — the
+    amortize-the-shuffle-once pattern (≈ Hive/Spark bucketing; the
+    reference single-node engine has no analogue, its hash join always
+    repartitions).  At 100 TB the one-time bucketed write replaces a
+    per-query shuffle of the largest table."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"dataclod_buckets_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    for name, df, key in (("b1_orders", o, "o_orderkey"), ("b1_lineitem", li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    ob = spark.table("b1_orders").filter(F.col("o_orderstatus") == "O")
+    lb = spark.table("b1_lineitem")
+    return (
+        ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "a6_percentiles",
+    doc="ordered-set aggregates: exact median/quartiles via "
+    "percentile_cont interpolation (DataFusion's APPROX_/PERCENTILE "
+    "surface, pinned to the exact variant both engines share)",
+    oracle="""
+SELECT o_orderpriority,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)), 4) AS p50,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)), 4) AS p25,
+       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)), 4) AS p75,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_cont interpolates between two exact order statistics —
+    the same a+(b−a)·f IEEE arithmetic in Spark and DuckDB, so rounding to
+    4 dp is stable."""
+    o = load(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice").cast("double")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile(tp, F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(tp, F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile(tp, F.lit(0.75)), 4).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -200,3 +200,35 @@ def w5_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "w6_distribution_ranks",
+    doc="distribution window functions: percent_rank, cume_dist, nth_value "
+    "(completes the DataFusion ranking/analytic set beyond w2/w3)",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS second_order
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist divide two small integers (rank−1)/(n−1) and
+    peers/n — IEEE division of exact ints, so rounding to 6 dp is
+    bit-stable across engines."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+    ).orderBy("o_custkey", "o_orderkey")

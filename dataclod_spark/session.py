@@ -236,6 +236,11 @@ class EngineSession:
         sequence for PostgreSQL-style positional ``$1..$n`` placeholders
         (``parser.rs:31-44`` parity): ``sql("... WHERE a > $1", [10])``.
         """
+        # single trailing statement terminator: harmless to Spark but it
+        # defeats the $-anchored dispatch/shim regexes below
+        query = query.strip()
+        if query.endswith(";") and ";" not in query[:-1]:
+            query = query[:-1].rstrip()
         if _TXN_RE.match(query):
             # BEGIN/COMMIT/ROLLBACK accepted as no-ops returning empty result
             return self.spark.range(0).select()

@@ -197,3 +197,22 @@ def test_st6_static_side_broadcasts(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_b1_bucketed_join_avoids_shuffle(spark):
+    """With broadcast disabled, the bucketed-table join must run with no
+    Exchange on either side (bucket-to-bucket sort-merge join)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        reg = load_all_queries()
+        df = reg["b1_bucketed_join"].fn(spark, SF_SMOKE)
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        plan = df._jdf.queryExecution().explainString(jmode)
+        # the join inputs read bucketed files directly — no exchange on
+        # either join key (the agg/sort after the join may still shuffle)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

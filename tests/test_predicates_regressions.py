@@ -135,3 +135,31 @@ class TestCrosses:
             "ST_GeomFromText('LINESTRING(1 0,3 0)')) AS o"
         ).collect()[0]
         assert row.c is True and row.o is False
+
+
+class TestCrossingRobustness:
+    """Hypothesis-found round-3 regressions: crossing existence must come
+    from the exact orientation tests, never from relocating the FP
+    crossing coordinates (frame-dependent) or ε-probing around them
+    (rounding granularity differs between coordinate magnitudes)."""
+
+    def test_intersects_symmetric_for_irrational_crossing(self):
+        # crossing at (5/7, 0) — not FP-representable; relocating the
+        # computed point onto the operand whose frame didn't produce it
+        # used to fail, making intersects order-dependent
+        a = W("LINESTRING(0 0,1 0)")
+        b = W("LINESTRING(0 -1,5 6)")
+        assert P.intersects(a, b) is True
+        assert P.intersects(b, a) is True
+
+    def test_touches_translation_invariant_line_through_polygon(self):
+        # the line passes through the square's interior (not touches);
+        # translating by (0,3) changed the ε-probe's FP granularity and
+        # flipped the interior-interior verdict
+        a0 = W("LINESTRING(0 0,2 2)")
+        b0 = W("POLYGON((1 0,1 2,2 2,2 0,1 0))")
+        a1 = W("LINESTRING(0 3,2 5)")
+        b1 = W("POLYGON((1 3,1 5,2 5,2 3,1 3))")
+        for a, b in ((a0, b0), (a1, b1)):
+            assert P.touches(a, b) is False
+            assert P.intersects(a, b) is True

@@ -473,3 +473,23 @@ def test_spatial_join_second_in_chain_reversed_pred(engine, sdata):
     }
     assert got == want and got
     assert "BroadcastNestedLoopJoin" not in _plan(df)
+
+
+@pytest.mark.parametrize(
+    "variant",
+    [
+        "select pid, bid from disp_pts p join disp_boxes b on st_intersects(p.geom, b.geom)",
+        "SELECT pid, bid\nFROM disp_pts p\n  JOIN disp_boxes b\n    ON ST_Intersects(p.geom, b.geom)",
+        "SELECT pid, bid FROM disp_pts p JOIN disp_boxes b ON ST_Intersects(p.geom, b.geom);",
+        "-- pairs\nSELECT pid, bid FROM disp_pts p JOIN disp_boxes b ON ST_Intersects(p.geom, b.geom)",
+        "SELECT pid, bid FROM disp_pts AS p INNER JOIN disp_boxes AS b ON ST_Intersects(p.geom, b.geom)",
+    ],
+    ids=["lowercase", "newlines", "trailing_semicolon", "leading_comment", "inner_as"],
+)
+def test_dispatch_robust_to_sql_formatting(engine, sdata, variant):
+    """Formatting noise (case, newlines, comments, a trailing semicolon,
+    INNER/AS keywords) must not silently drop the query back to the
+    nested-loop fallback."""
+    df = engine.sql(variant)
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
+    assert df.count() > 0

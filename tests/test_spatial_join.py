@@ -231,3 +231,28 @@ def test_auto_cell_target_default_join_correct(spark):
     got = {(r.id, r.id_right) for r in out.collect()}
     want = {(pi, bi) for pi, pg in points for bi, bg in boxes if GP.intersects(pg, bg)}
     assert got == want and got
+
+
+def test_bbox_sample_cache_hits_on_identical_build_side(spark):
+    """A semantically identical build side must reuse the cached bbox
+    sample (no second sampling job)."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMOKE
+
+    from dataclod_spark.operators import spatial_join as SJ
+    from dataclod_spark.registry import load
+
+    SJ.clear_bbox_sample_cache()
+    e = load(spark, SF_SMOKE, "events")
+    boxes = e.select(
+        (F.col("event_id") % 97).cast("double").alias("bx"),
+        (F.col("user_id") % 41).cast("double").alias("by"),
+        ((F.col("event_id") % 97) + 3).cast("double").alias("bx2"),
+        ((F.col("user_id") % 41) + 2).cast("double").alias("by2"),
+    )
+    s1 = SJ.collect_bbox_sample_cols(boxes, ("bx", "by", "bx2", "by2"))
+    assert len(SJ._SAMPLE_CACHE) == 1
+    s2 = SJ.collect_bbox_sample_cols(boxes, ("bx", "by", "bx2", "by2"))
+    assert s2 is s1  # served from cache, not re-collected
+    SJ.clear_bbox_sample_cache()
