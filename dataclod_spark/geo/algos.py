@@ -63,10 +63,17 @@ def point_y(g: Geometry) -> Optional[float]:
 
 
 def _ring_area2(ring: list[Coord]) -> float:
-    """Twice the signed area (positive = CCW)."""
+    """Twice the signed area (positive = CCW), shoelace anchored at the
+    first vertex: the naive Σ x₁y₂−x₂y₁ form accumulates O(|coord|²)-sized
+    terms whose cancellation destroys the result for far-from-origin
+    rings (a unit square at (10⁶,10⁶) loses ~8 digits); subtracting the
+    anchor keeps every term O(extent²)."""
+    if len(ring) < 3:
+        return 0.0
+    x0, y0 = ring[0]
     s = 0.0
     for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
-        s += x1 * y2 - x2 * y1
+        s += (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
     return s
 
 
@@ -971,6 +978,29 @@ def trace_faces(edges: list[tuple[Coord, Coord]]) -> list[list[Coord]]:
     return rings
 
 
+def _simple_cycles(ring: list[Coord]) -> list[list[Coord]]:
+    """Decompose a closed walk into simple cycles (stack method): each time
+    the walk revisits a vertex on the stack, pop that loop out as one
+    cycle.  A simple ring comes back unchanged (as the final cycle)."""
+    out: list[list[Coord]] = []
+    stack: list[Coord] = []
+    pos: dict[Coord, int] = {}
+    for v in ring[:-1]:
+        if v in pos:
+            i = pos[v]
+            loop = stack[i:] + [v]
+            if len(loop) > 3:
+                out.append(loop)
+            for w in stack[i:]:
+                del pos[w]
+            del stack[i:]
+        pos[v] = len(stack)
+        stack.append(v)
+    if len(stack) >= 3:
+        out.append(stack + [stack[0]])
+    return out
+
+
 def build_area(g: Geometry) -> Optional[Geometry]:
     """Assemble polygons from noded linework (lwgeom ST_BuildArea semantics:
     even nesting depth → shell, odd → hole).  Input must be noded (segments
@@ -993,10 +1023,21 @@ def build_area(g: Geometry) -> Optional[Geometry]:
     if not edges:
         return None
     rings = trace_faces(edges)
+    # Split non-simple face walks into simple cycles first.  A face whose
+    # boundary revisits a vertex is either the unbounded face around
+    # point-touching rings (a figure-eight whose composite cycle would
+    # poison the even-odd nesting depths below — every real ring lies
+    # "inside" it, so everything classifies as a hole) or a walk along a
+    # dangling edge (whose back-and-forth sub-cycle has zero area and
+    # drops out) — in both cases the simple sub-cycles are the true
+    # region boundaries.
+    simple_rings: list[list[Coord]] = []
+    for ring in rings:
+        simple_rings.extend(_simple_cycles(ring))
     # dedupe directed rings into undirected cycles (keep first-seen version)
     cycles: list[list[Coord]] = []
     seen_keys: set[frozenset] = set()
-    for ring in rings:
+    for ring in simple_rings:
         if abs(_ring_area2(ring)) == 0:
             continue
         key = frozenset(zip(ring, ring[1:]))

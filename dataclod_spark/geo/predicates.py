@@ -312,61 +312,96 @@ def _covers_impl(g1: Geometry, g2: Geometry) -> bool:
     unless g1 is areal and the crossing stays inside)."""
     if g1.is_empty() or g2.is_empty():
         return False
-    # every vertex of g2 inside/boundary of g1
-    for p in g2.points():
-        if _locate_point(p, g1) == EXTERIOR:
-            return False
     d1 = g1.dimension()
     d2 = g2.dimension()
     if d2 > d1:
         return False
+    if d2 == 0 or d1 == 2:
+        # every vertex of g2 inside/boundary of g1 (for lineal×lineal this
+        # is subsumed — and made frame-robust — by the interval coverage
+        # below)
+        for p in g2.points():
+            if _locate_point(p, g1) == EXTERIOR:
+                return False
     if d2 == 0:
         return True
-    # every sub-segment of g2 (noded at all interaction points with g1) must
-    # have a non-exterior midpoint.  Noding is required for correctness: a
-    # bare segment-midpoint sample misses gaps in a lineal g1 that happen to
-    # avoid the midpoint (e.g. MULTILINESTRING((0 0,0.2 0),(0.3 0,1 0))
-    # does NOT cover LINESTRING(0 0,1 0) — the gap (0.2,0.3) is off-midpoint).
-    s1 = _segs(g1)
-    g1_pts = g1.points()
     from dataclod_spark.geo.algos import _seg_param
 
-    for b1, b2 in _segs(g2):
-        ts = [0.0, 1.0]
-        for a1, a2 in s1:
-            p = _seg_cross_proper(a1, a2, b1, b2)
-            if p is not None:
-                ts.append(_seg_param(b1, b2, p))
-            ov = _collinear_overlap_pts(b1, b2, a1, a2)
-            if ov is not None:
-                ts.append(_seg_param(b1, b2, ov[0]))
-                ts.append(_seg_param(b1, b2, ov[1]))
-        for p in g1_pts:
-            if _orient(b1, b2, p) == 0 and _on_segment(b1, b2, p):
-                ts.append(_seg_param(b1, b2, p))
-        ts = sorted({min(max(t, 0.0), 1.0) for t in ts})
-        for t0, t1 in zip(ts, ts[1:]):
-            if t1 - t0 <= 1e-12:
-                continue
-            tm = (t0 + t1) / 2.0
-            mid = (b1[0] + tm * (b2[0] - b1[0]), b1[1] + tm * (b2[1] - b1[1]))
-            if _locate_point(mid, g1) == EXTERIOR:
+    s1 = _segs(g1)
+    if d1 == 1:
+        # isolated point components of a mixed lineal g2 still need the
+        # plain vertex check (they have no segments to cover)
+        for comp in g2.flatten():
+            if comp.dimension() == 0:
+                for p in comp.points():
+                    if _locate_point(p, g1) == EXTERIOR:
+                        return False
+        # Lineal covers lineal ⇔ for every g2 segment, the union of its
+        # collinear-overlap parameter intervals with g1's segments covers
+        # [0,1].  Pure parameter-space reasoning: relocating sampled
+        # midpoint COORDINATES onto g1 is frame-dependent (the midpoint of
+        # a segment's own parameterization can round off its line — e.g.
+        # (tm, 1−tm) with irrational tm), which broke equals(a, a) on
+        # self-crossing multilines.  Isolated crossings have measure zero
+        # and cannot cover an interval, so they are correctly ignored;
+        # gaps in g1 (the off-midpoint MULTILINESTRING gap case) surface
+        # as uncovered intervals exactly.
+        for b1, b2 in _segs(g2):
+            intervals: list[tuple[float, float]] = []
+            for a1, a2 in s1:
+                ov = _collinear_overlap_pts(b1, b2, a1, a2)
+                if ov is not None:
+                    t0, t1 = _seg_param(b1, b2, ov[0]), _seg_param(b1, b2, ov[1])
+                    lo, hi = min(t0, t1), max(t0, t1)
+                    intervals.append((max(lo, 0.0), min(hi, 1.0)))
+            intervals.sort()
+            covered_to = 0.0
+            for lo, hi in intervals:
+                if lo > covered_to + 1e-12:
+                    break
+                covered_to = max(covered_to, hi)
+            if covered_to < 1.0 - 1e-12:
                 return False
-    # proper crossings of g2 segments with g1 boundary → g2 exits g1
-    for b1, b2 in _segs(g2):
-        for a1, a2 in s1:
-            p = _seg_cross_proper(a1, a2, b1, b2)
-            if p is not None:
-                # crossing the boundary of an areal g1 means passing outside
-                if d1 == 2:
-                    # probe both sides along g2's segment direction
-                    dx, dy = b2[0] - b1[0], b2[1] - b1[1]
-                    n = math.hypot(dx, dy) or 1.0
-                    for s in (1e-9, -1e-9):
-                        q = (p[0] + dx / n * s, p[1] + dy / n * s)
-                        if _locate_point(q, g1) == EXTERIOR:
-                            return False
-                else:
+    else:
+        # areal g1: every sub-segment of g2 (noded at all interaction
+        # points with g1) must have a non-exterior midpoint.  Noding is
+        # required: a bare segment-midpoint sample misses boundary gaps
+        # that avoid the midpoint.
+        g1_pts = g1.points()
+        for b1, b2 in _segs(g2):
+            ts = [0.0, 1.0]
+            for a1, a2 in s1:
+                p = _seg_cross_proper(a1, a2, b1, b2)
+                if p is not None:
+                    ts.append(_seg_param(b1, b2, p))
+                ov = _collinear_overlap_pts(b1, b2, a1, a2)
+                if ov is not None:
+                    ts.append(_seg_param(b1, b2, ov[0]))
+                    ts.append(_seg_param(b1, b2, ov[1]))
+            for p in g1_pts:
+                if _orient(b1, b2, p) == 0 and _on_segment(b1, b2, p):
+                    ts.append(_seg_param(b1, b2, p))
+            ts = sorted({min(max(t, 0.0), 1.0) for t in ts})
+            for t0, t1 in zip(ts, ts[1:]):
+                if t1 - t0 <= 1e-12:
+                    continue
+                tm = (t0 + t1) / 2.0
+                mid = (b1[0] + tm * (b2[0] - b1[0]), b1[1] + tm * (b2[1] - b1[1]))
+                if _locate_point(mid, g1) == EXTERIOR:
+                    return False
+    # Proper crossings of g2 segments with g1's boundary mean escape ONLY
+    # for areal g1: a valid polygon's boundary locally separates interior
+    # from exterior, so a transversal crossing reaches the exterior side —
+    # decided by the exact orientation tests alone (no ε-probe; probe
+    # granularity varies with coordinate magnitude).  For lineal g1 a
+    # crossing is NOT an escape — the crossing point is part of g1's own
+    # point set (e.g. equals(a, a) on a self-crossing multiline, or g2
+    # running along one branch of a crossing); genuine lineal escapes are
+    # already caught by the noded sub-segment midpoint check above.
+    if d1 == 2:
+        for b1, b2 in _segs(g2):
+            for a1, a2 in s1:
+                if _seg_cross_proper(a1, a2, b1, b2) is not None:
                     return False
     # lineal-in-lineal: midpoints already checked; areal-in-areal: also check
     # g1 hole vertices are not interior to g2 (hole poking through)

@@ -165,3 +165,43 @@ def test_mvt_geom():
     line = as_mvt_geom(wkt_parse("LINESTRING(-50 50, 150 50)"), bounds)
     assert wkt_write(line) == "LINESTRING (-256 2048, 4352 2048)"
     assert as_mvt_geom(wkt_parse("POINT(500 500)"), bounds) is None
+
+
+def test_corner_touching_squares_union():
+    """Round-3 hypothesis find: rings meeting at a single point made
+    build_area classify every cycle as a hole (the unbounded face's
+    figure-eight boundary survived dedupe and poisoned the even-odd
+    depths) — union returned EMPTY."""
+    a = wkt_parse("POLYGON((0 1,1 1,1 2,0 2,0 1))")
+    b = wkt_parse("POLYGON((1 0,2 0,2 1,1 1,1 0))")
+    assert area(union(a, b)) == 2.0
+    assert area(intersection(a, b)) == 0.0
+    assert area(difference(a, b)) == 1.0
+
+
+def test_shared_edge_difference():
+    """Round-3 hypothesis find: rect \\ triangle with shared edges — the
+    kept faces touch only at a point and must re-assemble as a
+    MULTIPOLYGON, not collapse to EMPTY."""
+    t = wkt_parse("POLYGON((1 0,2 0,1 1,1 0))")
+    r = wkt_parse("POLYGON((0 0,2 0,2 1,0 1,0 0))")
+    assert area(difference(r, t)) == 1.5
+    assert area(difference(t, r)) == 0.0
+    assert area(union(r, t)) == 2.0
+
+
+def test_area_far_from_origin():
+    """Round-3 hypothesis find: naive shoelace cancels catastrophically
+    far from the origin; anchored shoelace keeps unit-square area exact
+    at 1e6 and overlay areas translation-invariant."""
+    near = wkt_parse("POLYGON((0 0,1 0,1 1,0 1,0 0))")
+    far = wkt_parse(
+        "POLYGON((1000000 1000000,1000001 1000000,1000001 1000001,1000000 1000001,1000000 1000000))"
+    )
+    assert area(near) == 1.0
+    assert area(far) == 1.0
+    sq = wkt_parse("POLYGON((1000 1000000,1001 1000000,1001 1000001,1000 1000001,1000 1000000))")
+    tr = wkt_parse("POLYGON((1000 1000000,1001 1000000,1000 1000003,1000 1000000))")
+    import math as _m
+
+    assert _m.isclose(area(intersection(sq, tr)), 5.0 / 6.0, rel_tol=1e-12)

@@ -40,8 +40,27 @@ def segment(draw):
     return Geometry("LineString", [a, b])
 
 
+@st.composite
+def triangle(draw):
+    x0, y0 = draw(_I), draw(_I)
+    w, h = draw(st.integers(1, 6)), draw(st.integers(1, 6))
+    return Geometry("Polygon", [[(x0, y0), (x0 + w, y0), (x0, y0 + h), (x0, y0)]])
+
+
+@st.composite
+def two_part_line(draw):
+    parts = []
+    for _ in range(2):
+        a = (draw(_I), draw(_I))
+        b = (draw(_I), draw(_I))
+        if a == b:
+            b = (a[0] + 1, a[1])
+        parts.append([a, b])
+    return Geometry("MultiLineString", parts)
+
+
 point = st.builds(make_point, _I, _I)
-geom = st.one_of(point, segment(), rect())
+geom = st.one_of(point, segment(), rect(), triangle(), two_part_line())
 
 _SYMMETRIC = [P.intersects, P.touches, P.overlaps, P.equals]
 

@@ -163,3 +163,25 @@ class TestCrossingRobustness:
         for a, b in ((a0, b0), (a1, b1)):
             assert P.touches(a, b) is False
             assert P.intersects(a, b) is True
+
+    def test_equals_reflexive_on_self_crossing_multiline(self):
+        # the parts cross at (1/3, 2/3) — not FP-representable; midpoint
+        # relocation used to break covers(a, a), hence equals(a, a)
+        a = W("MULTILINESTRING((0 1,1 0),(0 0,1 2))")
+        assert P.equals(a, a) is True
+        assert P.covers(a, a) is True
+
+    def test_covers_line_through_lineal_crossing(self):
+        # g1's own parts cross transversally; covering one branch must not
+        # be rejected because of the crossing (a crossing point belongs to
+        # the lineal g1's point set — it is not an escape)
+        plus = W("MULTILINESTRING((0 0,1 1),(1 0,-1 1))")
+        branch = W("LINESTRING(0 0,1 1)")
+        assert P.covers(plus, branch) is True
+        assert P.contains(plus, branch) is True
+
+    def test_lineal_gap_still_not_covered(self):
+        # the interval-coverage rewrite must keep catching off-midpoint gaps
+        gappy = W("MULTILINESTRING((0 0,2 0),(3 0,10 0))")
+        whole = W("LINESTRING(0 0,10 0)")
+        assert P.covers(gappy, whole) is False
