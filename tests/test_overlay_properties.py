@@ -90,3 +90,43 @@ def test_translation_invariance(a, b, dx, dy):
     base = area(intersection(a, b))
     moved = area(intersection(shift(a), shift(b)))
     assert _close(base, moved)
+
+
+def _rect_with_hole(x, y, w, h):
+    """Rectangle with a centered hole of half extent (integer coords)."""
+    hx0, hy0 = x + max(1, w // 4), y + max(1, h // 4)
+    hx1, hy1 = min(x + w - 1, hx0 + max(1, w // 2)), min(y + h - 1, hy0 + max(1, h // 2))
+    if hx1 <= hx0 or hy1 <= hy0:
+        return _rect(x, y, w, h)
+    return Geometry(
+        kind="Polygon",
+        data=[
+            [(x, y), (x + w, y), (x + w, y + h), (x, y + h), (x, y)],
+            [(hx0, hy0), (hx0, hy1), (hx1, hy1), (hx1, hy0), (hx0, hy0)],
+        ],
+        srid=0,
+    )
+
+
+holey = st.builds(
+    _rect_with_hole,
+    st.integers(-15, 15),
+    st.integers(-15, 15),
+    st.integers(4, 12),
+    st.integers(4, 12),
+)
+shape_h = st.one_of(shape, holey)
+
+
+@settings(max_examples=150, deadline=None)
+@given(shape_h, shape_h)
+def test_inclusion_exclusion_with_holes(a, b):
+    ai = area(intersection(a, b))
+    au = area(union(a, b))
+    assert _close(ai + au, area(a) + area(b))
+
+
+@settings(max_examples=150, deadline=None)
+@given(shape_h, shape_h)
+def test_difference_area_with_holes(a, b):
+    assert _close(area(difference(a, b)), area(a) - area(intersection(a, b)))

@@ -121,3 +121,33 @@ def test_reflexivity(a):
     assert P.covers(a, a)
     assert P.intersects(a, a)
     assert not P.touches(a, a)
+
+
+@settings(max_examples=200, deadline=None)
+@given(geom, geom)
+def test_distance_laws(a, b):
+    """distance symmetry; dwithin ⇔ distance ≤ d; intersects ⇒ distance 0."""
+    from dataclod_spark.geo.algos import distance
+
+    d_ab = distance(a, b)
+    d_ba = distance(b, a)
+    assert d_ab == d_ba
+    assert P.dwithin(a, b, d_ab) is True
+    if d_ab > 0:
+        assert P.dwithin(a, b, d_ab * 0.99) is False
+        assert not P.intersects(a, b)
+    if P.intersects(a, b):
+        assert d_ab == 0.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(geom, geom, geom)
+def test_distance_triangle_inequality(a, b, c):
+    """Hausdorff-free set-distance triangle inequality needs the bridging
+    set's diameter: d(a,c) <= d(a,b) + diam(b) + d(b,c)."""
+    from dataclod_spark.geo.algos import distance
+
+    xs = [p[0] for p in b.points()]
+    ys = [p[1] for p in b.points()]
+    diam = ((max(xs) - min(xs)) ** 2 + (max(ys) - min(ys)) ** 2) ** 0.5
+    assert distance(a, c) <= distance(a, b) + diam + distance(b, c) + 1e-9
