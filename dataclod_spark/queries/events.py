@@ -105,6 +105,118 @@ def e2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e4_asof_join",
+    doc="as-of (point-in-time) join: each purchase attached to the user's "
+    "most recent click at-or-before it (operators/asof_join.py — union + "
+    "running-last window, one shuffle)",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       m.click_id,
+       m.click_us,
+       round(m.click_value, 4) AS click_value
+FROM p LEFT JOIN LATERAL (
+  SELECT c.event_id AS click_id, epoch_us(c.ts) AS click_us, c.value AS click_value
+  FROM c
+  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC
+  LIMIT 1
+) m ON true
+ORDER BY purchase_id
+""",
+)
+def e4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kdb-aj / merge_asof semantics as a single-shuffle window plan —
+    no Spark-native as-of join exists; see operators/asof_join.py for the
+    union + last(ignorenulls) construction (ties broken by event_id)."""
+    from dataclod_spark.operators.asof_join import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id", tiebreak="event_id"
+    )
+    # ts reads TIMESTAMP_NTZ on Spark 4.1 (parquet nanos); unix_micros wants
+    # an instant — the cast is exact under the pinned UTC session zone
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        us("ts").alias("purchase_us"),
+        F.col("event_id").alias("click_id"),
+        us("ts_r").alias("click_us"),
+        F.round("value", 4).alias("click_value"),
+    ).orderBy("purchase_id")
+
+
+@query(
+    "e5_hypertable_rollup",
+    doc="hypertable-style continuous aggregate: minute-level partials "
+    "re-aggregated to hourly buckets (sum-of-sums / min-of-mins algebra)",
+    oracle="""
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY bucket_start, event_type
+ORDER BY bucket_start, event_type
+""",
+)
+def e5_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-continuous-aggregate shape: the fine (1-minute) rollup
+    is materialized once, the coarse (1-hour) level re-aggregates the
+    partials — count=sum(counts), sum=sum(sums), min=min(mins).  At 100 TB
+    the fine rollup is the only pass over raw data; every coarser
+    resolution reads the (tiny) next-finer aggregate.  The oracle computes
+    the hourly answer directly from raw events, proving the re-aggregation
+    algebra exact (sums carried as DECIMAL so grouping order is
+    irrelevant)."""
+    e = load(spark, sf_dir, "events")
+    minute = e.groupBy(F.window("ts", "1 minute").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    hour = (
+        minute.groupBy(
+            F.window(F.col("w.start"), "1 hour").alias("h"), "event_type"
+        )
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("psum").cast("double"), 2).alias("total_value"),
+            F.round(F.min("pmin"), 4).alias("min_value"),
+            F.round(F.max("pmax"), 4).alias("max_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("h.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+    return hour
+
+
+@query(
     "e3_json_extract",
     doc="JSON payload extraction + grouped aggregate (get_json_object)",
     oracle="""
