@@ -1,0 +1,136 @@
+"""Embedding-column operators: centroids, cosine-to-centroid, scalar
+quantization — the vector-side toolkit of a training-data pipeline
+(complementing the ANN search in :mod:`operators.similarity`).
+
+Everything here is pure ``pyspark.sql.functions`` expression code (no
+Python UDFs) and at most ONE aggregation pass over the corpus:
+
+* :func:`label_centroids` — per-label mean vector via ``dim`` DECIMAL-
+  accumulated column aggregates (partial+final map-side combine; the
+  result is |labels| rows → broadcastable);
+* :func:`cosine_to_centroid` — broadcast-join the centroids back and fold
+  the dot/norms **in index order** (``F.aggregate`` over ``zip_with``),
+  so the FP summation sequence is deterministic and engine-independent;
+* :func:`scalar_quantize` — classic int8 per-dimension scalar quantization
+  (FAISS ``ScalarQuantizer``-style): one global min/max reduce (1 row,
+  broadcast), then codes/reconstruction/error as zero-shuffle projections.
+
+Determinism contract (what the DuckDB oracles rely on): cross-row float
+aggregation always goes through DECIMAL accumulation (exact, order-free);
+within-vector reductions always fold left-to-right over the array index —
+both engines then produce bit-identical doubles.
+
+Scale: centroids and min/max are classic partial aggregates (bytes per
+task, regardless of corpus size); the per-vector math is whole-stage
+codegen over the array column.  Nothing shuffles the corpus itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "l2_normalize",
+    "label_centroids",
+    "cosine_to_centroid",
+    "scalar_quantize",
+]
+
+# exact accumulator type for cross-row sums of double-cast floats
+_ACC = "decimal(27,10)"
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize an ``array<float|double>`` column (NULL-safe; zero
+    vectors stay zero).  Pure projection — the cheap pre-pass that turns
+    cosine ANN into dot-product ANN."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
+
+
+def label_centroids(df: DataFrame, label: str, vec: str, dim: int) -> DataFrame:
+    """Per-label mean vector: ``(label, centroid array<double>, n_vectors)``.
+
+    ``dim`` column aggregates (exact DECIMAL sums / count), reassembled
+    into one array — a single partial+final hash aggregate, no explode
+    (explode would multiply the corpus ×dim before the shuffle)."""
+    aggs = [
+        F.sum(F.col(vec)[i].cast("double").cast(_ACC)).alias(f"__s{i}")
+        for i in range(dim)
+    ]
+    g = df.groupBy(F.col(label).alias("__lbl")).agg(
+        F.count(F.lit(1)).alias("n_vectors"), *aggs
+    )
+    centroid = F.array(
+        *[(F.col(f"__s{i}").cast("double") / F.col("n_vectors")) for i in range(dim)]
+    )
+    return g.select(F.col("__lbl").alias(label), centroid.alias("centroid"), "n_vectors")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Index-ordered left-to-right dot product fold (deterministic FP)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_to_centroid(df: DataFrame, label: str, vec: str, dim: int) -> DataFrame:
+    """Each row plus ``cos_centroid``: cosine similarity of its vector to
+    its label's centroid.  The centroid table is |labels| rows →
+    broadcast; the corpus does not shuffle."""
+    cents = label_centroids(df, label, vec, dim)
+    j = df.join(F.broadcast(cents), on=label)
+    v = F.col(vec)
+    c = F.col("centroid")
+    cos = _dot(v, c) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(c, c)))
+    return j.withColumn("cos_centroid", cos)
+
+
+def scalar_quantize(df: DataFrame, vec: str, dim: int) -> DataFrame:
+    """Int8 per-dimension scalar quantization: global per-dim [min,max] →
+    255-step codes → reconstruction + error columns.
+
+    Adds ``codes array<int>``, ``recon array<double>``,
+    ``mean_abs_err double`` (index-ordered fold), ``max_abs_err double``.
+    Constant dimensions (max==min) encode as 0 with exact reconstruction.
+    The min/max reduce is one 1-row aggregate broadcast to every task —
+    the same two-pass shape FAISS trains its ScalarQuantizer with."""
+    mins = [F.min(F.col(vec)[i].cast("double")).alias(f"__mn{i}") for i in range(dim)]
+    maxs = [F.max(F.col(vec)[i].cast("double")).alias(f"__mx{i}") for i in range(dim)]
+    stats = df.agg(*mins, *maxs).select(
+        F.array(*[F.col(f"__mn{i}") for i in range(dim)]).alias("__mins"),
+        F.array(*[F.col(f"__mx{i}") for i in range(dim)]).alias("__maxs"),
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    scales = F.zip_with(
+        F.col("__maxs"), F.col("__mins"), lambda mx, mn: (mx - mn) / F.lit(255.0)
+    )
+    j = j.withColumn("__scales", scales)
+
+    x = F.transform(F.col(vec), lambda v: v.cast("double"))
+    packed = F.arrays_zip(x.alias("x"), F.col("__mins").alias("mn"), F.col("__scales").alias("sc"))
+    codes = F.transform(
+        packed,
+        lambda p: F.when(p["sc"] == 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(F.lit(0), F.round((p["x"] - p["mn"]) / p["sc"], 0).cast("int")),
+            )
+        ),
+    )
+    j = j.withColumn("codes", codes)
+    recon_packed = F.arrays_zip(
+        F.col("codes").alias("c"), F.col("__mins").alias("mn"), F.col("__scales").alias("sc")
+    )
+    recon = F.transform(recon_packed, lambda p: p["mn"] + p["c"].cast("double") * p["sc"])
+    j = j.withColumn("recon", recon)
+    errs = F.zip_with(x, F.col("recon"), lambda a, b: F.abs(a - b))
+    j = j.withColumn(
+        "mean_abs_err",
+        F.aggregate(errs, F.lit(0.0), lambda acc, e: acc + e) / F.lit(float(dim)),
+    ).withColumn("max_abs_err", F.array_max(errs))
+    return j.drop("__mins", "__maxs", "__scales")

@@ -247,3 +247,132 @@ def v4_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     out = SIM.knn_ivf(e, e.filter(F.col("vec_id") < 10), k=3, n_centroids=16, n_probe=2)
     return out.orderBy("query_id", "rank")
+
+
+_DIM = 64  # embeddings table vector width (TESTDATA.md)
+
+
+@query(
+    "v5_centroid_cosine",
+    doc="per-label centroid + average member cosine-to-centroid "
+    "(operators/embeddings.py — DECIMAL-exact centroid agg, broadcast-back, "
+    "index-ordered folds)",
+    oracle="""
+WITH u AS (
+  SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), ux AS (
+  SELECT u.vec_id, u.label, u.i, CAST(e.embedding[u.i] AS DOUBLE) AS x
+  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+), c AS (
+  SELECT label, i,
+         CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS cx
+  FROM ux GROUP BY label, i
+), cv AS (
+  SELECT label, list(cx ORDER BY i) AS cvec FROM c GROUP BY label
+), cos AS (
+  SELECT e.vec_id, e.label,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * cv.cvec[i]))
+         / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(cv.cvec) + 1),
+              i -> cv.cvec[i] * cv.cvec[i])))) AS cos_centroid
+  FROM embeddings e JOIN cv ON e.label = cv.label
+)
+SELECT label,
+       count(*) AS n_vectors,
+       round(CAST(sum(CAST(cos_centroid AS DECIMAL(18,12))) AS DOUBLE) / count(*), 6)
+         AS avg_cosine,
+       round(min(cos_centroid), 6) AS min_cosine
+FROM cos
+GROUP BY label
+ORDER BY label
+""",
+)
+def v5_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality profile of the embedding space: how tight is each
+    label around its mean vector.  One corpus aggregate (centroids), one
+    broadcast join, one rollup — the corpus never shuffles."""
+    from dataclod_spark.operators.embeddings import cosine_to_centroid
+
+    e = load(spark, sf_dir, "embeddings")
+    withcos = cosine_to_centroid(e, "label", "embedding", _DIM)
+    return (
+        withcos.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("cos_centroid").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cosine"),
+            F.round(F.min("cos_centroid"), 6).alias("min_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "v6_scalar_quantize",
+    doc="int8 per-dimension scalar quantization of the embedding corpus "
+    "(operators/embeddings.py): global min/max train pass + zero-shuffle "
+    "encode, reconstruction-error rollup per label",
+    oracle="""
+WITH u AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), ux AS (
+  SELECT u.i, CAST(e.embedding[u.i] AS DOUBLE) AS x
+  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+), s AS (
+  SELECT i, min(x) AS mn, (max(x) - min(x)) / 255.0 AS sc FROM ux GROUP BY i
+), sl AS (
+  SELECT list(mn ORDER BY i) AS mins, list(sc ORDER BY i) AS scales FROM s
+), coded AS (
+  SELECT e.vec_id, e.label, e.embedding AS emb,
+         list_transform(range(1, len(e.embedding) + 1),
+           i -> CASE WHEN sl.scales[i] = 0 THEN 0
+                ELSE least(255, greatest(0, CAST(round(
+                  (CAST(e.embedding[i] AS DOUBLE) - sl.mins[i]) / sl.scales[i], 0)
+                  AS INT))) END) AS codes,
+         sl.mins AS mins, sl.scales AS scales
+  FROM embeddings e CROSS JOIN sl
+), errs AS (
+  SELECT vec_id, label,
+         list_transform(range(1, len(codes) + 1),
+           i -> abs(CAST(emb[i] AS DOUBLE) - (mins[i] + codes[i] * scales[i]))) AS e
+  FROM coded
+)
+SELECT label,
+       count(*) AS n_vectors,
+       round(CAST(sum(CAST(list_sum(e) / 64.0 AS DECIMAL(18,15))) AS DOUBLE)
+             / count(*), 8) AS avg_mean_err,
+       round(max(list_max(e)), 8) AS max_err
+FROM errs
+GROUP BY label
+ORDER BY label
+""",
+)
+def v6_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4× compression profile for the vector store: quantize every
+    embedding to int8 codes against global per-dim ranges, report
+    reconstruction error by label.  The train pass is a 1-row aggregate;
+    encode/decode is whole-stage-codegen array math."""
+    from dataclod_spark.operators.embeddings import scalar_quantize
+
+    e = load(spark, sf_dir, "embeddings")
+    q = scalar_quantize(e, "embedding", _DIM)
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("mean_abs_err").cast("decimal(18,15)")).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            ).alias("avg_mean_err"),
+            F.round(F.max("max_abs_err"), 8).alias("max_err"),
+        )
+        .orderBy("label")
+    )

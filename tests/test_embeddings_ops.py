@@ -1,0 +1,109 @@
+"""Embedding operators: numeric semantics vs numpy, plan-shape guards."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dataclod_spark.operators.embeddings import (
+    cosine_to_centroid,
+    l2_normalize,
+    label_centroids,
+    scalar_quantize,
+)
+
+DIM = 4
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        Row(vec_id=i, label=i % 2, embedding=[float(i + j * 0.5) for j in range(DIM)])
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_l2_normalize_unit_norm(vecs):
+    out = vecs.select(l2_normalize(F.col("embedding")).alias("n")).collect()
+    for r in out:
+        assert abs(math.fsum(x * x for x in r["n"]) - 1.0) < 1e-12
+
+
+def test_l2_normalize_zero_vector(spark):
+    df = spark.createDataFrame([Row(embedding=[0.0, 0.0, 0.0])])
+    out = df.select(l2_normalize(F.col("embedding")).alias("n")).collect()
+    assert out[0]["n"] == [0.0, 0.0, 0.0]
+
+
+def test_label_centroids_match_numpy(vecs):
+    got = {r["label"]: r for r in label_centroids(vecs, "label", "embedding", DIM).collect()}
+    arr = np.array([[float(i + j * 0.5) for j in range(DIM)] for i in range(10)])
+    for lbl in (0, 1):
+        exp = arr[lbl::2].mean(axis=0)
+        assert np.allclose(got[lbl]["centroid"], exp, atol=1e-9)
+        assert got[lbl]["n_vectors"] == 5
+
+
+def test_cosine_to_centroid_match_numpy(vecs):
+    got = {r["vec_id"]: r["cos_centroid"] for r in
+           cosine_to_centroid(vecs, "label", "embedding", DIM).collect()}
+    arr = np.array([[float(i + j * 0.5) for j in range(DIM)] for i in range(10)])
+    for lbl in (0, 1):
+        c = arr[lbl::2].mean(axis=0)
+        for i in range(lbl, 10, 2):
+            exp = arr[i] @ c / (np.linalg.norm(arr[i]) * np.linalg.norm(c))
+            assert abs(got[i] - exp) < 1e-9
+
+
+def test_scalar_quantize_roundtrip(vecs):
+    out = scalar_quantize(vecs, "embedding", DIM).collect()
+    arr = np.array([[float(i + j * 0.5) for j in range(DIM)] for i in range(10)])
+    mins, maxs = arr.min(axis=0), arr.max(axis=0)
+    scales = (maxs - mins) / 255.0
+    for r in out:
+        x = np.array(r["embedding"])
+        codes = np.array(r["codes"])
+        exp_codes = np.clip(np.round((x - mins) / scales), 0, 255)
+        assert np.array_equal(codes, exp_codes)
+        recon = mins + codes * scales
+        assert np.allclose(r["recon"], recon, atol=1e-12)
+        assert abs(r["mean_abs_err"] - np.abs(x - recon).mean()) < 1e-12
+        # int8 quantization step bounds the error by half a step
+        assert r["max_abs_err"] <= scales.max() / 2 + 1e-12
+
+
+def test_scalar_quantize_constant_dim(spark):
+    df = spark.createDataFrame(
+        [Row(embedding=[1.0, 5.0]), Row(embedding=[1.0, 7.0])]
+    )
+    out = scalar_quantize(df, "embedding", 2).collect()
+    for r in out:
+        assert r["codes"][0] == 0            # constant dim encodes 0
+        assert r["recon"][0] == 1.0          # exact reconstruction
+    assert {r["codes"][1] for r in out} == {0, 255}
+
+
+def test_centroid_plan_no_corpus_shuffle_after_agg(vecs):
+    """Scale guard: the corpus joins the centroids via BROADCAST — no
+    hash-shuffle of the corpus for the join."""
+    plan = (
+        cosine_to_centroid(vecs, "label", "embedding", DIM)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_plan_broadcast_stats(vecs):
+    plan = (
+        scalar_quantize(vecs, "embedding", DIM)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the 1-row stats frame broadcasts; the corpus never hash-partitions
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
