@@ -52,7 +52,7 @@ _PRIORITY = [
     "s4_setops_all", "sp1_stratified_sample", "sp2_hash_sample",
     "b1_bucketed_join", "w6_distribution_ranks", "a6_percentiles",
     "e4_asof_join", "e5_hypertable_rollup",
-    "v5_centroid_cosine", "v6_scalar_quantize",
+    "v5_centroid_cosine", "v6_scalar_quantize", "d9_winnow_pairs",
     # green in r1 only (rotated out of r2's window)
     "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",
     "v1_knn_bruteforce", "v2_knn_lsh",

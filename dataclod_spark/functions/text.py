@@ -187,6 +187,30 @@ def _token_values(col: Column) -> Column:
     )
 
 
+def _kgram_hashes(col: Column, k: int = ROLLING_K) -> Column:
+    """Polynomial hash of every token k-gram (values < 2^47, so exact in
+    any int64 engine); empty array for documents with fewer than k tokens.
+
+    Shape matters: the k-gram combine is ``zip_with`` over k shifted
+    slices, NOT ``transform(sequence, i -> element_at(vals, i+j))``.  A
+    lambda that references the (expensive, md5-per-token) ``vals``
+    expression gets it *inlined per element* by Catalyst — O(n²) hash
+    evaluations per row; here ``vals`` is referenced k+1 times at top
+    level and each lambda touches only its own arguments.
+    """
+    vals = _token_values(col)
+    n = F.size(vals)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    h = F.slice(vals, 1, m)
+    for j in range(1, k):
+        h = F.zip_with(
+            h,
+            F.slice(vals, j + 1, m),
+            lambda acc, v: acc * ROLLING_BASE + v,
+        )
+    return F.when(n >= k, h).otherwise(F.array().cast("array<bigint>"))
+
+
 def rolling_fingerprint(col: Column, k: int = ROLLING_K) -> Column:
     """Winnowing-style document fingerprint: polynomial rolling hash over
     every token k-gram, fingerprint = minimum window hash (robust to
@@ -197,17 +221,42 @@ def rolling_fingerprint(col: Column, k: int = ROLLING_K) -> Column:
     array; values stay < 2^47 so no modulus is needed (bit-identical in
     any int64 engine).  NULL for documents with fewer than k tokens.
     """
-    vals = _token_values(col)
-    n = F.size(vals)
+    hashes = _kgram_hashes(col, k)
+    return F.when(F.size(hashes) >= 1, F.array_min(hashes)).otherwise(F.lit(None))
 
-    def window_hash(i: Column) -> Column:
-        h = F.lit(0).cast("bigint")
-        for j in range(k):
-            h = h * ROLLING_BASE + F.element_at(vals, i + j)
-        return h
 
-    hashes = F.transform(F.sequence(F.lit(1), n - (k - 1)), window_hash)
-    return F.when(n >= k, F.array_min(hashes)).otherwise(F.lit(None))
+# winnowing window: every w consecutive k-gram hashes contribute their
+# minimum; any shared token run of length >= k + w - 1 is guaranteed to
+# share a fingerprint (Schleimer/Wilkerson/Aiken 2003 winnowing property)
+WINNOW_W = 4
+
+
+def winnow_fingerprints(col: Column, k: int = ROLLING_K, w: int = WINNOW_W) -> Column:
+    """Full winnowing fingerprint SET: distinct minima of every sliding
+    window of ``w`` consecutive k-gram hashes.  Documents sharing a token
+    run of length ≥ k + w - 1 necessarily share a fingerprint — the
+    scalable substring-dedup primitive (suffix arrays don't distribute;
+    this is a zero-shuffle projection).  Rows with ≥1 but < w k-grams
+    keep their single global minimum; no k-gram → [].
+
+    Same zip-with-shifted-slices construction as :func:`_kgram_hashes`
+    (the rolling min is ``least`` across w shifted copies), for the same
+    reason: per-window lambdas must not reference the O(n)-cost hash
+    array or Catalyst inlines it per element.
+    """
+    hashes = _kgram_hashes(col, k)
+    nh = F.size(hashes)
+    mw = F.greatest(nh - (w - 1), F.lit(0))
+    mins = F.slice(hashes, 1, mw)
+    for j in range(1, w):
+        mins = F.zip_with(
+            mins, F.slice(hashes, j + 1, mw), lambda a, b: F.least(a, b)
+        )
+    return (
+        F.when(nh >= w, F.array_distinct(mins))
+        .when(nh >= 1, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
 
 
 def distinct_token_count(col: Column) -> Column:

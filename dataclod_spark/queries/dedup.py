@@ -307,3 +307,53 @@ def d8_embedding_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_vecs") >= 2)
         .orderBy("bucket")
     )
+
+
+@query(
+    "d9_winnow_pairs",
+    doc="substring-level near-dup pairs via winnowing fingerprint sets "
+    "(MOSS algorithm; operators/dedup.winnow_pairs — inverted-index join "
+    "with stop-fingerprint guard)",
+    oracle=rf"""
+WITH v AS (
+  SELECT doc_id, list_transform({_TOKS},
+           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS vals
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN len(vals) >= 3 THEN
+           list_transform(generate_series(1, len(vals) - 2),
+             i -> (vals[i] * 961 + vals[i+1] * 31 + vals[i+2]))
+         ELSE [] END AS hashes
+  FROM v
+), fp AS (
+  SELECT doc_id,
+         CASE WHEN len(hashes) >= 4 THEN
+           list_distinct(list_transform(generate_series(1, len(hashes) - 3),
+             i -> list_min(list_slice(hashes, i, i + 3))))
+         WHEN len(hashes) >= 1 THEN [list_min(hashes)]
+         ELSE [] END AS fps
+  FROM h
+), e AS (
+  SELECT doc_id, unnest(fps) AS f FROM fp
+), kept AS (
+  SELECT e.doc_id, e.f FROM e
+  JOIN (SELECT f FROM e GROUP BY f HAVING count(*) <= 20) ok ON e.f = ok.f
+)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY id_1, id_2
+HAVING count(*) >= 3
+ORDER BY id_1, id_2
+""",
+)
+def d9_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catches documents that share long verbatim token runs even when
+    their overall bags of words differ — the contamination/boilerplate
+    case exact dedup (d1), MinHash-LSH (d3) and bag-Jaccard (d6) are
+    blind to.  k=3, w=4 → any shared run of ≥ 6 tokens is guaranteed to
+    produce a shared fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    return DD.winnow_pairs(
+        d, id_col="doc_id", text_col="text", min_shared=3, max_doc_freq=20
+    ).orderBy("id_1", "id_2")

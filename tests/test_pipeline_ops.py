@@ -157,3 +157,46 @@ def test_langid_ngram_known_sentences(spark):
     df = spark.createDataFrame(rows, "text string")
     got = [r[0] for r in df.select(langid_ngram(F.col("text"))).collect()]
     assert got == ["en", "de", "es", "fr"]
+
+
+def test_winnow_guarantee_property(spark):
+    """Winnowing guarantee: two docs sharing a token run of length
+    >= k + w - 1 (= 6 here) share at least one fingerprint; disjoint-token
+    docs share none."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"one two {shared} three four"),
+            Row(doc_id=2, text=f"five six seven {shared} eight"),
+            Row(doc_id=3, text="completely different words everywhere here now"),
+        ]
+    )
+    out = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select("doc_id", winnow_fingerprints(F.col("text")).alias("f")).collect()
+    }
+    assert out[1] & out[2], "shared 6-token run must share a fingerprint"
+    assert not (out[1] & out[3]) and not (out[2] & out[3])
+
+
+def test_winnow_pairs_short_and_empty_docs(spark):
+    """Docs below the k-gram/window thresholds don't crash or pair."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import winnow_pairs
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text="one two"),           # < k tokens
+            Row(doc_id=3, text="one two three"),     # 1 k-gram, < w windows
+            Row(doc_id=4, text="one two three"),     # identical → global-min pair
+        ]
+    )
+    rows = winnow_pairs(df, min_shared=1).collect()
+    assert [(r["id_1"], r["id_2"], r["n_shared"]) for r in rows] == [(3, 4, 1)]
