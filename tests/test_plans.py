@@ -216,3 +216,29 @@ def test_b1_bucketed_join_avoids_shuffle(spark):
         assert "Exchange hashpartitioning(l_orderkey" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_e5_rollup_reaggregates_partials(spark):
+    """The hourly level must re-aggregate the minute-level partials — one
+    scan of raw events feeding two aggregate levels (each partial+final),
+    not two independent scans."""
+    plan = _plan(spark, "e5_hypertable_rollup", "simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 4  # partial+final × two levels
+
+
+def test_e4_asof_single_window_no_join(spark):
+    """As-of join is a union + window — no join operator, one hash
+    exchange on the key."""
+    plan = _plan(spark, "e4_asof_join")
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d9_winnow_inverted_index_join(spark):
+    """Substring-dedup pairs join through the fingerprint inverted index
+    (equi-join on the fingerprint), never a nested-loop cross product."""
+    plan = _plan(spark, "d9_winnow_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
