@@ -243,3 +243,57 @@ def st6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "st7_stream_asof_join",
+    doc="streaming as-of join as a custom stateful operator "
+    "(applyInPandasWithState, one-row state per user) — each purchase "
+    "annotated with the most recent same-user click within 10 minutes",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id,
+       p.purchase_id,
+       epoch_us(p.ts) AS purchase_us,
+       m.click_id,
+       m.click_us,
+       round(m.click_value, 4) AS click_value
+FROM p LEFT JOIN LATERAL (
+  SELECT c.event_id AS click_id, epoch_us(c.ts) AS click_us, c.value AS click_value
+  FROM c
+  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+    AND c.ts >= p.ts - INTERVAL 600 SECONDS
+  ORDER BY c.ts DESC, c.event_id DESC
+  LIMIT 1
+) m ON true
+ORDER BY purchase_id
+""",
+)
+def st7_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of e4 (bounded lookback): per-user single-row state
+    instead of the interval join's full click horizon.  availableNow over
+    one file processes each user's rows in deterministic order, so the
+    result hash-matches the batch LATERAL oracle exactly."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.streaming.run import (
+        asof_join_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_memory(asof_join_stream(ev), spark)
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "purchase_us",
+        "click_id",
+        "click_us",
+        F.round("click_value", 4).alias("click_value"),
+    ).orderBy("purchase_id")

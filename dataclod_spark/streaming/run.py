@@ -252,6 +252,78 @@ def interval_join_stream(
     )
 
 
+def asof_join_stream(
+    events: DataFrame,
+    lookback_sec: int = 600,
+) -> DataFrame:
+    """Streaming as-of join as a custom stateful operator: each purchase
+    is annotated with the same user's most recent click at-or-before it
+    (within ``lookback_sec``), maintained in ``applyInPandasWithState``
+    state — the streaming twin of :func:`operators.asof_join.asof_join`.
+
+    State per user is ONE row (ts/id/value of the latest click) — compare
+    the interval join, whose state holds every click in the watermark
+    horizon.  Within a micro-batch rows are processed in
+    ``(ts, kind, event_id)`` order with clicks sorting before purchases at
+    equal timestamps (at-or-before is inclusive) and the max event_id
+    winning ties — the same deterministic contract as the batch operator,
+    so with ``availableNow`` over one file the result equals the batch
+    as-of join and the oracle is a plain LATERAL SQL.  In a live stream,
+    emission is per-batch (no watermark gate: a purchase's match lies in
+    its past); cross-batch late clicks are the watermark trade-off and
+    production pipelines would hold purchases for the watermark delay
+    before emitting.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lookback_us = lookback_sec * 1_000_000
+
+    def fn(
+        key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        user_id = key[0]
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # clicks (kind 0) before purchases (kind 1) at equal timestamps
+        batch = batch.sort_values(["ts_us", "kind", "event_id"])
+        if state.exists:
+            c_ts, c_id, c_val = state.get
+        else:
+            c_ts, c_id, c_val = -1, -1, float("nan")
+        out = {k: [] for k in ("purchase_id", "purchase_us", "click_id", "click_us", "click_value")}
+        for ts_us, kind, event_id, value in zip(
+            batch["ts_us"], batch["kind"], batch["event_id"], batch["value"]
+        ):
+            if kind == 0:
+                c_ts, c_id, c_val = int(ts_us), int(event_id), float(value)
+            else:
+                hit = c_ts >= 0 and int(ts_us) - c_ts <= lookback_us
+                out["purchase_id"].append(int(event_id))
+                out["purchase_us"].append(int(ts_us))
+                out["click_id"].append(c_id if hit else None)
+                out["click_us"].append(c_ts if hit else None)
+                out["click_value"].append(c_val if hit else None)
+        if c_ts >= 0:
+            state.update((c_ts, c_id, c_val))
+        if out["purchase_id"]:
+            yield pd.DataFrame({"user_id": [user_id] * len(out["purchase_id"]), **out})
+
+    src = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0)).alias("kind"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id bigint, purchase_id bigint, purchase_us bigint, "
+        "click_id bigint, click_us bigint, click_value double",
+        "c_ts bigint, c_id bigint, c_val double",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(df: DataFrame, spark: SparkSession, timeout_sec: int = 300) -> DataFrame:
     """Execute a streaming frame to completion (availableNow) into a memory
     sink; returns the sink contents as a batch DataFrame."""

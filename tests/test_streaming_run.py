@@ -144,3 +144,58 @@ def test_tumbling_across_microbatches_matches_single_batch(spark, multibatch_src
 
     multi, single = tum(1), tum(3)
     assert multi == single and multi
+
+
+@pytest.fixture(scope="module")
+def asof_multibatch_src(spark, tmp_path_factory):
+    """Two time-ordered files: the click arrives in batch 0, its matching
+    purchase in batch 1 — the one-row click state must survive the batch
+    boundary."""
+    import os
+    import shutil
+
+    rows_by_chunk = [
+        # batch 0: user 1 clicks; user 2 clicks (will be stale by purchase time)
+        [
+            (1, 100, "click", _ts(0, 0), 1.5),
+            (2, 101, "click", _ts(0, 0), 2.5),
+        ],
+        # batch 1: user 1 purchase 5 min after click (match);
+        # user 2 purchase 20 min after click (lookback 600 s → no match);
+        # user 3 purchase with no click history (no match)
+        [
+            (1, 200, "purchase", _ts(0, 5), 9.0),
+            (2, 201, "purchase", _ts(0, 20), 9.0),
+            (3, 202, "purchase", _ts(0, 21), 9.0),
+        ],
+    ]
+    d = tmp_path_factory.mktemp("asof_mb_src")
+    schema = "user_id bigint, event_id bigint, event_type string, ts timestamp, value double"
+    for i, rows in enumerate(rows_by_chunk):
+        tmp = d / f"_w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        target = d / f"c{i}.parquet"
+        shutil.move(str(part), str(target))
+        shutil.rmtree(str(tmp))
+        os.utime(str(target), (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(d)
+
+
+def test_asof_state_across_microbatches(spark, asof_multibatch_src):
+    """Click state crosses the micro-batch boundary; lookback expiry and
+    missing history produce NULL matches (left semantics)."""
+    from dataclod_spark.streaming.run import asof_join_stream, run_to_memory
+
+    ev = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, event_type string, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(asof_multibatch_src)
+    )
+    out = {r["purchase_id"]: r for r in run_to_memory(asof_join_stream(ev), spark).collect()}
+    assert out[200]["click_id"] == 100 and out[200]["click_value"] == 1.5
+    assert out[201]["click_id"] is None   # click older than the lookback
+    assert out[202]["click_id"] is None   # no click history at all
+    assert len(out) == 3                  # every purchase emitted exactly once
