@@ -370,27 +370,36 @@ def winnow_pairs(
     practice) → self-join on fingerprint → pairs sharing ≥ ``min_shared``
     distinct fingerprints.  Returns (id_1, id_2, n_shared), id_1 < id_2.
     """
-    from dataclod_spark.functions.text import winnow_fingerprints
+    from dataclod_spark.functions.text import winnow_fingerprint_rows
 
-    # fingerprint sets are already distinct per doc — no dedup shuffle
-    fps = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(winnow_fingerprints(F.col(text_col))).alias("__fp"),
-    )
+    # fingerprint sets are already distinct per doc — no dedup shuffle;
+    # winnow_fingerprint_rows stages the hash arrays so the explode stays
+    # O(tokens) (see its docstring for the Generate-inlining trap)
+    fps = winnow_fingerprint_rows(df, id_col=id_col, text_col=text_col)
+    # posting-list pair enumeration instead of a self-join: ONE pass over
+    # the (expensive) fingerprint projection, one shuffle to group ids per
+    # fingerprint, then in-list pair expansion — ≤ max_doc_freq·(max_doc_freq−1)/2
+    # pairs per fingerprint by construction, so the explosion is bounded
+    # by the same guard that protects the posting lists
+    ids = fps.groupBy("fp").agg(F.sort_array(F.collect_set("id")).alias("__ids"))
+    bounded = ids.filter(F.size("__ids") >= 2)
     if max_doc_freq is not None:
-        keep = (
-            fps.groupBy("__fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_doc_freq)
-            .select("__fp")
+        bounded = bounded.filter(F.size("__ids") <= max_doc_freq)
+    xs = F.col("__ids")
+    pair_lists = F.flatten(
+        F.transform(
+            xs,
+            lambda x, i: F.transform(
+                F.slice(xs, i + 2, F.size(xs)),
+                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+            ),
         )
-        fps = fps.join(keep, "__fp")
-    a = fps.select(F.col("__id").alias("id_1"), "__fp")
-    b = fps.select(F.col("__id").alias("id_2"), "__fp")
+    )
+    pairs = bounded.select(F.explode(pair_lists).alias("__p")).select(
+        F.col("__p.id_1"), F.col("__p.id_2")
+    )
     return (
-        a.join(b, "__fp")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
+        pairs.groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
