@@ -138,22 +138,53 @@ def char_trigrams(col: Column) -> Column:
     )
 
 
+def _trigram_score_from(trigrams: Column, lang: str) -> Column:
+    """Profile-hit count over an already-staged trigram array column."""
+    profile = LANG_TRIGRAMS[lang]
+    return F.size(F.filter(trigrams, lambda t: t.isin(*profile)))
+
+
 def trigram_score(col: Column, lang: str) -> Column:
     """Count of the document's trigrams that appear in the language's
     profile (frequency-weighted membership — the n-gram heuristic)."""
-    profile = LANG_TRIGRAMS[lang]
-    return F.size(F.filter(char_trigrams(col), lambda t: t.isin(*profile)))
+    return _trigram_score_from(char_trigrams(col), lang)
 
 
-def langid_ngram(col: Column) -> Column:
-    """Character-trigram language-ID: argmax of profile-hit counts, ties
+def _langid_ngram_from(trigrams: Column) -> Column:
+    """Argmax of profile-hit counts over a staged trigram array; ties
     broken by LANG_PRIORITY, 'und' when all zero."""
-    scores = {lang: trigram_score(col, lang) for lang in LANG_PRIORITY}
+    scores = {lang: _trigram_score_from(trigrams, lang) for lang in LANG_PRIORITY}
     best = F.greatest(*scores.values())
     expr = F.lit("und")
     for lang in reversed(LANG_PRIORITY):
         expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def langid_ngram(col: Column) -> Column:
+    """Character-trigram language-ID (single-expression form — the
+    scores/argmax reference the trigram array ~12×, so over raw text the
+    normalize regex would re-run per element per reference; hot paths use
+    :func:`with_langid_ngram`)."""
+    return _langid_ngram_from(char_trigrams(col))
+
+
+def with_langid_ngram(df, text_col: str = "text", out: str = "lang_detected"):
+    """Stage the padded-normalized string and the trigram array as real
+    columns, then compute the argmax from the (cheap) array attribute —
+    the O(len) form of :func:`langid_ngram` (measured 73 s → ~1 s per 5k
+    docs at sf0.1; see winnow_fingerprint_rows for the inlining trap)."""
+    padded = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
+    staged = df.withColumn("__pad", padded).withColumn(
+        "__tri",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(F.col("__pad")) - 2, F.lit(0))),
+            lambda i: F.col("__pad").substr(i, F.lit(3)),
+        ),
+    )
+    return staged.withColumn(out, _langid_ngram_from(F.col("__tri"))).drop(
+        "__pad", "__tri"
+    )
 
 
 # GPT-2-style pre-tokenizer pattern, restricted to constructs shared by

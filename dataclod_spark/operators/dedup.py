@@ -29,19 +29,31 @@ SHINGLE_SIZE = 8
 MINHASH_K = 4  # number of md5 "permutations"; mh_0..mh_{k-1} columns
 
 
-def char_shingles(col: Column, n: int = SHINGLE_SIZE) -> Column:
-    """Distinct character n-gram shingles of the normalized text.
-
-    SQL spelling: list_distinct(list_transform(range(1, len-n+2),
-    i -> substr(norm, i, n))), with the whole text as the single shingle
-    when shorter than n.
-    """
-    norm = normalize_text(col)
+def _char_shingles_from(norm: Column, n: int = SHINGLE_SIZE) -> Column:
+    """Distinct character n-gram shingles of an ALREADY-STAGED normalized
+    string column.  The per-shingle lambda references ``norm`` — if that
+    is the raw normalize-regex expression instead of a cheap attribute,
+    Catalyst inlines the regex per element and the shingle pass goes
+    O(len²); callers must stage the normalized text as a real column
+    first (see ``functions.text.winnow_fingerprint_rows`` for the
+    measured version of this trap)."""
     idx = F.sequence(F.lit(1), F.length(norm) - (n - 1))
     grams = F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
     return F.array_distinct(
         F.when(F.length(norm) < n, F.array(norm)).otherwise(grams)
     )
+
+
+def char_shingles(col: Column, n: int = SHINGLE_SIZE) -> Column:
+    """Distinct character n-gram shingles of the normalized text (single-
+    expression form — for one-shot use only; hot paths stage the
+    normalized string and call :func:`_char_shingles_from`).
+
+    SQL spelling: list_distinct(list_transform(range(1, len-n+2),
+    i -> substr(norm, i, n))), with the whole text as the single shingle
+    when shorter than n.
+    """
+    return _char_shingles_from(normalize_text(col), n)
 
 
 def minhash_col(shingles: Column, seed: int) -> Column:
@@ -56,12 +68,21 @@ def minhash_col(shingles: Column, seed: int) -> Column:
     )
 
 
+def with_shingles(df: DataFrame, text_col: str = "text", out: str = "__shingles") -> DataFrame:
+    """Stage the normalized text, then the shingle array, as real columns
+    (two projections) so each is computed once per row."""
+    return (
+        df.withColumn("__mh_norm", normalize_text(F.col(text_col)))
+        .withColumn(out, _char_shingles_from(F.col("__mh_norm")))
+        .drop("__mh_norm")
+    )
+
+
 def with_minhash_signature(
     df: DataFrame, text_col: str = "text", k: int = MINHASH_K
 ) -> DataFrame:
-    """Add mh_0..mh_{k-1} MinHash signature columns (single projection)."""
-    sh = char_shingles(F.col(text_col))
-    out = df.withColumn("__shingles", sh)
+    """Add mh_0..mh_{k-1} MinHash signature columns (staged projections)."""
+    out = with_shingles(df, text_col)
     for s in range(k):
         out = out.withColumn(f"mh_{s}", minhash_col(F.col("__shingles"), s))
     return out.drop("__shingles")
@@ -102,13 +123,24 @@ def lsh_candidate_pairs(
     sig = with_lsh_bands(
         with_minhash_signature(df.select(id_col, text_col), text_col, k), k, rows_per_band
     )
+    # materialize the (narrow: id + n_bands hashes) band table ONCE before
+    # the self-joins: the optimizer pushes `isnotnull(band)` join-key
+    # filters below the staged projections as fully-inlined copies of the
+    # whole shingle→minhash→band chain, re-evaluating the md5 transforms
+    # per row in quadratic form — measured 65 s per band join at sf0.1,
+    # 0.15 s for the signature pass itself.  Checkpointing also means the
+    # four join branches read the signatures instead of recomputing them.
+    bands = sig.select(
+        F.col(id_col).alias("__band_id"),
+        *[f"band_{b}" for b in range(n_bands)],
+    ).localCheckpoint(eager=True)
 
-    left = sig.select(
-        F.col(id_col).alias("id_1"),
+    left = bands.select(
+        F.col("__band_id").alias("id_1"),
         *[F.col(f"band_{b}").alias(f"lb_{b}") for b in range(n_bands)],
     )
-    right = sig.select(
-        F.col(id_col).alias("id_2"),
+    right = bands.select(
+        F.col("__band_id").alias("id_2"),
         *[F.col(f"band_{b}").alias(f"rb_{b}") for b in range(n_bands)],
     )
     pairs = None
@@ -121,8 +153,8 @@ def lsh_candidate_pairs(
     cand = pairs.dropDuplicates(["id_1", "id_2"])
 
     # attach each side's distinct-shingle set exactly once, post-dedup
-    sh = df.select(
-        F.col(id_col).alias("__sh_id"), char_shingles(F.col(text_col)).alias("__sh")
+    sh = with_shingles(df.select(id_col, text_col), text_col, out="__sh").select(
+        F.col(id_col).alias("__sh_id"), "__sh"
     )
     cand = (
         cand.join(sh, cand["id_1"] == sh["__sh_id"])
@@ -230,25 +262,31 @@ def connected_components(
 
     Scale: near-dup graphs are short-diameter (pairs / small stars), so
     propagation converges in 2–4 rounds; each round is one shuffle join +
-    partial-agg min.  Lineage grows one join per round — at extreme scale
-    swap the loop body for alternating large-star/small-star (same
-    building blocks, O(log n) rounds) and checkpoint every few rounds;
-    kept persist-free here by design.
+    partial-agg min.  Iterative algorithms MUST truncate lineage: the edge
+    set (often an expensive LSH/fingerprint pipeline) is materialized ONCE
+    via ``localCheckpoint`` before the loop, and each round's labels are
+    checkpointed too — otherwise round N re-executes the full upstream
+    pipeline N times over AND the `changed` probe doubles it (measured:
+    357 s → ~10 s on the sf0.1 cluster query).  At extreme scale swap the
+    loop body for alternating large-star/small-star (same building blocks,
+    O(log n) rounds).
     """
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
     e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # one materialization of the (possibly very expensive) edge pipeline
+    e = e.localCheckpoint(eager=True)
     labels = (
         e.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         prop = e.join(labels, e["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("component")
         )
         new_labels = (
             labels.unionAll(prop).groupBy("id").agg(F.min("component").alias("component"))
-        )
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -262,20 +300,28 @@ def connected_components(
     return labels
 
 
-def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct word-level n-grams (space-joined) of lowercased text.
-
-    Tokenization is ``[^a-z0-9]+`` splits of ``lower(text)`` — chosen to be
-    reproducible verbatim in ANSI SQL / DuckDB for the differential oracle.
-    """
-    toks = F.filter(
-        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+def _word_ngrams_from(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an already-staged token array (the
+    per-gram lambda slices ``toks`` — stage it as a real column or the
+    tokenizing regex split is inlined per element)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.array_distinct(grams)
+
+
+def _ngram_tokens(col: Column) -> Column:
+    """``[^a-z0-9]+`` splits of ``lower(text)`` — reproducible verbatim in
+    ANSI SQL / DuckDB for the differential oracle."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word-level n-grams (space-joined) of lowercased text —
+    single-expression form for one-shot use; hot paths stage the token
+    array and call :func:`_word_ngrams_from`."""
+    return _word_ngrams_from(_ngram_tokens(col), n)
 
 
 def ngram_jaccard_pairs(
@@ -301,9 +347,12 @@ def ngram_jaccard_pairs(
     Differs from lsh_candidate_pairs: no hashing approximation — every
     pair sharing ≥1 (kept) n-gram is scored exactly.
     """
-    grams = df.select(
-        F.col(id_col).alias("__id"), word_ngrams(F.col(text_col), n).alias("__grams")
-    ).withColumn("__n_grams", F.size("__grams"))
+    grams = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        .withColumn("__toks", _ngram_tokens(F.col(text_col)))
+        .withColumn("__grams", _word_ngrams_from(F.col("__toks"), n))
+        .withColumn("__n_grams", F.size("__grams"))
+    )
     inv = grams.select("__id", "__n_grams", F.explode("__grams").alias("__g"))
     if max_doc_freq is not None:
         from pyspark.sql import Window as W

@@ -318,7 +318,7 @@ def x8_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays as the cheap fallback)."""
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(TX.langid_ngram(F.col("text")).alias("lang_detected"))
+        TX.with_langid_ngram(d, "text")
         .groupBy("lang_detected")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang_detected")
