@@ -200,3 +200,28 @@ def test_winnow_pairs_short_and_empty_docs(spark):
     )
     rows = winnow_pairs(df, min_shared=1).collect()
     assert [(r["id_1"], r["id_2"], r["n_shared"]) for r in rows] == [(3, 4, 1)]
+
+
+def test_lsh_xxhash64_production_variant(spark):
+    """The xxhash64 hash path (JVM codegen, the 100 TB variant) finds the
+    same planted near-duplicates as the oracle-portable md5 path."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import lsh_candidate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + "!"),                       # near-dup of 1
+        Row(doc_id=3, text="completely different content with other words"),
+        Row(doc_id=4, text="completely different content with other words!!"),  # near-dup of 3
+        Row(doc_id=5, text="unrelated text about spark catalyst optimizers"),
+    ]
+    df = spark.createDataFrame(docs)
+    for hash_fn in ("md5", "xxhash64"):
+        pairs = {
+            (r["id_1"], r["id_2"])
+            for r in lsh_candidate_pairs(df, jaccard_threshold=0.5, hash_fn=hash_fn).collect()
+        }
+        assert (1, 2) in pairs and (3, 4) in pairs, hash_fn
+        assert all(p in {(1, 2), (3, 4)} for p in pairs), hash_fn
