@@ -43,6 +43,10 @@ _ENGINE_SET_NAMESPACES = ("spark.", "dataclod.", "datafusion.")
 
 _SET_RE = re.compile(r"^\s*SET\s+(?:SESSION\s+|LOCAL\s+)?([\w.]+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*$", re.IGNORECASE)
 _TXN_RE = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK|END)(\s+(WORK|TRANSACTION))?\s*;?\s*$", re.IGNORECASE)
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN(?:\s+(?P<mode>ANALYZE|VERBOSE|EXTENDED|FORMATTED|CODEGEN|COST))?\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 # COPY (query|table) TO 'path' [(FORMAT fmt[, HEADER bool])]  — DataFusion /
 # PostgreSQL export form (inherited surface, SURVEY §2.B DDL/DML)
@@ -244,6 +248,26 @@ class EngineSession:
         if _TXN_RE.match(query):
             # BEGIN/COMMIT/ROLLBACK accepted as no-ops returning empty result
             return self.spark.range(0).select()
+        m = _EXPLAIN_RE.match(query)
+        if m:
+            # EXPLAIN [mode] <stmt>: plan the body through the full shim
+            # pipeline (so an explained spatial join shows the DISPATCHED
+            # grid plan, not the nested-loop fallback Spark's native
+            # EXPLAIN would print) and return the plan as a 1-row result,
+            # matching Spark SQL's `plan` column shape.  ANALYZE executes
+            # the body first (run-then-report, reference README's
+            # `EXPLAIN ANALYZE` usage); Spark has no per-operator timing
+            # surface here, so the plan text is the formatted plan.
+            mode = (m.group("mode") or "formatted").lower()
+            df = self.sql(m.group("body"), args)
+            if mode == "analyze":
+                df.count()
+                mode = "formatted"
+            if mode in ("verbose",):
+                mode = "extended"
+            jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+            text = df._jdf.queryExecution().explainString(jmode)
+            return self.spark.createDataFrame([(text,)], "plan string")
         m = _COPY_RE.match(query)
         if m:
             return self._copy_to(m)

@@ -91,3 +91,47 @@ def test_copy_unsupported_format_errors(engine, tmpdir):
     _register_nation(engine)
     with pytest.raises(ValueError, match="unsupported format"):
         engine.sql(f"COPY sql_surface_nation TO '{tmpdir}/x' (FORMAT ORCISH)")
+
+
+def test_explain_plain_statement(engine):
+    rows = engine.sql("EXPLAIN SELECT 1 AS x").collect()
+    assert len(rows) == 1 and "Physical Plan" in rows[0]["plan"]
+
+
+def test_explain_analyze_executes_and_reports(engine):
+    rows = engine.sql("EXPLAIN ANALYZE SELECT count(*) AS n FROM range(10)").collect()
+    assert len(rows) == 1 and "Physical Plan" in rows[0]["plan"]
+
+
+def test_explain_spatial_join_shows_dispatched_plan(spark):
+    """EXPLAIN of a SQL spatial join must print the dispatched grid
+    equi-join, not the BroadcastNestedLoopJoin Spark would natively plan."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.spatial_join import envelope_wkb, point_wkb
+    from dataclod_spark.session import EngineSession
+
+    from conftest import SF_SMOKE
+    from dataclod_spark.registry import load
+
+    sess = EngineSession(spark, register_catalog=False)
+    e = load(spark, SF_SMOKE, "events")
+    e.select(
+        F.col("event_id").alias("pid"),
+        point_wkb((F.col("event_id") % 89).cast("double"), (F.col("user_id") % 43).cast("double")).alias("geom"),
+    ).createOrReplaceTempView("expl_points")
+    e.filter(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("bid"),
+        envelope_wkb(
+            (F.col("event_id") % 97).cast("double"),
+            (F.col("user_id") % 41).cast("double"),
+            (F.col("event_id") % 97 + 3).cast("double"),
+            (F.col("user_id") % 41 + 2).cast("double"),
+        ).alias("geom"),
+    ).createOrReplaceTempView("expl_boxes")
+    rows = sess.sql(
+        "EXPLAIN SELECT count(*) AS n FROM expl_points p "
+        "JOIN expl_boxes b ON ST_Intersects(p.geom, b.geom)"
+    ).collect()
+    plan = rows[0]["plan"]
+    assert "BroadcastNestedLoopJoin" not in plan
