@@ -55,7 +55,7 @@ _PRIORITY = [
     # below the expected driver window (50): x9/x10 are thin wrappers over
     # function layers already exercised by green siblings (x1/x7), and
     # g1-g3/v1/v2 were driver-green in round 1
-    "st7_stream_asof_join",
+    "st7_stream_asof_join", "e6_session_window", "a7_stat_aggregates",
     "x9_vocab_topk", "x10_repetition_ratio",
     "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",
     "v1_knn_bruteforce", "v2_knn_lsh",

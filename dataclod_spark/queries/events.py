@@ -241,3 +241,53 @@ def e3_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_mod")
     )
+
+
+@query(
+    "e6_session_window",
+    doc="native Spark session_window sessionization (30-min gap) — the "
+    "built-in sibling of the applyInPandasWithState operator (st1) and "
+    "the lag+cumsum batch form (e1)",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800 * 1000000 AS session_end_us,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+""",
+)
+def e6_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window is the declarative form Catalyst can plan as a
+    single partial+final session aggregation (and, in streaming, as the
+    native session-window state store) — at 100 TB prefer this to the
+    window-function islands form when only per-session aggregates are
+    needed.  Spark's session end = last event + gap; the oracle mirrors
+    that with max(ts) + gap."""
+    e = load(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            us(F.col("w.start")).alias("session_start_us"),
+            us(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )

@@ -1369,3 +1369,39 @@ def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "a7_stat_aggregates",
+    doc="statistical aggregate functions (corr / covar_samp / stddev_samp / "
+    "var_samp) per return flag — the moment-based aggregate surface "
+    "inherited from DataFusion defaults",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_quantity), 4) AS stddev_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def a7_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment-based aggregates run as single-pass partial+final co-moment
+    accumulation (Welford-style merge) — one shuffle of O(groups) state;
+    both engines' streaming co-moment updates agree to well past the
+    rounded digits at this scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("stddev_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
