@@ -159,16 +159,25 @@ ORDER BY id_1, id_2
 """,
 )
 def d5_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dataclod_spark.operators.similarity import cosine
+    """Norms are staged per ROW before the pair join (bit-identical to
+    computing them per pair — norm(a) is the same fold either way — but
+    the per-pair work drops from three 64-element folds to one dot
+    product; with |block|² pairs per label block that is the dominant
+    cost at scale)."""
+    from dataclod_spark.operators.similarity import dot, norm
 
     e = load(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("id_1"), F.col("label"), F.col("embedding").alias("emb_1")
-    )
+    ).withColumn("__na", norm(F.col("emb_1")))
     b = e.select(
-        F.col("vec_id").alias("id_2"), F.col("label").alias("label_b"), F.col("embedding").alias("emb_2")
+        F.col("vec_id").alias("id_2"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_2"),
+    ).withColumn("__nb", norm(F.col("emb_2")))
+    sim = F.round(
+        dot(F.col("emb_1"), F.col("emb_2")) / (F.col("__na") * F.col("__nb")), 4
     )
-    sim = F.round(cosine(F.col("emb_1"), F.col("emb_2")), 4)
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_1") < F.col("id_2")))
         .withColumn("cosine_sim", sim)
