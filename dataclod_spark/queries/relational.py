@@ -1405,3 +1405,60 @@ def a7_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "p2_partition_pruning",
+    doc="hive-style partitioned write + partition-pruned read: events "
+    "written partitioned by event_type, read back with a partition filter "
+    "— the scan touches one directory (plan-asserted partition pruning)",
+    oracle="""
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY bucket_start
+ORDER BY bucket_start
+""",
+)
+def p2_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB table-layout lever the driver parquet can't show on its
+    own: a fact table partitioned by a low-cardinality column lets a
+    partition filter skip whole directories before any I/O.  The query
+    writes events partitioned by event_type once (per sf), re-reads with
+    a partition-column filter, and aggregates — `tests/test_plans.py`
+    asserts the scan plans with a pushed partition filter and one
+    selected partition."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"dataclod_part_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(base, "_SUCCESS")
+    e = load(spark, sf_dir, "events")
+    if not os.path.exists(marker):
+        (
+            e.select("event_id", "ts", "event_type", "value")
+            .write.partitionBy("event_type")
+            .mode("overwrite")
+            .parquet(base)
+        )
+    p = spark.read.parquet(base).filter(F.col("event_type") == "purchase")
+    return (
+        p.groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("bucket_start")
+    )

@@ -1071,3 +1071,65 @@ def g20_sql_distance_lt_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g20_a a JOIN g20_b b ON ST_Distance(a.geom, b.geom) < 5.0
         """
     )
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    """DuckDB spelling of the Morton interleave over px/py with the same
+    quantization as operators.layout.zorder_key (bounds 0..100 / 0..50)."""
+    cells = (1 << bits) - 1
+    qx = (
+        f"least({cells}, greatest(0, CAST(floor((px - 0.0) / 100.0 * {cells + 1}) AS BIGINT)))"
+    )
+    qy = (
+        f"least({cells}, greatest(0, CAST(floor((py - 0.0) / 50.0 * {cells + 1}) AS BIGINT)))"
+    )
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "g21_zorder_layout",
+    doc="Z-order (Morton) layout key: space-filling-curve clustering stats "
+    "per coarse tile (operators/layout.py — the OPTIMIZE ZORDER BY lever "
+    "for row-group pruning at 100 TB)",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(event_id % 100 AS DOUBLE) AS px, CAST(user_id % 50 AS DOUBLE) AS py
+  FROM events
+), keyed AS (
+  SELECT px, py, ({_zorder_sql()}) AS zkey FROM pts
+)
+SELECT zkey >> 22 AS tile,
+       count(*) AS n_points,
+       round(max(px) - min(px), 4) AS x_extent,
+       round(max(py) - min(py), 4) AS y_extent
+FROM keyed
+GROUP BY tile
+ORDER BY tile
+""",
+)
+def g21_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows sorted by this key give every parquet row group a tight
+    bounding box (min/max stats prune most of the table for any window
+    query).  The per-tile extents in the output ARE the locality
+    evidence: each 1024-key tile covers a tiny x/y box compared to the
+    89x43 domain.  Pure codegen bit arithmetic, zero Python, zero extra
+    shuffle for the key."""
+    from dataclod_spark.operators.layout import zorder_key
+
+    p = _pts(spark, sf_dir)
+    keyed = p.select(
+        "px", "py", zorder_key(F.col("px"), F.col("py"), (0.0, 0.0, 100.0, 50.0)).alias("zkey")
+    )
+    return (
+        keyed.groupBy(F.shiftright(F.col("zkey"), 22).alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.max("px") - F.min("px"), 4).alias("x_extent"),
+            F.round(F.max("py") - F.min("py"), 4).alias("y_extent"),
+        )
+        .orderBy("tile")
+    )

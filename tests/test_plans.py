@@ -244,3 +244,15 @@ def test_d9_winnow_posting_list_shape(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     # one expensive fingerprint pass: a single scan of documents
     assert plan.count("Scan parquet") == 1
+
+
+def test_p2_partition_pruning_in_scan(spark):
+    """The partition-column filter must prune at the directory level:
+    PartitionFilters set, and only the matching partition scanned."""
+    reg = load_all_queries()
+    df = reg["p2_partition_pruning"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1].splitlines()[0]
