@@ -126,16 +126,27 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _char_trigrams_from(padded: Column) -> Column:
+    """Overlapping trigrams of an already-staged padded string (pass an
+    attribute in hot paths — see the lambda-inlining notes elsewhere)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(0))),
+        lambda i: padded.substr(i, F.lit(3)),
+    )
+
+
+def _pad_norm(col: Column) -> Column:
+    """' ' + normalized text + ' ' — word-boundary trigrams count like the
+    real Cavnar-Trenkle method."""
+    return F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+
+
 def char_trigrams(col: Column) -> Column:
     """All character trigrams of ' ' + normalized text + ' ' (overlapping,
     non-distinct — frequency matters for profile scoring).  Pure JVM array
     arithmetic.  SQL twin: list_transform(range(1, len(p)-1),
     i -> substr(p, i, 3)) over the same padded string."""
-    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(0))),
-        lambda i: padded.substr(i, F.lit(3)),
-    )
+    return _char_trigrams_from(_pad_norm(col))
 
 
 def _trigram_score_from(trigrams: Column, lang: str) -> Column:
@@ -174,13 +185,8 @@ def with_langid_ngram(df, text_col: str = "text", out: str = "lang_detected"):
     columns, then compute the argmax from the (cheap) array attribute —
     the O(len) form of :func:`langid_ngram` (measured 73 s → ~1 s per 5k
     docs at sf0.1; see winnow_fingerprint_rows for the inlining trap)."""
-    padded = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
-    staged = df.withColumn("__pad", padded).withColumn(
-        "__tri",
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(F.col("__pad")) - 2, F.lit(0))),
-            lambda i: F.col("__pad").substr(i, F.lit(3)),
-        ),
+    staged = df.withColumn("__pad", _pad_norm(F.col(text_col))).withColumn(
+        "__tri", _char_trigrams_from(F.col("__pad"))
     )
     return staged.withColumn(out, _langid_ngram_from(F.col("__tri"))).drop(
         "__pad", "__tri"

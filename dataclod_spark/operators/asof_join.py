@@ -82,13 +82,14 @@ def asof_join(
     tb = tiebreak or r_on
     if tb not in right.columns:
         raise ValueError(f"tiebreak column {tb!r} not in right side")
+    tb_type = right.schema[tb].dataType.simpleString()
 
     lu = left.select(
         *[F.col(c) for c in by],
         F.col(on).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in l_payload]).alias("__l"),
-        F.lit(None).cast("double").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         F.lit(None)
         .cast(
             "struct<"
@@ -108,7 +109,10 @@ def asof_join(
             + ">"
         )
         .alias("__l"),
-        F.col(tb).cast("double").alias("__tb"),
+        # native-typed tiebreak: a double cast would NULL out string ids
+        # (losing the determinism the tiebreak exists for) and collide
+        # int64 ids above 2^53
+        F.col(tb).alias("__tb"),
         F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
     )
     u = lu.unionByName(ru)
@@ -130,15 +134,15 @@ def asof_join(
     )
 
     if tolerance_sec is not None:
-        mt = F.col("__m").getField(r_on)
-        delta = (
-            F.unix_timestamp(F.col("__t")) - F.unix_timestamp(mt)
-            if direction == "backward"
-            else F.unix_timestamp(mt) - F.unix_timestamp(F.col("__t"))
-        )
+        # microsecond-exact delta: unix_timestamp truncates to seconds,
+        # which would admit matches up to ~1 s beyond the tolerance on
+        # sub-second data (cast to instant is exact under a pinned zone)
+        mt = F.unix_micros(F.col("__m").getField(r_on).cast("timestamp"))
+        lt = F.unix_micros(F.col("__t").cast("timestamp"))
+        delta = lt - mt if direction == "backward" else mt - lt
         matched = matched.withColumn(
             "__m",
-            F.when(delta <= F.lit(tolerance_sec), F.col("__m")).otherwise(
+            F.when(delta <= F.lit(int(tolerance_sec * 1_000_000)), F.col("__m")).otherwise(
                 F.lit(None).cast(matched.schema["__m"].dataType)
             ),
         )

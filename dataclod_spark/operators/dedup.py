@@ -168,9 +168,11 @@ def lsh_candidate_pairs(
     cand = pairs.dropDuplicates(["id_1", "id_2"])
 
     # attach each side's distinct-shingle set exactly once, post-dedup
+    # (checkpointed: it feeds BOTH pair-side joins, and the id_1/id_2
+    # branches would otherwise re-run the normalize+shingle corpus pass)
     sh = with_shingles(df.select(id_col, text_col), text_col, out="__sh").select(
         F.col(id_col).alias("__sh_id"), "__sh"
-    )
+    ).localCheckpoint(eager=True)
     cand = (
         cand.join(sh, cand["id_1"] == sh["__sh_id"])
         .select("id_1", "id_2", F.col("__sh").alias("sh_1"))

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataclod_spark.operators.similarity import dot as _dot, norm as _norm
+
 __all__ = [
     "l2_normalize",
     "label_centroids",
@@ -44,9 +46,10 @@ _ACC = "decimal(27,10)"
 def l2_normalize(vec: Column) -> Column:
     """Unit-normalize an ``array<float|double>`` column (NULL-safe; zero
     vectors stay zero).  Pure projection — the cheap pre-pass that turns
-    cosine ANN into dot-product ANN."""
+    cosine ANN into dot-product ANN.  Uses the shared similarity.norm
+    fold so the FP sequence is identical everywhere cosine math runs."""
     v = F.transform(vec, lambda x: x.cast("double"))
-    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    n = _norm(v)
     return F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
 
 
@@ -67,15 +70,6 @@ def label_centroids(df: DataFrame, label: str, vec: str, dim: int) -> DataFrame:
         *[(F.col(f"__s{i}").cast("double") / F.col("n_vectors")) for i in range(dim)]
     )
     return g.select(F.col("__lbl").alias(label), centroid.alias("centroid"), "n_vectors")
-
-
-def _dot(a: Column, b: Column) -> Column:
-    """Index-ordered left-to-right dot product fold (deterministic FP)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def cosine_to_centroid(df: DataFrame, label: str, vec: str, dim: int) -> DataFrame:

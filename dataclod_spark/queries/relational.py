@@ -1430,13 +1430,20 @@ def p2_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     a partition-column filter, and aggregates — `tests/test_plans.py`
     asserts the scan plans with a pushed partition filter and one
     selected partition."""
+    import hashlib
     import os
     import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"dataclod_part_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # cache key = full source path + source mtime: a regenerated events
+    # parquet (or a different parent dir with the same leaf name) must
+    # not hit a stale partitioned copy
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        stamp = f"{os.path.abspath(src)}:{os.path.getmtime(src)}"
+    except OSError:
+        stamp = os.path.abspath(src)
+    key = hashlib.md5(stamp.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"dataclod_part_{key}")
     marker = os.path.join(base, "_SUCCESS")
     e = load(spark, sf_dir, "events")
     if not os.path.exists(marker):

@@ -259,7 +259,24 @@ class EngineSession:
             # `EXPLAIN ANALYZE` usage); Spark has no per-operator timing
             # surface here, so the plan text is the formatted plan.
             mode = (m.group("mode") or "formatted").lower()
-            df = self.sql(m.group("body"), args)
+            body = m.group("body")
+            # shim statements (COPY TO / SET / CREATE EXTERNAL TABLE /
+            # txn no-ops) EXECUTE eagerly in self.sql — EXPLAIN must not
+            # trigger those side effects (non-ANALYZE is plan-only), so
+            # describe them instead of running them
+            for shim_re, tag in (
+                (_COPY_RE, "COPY ... TO (engine shim: distributed write)"),
+                (_EXT_TABLE_RE, "CREATE EXTERNAL TABLE (engine shim: view registration)"),
+                (_SET_RE, "SET (engine shim: session config)"),
+                (_TXN_RE, "transaction control (engine shim: no-op)"),
+            ):
+                if shim_re.match(body):
+                    if mode == "analyze":
+                        self.sql(body, args)  # ANALYZE = run-then-report
+                    return self.spark.createDataFrame(
+                        [(f"== Engine Shim ==\n{tag}; no Spark plan",)], "plan string"
+                    )
+            df = self.sql(body, args)
             if mode == "analyze":
                 df.count()
                 mode = "formatted"

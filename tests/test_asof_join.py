@@ -131,3 +131,31 @@ def test_single_shuffle_plan(frames):
     plan = asof_join(left, right, on="ts", by="k", tiebreak="rid")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_tolerance_subsecond_exact(spark):
+    """Tolerance must be microsecond-exact: a 2.9 s gap exceeds a 2 s
+    tolerance even though second-truncated deltas would say 2 <= 2."""
+    left = spark.createDataFrame([Row(k=1, ts=_ts(10.9), lid=1)])
+    right = spark.createDataFrame([Row(k=1, ts=_ts(8.0), rid=7)])
+    out = asof_join(left, right, on="ts", by="k", tolerance_sec=2, tiebreak="rid").collect()
+    assert out[0]["rid"] is None
+    # and an exactly-2 s gap is inclusive
+    right2 = spark.createDataFrame([Row(k=1, ts=_ts(8.9), rid=8)])
+    out2 = asof_join(left, right2, on="ts", by="k", tolerance_sec=2, tiebreak="rid").collect()
+    assert out2[0]["rid"] == 8
+
+
+def test_string_tiebreak_stays_deterministic(spark):
+    """Non-numeric tiebreak columns keep their native ordering (a double
+    cast would NULL them out and lose the determinism contract)."""
+    left = spark.createDataFrame([Row(k=1, ts=_ts(10), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(10), rid="aaa", v=1.0),
+            Row(k=1, ts=_ts(10), rid="zzz", v=2.0),
+            Row(k=1, ts=_ts(10), rid="mmm", v=3.0),
+        ]
+    )
+    out = asof_join(left, right, on="ts", by="k", tiebreak="rid").collect()
+    assert out[0]["rid"] == "zzz"  # lexicographically largest wins

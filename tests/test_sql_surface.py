@@ -135,3 +135,20 @@ def test_explain_spatial_join_shows_dispatched_plan(spark):
     ).collect()
     plan = rows[0]["plan"]
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_explain_copy_to_is_side_effect_free(engine, tmp_path):
+    """EXPLAIN COPY ... TO must not execute the write (plan-only)."""
+    target = tmp_path / "explain_copy_out"
+    rows = engine.sql(
+        f"EXPLAIN COPY (SELECT 1 AS x) TO '{target}' (FORMAT PARQUET)"
+    ).collect()
+    assert len(rows) == 1 and "Engine Shim" in rows[0]["plan"]
+    assert not target.exists()
+
+
+def test_explain_set_does_not_mutate_config(engine):
+    key = "spark.sql.shuffle.partitions"
+    before = engine.spark.conf.get(key)
+    engine.sql(f"EXPLAIN SET {key} = 1")
+    assert engine.spark.conf.get(key) == before
