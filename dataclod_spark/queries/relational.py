@@ -1469,3 +1469,53 @@ def p2_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start")
     )
+
+
+@query(
+    "u1_scd2_merge",
+    doc="SCD type-2 dimension merge (operators/scd.py): change batches "
+    "version-chained per key via one lead() window — valid_from/valid_to/"
+    "is_current with no gaps or overlaps",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, 0 AS ver FROM customer
+), chg1 AS (
+  SELECT c_custkey, 'PROMOTED' AS c_mktsegment, 1 AS ver
+  FROM customer WHERE c_custkey % 7 = 0
+), chg2 AS (
+  SELECT c_custkey, 'CHURNED' AS c_mktsegment, 2 AS ver
+  FROM customer WHERE c_custkey % 13 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM chg1 UNION ALL SELECT * FROM chg2
+)
+SELECT c_custkey,
+       c_mktsegment,
+       ver AS valid_from,
+       lead(ver) OVER (PARTITION BY c_custkey ORDER BY ver) AS valid_to,
+       lead(ver) OVER (PARTITION BY c_custkey ORDER BY ver) IS NULL AS is_current
+FROM u
+ORDER BY c_custkey, valid_from
+""",
+)
+def u1_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic change batches (segment promotions, churn marks)
+    merged into the customer dimension: keys hit by both batches chain
+    0 -> 1 -> 2 with each version closed at exactly the next stamp."""
+    from dataclod_spark.operators.scd import scd2_apply
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = c.withColumn("ver", F.lit(0))
+    chg1 = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_mktsegment", F.lit("PROMOTED"))
+        .withColumn("ver", F.lit(1))
+    )
+    chg2 = (
+        c.filter(F.col("c_custkey") % 13 == 0)
+        .withColumn("c_mktsegment", F.lit("CHURNED"))
+        .withColumn("ver", F.lit(2))
+    )
+    merged = scd2_apply(base, chg1.unionByName(chg2), key="c_custkey", version="ver")
+    return merged.select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to", "is_current"
+    ).orderBy("c_custkey", "valid_from")

@@ -225,3 +225,42 @@ def test_lsh_xxhash64_production_variant(spark):
         }
         assert (1, 2) in pairs and (3, 4) in pairs, hash_fn
         assert all(p in {(1, 2), (3, 4)} for p in pairs), hash_fn
+
+
+def test_scd2_invariants(spark):
+    """SCD2 output: exactly one current row per key, contiguous version
+    chains (valid_to == next valid_from), no overlaps."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.scd import scd2_apply
+
+    base = spark.createDataFrame(
+        [Row(k=1, seg="A", ver=0), Row(k=2, seg="B", ver=0), Row(k=3, seg="C", ver=0)]
+    )
+    changes = spark.createDataFrame(
+        [Row(k=1, seg="A2", ver=1), Row(k=1, seg="A3", ver=2), Row(k=3, seg="C2", ver=5)]
+    )
+    rows = scd2_apply(base, changes, key="k", version="ver").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    assert sum(1 for r in rows if r["is_current"]) == 3  # one per key
+    # k=1 chains 0 -> 1 -> 2 with each row closed at the next stamp
+    k1 = sorted(by_key[1], key=lambda r: r["valid_from"])
+    assert [(r["valid_from"], r["valid_to"]) for r in k1] == [(0, 1), (1, 2), (2, None)]
+    assert [r["seg"] for r in k1] == ["A", "A2", "A3"]
+    # untouched key keeps one open row
+    assert by_key[2][0]["valid_to"] is None and by_key[2][0]["seg"] == "B"
+
+
+def test_scd2_schema_mismatch_raises(spark):
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from dataclod_spark.operators.scd import scd2_apply
+
+    base = spark.createDataFrame([Row(k=1, seg="A", ver=0)])
+    bad = spark.createDataFrame([Row(k=1, other="X", ver=1)])
+    with _pytest.raises(ValueError):
+        scd2_apply(base, bad, key="k", version="ver")
