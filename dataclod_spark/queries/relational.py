@@ -1519,3 +1519,76 @@ def u1_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "c_custkey", "c_mktsegment", "valid_from", "valid_to", "is_current"
     ).orderBy("c_custkey", "valid_from")
+
+
+@query(
+    "p3_unpivot",
+    doc="unpivot/melt (the reshape inverse of p1_pivot): per-flag measure "
+    "columns melted to (flag, measure, value) rows via native df.unpivot",
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value FROM (
+  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'sum_price', sum_price FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+)
+ORDER BY l_returnflag, measure
+""",
+)
+def p3_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape with Spark's native unpivot (a zero-shuffle
+    Expand node — each input row emits one row per measure, no join)."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+        F.round(dsum(F.col("l_extendedprice")), 2).alias("sum_price"),
+        F.round(dsum(F.col("l_discount")), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    ).orderBy("l_returnflag", "measure")
+
+
+@query(
+    "x12_name_resolution",
+    doc="entity resolution by edit distance: near-duplicate part names via "
+    "native levenshtein with the length-difference lower-bound prefilter",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_1, b.p_name AS name_2,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM names a JOIN names b
+  ON a.p_name < b.p_name
+ AND abs(len(a.p_name) - len(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_1, name_2
+""",
+)
+def x12_name_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entity-resolution primitive: candidate pairs bounded by the
+    |len(a)-len(b)| <= d edit-distance lower bound (a free prefilter that
+    prunes before the O(len^2) distance), exact levenshtein on survivors.
+    At 100 TB the distinct-name table is the reduced join input and the
+    length band (or a q-gram index) is the blocking key."""
+    p = load(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_1"))
+    b = names.select(F.col("p_name").alias("name_2"))
+    return (
+        a.join(
+            b,
+            (F.col("name_1") < F.col("name_2"))
+            & (F.abs(F.length("name_1") - F.length("name_2")) <= 2),
+        )
+        .withColumn("dist", F.levenshtein("name_1", "name_2"))
+        .filter(F.col("dist") <= 2)
+        .orderBy("name_1", "name_2")
+    )
