@@ -291,3 +291,100 @@ def e6_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+@query(
+    "e7_funnel",
+    doc="ordered event funnel: users progressing view -> click -> purchase "
+    "(strict event-time ordering of per-user stage minima, one shuffle)",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(t_view) AS n_viewed,
+       count(CASE WHEN t_view < t_click THEN 1 END) AS n_clicked_after_view,
+       count(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+         AS n_full_funnel
+FROM stages
+""",
+)
+def e7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics staple: per-user minima of each stage's
+    event time (one hash aggregate — conditional min, no joins, no
+    window), then strict-order comparisons.  At 100 TB this is a single
+    partial+final aggregate keyed by user."""
+    e = load(spark, sf_dir, "events")
+
+    def stage_min(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = e.groupBy("user_id").agg(
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias(
+            "n_clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "e8_cohort_retention",
+    doc="cohort retention matrix: users bucketed by first-activity day, "
+    "distinct active users per (cohort_day, activity_day) offset",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(epoch(time_bucket(INTERVAL '1 day', min(ts))) AS BIGINT) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(epoch(time_bucket(INTERVAL '1 day', e.ts)) AS BIGINT) AS activity_day
+  FROM events e
+)
+SELECT f.cohort_day,
+       CAST((a.activity_day - f.cohort_day) / 86400 AS BIGINT) AS day_offset,
+       count(*) AS n_active
+FROM firsts f JOIN activity a ON f.user_id = a.user_id
+GROUP BY f.cohort_day, day_offset
+ORDER BY f.cohort_day, day_offset
+""",
+)
+def e8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort analysis: first-activity day per user (one aggregate),
+    distinct (user, day) activity (one aggregate), broadcast-join the
+    tiny cohort table back, roll up to the retention matrix.  The big
+    table is touched twice but never joined against itself at event
+    granularity."""
+    e = load(spark, sf_dir, "events")
+    day = lambda c: F.unix_timestamp(F.date_trunc("day", c))  # noqa: E731
+    firsts = e.groupBy("user_id").agg(day(F.min("ts")).alias("cohort_day"))
+    activity = e.select("user_id", day(F.col("ts")).alias("activity_day")).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_day",
+            ((F.col("activity_day") - F.col("cohort_day")) / 86400)
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -1592,3 +1592,60 @@ def x12_name_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .orderBy("name_1", "name_2")
     )
+
+
+@query(
+    "u2_scd2_snapshot",
+    doc="point-in-time (AS OF) read over the SCD2 dimension: segment "
+    "distribution as of version 1 — between the two change batches",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, 0 AS ver FROM customer
+), chg1 AS (
+  SELECT c_custkey, 'PROMOTED' AS c_mktsegment, 1 AS ver
+  FROM customer WHERE c_custkey % 7 = 0
+), chg2 AS (
+  SELECT c_custkey, 'CHURNED' AS c_mktsegment, 2 AS ver
+  FROM customer WHERE c_custkey % 13 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM chg1 UNION ALL SELECT * FROM chg2
+), hist AS (
+  SELECT c_custkey, c_mktsegment, ver AS valid_from,
+         lead(ver) OVER (PARTITION BY c_custkey ORDER BY ver) AS valid_to
+  FROM u
+)
+SELECT c_mktsegment, count(*) AS n_customers
+FROM hist
+WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def u2_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF version 1: exactly one row per key qualifies (the SCD2
+    no-gap/no-overlap invariant makes the snapshot a pure filter — no
+    window, no dedup at read time)."""
+    from dataclod_spark.operators.scd import scd2_apply
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = c.withColumn("ver", F.lit(0))
+    chg1 = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_mktsegment", F.lit("PROMOTED"))
+        .withColumn("ver", F.lit(1))
+    )
+    chg2 = (
+        c.filter(F.col("c_custkey") % 13 == 0)
+        .withColumn("c_mktsegment", F.lit("CHURNED"))
+        .withColumn("ver", F.lit(2))
+    )
+    hist = scd2_apply(base, chg1.unionByName(chg2), key="c_custkey", version="ver")
+    snap = hist.filter(
+        (F.col("valid_from") <= 1)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > 1))
+    )
+    return (
+        snap.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
