@@ -232,3 +232,52 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "w7_cumulative_distinct",
+    doc="cumulative COUNT(DISTINCT) over an ordered window — Spark forbids "
+    "DISTINCT in window functions; emulated via first-occurrence flags + "
+    "running sum, verified against an independent correlated-subquery oracle",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, user_id,
+         CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS day
+  FROM events
+), days AS (
+  SELECT DISTINCT event_type, day FROM ev
+)
+SELECT d.event_type, d.day,
+       (SELECT count(DISTINCT e.user_id) FROM ev e
+        WHERE e.event_type = d.event_type AND e.day <= d.day) AS cum_users
+FROM days d
+ORDER BY d.event_type, d.day
+""",
+)
+def w7_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct users per event type by day.  The scalable
+    emulation: each (type, user) contributes on its FIRST day only (one
+    aggregate), new-user counts roll up per day, and a running sum over
+    the day axis gives the cumulative distinct — two aggregates and one
+    window instead of the quadratic re-count the naive form implies (the
+    oracle deliberately IS that quadratic re-count, so the emulation is
+    checked against an independent formulation)."""
+    e = load(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day")
+    ev = e.select("event_type", "user_id", day)
+    days = ev.select("event_type", "day").distinct()
+    firsts = ev.groupBy("event_type", "user_id").agg(F.min("day").alias("first_day"))
+    new_per_day = firsts.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    joined = days.join(new_per_day, ["event_type", "day"], "left").fillna(
+        0, subset=["n_new"]
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        joined.withColumn("cum_users", F.sum("n_new").over(w))
+        .select("event_type", "day", "cum_users")
+        .orderBy("event_type", "day")
+    )
