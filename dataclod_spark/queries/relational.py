@@ -1649,3 +1649,43 @@ def u2_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "r3_recursive_cte",
+    doc="WITH RECURSIVE hierarchy walk (native in Spark 4 and DuckDB): "
+    "ancestor chains over a derived parent edge (k -> k div 2), depth "
+    "distribution of the implied binary hierarchy",
+    oracle="""
+WITH RECURSIVE anc(key, anc_key, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT a.key, a.anc_key // 2, a.depth + 1 FROM anc a WHERE a.anc_key >= 2
+)
+SELECT max_depth, count(*) AS n_keys
+FROM (SELECT key, max(depth) AS max_depth FROM anc GROUP BY key)
+GROUP BY max_depth
+ORDER BY max_depth
+""",
+)
+def r3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTEs are part of the inherited SQL surface (DataFusion
+    ships them; Spark gained WITH RECURSIVE in 4.0) — each iteration is
+    one distributed step, state is the frontier relation, and the fixed
+    point here is bounded by the ~log2(max key) chain depth.  The
+    iterative-DataFrame twin of this shape is
+    operators/dedup.connected_components."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("r3_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(key, anc_key, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM r3_customer
+          UNION ALL
+          SELECT a.key, a.anc_key DIV 2, a.depth + 1 FROM anc a WHERE a.anc_key >= 2
+        )
+        SELECT max_depth, count(*) AS n_keys
+        FROM (SELECT key, max(depth) AS max_depth FROM anc GROUP BY key)
+        GROUP BY max_depth
+        ORDER BY max_depth
+        """
+    )
