@@ -159,3 +159,45 @@ def test_string_tiebreak_stays_deterministic(spark):
     )
     out = asof_join(left, right, on="ts", by="k", tiebreak="rid").collect()
     assert out[0]["rid"] == "zzz"  # lexicographically largest wins
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Third-implementation differential: on tie-free data (unique
+    timestamps per key/side) our as-of join must agree with
+    pandas.merge_asof row for row, including tolerance handling."""
+    import pandas as pd
+
+    rng_l = [(i % 5, (i * 7919 + 3) % 100_000, i) for i in range(200)]
+    rng_r = [(i % 5, (i * 104729 + 11) % 100_000, 1000 + i) for i in range(300)]
+    # de-dup timestamps per (key, side) so tie semantics can't differ
+    seen = set()
+    lrows = [(k, t, v) for k, t, v in rng_l if not ((k, t) in seen or seen.add((k, t)))]
+    seen = set()
+    rrows = [(k, t, v) for k, t, v in rng_r if not ((k, t) in seen or seen.add((k, t)))]
+
+    ldf = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t), v) for k, t, v in lrows],
+        "k long, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t), v) for k, t, v in rrows],
+        "k long, ts timestamp, rid long",
+    )
+    for tol in (None, 500):
+        got = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                ldf, rdf, on="ts", by="k", tolerance_sec=tol, tiebreak="rid"
+            ).collect()
+        }
+        lp = pd.DataFrame(lrows, columns=["k", "t", "lid"]).sort_values("t")
+        rp = pd.DataFrame(rrows, columns=["k", "t", "rid"]).sort_values("t")
+        exp_df = pd.merge_asof(
+            lp, rp, on="t", by="k", direction="backward",
+            tolerance=tol if tol is None else tol,
+        )
+        exp = {
+            int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+            for row in exp_df.itertuples()
+        }
+        assert got == exp, f"tolerance={tol}"

@@ -264,3 +264,50 @@ def test_scd2_schema_mismatch_raises(spark):
     bad = spark.createDataFrame([Row(k=1, other="X", ver=1)])
     with _pytest.raises(ValueError):
         scd2_apply(base, bad, key="k", version="ver")
+
+
+def test_winnow_matches_python_reference(spark):
+    """Third-implementation differential: the zip-with-shifted-slices
+    winnowing expression vs a straightforward pure-Python winnow over the
+    same token-value convention (md5-derived 32-bit values, base-31
+    polynomial k-grams, window minima, distinct)."""
+    import hashlib
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.functions.text import winnow_fingerprints
+
+    def py_winnow(text: str, k: int = 3, w: int = 4):
+        toks = " ".join(text.lower().split()).split(" ") if text.strip() else []
+        vals = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        hashes = [
+            sum(v * 31 ** (k - 1 - j) for j, v in enumerate(vals[i : i + k]))
+            for i in range(len(vals) - k + 1)
+        ]
+        if not hashes:
+            return []
+        if len(hashes) < w:
+            return [min(hashes)]
+        seen, out = set(), []
+        for i in range(len(hashes) - w + 1):
+            m = min(hashes[i : i + w])
+            if m not in seen:
+                seen.add(m)
+                out.append(m)
+        return out
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again today",
+        "one two three",           # single k-gram
+        "one two three four five", # fewer hashes than the window
+        "",                         # empty
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3,
+    ]
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r["i"]: sorted(r["f"])
+        for r in df.select("i", winnow_fingerprints(F.col("text")).alias("f")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == sorted(set(py_winnow(t))), f"text #{i}"
