@@ -438,3 +438,110 @@ def x11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("salience"), "term", "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "x13_column_profile",
+    doc="single-pass column profiling (deequ/dbt-test shape): null rate, "
+    "distinct count, min/max per documents column, one aggregate + unpivot",
+    oracle="""
+SELECT 'doc_id' AS col, count(*) AS n_rows,
+       count(*) - count(doc_id) AS n_null,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+       min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+       min(source), max(source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+ORDER BY col
+""",
+)
+def x13_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-health primitive: every metric for every column in ONE
+    partial+final aggregate over one scan (the oracle spells it as four
+    scans for clarity; Catalyst computes ours in a single pass), then a
+    zero-shuffle unpivot to rows."""
+    d = load(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    p = d.agg(*aggs)
+    rows = None
+    for c in cols:
+        r = p.select(
+            F.lit(c).alias("col"),
+            F.col("n_rows"),
+            F.col(f"{c}__null").alias("n_null"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("col")
+
+
+@query(
+    "x14_integrity_checks",
+    doc="referential/uniqueness constraint checks (dbt-test shape): "
+    "key-uniqueness and foreign-key orphan counts across the star schema",
+    oracle="""
+SELECT 'orders_pk_dupes' AS chk,
+       (SELECT count(*) FROM
+         (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS n_bad
+UNION ALL
+SELECT 'customer_pk_dupes',
+       (SELECT count(*) FROM
+         (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1))
+UNION ALL
+SELECT 'orders_fk_orphans',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_fk_orphans',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+ORDER BY chk
+""",
+)
+def x14_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation as anti-joins and grouped-having counts —
+    each check is one shuffle (broadcast for the dim-sized sides); a
+    pipeline gates on all-zero results before publishing."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def one(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            F.lit(name).alias("chk"), "n_bad"
+        )
+
+    pk_o = one(
+        "orders_pk_dupes",
+        o.groupBy("o_orderkey").count().filter(F.col("count") > 1),
+    )
+    pk_c = one(
+        "customer_pk_dupes",
+        c.groupBy("c_custkey").count().filter(F.col("count") > 1),
+    )
+    fk_o = one(
+        "orders_fk_orphans",
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti"),
+    )
+    fk_l = one(
+        "lineitem_fk_orphans",
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti"),
+    )
+    return pk_o.unionByName(pk_c).unionByName(fk_o).unionByName(fk_l).orderBy("chk")
