@@ -57,7 +57,7 @@ _PRIORITY = [
     # g1-g3/v1/v2 were driver-green in round 1
     "st7_stream_asof_join", "e6_session_window", "a7_stat_aggregates",
     "p2_partition_pruning", "g21_zorder_layout", "u1_scd2_merge", "p3_unpivot", "x12_name_resolution",
-    "u2_scd2_snapshot", "e7_funnel", "e8_cohort_retention", "w7_cumulative_distinct", "r3_recursive_cte", "x13_column_profile", "x14_integrity_checks",
+    "u2_scd2_snapshot", "e7_funnel", "e8_cohort_retention", "w7_cumulative_distinct", "r3_recursive_cte", "x13_column_profile", "x14_integrity_checks", "x15_pmi_cooccurrence",
     "x9_vocab_topk", "x10_repetition_ratio",
     "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",
     "v1_knn_bruteforce", "v2_knn_lsh",

@@ -545,3 +545,76 @@ def x14_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti"),
     )
     return pk_o.unionByName(pk_c).unionByName(fk_o).unionByName(fk_l).orderBy("chk")
+
+
+@query(
+    "x15_pmi_cooccurrence",
+    doc="pointwise mutual information of token pairs co-occurring in "
+    "documents — corpus association mining over the distinct-token "
+    "inverted index",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+  FROM documents
+  WHERE len({_NORM}) > 0
+), df AS (
+  SELECT tok, count(*) AS n_docs FROM toks GROUP BY tok
+), total AS (
+  SELECT count(DISTINCT doc_id) AS n FROM toks
+), pairs AS (
+  SELECT a.tok AS tok_1, b.tok AS tok_2, count(*) AS n_both
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY tok_1, tok_2
+)
+SELECT tok_1, tok_2, n_both,
+       round(ln((CAST(n_both AS DOUBLE) * t.n)
+                / (CAST(d1.n_docs AS DOUBLE) * d2.n_docs)), 6) AS pmi
+FROM pairs
+JOIN df d1 ON d1.tok = pairs.tok_1
+JOIN df d2 ON d2.tok = pairs.tok_2
+CROSS JOIN total t
+WHERE n_both >= 50
+ORDER BY tok_1, tok_2
+""",
+)
+def x15_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining: P(a,b)/(P(a)P(b)) over document co-occurrence.
+    The pair join is the d6-style inverted-index self-join keyed by
+    doc_id (bounded by per-doc distinct vocabulary, not corpus size);
+    token document-frequencies broadcast back.  PMI's log runs on
+    bit-identical doubles (integer counts in, one multiplication chain),
+    so no DECIMAL carrying is needed."""
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.length(TX.normalize_text(F.col("text"))) > 0)
+    toks = base.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = toks.select("doc_id").distinct().count()
+    a = toks.select("doc_id", F.col("tok").alias("tok_1"))
+    b = toks.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_2"))
+    pairs = (
+        a.join(b, (a["doc_id"] == b["doc_id_b"]) & (F.col("tok_1") < F.col("tok_2")))
+        .groupBy("tok_1", "tok_2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 50)
+    )
+    d1 = dfreq.select(F.col("tok").alias("tok_1"), F.col("n_docs").alias("n_1"))
+    d2 = dfreq.select(F.col("tok").alias("tok_2"), F.col("n_docs").alias("n_2"))
+    return (
+        pairs.join(F.broadcast(d1), "tok_1")
+        .join(F.broadcast(d2), "tok_2")
+        .select(
+            "tok_1",
+            "tok_2",
+            "n_both",
+            F.round(
+                F.log(
+                    (F.col("n_both").cast("double") * F.lit(float(total)))
+                    / (F.col("n_1").cast("double") * F.col("n_2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("tok_1", "tok_2")
+    )
