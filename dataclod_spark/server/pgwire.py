@@ -46,6 +46,7 @@ from __future__ import annotations
 import hashlib
 import itertools
 import os
+import re
 import socket
 import socketserver
 import struct
@@ -407,16 +408,72 @@ class _Connection:
             n += 1
         return n
 
+    @staticmethod
+    def _split_statements(sql: str) -> list[str]:
+        """Split a simple-protocol query string on top-level semicolons
+        (the PG simple protocol executes each statement in order).  Aware
+        of single/double quotes (with '' escaping), dollar-quoting, and
+        line comments, so semicolons inside literals don't split."""
+        out, buf = [], []
+        i, n = 0, len(sql)
+        while i < n:
+            ch = sql[i]
+            if ch == "'" or ch == '"':
+                q = ch
+                buf.append(ch)
+                i += 1
+                while i < n:
+                    buf.append(sql[i])
+                    if sql[i] == q:
+                        if q == "'" and i + 1 < n and sql[i + 1] == "'":
+                            buf.append(sql[i + 1])
+                            i += 2
+                            continue
+                        i += 1
+                        break
+                    i += 1
+                continue
+            if ch == "$":
+                m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
+                if m:
+                    tag = m.group(0)
+                    end = sql.find(tag, i + len(tag))
+                    end = n if end < 0 else end + len(tag)
+                    buf.append(sql[i:end])
+                    i = end
+                    continue
+            if ch == "-" and sql[i : i + 2] == "--":
+                nl = sql.find("\n", i)
+                nl = n if nl < 0 else nl
+                buf.append(sql[i:nl])
+                i = nl
+                continue
+            if ch == ";":
+                out.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            buf.append(ch)
+            i += 1
+        out.append("".join(buf))
+        return [s for s in (p.strip() for p in out) if s]
+
     def handle_simple(self, sql: str) -> None:
-        try:
-            df, tag = self._run_sql(sql)
-            if df is None:
-                self.p.send_command_complete(tag or "SET")
-            else:
-                n = self._stream_result(df, DEFAULT_ROW_LIMIT)
-                self.p.send_command_complete(f"SELECT {n}")
-        except Exception as e:  # noqa: BLE001 - protocol boundary
-            self.p.send_error("XX000", str(e)[:1000])
+        # PG simple protocol: execute every ';'-separated statement in
+        # order with one CommandComplete each; an error aborts the rest of
+        # the query string; a single ReadyForQuery closes the exchange
+        # (reference handler.rs processes the same way via pgwire-rs).
+        for stmt in self._split_statements(sql) or [""]:
+            try:
+                df, tag = self._run_sql(stmt)
+                if df is None:
+                    self.p.send_command_complete(tag or "SET")
+                else:
+                    n = self._stream_result(df, DEFAULT_ROW_LIMIT)
+                    self.p.send_command_complete(f"SELECT {n}")
+            except Exception as e:  # noqa: BLE001 - protocol boundary
+                self.p.send_error("XX000", str(e)[:1000])
+                break
         self.p.send_ready()
 
     # -- extended protocol --

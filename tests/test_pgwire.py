@@ -360,3 +360,45 @@ def test_spatial_join_dispatch_over_wire(client, engine):
             if j <= px <= j + 3 and j <= py <= j + 3:
                 want += 1
     assert rows == [[str(want).encode()]]
+
+
+def _raw_exchange(client, sql: str):
+    """Send one simple Query and collect (tags, datarows, errors) until Z."""
+    client.send(b"Q", sql.encode() + b"\x00")
+    tags, rows, errs = [], [], []
+    while True:
+        t, body = client.read_message()
+        if t == b"C":
+            tags.append(body.rstrip(b"\x00").decode())
+        elif t == b"D":
+            rows.append(body)
+        elif t == b"E":
+            errs.append(body.decode("utf-8", "replace"))
+        elif t == b"Z":
+            return tags, rows, errs
+
+
+def test_simple_multi_statement(client):
+    """PG simple protocol: each ';'-separated statement executes in order
+    with its own CommandComplete; one ReadyForQuery at the end."""
+    tags, rows, errs = _raw_exchange(client, "SELECT 1 AS a; SELECT 2 AS b")
+    assert tags == ["SELECT 1", "SELECT 1"] and len(rows) == 2 and not errs
+
+
+def test_simple_multi_statement_txn_mix(client):
+    tags, rows, errs = _raw_exchange(client, "BEGIN; SELECT 1 AS x; COMMIT")
+    assert tags == ["BEGIN", "SELECT 1", "COMMIT"] and len(rows) == 1 and not errs
+
+
+def test_semicolon_inside_literal_not_split(client):
+    cols, rows, tag = client.query("SELECT 'a;b' AS s")
+    assert rows[0][0] == b"a;b" and tag == "SELECT 1"
+
+
+def test_multi_statement_error_aborts_rest(client):
+    tags, rows, errs = _raw_exchange(
+        client, "SELECT 1 AS x; SELECT definitely_not_a_fn_xyz(1); SELECT 2 AS y"
+    )
+    assert tags == ["SELECT 1"]      # first completed
+    assert len(errs) == 1            # second errored
+    assert len(rows) == 1            # third never ran
