@@ -483,6 +483,13 @@ class _Connection:
         (n_oids,) = struct.unpack("!h", rest[:2])
         oids = list(struct.unpack(f"!{n_oids}i", rest[2 : 2 + 4 * n_oids]))
         text = sql.decode()
+        # PG forbids multiple commands in one prepared statement (the
+        # simple protocol is the multi-statement path)
+        if len(self._split_statements(text)) > 1:
+            self.p.send_error(
+                "42601", "cannot insert multiple commands into a prepared statement"
+            )
+            return
         from dataclod_spark.plans.rewrites import rewrite_dollar_params
 
         _, used = rewrite_dollar_params(text)

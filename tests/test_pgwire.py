@@ -402,3 +402,11 @@ def test_multi_statement_error_aborts_rest(client):
     assert tags == ["SELECT 1"]      # first completed
     assert len(errs) == 1            # second errored
     assert len(rows) == 1            # third never ran
+
+
+def test_extended_rejects_multi_statement(client):
+    """Prepared statements are single-command by protocol rule."""
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="multiple commands"):
+        client.extended("SELECT 1; SELECT 2", [], [])
