@@ -410,3 +410,27 @@ def test_extended_rejects_multi_statement(client):
 
     with _pytest.raises(RuntimeError, match="multiple commands"):
         client.extended("SELECT 1; SELECT 2", [], [])
+
+
+def test_concurrent_clients(server):
+    """Thread-per-connection: two clients issue interleaved queries over
+    one shared EngineSession without cross-talk."""
+    import threading
+
+    results = {}
+
+    def worker(tag, n):
+        c = MiniPgClient(server.port)
+        try:
+            c.login()
+            for _ in range(3):
+                _, rows, _ = c.query(f"SELECT {n} AS v")
+                assert rows[0][0] == str(n).encode()
+            results[tag] = True
+        finally:
+            c.close()
+
+    t1 = threading.Thread(target=worker, args=("a", 41))
+    t2 = threading.Thread(target=worker, args=("b", 42))
+    t1.start(); t2.start(); t1.join(30); t2.join(30)
+    assert results == {"a": True, "b": True}
