@@ -549,7 +549,7 @@ def x14_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x15_pmi_cooccurrence",
-    doc="pointwise mutual information of token pairs co-occurring in "
+    doc="association lift (exp PMI) of token pairs co-occurring in "
     "documents — corpus association mining over the distinct-token "
     "inverted index",
     oracle=rf"""
@@ -567,8 +567,8 @@ WITH toks AS (
   GROUP BY tok_1, tok_2
 )
 SELECT tok_1, tok_2, n_both,
-       round(ln((CAST(n_both AS DOUBLE) * t.n)
-                / (CAST(d1.n_docs AS DOUBLE) * d2.n_docs)), 6) AS pmi
+       round((CAST(n_both AS DOUBLE) * t.n)
+             / (CAST(d1.n_docs AS DOUBLE) * d2.n_docs), 6) AS lift
 FROM pairs
 JOIN df d1 ON d1.tok = pairs.tok_1
 JOIN df d2 ON d2.tok = pairs.tok_2
@@ -609,12 +609,10 @@ def x15_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_2",
             "n_both",
             F.round(
-                F.log(
-                    (F.col("n_both").cast("double") * F.lit(float(total)))
-                    / (F.col("n_1").cast("double") * F.col("n_2"))
-                ),
+                (F.col("n_both").cast("double") * F.lit(float(total)))
+                / (F.col("n_1").cast("double") * F.col("n_2")),
                 6,
-            ).alias("pmi"),
+            ).alias("lift"),
         )
         .orderBy("tok_1", "tok_2")
     )
