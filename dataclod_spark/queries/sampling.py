@@ -23,7 +23,7 @@ WITH ranked AS (
          count(*) OVER (PARTITION BY lang) AS n
   FROM documents
 )
-SELECT lang, count(*) AS n_sampled, sum(doc_id) AS id_sum
+SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM ranked
 WHERE rn <= CAST(ceil(n * 20 / 100.0) AS BIGINT)
 GROUP BY lang
@@ -47,7 +47,7 @@ def sp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB holdout-split shape)",
     oracle=f"""
 SELECT count(*) AS n_sampled,
-       sum(doc_id) AS id_sum,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
        count(DISTINCT lang) AS n_langs
 FROM documents
 WHERE ({_H}) % 100 < 15

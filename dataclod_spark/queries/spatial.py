@@ -790,7 +790,7 @@ WITH boxes AS (
          CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
   FROM events WHERE event_id % 3 = 0
 )
-SELECT count(*) AS n_points, sum(point_id) AS id_sum
+SELECT count(*) AS n_points, CAST(sum(point_id) AS BIGINT) AS id_sum
 FROM points p
 WHERE EXISTS (
   SELECT 1 FROM boxes b
@@ -830,7 +830,7 @@ WITH boxes AS (
          CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
   FROM events WHERE event_id % 3 = 0
 )
-SELECT count(*) AS n_points, sum(point_id) AS id_sum
+SELECT count(*) AS n_points, CAST(sum(point_id) AS BIGINT) AS id_sum
 FROM points p
 WHERE NOT EXISTS (
   SELECT 1 FROM boxes b
@@ -869,7 +869,7 @@ WITH points AS (
          CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
   FROM events
 )
-SELECT count(*) AS n_inside, sum(point_id) AS id_sum
+SELECT count(*) AS n_inside, CAST(sum(point_id) AS BIGINT) AS id_sum
 FROM points
 WHERE px >= 10 AND py >= 5 AND px <= 70 AND py <= 40
   AND (px - 10) * 35 + (py - 5) * 60 <= 2100
@@ -1024,7 +1024,7 @@ WITH a AS (
          CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by
   FROM events WHERE event_id % 40 = 0
 )
-SELECT count(*) AS n_pairs, sum(a_id + b_id) AS id_sum
+SELECT count(*) AS n_pairs, CAST(sum(a_id + b_id) AS BIGINT) AS id_sum
 FROM a JOIN b ON (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= 25.0
 """,
 )
@@ -1056,7 +1056,7 @@ WITH a AS (
          CAST(event_id % 97 AS DOUBLE) AS bx, CAST(user_id % 41 AS DOUBLE) AS by
   FROM events WHERE event_id % 40 = 0
 )
-SELECT count(*) AS n_pairs, sum(a_id + b_id) AS id_sum
+SELECT count(*) AS n_pairs, CAST(sum(a_id + b_id) AS BIGINT) AS id_sum
 FROM a JOIN b ON (ax - bx) * (ax - bx) + (ay - by) * (ay - by) < 25.0
 """,
 )

@@ -33,17 +33,31 @@ def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 
 def _norm_value(v: Any) -> Any:
+    """Normalize one cell.
+
+    Numeric values carry a type tag ("i" int / "f" float / "d" decimal) so
+    that an integer on the Spark side never compares equal to a
+    Decimal/float on the oracle side — the driver's value-hash is
+    dtype-sensitive (DuckDB widens sum(BIGINT) to HUGEINT, which hashes
+    differently even when values are identical), and Python's 123 == 123.0
+    used to mask exactly that class locally (VERDICT r3 finding #1)."""
     if v is None:
         return None
     if isinstance(v, bool):
         return v
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, _dec.Decimal):
-        v = float(v)
+        f = float(v)
+        if math.isnan(f):
+            return ("d", "NaN")
+        r = round(f, FLOAT_DIGITS)
+        return ("d", 0.0 if r == 0 else r)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         r = round(v, FLOAT_DIGITS)
-        return 0.0 if r == 0 else r  # normalize -0.0
+        return ("f", 0.0 if r == 0 else r)  # normalize -0.0
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
