@@ -409,7 +409,7 @@ WITH tok AS (
   SELECT term, count(DISTINCT doc_id) AS df
   FROM tok GROUP BY term
 ), n AS (
-  SELECT count(*) AS n_docs FROM documents WHERE len({_NORM}) > 0
+  SELECT count(DISTINCT doc_id) AS n_docs FROM tok
 )
 SELECT tf.doc_id, tf.term,
        CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS salience
@@ -419,21 +419,32 @@ LIMIT 20
 """,
 )
 def x11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The df side aggregates to |vocab| rows → broadcast back onto the
-    (doc, term) tf table; n_docs is a scalar literal join.  At 100 TB the
-    tf agg is the only large shuffle and it is partial-aggregated."""
+    """One scan, one tokenize (VERDICT r3 #3): the tf aggregate is
+    materialized once via localCheckpoint and df / n_docs both derive from
+    it — tf rows are distinct (doc, term) pairs, so df(term) is a plain
+    row count and n_docs a distinct doc_id count.  Catalyst specializes
+    each branch (distinct-elimination drops the partial count, pruning
+    differs), which defeats ReuseExchange on the shared subtree, so
+    checkpointing is the reliable way to scan+tokenize the corpus exactly
+    once (same pattern as d3/d7 per SCALE.md; on a real cluster swap
+    localCheckpoint for persist(DISK_ONLY) or a reliable checkpoint dir).
+    n_docs is folded in as a 1-row broadcast crossJoin instead of a
+    driver-side count() action.  At 100 TB the tf agg is the only
+    corpus-sized shuffle and it is partial-aggregated; df (|vocab| rows)
+    and n_docs (1 row) broadcast back onto the checkpointed tf."""
     d = load(spark, sf_dir, "documents")
     base = d.filter(F.length(TX.normalize_text(F.col("text"))) > 0)
     tok = base.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = base.count()
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     return (
         tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "term",
-            ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("salience"),
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("salience"),
         )
         .orderBy(F.desc("salience"), "term", "doc_id")
         .limit(20)
@@ -549,9 +560,9 @@ def x14_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x15_pmi_cooccurrence",
-    doc="association lift (exp PMI) of token pairs co-occurring in "
-    "documents — corpus association mining over the distinct-token "
-    "inverted index",
+    doc="association lift n_both·N/(n_1·n_2) of token pairs co-occurring "
+    "in documents — corpus association mining over the distinct-token "
+    "inverted index, apriori-pruned to frequent tokens",
     oracle=rf"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
@@ -561,9 +572,13 @@ WITH toks AS (
   SELECT tok, count(*) AS n_docs FROM toks GROUP BY tok
 ), total AS (
   SELECT count(DISTINCT doc_id) AS n FROM toks
+), ftoks AS (
+  SELECT t.doc_id, t.tok
+  FROM toks t JOIN df ON df.tok = t.tok
+  WHERE df.n_docs >= 50
 ), pairs AS (
   SELECT a.tok AS tok_1, b.tok AS tok_2, count(*) AS n_both
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  FROM ftoks a JOIN ftoks b ON a.doc_id = b.doc_id AND a.tok < b.tok
   GROUP BY tok_1, tok_2
 )
 SELECT tok_1, tok_2, n_both,
@@ -578,38 +593,55 @@ ORDER BY tok_1, tok_2
 """,
 )
 def x15_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Association mining: P(a,b)/(P(a)P(b)) over document co-occurrence.
-    The pair join is the d6-style inverted-index self-join keyed by
-    doc_id (bounded by per-doc distinct vocabulary, not corpus size);
-    token document-frequencies broadcast back.  PMI's log runs on
-    bit-identical doubles (integer counts in, one multiplication chain),
-    so no DECIMAL carrying is needed."""
+    """Association mining: exact lift n_both·N/(n_1·n_2), the ratio of a
+    pair's observed document co-occurrence count to its expectation under
+    token independence (integer counts in, one multiplication chain on
+    doubles, round(6) — no log anywhere).
+
+    Scale shape (VERDICT r3 #2/#3):
+    - **Apriori prune**: n_both <= min(df(tok_1), df(tok_2)), so tokens
+      with df < min_support can never reach the n_both >= 50 gate — the
+      inverted index is filtered to frequent tokens BEFORE the doc-keyed
+      self-join, shrinking the candidate-pair space from
+      |doc|·|vocab_doc|² to pairs of frequent tokens only.
+    - **One scan**: the exploded distinct-token index is materialized once
+      via localCheckpoint and every consumer (df, N, prune, both self-join
+      sides) reads the materialization — the corpus is scanned and
+      tokenized exactly once (Catalyst's per-branch specialization defeats
+      ReuseExchange otherwise; asserted in tests/test_pipeline_ops.py),
+      and the corpus total N is a 1-row broadcast crossJoin instead of a
+      driver-side count() action.  Downstream exchanges move only the
+      pruned (doc_id, token) index, never the corpus."""
     d = load(spark, sf_dir, "documents")
+    min_support = 50
     base = d.filter(F.length(TX.normalize_text(F.col("text"))) > 0)
     toks = base.select(
         "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok")
-    )
+    ).localCheckpoint()
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
-    total = toks.select("doc_id").distinct().count()
-    a = toks.select("doc_id", F.col("tok").alias("tok_1"))
-    b = toks.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_2"))
+    total = toks.agg(F.countDistinct("doc_id").alias("n"))
+    freq_set = dfreq.filter(F.col("n_docs") >= min_support).select("tok")
+    ftoks = toks.join(F.broadcast(freq_set), "tok")
+    a = ftoks.select("doc_id", F.col("tok").alias("tok_1"))
+    b = ftoks.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_2"))
     pairs = (
         a.join(b, (a["doc_id"] == b["doc_id_b"]) & (F.col("tok_1") < F.col("tok_2")))
         .groupBy("tok_1", "tok_2")
         .agg(F.count(F.lit(1)).alias("n_both"))
-        .filter(F.col("n_both") >= 50)
+        .filter(F.col("n_both") >= min_support)
     )
     d1 = dfreq.select(F.col("tok").alias("tok_1"), F.col("n_docs").alias("n_1"))
     d2 = dfreq.select(F.col("tok").alias("tok_2"), F.col("n_docs").alias("n_2"))
     return (
         pairs.join(F.broadcast(d1), "tok_1")
         .join(F.broadcast(d2), "tok_2")
+        .crossJoin(F.broadcast(total))
         .select(
             "tok_1",
             "tok_2",
             "n_both",
             F.round(
-                (F.col("n_both").cast("double") * F.lit(float(total)))
+                (F.col("n_both").cast("double") * F.col("n"))
                 / (F.col("n_1").cast("double") * F.col("n_2")),
                 6,
             ).alias("lift"),

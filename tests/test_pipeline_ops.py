@@ -311,3 +311,74 @@ def test_winnow_matches_python_reference(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == sorted(set(py_winnow(t))), f"text #{i}"
+
+
+def test_x11_x15_single_corpus_scan(spark):
+    """VERDICT r3 #3/#4: x11 (TF-IDF) and x15 (PMI lift) must read the
+    documents corpus exactly once — the shared tokenized intermediate is
+    checkpointed, so the final plan contains no parquet FileScan at all
+    (the one scan happened inside the checkpoint job) and no driver-side
+    count() action precedes the query."""
+    from conftest import SF_SMOKE
+
+    from dataclod_spark.registry import load_all_queries
+
+    reg = load_all_queries()
+    for name in ("x11_tfidf_top_terms", "x15_pmi_cooccurrence"):
+        df = reg[name].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 0, f"{name}: corpus re-scanned\n{plan[:2000]}"
+        assert "Scan ExistingRDD" in plan, name
+
+
+def test_x15_apriori_prune_bounds_candidates(spark):
+    """The frequent-token prefilter must shrink the self-join input: every
+    token entering the pair join has document frequency >= min_support, so
+    the candidate-pair space is bounded by the frequent vocabulary, and the
+    pruned result equals the unpruned one (n_both <= min(df) makes the
+    prune semantically free)."""
+    import re
+
+    from conftest import SF_SMOKE
+
+    from dataclod_spark.registry import load_all_queries
+
+    reg = load_all_queries()
+    df = reg["x15_pmi_cooccurrence"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the prune joins the index against the df >= 50 frequent set before
+    # the doc_id self-join: the filter must appear in the plan
+    assert re.search(r"n_docs#\d+L?\s*>=\s*50", plan), plan[:2000]
+
+    # unpruned reference (the r3 formulation) on a small planted corpus
+    from pyspark.sql import Row
+
+    from dataclod_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=("alpha beta " if i % 2 == 0 else "alpha gamma ") + f"unique{i}")
+         for i in range(200)]
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok")
+    ).localCheckpoint()
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
+    freq = dfreq.filter(F.col("n_docs") >= 50).select("tok")
+    ftoks = toks.join(F.broadcast(freq), "tok")
+    a = ftoks.select("doc_id", F.col("tok").alias("tok_1"))
+    b = ftoks.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_2"))
+    pruned = (
+        a.join(b, (a["doc_id"] == b["doc_id_b"]) & (F.col("tok_1") < F.col("tok_2")))
+        .groupBy("tok_1", "tok_2").agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 50)
+    )
+    ua = toks.select("doc_id", F.col("tok").alias("tok_1"))
+    ub = toks.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_2"))
+    unpruned = (
+        ua.join(ub, (ua["doc_id"] == ub["doc_id_b"]) & (F.col("tok_1") < F.col("tok_2")))
+        .groupBy("tok_1", "tok_2").agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 50)
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, unpruned.collect()))
+    # and the prune genuinely removed candidates (unique{i} tokens)
+    assert ftoks.count() < toks.count()
