@@ -250,8 +250,6 @@ def _seg_intersect_proper_or_touch(a1, a2, b1, b2) -> bool:
     if ((d1 > 0) != (d2 > 0) or d1 == 0 or d2 == 0) and (
         (d3 > 0) != (d4 > 0) or d3 == 0 or d4 == 0
     ):
-        if d1 == 0 and not _on_segment(b1, b2, a1):
-            pass
         # conservative: use bounding overlap check for collinear
         if d1 == 0 and d2 == 0 and d3 == 0 and d4 == 0:
             return _bbox_overlap_1d(a1, a2, b1, b2)

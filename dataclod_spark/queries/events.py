@@ -369,16 +369,19 @@ ORDER BY f.cohort_day, day_offset
 )
 def e8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort analysis: first-activity day per user (one aggregate),
-    distinct (user, day) activity (one aggregate), broadcast-join the
-    tiny cohort table back, roll up to the retention matrix.  The big
-    table is touched twice but never joined against itself at event
-    granularity."""
+    distinct (user, day) activity (one aggregate), hash-join on user_id,
+    roll up to the retention matrix.  The big table is touched twice but
+    never joined against itself at event granularity.  `firsts` is one
+    row PER USER — not a bounded dimension — so it must NOT be broadcast
+    (forcing it would OOM the driver at the 100 TB target); both sides
+    shuffle on user_id and AQE may still choose broadcast when the user
+    count is genuinely small."""
     e = load(spark, sf_dir, "events")
     day = lambda c: F.unix_timestamp(F.date_trunc("day", c))  # noqa: E731
     firsts = e.groupBy("user_id").agg(day(F.min("ts")).alias("cohort_day"))
     activity = e.select("user_id", day(F.col("ts")).alias("activity_day")).distinct()
     return (
-        activity.join(F.broadcast(firsts), "user_id")
+        activity.join(firsts, "user_id")
         .groupBy(
             "cohort_day",
             ((F.col("activity_day") - F.col("cohort_day")) / 86400)

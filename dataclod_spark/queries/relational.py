@@ -1447,12 +1447,27 @@ def p2_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(base, "_SUCCESS")
     e = load(spark, sf_dir, "events")
     if not os.path.exists(marker):
+        # concurrent sessions (pgwire is thread-per-connection over one
+        # shared EngineSession) may race here: write to a private scratch
+        # dir, then atomically rename into place — losers of the rename
+        # discard their copy and read the winner's complete directory
+        import shutil
+
+        scratch = tempfile.mkdtemp(prefix=f"dataclod_part_{key}_w")
+        staged = os.path.join(scratch, "data")
         (
             e.select("event_id", "ts", "event_type", "value")
             .write.partitionBy("event_type")
             .mode("overwrite")
-            .parquet(base)
+            .parquet(staged)
         )
+        if os.path.isdir(base) and not os.path.exists(marker):
+            shutil.rmtree(base, ignore_errors=True)  # legacy partial write
+        try:
+            os.rename(staged, base)
+        except OSError:
+            pass  # another session renamed first; its copy is complete
+        shutil.rmtree(scratch, ignore_errors=True)
     p = spark.read.parquet(base).filter(F.col("event_type") == "purchase")
     return (
         p.groupBy(F.window(F.col("ts"), "1 hour").alias("w"))

@@ -296,7 +296,11 @@ def asof_join_stream(
             if kind == 0:
                 c_ts, c_id, c_val = int(ts_us), int(event_id), float(value)
             else:
-                hit = c_ts >= 0 and int(ts_us) - c_ts <= lookback_us
+                # lower bound matters in a live stream: a click with a LARGER
+                # event time can land in an earlier micro-batch (out-of-order
+                # arrival) and must not annotate an older purchase — the as-of
+                # contract is at-or-BEFORE, so the delta must be non-negative
+                hit = c_ts >= 0 and 0 <= int(ts_us) - c_ts <= lookback_us
                 out["purchase_id"].append(int(event_id))
                 out["purchase_us"].append(int(ts_us))
                 out["click_id"].append(c_id if hit else None)

@@ -185,3 +185,27 @@ class TestCrossingRobustness:
         gappy = W("MULTILINESTRING((0 0,2 0),(3 0,10 0))")
         whole = W("LINESTRING(0 0,10 0)")
         assert P.covers(gappy, whole) is False
+
+
+def test_seg_intersect_collinear_touch_cases():
+    """Regression around the r3-removed dead branch in
+    _seg_intersect_proper_or_touch: collinear and endpoint-touch cases
+    must keep their truth values."""
+    from dataclod_spark.geo.algos import _seg_intersect_proper_or_touch as hit
+
+    # proper crossing
+    assert hit((0, 0), (2, 2), (0, 2), (2, 0))
+    # T-touch: endpoint of b lies in the interior of a
+    assert hit((0, 0), (4, 0), (2, 0), (2, 3))
+    # collinear, overlapping interval
+    assert hit((0, 0), (3, 0), (2, 0), (5, 0))
+    # collinear, sharing exactly one endpoint
+    assert hit((0, 0), (2, 0), (2, 0), (5, 0))
+    # collinear, disjoint with a gap
+    assert not hit((0, 0), (1, 0), (2, 0), (3, 0))
+    # parallel, never touching
+    assert not hit((0, 0), (3, 0), (0, 1), (3, 1))
+    # endpoint of a touches endpoint of b, non-collinear
+    assert hit((0, 0), (1, 1), (1, 1), (2, 0))
+    # near-miss: a1 collinear with b's line but outside b, segments apart
+    assert not hit((5, 0), (6, 2), (0, 0), (2, 0))

@@ -155,18 +155,23 @@ def asof_multibatch_src(spark, tmp_path_factory):
     import shutil
 
     rows_by_chunk = [
-        # batch 0: user 1 clicks; user 2 clicks (will be stale by purchase time)
+        # batch 0: user 1 clicks; user 2 clicks (will be stale by purchase
+        # time); user 4's click carries a FUTURE event time (out-of-order
+        # arrival: larger event time lands in the earlier micro-batch)
         [
             (1, 100, "click", _ts(0, 0), 1.5),
             (2, 101, "click", _ts(0, 0), 2.5),
+            (4, 102, "click", _ts(1, 0), 4.5),
         ],
         # batch 1: user 1 purchase 5 min after click (match);
         # user 2 purchase 20 min after click (lookback 600 s → no match);
-        # user 3 purchase with no click history (no match)
+        # user 3 purchase with no click history (no match);
+        # user 4 purchase BEFORE its only click (at-or-before → no match)
         [
             (1, 200, "purchase", _ts(0, 5), 9.0),
             (2, 201, "purchase", _ts(0, 20), 9.0),
             (3, 202, "purchase", _ts(0, 21), 9.0),
+            (4, 203, "purchase", _ts(0, 30), 9.0),
         ],
     ]
     d = tmp_path_factory.mktemp("asof_mb_src")
@@ -198,4 +203,5 @@ def test_asof_state_across_microbatches(spark, asof_multibatch_src):
     assert out[200]["click_id"] == 100 and out[200]["click_value"] == 1.5
     assert out[201]["click_id"] is None   # click older than the lookback
     assert out[202]["click_id"] is None   # no click history at all
-    assert len(out) == 3                  # every purchase emitted exactly once
+    assert out[203]["click_id"] is None   # click is in the FUTURE → no match
+    assert len(out) == 4                  # every purchase emitted exactly once
