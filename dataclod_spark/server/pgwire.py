@@ -22,12 +22,14 @@ Protocol scope (matching the reference's handlers):
   honours its ``max_rows`` portal limit.
 * **Encoding** (``types.rs:112-386`` + ``utils.rs``): text-format results
   for the full primitive matrix (bool ``t``/``f``, numerics, UTF-8 text,
-  ``\\x``-hex bytea, ISO dates/timestamps, decimals), arrays/structs as
-  their PostgreSQL-style text forms; **binary results** for the primitive
-  matrix (bool, int2/4/8, float4/8, bytea, text, date, timestamp, time,
-  numeric — the ``encode_value`` binary arm, ``types.rs:191-386``) honoring
-  the Bind message's result-format codes; non-primitive columns requested
-  in binary raise a clean protocol error.
+  ``\\x``-hex bytea, ISO dates/timestamps, decimals, PG-style intervals),
+  structs/maps as their PostgreSQL-style text forms; **binary results** for
+  the primitive matrix (bool, int2/4/8, float4/8, bytea, text, date,
+  timestamp, time, numeric, interval — the ``encode_value`` binary arm,
+  ``types.rs:191-386``) plus 1-D arrays of those primitives (real array
+  OIDs int4[]/int8[]/float8[]/text[]/... with PG array binary format),
+  honoring the Bind message's result-format codes; remaining non-primitive
+  columns requested in binary raise a clean protocol error.
 
 Driver-side streaming: rows leave via ``df.toLocalIterator`` so a large
 result never materializes on the driver beyond one partition (the reference
@@ -51,7 +53,7 @@ import socket
 import socketserver
 import struct
 import threading
-from datetime import date, datetime, time as dtime
+from datetime import date, datetime, time as dtime, timedelta
 from decimal import Decimal
 from typing import Iterable, Optional
 
@@ -74,10 +76,35 @@ _OID_TIMESTAMP = 1114
 _OID_INTERVAL = 1186
 _OID_NUMERIC = 1700
 
+# 1-D array OIDs of the primitive matrix (types.rs into_pg_type List arm)
+_OID_ARRAY_OF = {
+    _OID_BOOL: 1000,
+    _OID_BYTEA: 1001,
+    _OID_INT2: 1005,
+    _OID_INT4: 1007,
+    _OID_INT8: 1016,
+    _OID_TEXT: 1009,
+    _OID_FLOAT4: 1021,
+    _OID_FLOAT8: 1022,
+    _OID_NUMERIC: 1231,
+    _OID_DATE: 1182,
+    _OID_TIME: 1183,
+    _OID_TIMESTAMP: 1115,
+    _OID_INTERVAL: 1187,
+}
+_ELEM_OF = {v: k for k, v in _OID_ARRAY_OF.items()}
+
 
 def _spark_type_oid(dt) -> int:
     from pyspark.sql import types as T
 
+    if isinstance(dt, T.ArrayType):
+        # 1-D arrays of the primitive matrix get real array OIDs; nested
+        # arrays / arrays of structs stay in their text form (oid 25)
+        elem = _spark_type_oid(dt.elementType)
+        if not isinstance(dt.elementType, (T.ArrayType, T.MapType, T.StructType)):
+            return _OID_ARRAY_OF.get(elem, _OID_TEXT)
+        return _OID_TEXT
     if isinstance(dt, T.BooleanType):
         return _OID_BOOL
     if isinstance(dt, T.BinaryType):
@@ -129,8 +156,24 @@ def _text_encode(v) -> Optional[bytes]:
         return s.encode()
     if isinstance(v, date):
         return v.isoformat().encode()
-    if isinstance(v, dtime):
-        return v.isoformat().encode()
+    if isinstance(v, timedelta):
+        # PG "postgres" interval output style, sign on each component
+        total = v.days * 86_400_000_000 + v.seconds * 1_000_000 + v.microseconds
+        neg = total < 0
+        days, rem = divmod(abs(total), 86_400_000_000)
+        h, rem = divmod(rem, 3_600_000_000)
+        m, rem = divmod(rem, 60_000_000)
+        s, us = divmod(rem, 1_000_000)
+        sign = "-" if neg else ""
+        parts = []
+        if days:
+            parts.append(f"{sign}{days} day" + ("s" if days != 1 else ""))
+        if h or m or s or us or not parts:
+            t = f"{sign}{h:02d}:{m:02d}:{s:02d}"
+            if us:
+                t += f".{us:06d}".rstrip("0")
+            parts.append(t)
+        return " ".join(parts).encode()
     if isinstance(v, (list, tuple)):
         parts = []
         for e in v:
@@ -222,6 +265,24 @@ def _binary_encode(v, oid: int) -> Optional[bytes]:
     if oid == _OID_TIME:
         micros = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000 + v.microsecond
         return struct.pack("!q", micros)
+    if oid == _OID_INTERVAL:
+        # int64 micros-of-day, int32 days, int32 months (types.rs interval arm)
+        total = v.days * 86_400_000_000 + v.seconds * 1_000_000 + v.microseconds
+        days = int(total / 86_400_000_000)  # trunc toward zero: sign-consistent
+        return struct.pack("!qii", total - days * 86_400_000_000, days, 0)
+    if oid in _ELEM_OF:
+        # 1-D array: int32 ndim, hasnull, elem oid; per-dim len/lbound;
+        # then int32 length + payload per element (-1 = NULL)
+        elem_oid = _ELEM_OF[oid]
+        elems = list(v)
+        if not elems:
+            return struct.pack("!iii", 0, 0, elem_oid)
+        has_null = any(e is None for e in elems)
+        out = [struct.pack("!iiiii", 1, 1 if has_null else 0, elem_oid, len(elems), 1)]
+        for e in elems:
+            p = _binary_encode(e, elem_oid)
+            out.append(struct.pack("!i", -1) if p is None else struct.pack("!i", len(p)) + p)
+        return b"".join(out)
     if oid == _OID_TEXT:
         # text payload is identical in binary format for textual types
         return _text_encode(v)
@@ -412,8 +473,10 @@ class _Connection:
     def _split_statements(sql: str) -> list[str]:
         """Split a simple-protocol query string on top-level semicolons
         (the PG simple protocol executes each statement in order).  Aware
-        of single/double quotes (with '' escaping), dollar-quoting, and
-        line comments, so semicolons inside literals don't split."""
+        of single/double quotes (with '' escaping), dollar-quoting (tags
+        may contain digits after the first char, e.g. $q1$), line comments,
+        and nesting block comments, so semicolons inside literals or
+        comments don't split."""
         out, buf = [], []
         i, n = 0, len(sql)
         while i < n:
@@ -434,7 +497,7 @@ class _Connection:
                     i += 1
                 continue
             if ch == "$":
-                m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
+                m = re.match(r"\$(?:[A-Za-z_][A-Za-z0-9_]*)?\$", sql[i:])
                 if m:
                     tag = m.group(0)
                     end = sql.find(tag, i + len(tag))
@@ -447,6 +510,19 @@ class _Connection:
                 nl = n if nl < 0 else nl
                 buf.append(sql[i:nl])
                 i = nl
+                continue
+            if ch == "/" and sql[i : i + 2] == "/*":
+                # PG block comments nest (lexer rules in scan.l)
+                depth, j = 1, i + 2
+                while j < n and depth:
+                    if sql[j : j + 2] == "/*":
+                        depth, j = depth + 1, j + 2
+                    elif sql[j : j + 2] == "*/":
+                        depth, j = depth - 1, j + 2
+                    else:
+                        j += 1
+                buf.append(sql[i:j])
+                i = j
                 continue
             if ch == ";":
                 out.append("".join(buf))

@@ -325,6 +325,78 @@ def test_binary_mixed_per_column_formats(client):
     assert struct.unpack("!i", row[1])[0] == 6
 
 
+def _unpack_pg_array(buf: bytes):
+    """Decode PG binary array format → (elem_oid, [payload|None, ...])."""
+    ndim, hasnull, elem_oid = struct.unpack("!iii", buf[:12])
+    if ndim == 0:
+        return elem_oid, []
+    assert ndim == 1
+    nelems, lbound = struct.unpack("!ii", buf[12:20])
+    assert lbound == 1
+    off, out = 20, []
+    for _ in range(nelems):
+        (ln,) = struct.unpack("!i", buf[off : off + 4])
+        off += 4
+        if ln == -1:
+            out.append(None)
+        else:
+            out.append(buf[off : off + ln])
+            off += ln
+    assert off == len(buf)
+    return elem_oid, out
+
+
+def test_binary_array_results(client):
+    """1-D arrays of the primitive matrix in binary format (types.rs
+    List arm): real array OIDs, int32 header + per-element length/payload,
+    NULL elements as -1, empty array as ndim=0."""
+    rows, tag = client.extended(
+        "SELECT array(1, 2, NULL) AS ia, "
+        "array(CAST(1.5 AS DOUBLE), CAST(-2.5 AS DOUBLE)) AS da, "
+        "array('x', 'y;z') AS sa, "
+        "array(CAST(7 AS INT)) AS i4a, "
+        "CAST(array() AS ARRAY<BIGINT>) AS empty",
+        [],
+        [],
+        result_formats=[1],
+    )
+    assert tag == "SELECT 1"
+    (row,) = rows
+    oid, elems = _unpack_pg_array(row[0])
+    assert oid == 23  # Spark int literals → array<int> → int4[]
+    assert [e if e is None else struct.unpack("!i", e)[0] for e in elems] == [1, 2, None]
+    oid, elems = _unpack_pg_array(row[1])
+    assert oid == 701
+    assert [struct.unpack("!d", e)[0] for e in elems] == [1.5, -2.5]
+    oid, elems = _unpack_pg_array(row[2])
+    assert oid == 25 and elems == [b"x", b"y;z"]
+    oid, elems = _unpack_pg_array(row[3])
+    assert oid == 23 and struct.unpack("!i", elems[0])[0] == 7
+    oid, elems = _unpack_pg_array(row[4])
+    assert oid == 20 and elems == []
+
+
+def test_binary_interval_result(client):
+    """INTERVAL binary format: int64 micros-of-day, int32 days, int32
+    months; text format renders PG 'postgres' style."""
+    sql = "SELECT INTERVAL '1 day 2 hours' AS iv, INTERVAL '-3 hours' AS neg"
+    rows, _ = client.extended(sql, [], [], result_formats=[1])
+    (row,) = rows
+    assert struct.unpack("!qii", row[0]) == (2 * 3_600_000_000, 1, 0)
+    assert struct.unpack("!qii", row[1]) == (-3 * 3_600_000_000, 0, 0)
+    rows, _ = client.extended(sql, [], [], result_formats=[0])
+    (row,) = rows
+    assert row[0] == b"1 day 02:00:00"
+    assert row[1] == b"-03:00:00"
+
+
+def test_array_text_format_unchanged(client):
+    """Array columns still render the PG text form in text format even
+    though they now carry real array OIDs in RowDescription."""
+    cols, rows, tag = client.query("SELECT array(1, 2, NULL) AS ia")
+    assert rows[0][0] == b"{1,2,NULL}"
+
+
 def test_spatial_join_dispatch_over_wire(client, engine):
     """A PostGIS-style JOIN ON ST_Intersects through the wire protocol:
     the server's EngineSession.sql dispatches it to the grid equi-join
@@ -393,6 +465,34 @@ def test_simple_multi_statement_txn_mix(client):
 def test_semicolon_inside_literal_not_split(client):
     cols, rows, tag = client.query("SELECT 'a;b' AS s")
     assert rows[0][0] == b"a;b" and tag == "SELECT 1"
+
+
+def test_semicolon_inside_block_comment_not_split(client):
+    """A valid single statement containing /* ; */ must not be split
+    mid-comment (and nested block comments per the PG lexer)."""
+    cols, rows, tag = client.query("SELECT /* ; one */ 1 AS x /* outer /* ; inner */ ; */")
+    assert rows[0][0] == b"1" and tag == "SELECT 1"
+
+
+def test_split_statements_unit():
+    """Scanner unit cases: nesting block comments, digit-bearing dollar
+    tags ($q1$ is legal in PG), unterminated comment swallows the rest."""
+    from dataclod_spark.server.pgwire import _Connection
+
+    split = _Connection._split_statements
+    assert split("SELECT /* a; b */ 1; SELECT 2") == ["SELECT /* a; b */ 1", "SELECT 2"]
+    assert split("SELECT /* x /* y; */ z; */ 1") == ["SELECT /* x /* y; */ z; */ 1"]
+    assert split("SELECT $q1$a;b$q1$; SELECT 2") == ["SELECT $q1$a;b$q1$", "SELECT 2"]
+    assert split("SELECT $$a;b$$") == ["SELECT $$a;b$$"]
+    assert split("SELECT 1 /* never closed ;") == ["SELECT 1 /* never closed ;"]
+    assert split("SELECT 1 -- c; d\n; SELECT 2") == ["SELECT 1 -- c; d", "SELECT 2"]
+
+
+def test_extended_allows_block_comment_semicolon(client):
+    """The extended-protocol single-command check shares the scanner: a
+    semicolon inside a block comment is NOT a second command."""
+    rows, tag = client.extended("SELECT 1 /* ; */ AS x", [], [])
+    assert rows[0][0] == b"1" and tag == "SELECT 1"
 
 
 def test_multi_statement_error_aborts_rest(client):
