@@ -141,15 +141,36 @@ def _locate_point(p: Coord, g: Geometry) -> int:
 
 
 def _segs(g: Geometry) -> list[tuple[Coord, Coord]]:
+    memo = getattr(g, "_segs_memo", None)
+    if memo is not None:
+        return memo
     if g.kind == LINESTRING:
-        return _segments(g.data)
-    if g.kind == MULTILINESTRING:
-        return [s for l in g.data for s in _segments(l)]
-    if g.kind == POLYGON:
-        return [s for r in g.data for s in _segments(r)]
-    if g.kind == MULTIPOLYGON:
-        return [s for poly in g.data for r in poly for s in _segments(r)]
-    return []
+        segs = _segments(g.data)
+    elif g.kind == MULTILINESTRING:
+        segs = [s for l in g.data for s in _segments(l)]
+    elif g.kind == POLYGON:
+        segs = [s for r in g.data for s in _segments(r)]
+    elif g.kind == MULTIPOLYGON:
+        segs = [s for poly in g.data for r in poly for s in _segments(r)]
+    else:
+        segs = []
+    if getattr(g, "_prepared", False):
+        # prepared-geometry mode (≈ GEOS PreparedGeometry / the reference's
+        # ExecutionMode::PrepareProbe, refine/geo.rs): a geometry flagged
+        # prepared keeps its segment list, so a complex polygon evaluated
+        # against many candidate pairs builds it once instead of per pair.
+        # Contents are identical either way — preparation trades memory for
+        # rebuild time, which is why it is only enabled when the sampled
+        # mean point count says geometries are complex (exec_mode_selector)
+        g._segs_memo = segs
+    return segs
+
+
+def prepare(g: Geometry) -> Geometry:
+    """Mark ``g`` prepared: derived structures (segment lists) are memoized
+    on first use and reused across predicate evaluations."""
+    g._prepared = True
+    return g
 
 
 def _seg_cross_proper(a1, a2, b1, b2) -> Optional[Coord]:

@@ -105,6 +105,49 @@ def auto_cell_target(sample: list[tuple]) -> int:
     )
     return max(1, int(min(shape_cap, rows_cells)))
 
+# Speculative refine-mode selection (refine/exec_mode_selector.rs:12-100 +
+# the geo backend's selector, refine/geo.rs:23-47): distance predicates
+# never prepare; relation predicates prepare when the sampled mean point
+# count per probe geometry exceeds this threshold (geo.rs uses 50.0)
+SPECULATIVE_MEAN_POINTS = 50.0
+
+
+def select_exec_mode(predicate: str, mean_points: Optional[float]) -> str:
+    """Pick the refinement execution mode from sampled GeoStatistics.
+
+    ≈ ``GeoOptimalModeSelector::select`` (refine/geo.rs:23-40): ``dwithin``
+    (the distance predicate) → ``"none"``; relation predicates → ``"none"``
+    for simple geometries (mean points <= 50, where building prepared
+    structures costs more than it saves) and ``"prepare"`` for complex ones.
+    Unknown stats (no sample — e.g. bbox-exact column sides that never
+    reach Python refinement) default to ``"none"``."""
+    if predicate == "dwithin":
+        return "none"
+    if mean_points is None or mean_points <= SPECULATIVE_MEAN_POINTS:
+        return "none"
+    return "prepare"
+
+
+def collect_mean_points(src: DataFrame, geom_col: str) -> Optional[float]:
+    """Sampled mean point count per geometry (``GeoStatistics.
+    mean_points_per_geometry``, statistics.rs): the same seeded 1%/cap
+    sample policy as the grid sample, analyzed by the geo_stats summary
+    UDF and aggregated to one row — the Spark analogue of the reference
+    analyzing the first ``min_required_count`` probe geometries
+    (exec_mode_selector.rs:63-71)."""
+    from dataclod_spark.operators.geo_stats import geometry_statistics
+
+    base = src.select(F.col(geom_col).alias("__g")).dropna()
+    samp = base.sample(fraction=BBOX_SAMPLE_RATE, seed=SAMPLE_SEED).limit(
+        MAX_BBOX_SAMPLES
+    )
+    pool = samp.unionAll(base.limit(MIN_BBOX_SAMPLES)).coalesce(1)
+    row = geometry_statistics(pool, "__g").collect()[0]
+    if not row["total_geometries"]:
+        return None
+    return float(row["total_points"]) / float(row["total_geometries"])
+
+
 PREDICATES = {
     "intersects": GP.intersects,
     "contains": GP.contains,
@@ -218,7 +261,7 @@ def _axis_rect(g: GC.Geometry):
     return (min(xs), min(ys), max(xs), max(ys))
 
 
-def _refine_udf(predicate: str, distance: Optional[float]):
+def _refine_udf(predicate: str, distance: Optional[float], prepare: bool = False):
     pred_fn = None if predicate == "dwithin" else PREDICATES[predicate]
 
     @pandas_udf(T.BooleanType())
@@ -299,6 +342,12 @@ def _refine_udf(predicate: str, distance: Optional[float]):
             g = cache.get(key)
             if g is None:
                 g = GC.wkb_parse(key)
+                if prepare:
+                    # prepared mode: parsed geometries memoize their derived
+                    # segment structures across the candidate pairs of the
+                    # batch (selected by sampled GeoStatistics — see
+                    # select_exec_mode)
+                    GP.prepare(g)
                 cache[key] = g
                 rect_cache[key] = _axis_rect(g)
             return g
@@ -659,6 +708,7 @@ def spatial_join(
     left_bbox: Optional[tuple] = None,
     right_bbox: Optional[tuple] = None,
     refine: str = "auto",
+    exec_mode: str = "speculative",
 ) -> DataFrame:
     """Spatial join of two DataFrames with WKB geometry columns.
 
@@ -685,6 +735,15 @@ def spatial_join(
     shape for point/rect workloads at scale; results are exact under the
     assertion, callers with arbitrary polygons must keep "auto").
 
+    exec_mode: refinement execution mode (≈ ``ExecutionMode``, option.rs:
+    230-243 + refine/exec_mode_selector.rs).  ``"speculative"`` (default)
+    samples the probe (left) side's GeoStatistics and prepares geometries
+    only when they are complex (mean points > 50, refine/geo.rs:23-40);
+    ``"prepare"`` / ``"none"`` force the choice.  Results are identical in
+    every mode — preparation memoizes derived segment structures per
+    distinct geometry, trading memory for per-pair rebuild time.  The
+    chosen mode is recorded on the result as ``_spatial_exec_mode``.
+
     Output: left columns + right columns (both sides' geometry included);
     for semi/anti only left columns.
     """
@@ -692,6 +751,10 @@ def spatial_join(
         raise ValueError("dwithin requires distance=")
     if refine not in ("auto", "none"):
         raise ValueError(f"refine must be 'auto' or 'none', got {refine!r}")
+    if exec_mode not in ("speculative", "prepare", "none"):
+        raise ValueError(
+            f"exec_mode must be 'speculative', 'prepare' or 'none', got {exec_mode!r}"
+        )
     expand = float(distance or 0.0)
 
     lcols = left.columns
@@ -798,8 +861,22 @@ def spatial_join(
     # bbox-exactness; the verdict is then the exact predicate).
     if refine == "none":
         matched = cand.filter(exact_verdict(predicate, distance))
+        chosen_mode = "none"
     else:
-        refine_udf = _refine_udf(predicate, distance)
+        if exec_mode == "speculative":
+            # probe-side stats drive the choice (refine/geo.rs selects on
+            # probe stats only); distance predicates and bbox-declared-exact
+            # probe sides (points/rects by contract) resolve without the
+            # sampling job — select_without_probe_stats parity
+            if predicate == "dwithin" or (left_bbox is not None and len(left_bbox) == 4):
+                chosen_mode = "none"
+            else:
+                chosen_mode = select_exec_mode(
+                    predicate, collect_mean_points(left, left_geom)
+                )
+        else:
+            chosen_mode = exec_mode
+        refine_udf = _refine_udf(predicate, distance, prepare=chosen_mode == "prepare")
         both_exact = F.col("l_exact") & F.col("r_exact")
         refined = refine_udf(
             F.when(~both_exact, F.col(left_geom)),
@@ -819,14 +896,20 @@ def spatial_join(
     ]
     pairs = matched.drop("__cell", *bbox_helper)
 
+    def _finish(df0: DataFrame) -> DataFrame:
+        # expose the refine-mode decision for tests/metrics (≈ the
+        # reference surfacing ExecutionMode::as_gauge in join metrics)
+        df0._spatial_exec_mode = chosen_mode
+        return df0
+
     if how == "inner":
-        return pairs.drop("__lid", "__rid")
+        return _finish(pairs.drop("__lid", "__rid"))
     if how == "left_semi":
         keep = pairs.select("__lid").distinct()
-        return l.join(keep, "__lid", "left_semi").select(*lcols)
+        return _finish(l.join(keep, "__lid", "left_semi").select(*lcols))
     if how == "left_anti":
         keep = pairs.select("__lid").distinct()
-        return l.join(keep, "__lid", "left_anti").select(*lcols)
+        return _finish(l.join(keep, "__lid", "left_anti").select(*lcols))
 
     out_cols = lcols + rcols_out
     inner = pairs.select(*out_cols, "__lid", "__rid")
@@ -842,9 +925,9 @@ def spatial_join(
         )
     res = inner.drop("__lid", "__rid")
     if how == "left":
-        return res.unionByName(null_r)
+        return _finish(res.unionByName(null_r))
     if how == "right":
-        return res.unionByName(null_l)
+        return _finish(res.unionByName(null_l))
     if how == "full":
-        return res.unionByName(null_r).unionByName(null_l)
+        return _finish(res.unionByName(null_r).unionByName(null_l))
     raise ValueError(f"unsupported how={how}")

@@ -256,3 +256,60 @@ def test_bbox_sample_cache_hits_on_identical_build_side(spark):
     s2 = SJ.collect_bbox_sample_cols(boxes, ("bx", "by", "bx2", "by2"))
     assert s2 is s1  # served from cache, not re-collected
     SJ.clear_bbox_sample_cache()
+
+
+def test_exec_mode_selector_unit():
+    """refine/geo.rs:23-40 parity: distance predicates never prepare;
+    relation predicates flip on the 50-point mean threshold; unknown
+    stats default to the unprepared mode."""
+    from dataclod_spark.operators.spatial_join import select_exec_mode
+
+    assert select_exec_mode("dwithin", 5000.0) == "none"
+    assert select_exec_mode("intersects", 1.0) == "none"
+    assert select_exec_mode("intersects", 50.0) == "none"
+    assert select_exec_mode("intersects", 50.5) == "prepare"
+    assert select_exec_mode("within", None) == "none"
+
+
+def _ngon(cx, cy, r, n):
+    import math as m
+
+    ring = [
+        (cx + r * m.cos(2 * m.pi * k / n), cy + r * m.sin(2 * m.pi * k / n))
+        for k in range(n)
+    ]
+    ring.append(ring[0])
+    return GC.Geometry(GC.POLYGON, [ring])
+
+
+def test_speculative_mode_flips_on_geometry_complexity(spark):
+    """GeoStatistics drive the refine mode (VERDICT r3 #8): a point-heavy
+    probe side selects 'none', a complex-polygon probe side (64-gons,
+    mean points > 50) selects 'prepare', and the join results are
+    IDENTICAL across speculative/forced-none/forced-prepare."""
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    rnd = random.Random(7)
+    boxes = [(i, make_envelope(x, y, x + 10, y + 10))
+             for i, (x, y) in enumerate((rnd.uniform(0, 80), rnd.uniform(0, 80)) for _ in range(12))]
+    points = [(i, make_point(rnd.uniform(0, 95), rnd.uniform(0, 95))) for i in range(60)]
+    polys = [(i, _ngon(rnd.uniform(0, 90), rnd.uniform(0, 90), 4.0, 64)) for i in range(60)]
+    bdf = _df(spark, boxes).withColumnRenamed("id", "bid")
+
+    pdf = _df(spark, points).withColumnRenamed("id", "pid")
+    j_pt = spatial_join(pdf, bdf, "intersects", cell_target=16)
+    assert j_pt._spatial_exec_mode == "none"
+
+    gdf = _df(spark, polys).withColumnRenamed("id", "pid")
+    j_spec = spatial_join(gdf, bdf, "intersects", cell_target=16)
+    assert j_spec._spatial_exec_mode == "prepare"
+
+    expected = _brute_pairs(polys, boxes, GP.intersects)
+    for mode in ("speculative", "none", "prepare"):
+        j = spatial_join(gdf, bdf, "intersects", cell_target=16, exec_mode=mode)
+        assert {(r.pid, r.bid) for r in j.collect()} == expected, mode
+    assert expected  # non-degenerate workload
+
+    # distance predicate: never prepares, regardless of complexity
+    j_dw = spatial_join(gdf, bdf, "dwithin", distance=2.0, cell_target=16)
+    assert j_dw._spatial_exec_mode == "none"
