@@ -469,3 +469,63 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark-contamination scan (the Dolma/C4 decontamination shape):
+    flag training documents whose word n-gram overlap with a held-out
+    benchmark set exceeds ``threshold``.
+
+    ``benchmark_pred`` selects the benchmark rows; every other row is a
+    training candidate.  Pipeline (all JVM expression code):
+
+    * distinct word n-grams per doc (staged token array — the d6 inverted-
+      index building blocks);
+    * benchmark gram set = distinct grams over benchmark docs → broadcast
+      (a benchmark is small by definition; at 100 TB the training corpus
+      streams against it without shuffling);
+    * per training doc: explode grams, count broadcast-set hits, one
+      groupBy(doc) shuffle — O(corpus grams), never pairwise.
+
+    Returns ``doc_id, n_grams, n_hits, contamination`` for docs at or
+    above the threshold (rate = hits/grams as exact int-over-int double).
+    """
+    grams = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), benchmark_pred.alias("__is_bench"))
+        .withColumn("__toks", _ngram_tokens(F.col("__t")))
+        .withColumn("__grams", _word_ngrams_from(F.col("__toks"), n))
+        .select("__id", "__is_bench", "__grams", F.size("__grams").alias("__n_grams"))
+    )
+    bench = (
+        grams.filter(F.col("__is_bench"))
+        .select(F.explode("__grams").alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ex = grams.filter(~F.col("__is_bench")).select(
+        "__id", "__n_grams", F.explode("__grams").alias("__g")
+    )
+    return (
+        ex.join(F.broadcast(bench), "__g", "left")
+        .groupBy(F.col("__id").alias(id_col), F.col("__n_grams"))
+        .agg(F.count("__hit").alias("n_hits"))
+        .filter(
+            F.col("n_hits").cast("double") / F.col("__n_grams") >= F.lit(threshold)
+        )
+        .select(
+            id_col,
+            F.col("__n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_hits"),
+            F.round(F.col("n_hits").cast("double") / F.col("__n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+        .orderBy(id_col)
+    )

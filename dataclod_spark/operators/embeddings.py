@@ -37,6 +37,7 @@ __all__ = [
     "label_centroids",
     "cosine_to_centroid",
     "scalar_quantize",
+    "kmeans_clusters",
 ]
 
 # exact accumulator type for cross-row sums of double-cast floats
@@ -128,3 +129,99 @@ def scalar_quantize(df: DataFrame, vec: str, dim: int) -> DataFrame:
         F.aggregate(errs, F.lit(0.0), lambda acc, e: acc + e) / F.lit(float(dim)),
     ).withColumn("max_abs_err", F.array_max(errs))
     return j.drop("__mins", "__maxs", "__scales")
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, index-ordered left fold (same determinism
+    contract as similarity.dot)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_cid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Cluster id of the nearest centroid (ties → lowest id): array_min
+    over (dist, cid) structs — a pure codegen projection, the same
+    literal-centroid mechanism as similarity.knn_ivf."""
+    entries = []
+    for cid, cvec in cents:
+        cv = F.array(*[F.lit(float(x)) for x in cvec])
+        entries.append(F.struct(_sq_l2(vec, cv).alias("dist"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*entries))
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    vec: str = "embedding",
+    dim: int = 64,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd k-means over an embedding column with deterministic
+    initialization — the clustering primitive behind semantic dedup /
+    corpus bucketing (FAISS trains IVF coarse quantizers exactly this
+    way offline).
+
+    Init: the ``k`` lowest-``id_col`` vectors are the starting centroids
+    (deterministic, so the DuckDB differential oracle reproduces the run
+    bit-exactly).  Each Lloyd round is:
+
+    * **assign** — nearest-centroid id as a zero-Python projection
+      (centroids ride into the plan as literals; argmin via ``array_min``
+      over (dist, cid) structs, distances folded in index order);
+    * **update** — per-cluster per-dim mean via ``dim`` DECIMAL-exact
+      column aggregates (one partial+final hash aggregate, no explode),
+      collected to the driver (≤ k rows × dim — bounded by construction).
+
+    100 TB story: each round is one corpus scan + one k-row aggregate;
+    the corpus never shuffles (assignment is a projection, the update agg
+    is partial-aggregated to k rows).  Driver state is k×dim floats.
+    Empty clusters simply drop out of the update (their id disappears),
+    identically in both engines.
+
+    Returns one row per surviving cluster: ``cluster_id, n_members,
+    inertia`` (mean squared distance to the final centroid, DECIMAL-
+    accumulated, rounded to 6)."""
+    v = F.transform(F.col(vec), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    cents = [
+        (i, [float(x) for x in r["__v"]])
+        for i, r in enumerate(base.orderBy("__id").limit(k).collect())
+    ]
+    for _ in range(iters - 1):
+        assigned = base.withColumn("__a", _argmin_cid(F.col("__v"), cents))
+        sums = [
+            F.sum(F.col("__v")[i].cast(_ACC)).alias(f"__s{i}") for i in range(dim)
+        ]
+        rows = (
+            assigned.groupBy(F.col("__a.cid").alias("__cid"))
+            .agg(F.count(F.lit(1)).alias("__n"), *sums)
+            .collect()
+        )
+        cents = sorted(
+            (
+                int(r["__cid"]),
+                [float(r[f"__s{i}"]) / r["__n"] for i in range(dim)],
+            )
+            for r in rows
+        )
+    final = base.withColumn("__a", _argmin_cid(F.col("__v"), cents))
+    return (
+        final.groupBy(F.col("__a.cid").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.col("__a.dist").cast(_ACC)).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -376,3 +376,67 @@ def v6_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "v7_kmeans_clusters",
+    doc="Lloyd k-means (k=8, 2 rounds, deterministic lowest-id init) over "
+    "the embedding corpus — per-cluster size + inertia "
+    "(operators/embeddings.kmeans_clusters): assignment is a literal-"
+    "centroid codegen projection, the update is a k-row DECIMAL-exact "
+    "aggregate; the corpus never shuffles",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+  FROM e ORDER BY vec_id LIMIT 8
+), d1 AS (
+  SELECT e.vec_id, c0.cid,
+         list_sum(list_transform(range(1, 65),
+           i -> (e.v[i] - c0.cvec[i]) * (e.v[i] - c0.cvec[i]))) AS dist
+  FROM e CROSS JOIN c0
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+), ux AS (
+  SELECT vec_id, unnest(generate_series(1, 64)) AS i FROM e
+), c1d AS (
+  SELECT a1.cid, ux.i,
+         CAST(sum(CAST(e.v[ux.i] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS cx
+  FROM ux JOIN a1 USING (vec_id) JOIN e USING (vec_id)
+  GROUP BY a1.cid, ux.i
+), c1 AS (
+  SELECT cid, list(cx ORDER BY i) AS cvec FROM c1d GROUP BY cid
+), d2 AS (
+  SELECT e.vec_id, c1.cid,
+         list_sum(list_transform(range(1, 65),
+           i -> (e.v[i] - c1.cvec[i]) * (e.v[i] - c1.cvec[i]))) AS dist
+  FROM e CROSS JOIN c1
+), a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id,
+       count(*) AS n_members,
+       round(CAST(sum(CAST(dist AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
+         AS inertia
+FROM a2
+GROUP BY cid
+ORDER BY cluster_id
+""",
+)
+def v7_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering for semantic dedup / IVF training: two Lloyd
+    rounds from the k lowest-id seeds.  Cross-row float math is DECIMAL-
+    accumulated and within-vector folds run in index order, so both
+    engines produce bit-identical centroids, assignments, and inertia."""
+    from dataclod_spark.operators.embeddings import kmeans_clusters
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_clusters(e, "embedding", _DIM, k=8, iters=2)

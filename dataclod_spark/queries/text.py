@@ -648,3 +648,49 @@ def x15_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok_1", "tok_2")
     )
+
+
+@query(
+    "x16_contamination_check",
+    doc="benchmark decontamination scan (Dolma/C4 shape): training docs "
+    "whose word-3-gram overlap with the doc_id%97==0 benchmark slice is "
+    ">= 5% — broadcast benchmark gram set, one groupBy(doc) shuffle, "
+    "never pairwise (operators/dedup.contamination_check)",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, greatest(len(ts) - 2, 0)),
+      i -> array_to_string(ts[i:i+2], ' '))) AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0
+), ex AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0
+), hits AS (
+  SELECT ex.doc_id, count(*) AS n_grams, count(b.g) AS n_hits
+  FROM ex LEFT JOIN bench b ON ex.g = b.g
+  GROUP BY ex.doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS contamination
+FROM hits
+WHERE CAST(n_hits AS DOUBLE) / n_grams >= 0.05
+ORDER BY doc_id
+""",
+)
+def x16_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination gate for training pipelines: the doc_id%97==0
+    slice stands in for a held-out benchmark; any other document sharing
+    >= 5% of its distinct word trigrams with that slice is flagged.  The
+    benchmark gram set broadcasts; the training side's only shuffle is
+    the per-doc hit count."""
+    from dataclod_spark.operators.dedup import contamination_check
+
+    d = load(spark, sf_dir, "documents")
+    return contamination_check(
+        d, F.col("doc_id") % 97 == 0, n=3, threshold=0.05
+    )

@@ -107,3 +107,34 @@ def test_quantize_plan_broadcast_stats(vecs):
     # the 1-row stats frame broadcasts; the corpus never hash-partitions
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Two well-separated planted blobs must end in different clusters
+    with tight inertia; membership counts must sum to the corpus."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.embeddings import kmeans_clusters
+
+    dim = 4
+    rows = []
+    for i in range(30):
+        base = [10.0, 10.0, 10.0, 10.0] if i % 2 == 0 else [-10.0, -10.0, -10.0, -10.0]
+        rows.append(Row(vec_id=i, embedding=[b + 0.01 * (i % 5) for b in base]))
+    df = spark.createDataFrame(rows)
+    out = kmeans_clusters(df, "embedding", dim, k=2, iters=3).collect()
+    assert sum(r["n_members"] for r in out) == 30
+    assert len(out) == 2
+    assert all(r["inertia"] < 0.01 for r in out)  # blobs are tight
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.embeddings import kmeans_clusters
+
+    rows = [Row(vec_id=i, embedding=[float((i * 7 + j * 3) % 11) for j in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    a = [tuple(r) for r in kmeans_clusters(df, "embedding", 4, k=3, iters=2).collect()]
+    b = [tuple(r) for r in kmeans_clusters(df, "embedding", 4, k=3, iters=2).collect()]
+    assert a == b and len(a) >= 2

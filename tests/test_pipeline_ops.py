@@ -382,3 +382,28 @@ def test_x15_apriori_prune_bounds_candidates(spark):
     assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, unpruned.collect()))
     # and the prune genuinely removed candidates (unique{i} tokens)
     assert ftoks.count() < toks.count()
+
+
+def test_contamination_flags_planted_benchmark_copy(spark):
+    """A training doc that copies a benchmark doc must be flagged at ~1.0
+    contamination; unrelated docs must not be flagged."""
+    from dataclod_spark.operators.dedup import contamination_check
+
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (100, bench_text),                           # benchmark (pred: id >= 100)
+        (1, bench_text),                             # verbatim copy → flagged 1.0
+        (2, "totally unrelated words about columnar engines and vectorized execution"),
+        (3, bench_text + " with a tiny suffix appended"),  # near-copy → high rate
+    ]
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r
+        for r in contamination_check(
+            df, F.col("doc_id") >= 100, n=3, threshold=0.5
+        ).collect()
+    }
+    assert out[1]["contamination"] == 1.0
+    assert 2 not in out
+    assert out[3]["contamination"] > 0.7  # 12 of 17 grams shared
+    assert 100 not in out  # benchmark rows are never self-flagged
