@@ -42,9 +42,11 @@ _PRIORITY = [
     "g15_sql_exists_spatial", "g16_sql_not_exists_spatial",
     "g17_sql_region_query", "g19_sql_dwithin_join",
     "g20_sql_distance_lt_join", "sp1_stratified_sample", "sp2_hash_sample",
-    # 26-28: new in round 4 (k-means clustering, contamination check) and
-    # implementation changed in round 4 (single-scan TF-IDF)
-    "v7_kmeans_clusters", "x16_contamination_check",
+    # 26-31: new in round 4 (k-means, contamination check, CDC merge,
+    # embedding outliers, event-gap profile) and implementation changed in
+    # round 4 (single-scan TF-IDF)
+    "v7_kmeans_clusters", "x16_contamination_check", "u3_cdc_merge",
+    "v8_embedding_outliers", "e9_event_gap_profile",
     "x11_tfidf_top_terms",
     # 27-31: last verified in round 1 — refresh
     "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",

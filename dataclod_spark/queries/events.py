@@ -391,3 +391,62 @@ def e8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "e9_event_gap_profile",
+    doc="inter-event gap profile per event type: lag() over each user's "
+    "event-time order (microsecond-exact), rolled up to count / mean / "
+    "max gap — the session-health diagnostic behind timeout tuning",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), gaps AS (
+  SELECT event_type, date_diff('microsecond', prev, ts) AS gap_us
+  FROM seq WHERE prev IS NOT NULL
+)
+SELECT event_type,
+       count(*) AS n_gaps,
+       round(CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0, 3)
+         AS avg_gap_s,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def e9_event_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window shuffle on user_id (each user's timeline sorted once),
+    one rollup shuffle on event_type.  Gaps are exact integer
+    microseconds — lag ties broken by event_id so both engines see the
+    same predecessor."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum("gap_us").cast("bigint").cast("double")
+                / F.count(F.lit(1))
+                / 1000000.0,
+                3,
+            ).alias("avg_gap_s"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -1704,3 +1704,94 @@ def r3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY max_depth
         """
     )
+
+
+@query(
+    "u3_cdc_merge",
+    doc="CDC MERGE-apply (operators/cdc.apply_changes): an I/U/D change "
+    "batch derived from the customer dimension is merged into the "
+    "snapshot — deletes drop, upserts replace/add, untouched keys pass "
+    "through; one anti-join + union, the snapshot streams once",
+    oracle="""
+WITH del AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 11 = 0
+), upd AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         c_acctbal + 100 AS c_acctbal, 'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 11 <> 0
+), ins AS (
+  SELECT c_custkey + 1000000 AS c_custkey,
+         'new-' || c_custkey AS c_name,
+         CAST(0 AS INTEGER) AS c_nationkey,
+         CAST(0.0 AS DOUBLE) AS c_acctbal,
+         'INSERTED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+), touched AS (
+  SELECT c_custkey FROM del
+  UNION ALL SELECT c_custkey FROM upd
+  UNION ALL SELECT c_custkey FROM ins
+), merged AS (
+  SELECT * FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM touched)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT c_mktsegment,
+       count(*) AS n_rows,
+       CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS bal_sum
+FROM merged
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def u3_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch upsert/delete apply — the table-maintenance primitive Delta/
+    Iceberg MERGE INTO compiles to.  The change batch (deterministically
+    derived from the dimension itself) is a small fraction of the
+    snapshot: the merge is one anti-join on the touched keys plus a
+    union of the upsert payloads."""
+    from dataclod_spark.operators.cdc import apply_changes
+
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upd = (
+        c.filter((k % 5 == 0) & (k % 11 != 0))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        )
+        .withColumn("op", F.lit("U"))
+    )
+    dels = c.filter(k % 11 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit("D").alias("op"),
+    )
+    ins = c.filter(k % 7 == 0).select(
+        (k + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new-"), k.cast("string")).alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("INSERTED").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    merged = apply_changes(c, changes, "c_custkey", "op")
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("bal_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -440,3 +440,98 @@ def v7_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return kmeans_clusters(e, "embedding", _DIM, k=8, iters=2)
+
+
+@query(
+    "v8_embedding_outliers",
+    doc="per-label embedding outlier gate: vectors whose cosine-to-"
+    "centroid falls below mean - 2*stddev of their label (DECIMAL-exact "
+    "moments, bit-identical thresholds) — the embedding-space cleaning "
+    "pass of a training pipeline",
+    oracle="""
+WITH u AS (
+  SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), ux AS (
+  SELECT u.vec_id, u.label, u.i, CAST(e.embedding[u.i] AS DOUBLE) AS x
+  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+), c AS (
+  SELECT label, i,
+         CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS cx
+  FROM ux GROUP BY label, i
+), cv AS (
+  SELECT label, list(cx ORDER BY i) AS cvec FROM c GROUP BY label
+), cos AS (
+  SELECT e.vec_id, e.label,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * cv.cvec[i]))
+         / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(cv.cvec) + 1),
+              i -> cv.cvec[i] * cv.cvec[i])))) AS cos_centroid
+  FROM embeddings e JOIN cv ON e.label = cv.label
+), stats AS (
+  SELECT label,
+         count(*) AS n,
+         CAST(sum(CAST(cos_centroid AS DECIMAL(18,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(cos_centroid * cos_centroid AS DECIMAL(18,12))) AS DOUBLE) AS s2
+  FROM cos GROUP BY label
+), thr AS (
+  SELECT label, n,
+         (s1 / n) - 2 * sqrt((s2 - (s1 / n) * (s1 / n) * n) / (n - 1)) AS cut
+  FROM stats
+)
+SELECT t.label,
+       t.n AS n_vectors,
+       count(CASE WHEN c.cos_centroid < t.cut THEN 1 END) AS n_outliers,
+       round(t.cut, 6) AS threshold
+FROM cos c JOIN thr t ON c.label = t.label
+GROUP BY t.label, t.n, t.cut
+ORDER BY t.label
+""",
+)
+def v8_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space data cleaning: per-label cosine-to-centroid moments
+    (DECIMAL-accumulated so both engines compute bit-identical means and
+    stddevs), then a broadcast threshold join flags the tail.  Two passes
+    over the corpus (moments, then the gate) — the same train/apply shape
+    as scalar_quantize; the corpus never shuffles."""
+    from dataclod_spark.operators.embeddings import cosine_to_centroid
+
+    e = load(spark, sf_dir, "embeddings")
+    cos = cosine_to_centroid(e, "label", "embedding", _DIM).select(
+        "label", "cos_centroid"
+    )
+    stats = cos.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cos_centroid").cast("decimal(18,12)")).cast("double").alias("s1"),
+        F.sum((F.col("cos_centroid") * F.col("cos_centroid")).cast("decimal(18,12)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    thr = stats.select(
+        "label",
+        F.col("n"),
+        (
+            (F.col("s1") / F.col("n"))
+            - 2
+            * F.sqrt(
+                (F.col("s2") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")) * F.col("n"))
+                / (F.col("n") - 1)
+            )
+        ).alias("cut"),
+    )
+    return (
+        cos.join(F.broadcast(thr), "label")
+        .groupBy("label", "n", "cut")
+        .agg(
+            F.count(F.when(F.col("cos_centroid") < F.col("cut"), 1)).alias("n_outliers")
+        )
+        .select(
+            "label",
+            F.col("n").alias("n_vectors"),
+            "n_outliers",
+            F.round("cut", 6).alias("threshold"),
+        )
+        .orderBy("label")
+    )

@@ -407,3 +407,30 @@ def test_contamination_flags_planted_benchmark_copy(spark):
     assert 2 not in out
     assert out[3]["contamination"] > 0.7  # 12 of 17 grams shared
     assert 100 not in out  # benchmark rows are never self-flagged
+
+
+def test_cdc_apply_changes_semantics(spark):
+    """Delete drops, update replaces, insert adds, untouched passes
+    through; with seq_col the highest sequence number wins per key."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=2, v="b2", op="U", seq=1),
+            Row(k=2, v="b3", op="U", seq=2),   # later change wins
+            Row(k=3, v=None, op="D", seq=1),
+            Row(k=4, v="d", op="I", seq=1),
+            Row(k=5, v="e5", op="I", seq=1),
+            Row(k=5, v=None, op="D", seq=2),   # inserted then deleted → absent
+        ]
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changes(base, changes, "k", "op", seq_col="seq").collect()
+    }
+    assert got == {1: "a", 2: "b3", 4: "d"}
