@@ -47,6 +47,9 @@ _PRIORITY = [
     # round 4 (single-scan TF-IDF)
     "v7_kmeans_clusters", "x16_contamination_check", "u3_cdc_merge",
     "v8_embedding_outliers", "e9_event_gap_profile",
+    "d11_dedup_reduction_report",
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_parts_supplier_counts", "q20_potential_promotion",
     "x11_tfidf_top_terms",
     # 27-31: last verified in round 1 — refresh
     "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",

@@ -366,3 +366,80 @@ def d9_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_pairs(
         d, id_col="doc_id", text_col="text", min_shared=3, max_doc_freq=20
     ).orderBy("id_1", "id_2")
+
+
+@query(
+    "d11_dedup_reduction_report",
+    doc="end-to-end dedup pipeline report: LSH pairs -> connected "
+    "components -> keep the min-id representative per cluster -> "
+    "per-language corpus reduction rates (the job summary a corpus-prep "
+    "run publishes)",
+    oracle=rf"""
+WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+sig AS (
+  SELECT doc_id, s,
+         md5({_mh(0)} || {_mh(1)}) AS band_0,
+         md5({_mh(2)} || {_mh(3)}) AS band_1
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.s AS sh_1, b.s AS sh_2
+  FROM sig a JOIN sig b ON a.band_0 = b.band_0 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.s, b.s
+  FROM sig a JOIN sig b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_1, id_2 FROM cand
+  WHERE round(CAST(len(list_distinct(list_intersect(sh_1, sh_2))) AS DOUBLE)
+              / len(list_distinct(list_concat(sh_1, sh_2))), 4) >= 0.2
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION SELECT id_2, id_1 FROM pairs
+),
+walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, walk.lbl FROM walk JOIN edges e ON e.a = walk.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+dropped AS (SELECT id FROM comp WHERE id <> component)
+SELECT d.lang,
+       count(*) AS n_docs,
+       count(*) - count(dr.id) AS n_kept,
+       count(dr.id) AS n_dropped,
+       round(CAST(count(dr.id) AS DOUBLE) / count(*), 6) AS reduction
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.id
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+)
+def d11_dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the dedup primitives into the shape a production corpus
+    prep actually ships: candidate pairs (banded LSH — never all-pairs),
+    near-dup clusters (min-label components with checkpointed lineage),
+    keep-lowest-id per cluster, and a per-language reduction summary.
+    The component table is tiny next to the corpus (only docs with a
+    near-dup edge), so the final accounting is a broadcast-friendly left
+    join against documents."""
+    d = load(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(d, jaccard_threshold=0.2)
+    comp = DD.connected_components(pairs, "id_1", "id_2")
+    dropped = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("__dropped")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(dropped), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.count("__dropped")).alias("n_kept"),
+            F.count("__dropped").alias("n_dropped"),
+            F.round(
+                F.count("__dropped").cast("double") / F.count(F.lit(1)), 6
+            ).alias("reduction"),
+        )
+        .orderBy("lang")
+    )

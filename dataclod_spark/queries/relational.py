@@ -1795,3 +1795,281 @@ def u3_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the driver parquet set has no partsupp table, so q2/q11/
+# q16/q20 derive one deterministically from part × supplier — 4 suppliers
+# per part, keys/quantities/costs as pure integer arithmetic — identically
+# in both engines (closing the "q2/q11/q16/q20 unimplementable" gap with
+# full differential parity; the SHAPES match TPC-H, projected onto the
+# columns the driver data carries).
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+ps AS (
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey * 7 + i.i * 13) % ns.n AS BIGINT) AS ps_suppkey,
+         CAST(1 + (p_partkey * 4 + i.i * 3) % 9999 AS BIGINT) AS ps_availqty,
+         CAST((p_partkey * 31 + i.i * 7) % 100000 AS DOUBLE) / 100.0
+           AS ps_supplycost
+  FROM part,
+       (SELECT unnest([0, 1, 2, 3]) AS i) i,
+       (SELECT count(*) AS n FROM supplier) ns
+)"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 deterministic (partkey, suppkey) rows per part; supplier count
+    folded in as a 1-row broadcast (no driver action).  Suppkeys are
+    distinct per part for every driver SF (offsets 0/13/26/39 mod N are
+    distinct for N=10/100/1000)."""
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    n = load(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("__n"))
+    k = F.col("p_partkey")
+    i = F.col("__i")
+    return (
+        p.crossJoin(F.broadcast(n))
+        .select(
+            "p_partkey",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("__i"),
+            "__n",
+        )
+        .select(
+            k.alias("ps_partkey"),
+            ((k * 7 + i * 13) % F.col("__n")).cast("bigint").alias("ps_suppkey"),
+            (1 + (k * 4 + i * 3) % 9999).cast("bigint").alias("ps_availqty"),
+            (((k * 31 + i * 7) % 100000).cast("double") / 100.0).alias(
+                "ps_supplycost"
+            ),
+        )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    doc="TPC-H Q2 shape (derived partsupp): minimum-cost supplier per "
+    "qualifying part within a region — correlated-min subquery resolved "
+    "as a per-part min + equality join",
+    oracle=f"""
+WITH {_PS_SQL},
+eligible AS (
+  SELECT p.p_partkey, p.p_brand, ps.ps_suppkey, ps.ps_supplycost,
+         s.s_name, s.s_acctbal, n.n_name, r.r_name
+  FROM part p
+  JOIN ps ON ps.ps_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE p.p_size < 10 AND p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+), mins AS (
+  SELECT p_partkey, min(ps_supplycost) AS min_cost
+  FROM eligible GROUP BY p_partkey
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.p_brand,
+       round(e.ps_supplycost, 2) AS supply_cost
+FROM eligible e JOIN mins m
+  ON m.p_partkey = e.p_partkey AND e.ps_supplycost = m.min_cost
+ORDER BY e.s_acctbal DESC, e.p_partkey, e.s_name
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated `cost = (SELECT min(...))` of TPC-H Q2 as one
+    grouped min + equality join — two broadcast-friendly shuffles; the
+    region/nation dims broadcast.  Derived costs are bit-identical in
+    both engines (integer arithmetic / 100.0), so the min-equality join
+    is exact."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    eligible = (
+        p.filter((F.col("p_size") < 10) & (F.col("p_type") == "PROMO"))
+        .join(ps, p["p_partkey"] == ps["ps_partkey"])
+        .join(s, s["s_suppkey"] == ps["ps_suppkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select(
+            "p_partkey", "p_brand", "ps_suppkey", "ps_supplycost",
+            "s_name", "s_acctbal", "n_name",
+        )
+    )
+    mins = eligible.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            mins,
+            (F.col("p_partkey") == F.col("__pk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round("ps_supplycost", 2).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    doc="TPC-H Q11 shape (derived partsupp): per-part inventory value for "
+    "one nation's suppliers (NATION_3 — populated at every driver SF), HAVING value > fraction of the nation total "
+    "(scalar total folded in as a 1-row broadcast)",
+    oracle=f"""
+WITH {_PS_SQL},
+natps AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS val
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+), tot AS (
+  SELECT CAST(sum(CAST(val AS DECIMAL(27,6))) AS DOUBLE) AS total FROM natps
+)
+SELECT ps_partkey,
+       round(CAST(sum(CAST(val AS DECIMAL(27,6))) AS DOUBLE), 2) AS part_value
+FROM natps CROSS JOIN tot
+GROUP BY ps_partkey, tot.total
+HAVING CAST(sum(CAST(val AS DECIMAL(27,6))) AS DOUBLE) > tot.total * 0.001
+ORDER BY part_value DESC, ps_partkey
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's scalar subquery (the nation-wide total) rides as a 1-row
+    broadcast crossJoin; per-term products are identical doubles and the
+    cross-row sums DECIMAL-accumulate, so the HAVING comparison is
+    engine-independent."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    natps = (
+        ps.join(s, s["s_suppkey"] == ps["ps_suppkey"])
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("val"),
+        )
+    )
+    tot = natps.agg(
+        F.sum(F.col("val").cast("decimal(27,6)")).cast("double").alias("total")
+    )
+    return (
+        natps.crossJoin(F.broadcast(tot))
+        .groupBy("ps_partkey", "total")
+        .agg(F.sum(F.col("val").cast("decimal(27,6)")).cast("double").alias("__sum"))
+        .filter(F.col("__sum") > F.col("total") * 0.001)
+        .select("ps_partkey", F.round("__sum", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@query(
+    "q16_parts_supplier_counts",
+    doc="TPC-H Q16 shape (derived partsupp): distinct supplier counts per "
+    "(brand, type, size) bucket, excluding a brand, a type prefix, and a "
+    "NOT IN supplier denylist",
+    oracle=f"""
+WITH {_PS_SQL}
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type NOT LIKE 'PRO%'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77'
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16's NOT IN denylist is a broadcast anti-join; the distinct count
+    is one partial-aggregated shuffle on the (brand, type, size) key."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PRO%"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    deny = load(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%77")
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    return (
+        ps.join(F.broadcast(deny), "ps_suppkey", "left_anti")
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    doc="TPC-H Q20 shape (derived partsupp): suppliers holding more than "
+    "half a year's shipped quantity of any qualifying part — nested IN "
+    "subqueries as semi-joins over a correlated shipped-quantity aggregate",
+    oracle=f"""
+WITH {_PS_SQL},
+shipped AS (
+  SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+), qual AS (
+  SELECT DISTINCT ps.ps_suppkey
+  FROM ps
+  JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'small%'
+  JOIN shipped sh
+    ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+  WHERE ps.ps_availqty > sh.half_qty
+)
+SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+FROM supplier s JOIN qual q ON q.ps_suppkey = s.s_suppkey
+ORDER BY s.s_name
+""",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's correlated `availqty > 0.5 * sum(shipped)` resolves as one
+    grouped aggregate over the year's lineitems joined back on the
+    (part, supplier) key — integral double quantities sum exactly, so
+    the comparison is engine-independent; the final IN is a semi-join."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load(spark, sf_dir, "supplier")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.sum("l_quantity") * 0.5).alias("half_qty"))
+    )
+    qual = (
+        ps.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(qual, s["s_suppkey"] == qual["ps_suppkey"], "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
