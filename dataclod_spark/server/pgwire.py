@@ -692,9 +692,24 @@ class _Connection:
                 self.p.send_ready()
 
 
+def _numeric_binary_decode(raw: bytes) -> Decimal:
+    """Inverse of :func:`_numeric_binary` (PG NUMERIC wire format)."""
+    ndigits, weight, sign, dscale = struct.unpack("!hhHh", raw[:8])
+    if sign == 0xC000:
+        return Decimal("NaN")
+    digits = struct.unpack(f"!{ndigits}h", raw[8 : 8 + 2 * ndigits])
+    val = Decimal(0)
+    for k, d in enumerate(digits):
+        val += Decimal(d) * (Decimal(10000) ** (weight - k))
+    if sign == 0x4000:
+        val = -val
+    return val.quantize(Decimal(1).scaleb(-dscale)) if dscale > 0 else val
+
+
 def _decode_param(raw: bytes, fmt: int, oid: int):
-    """Bind-parameter decode (text + the binary types encode_parameters
-    accepts, types.rs:24-68)."""
+    """Bind-parameter decode — text format plus the full binary matrix
+    (primitives, numeric, date/timestamp/interval, and 1-D arrays of the
+    primitive matrix; types.rs:24-68)."""
     if fmt == 1:  # binary
         if oid == _OID_INT2:
             return struct.unpack("!h", raw)[0]
@@ -710,6 +725,35 @@ def _decode_param(raw: bytes, fmt: int, oid: int):
             return raw != b"\x00"
         if oid == _OID_BYTEA:
             return raw
+        if oid == _OID_NUMERIC:
+            return _numeric_binary_decode(raw)
+        if oid == _OID_DATE:
+            return _PG_EPOCH_DATE + timedelta(days=struct.unpack("!i", raw)[0])
+        if oid == _OID_TIMESTAMP:
+            return _PG_EPOCH_DT + timedelta(microseconds=struct.unpack("!q", raw)[0])
+        if oid == _OID_INTERVAL:
+            micros, days, months = struct.unpack("!qii", raw)
+            return timedelta(days=days + 30 * months, microseconds=micros)
+        if oid in _ELEM_OF:
+            # 1-D array parameter in PG array binary format
+            ndim, _hasnull, elem_oid = struct.unpack("!iii", raw[:12])
+            if ndim == 0:
+                return []
+            if ndim != 1:
+                raise ValueError(f"only 1-D binary array parameters (got ndim={ndim})")
+            nelems = struct.unpack("!ii", raw[12:20])[0]
+            off, out = 20, []
+            for _ in range(nelems):
+                (ln,) = struct.unpack("!i", raw[off : off + 4])
+                off += 4
+                if ln == -1:
+                    out.append(None)
+                else:
+                    out.append(_decode_param(raw[off : off + ln], 1, elem_oid))
+                    off += ln
+            return out
+        if oid == _OID_TEXT:
+            return raw.decode()
         return raw  # pass through
     text = raw.decode()
     if oid in (_OID_INT2, _OID_INT4, _OID_INT8):

@@ -106,12 +106,17 @@ class MiniPgClient:
         params: list[bytes | None],
         oids: list[int],
         result_formats: list[int] | None = None,
+        param_formats: list[int] | None = None,
     ):
         parse = b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", len(oids))
         for o in oids:
             parse += struct.pack("!i", o)
         self.send(b"P", parse)
-        bind = b"\x00\x00" + struct.pack("!h", 0) + struct.pack("!h", len(params))
+        pf = param_formats or []
+        bind = b"\x00\x00" + struct.pack("!h", len(pf))
+        for f in pf:
+            bind += struct.pack("!h", f)
+        bind += struct.pack("!h", len(params))
         for p in params:
             bind += struct.pack("!i", -1) if p is None else struct.pack("!i", len(p)) + p
         rf = result_formats or []
@@ -534,3 +539,44 @@ def test_concurrent_clients(server):
     t2 = threading.Thread(target=worker, args=("b", 42))
     t1.start(); t2.start(); t1.join(30); t2.join(30)
     assert results == {"a": True, "b": True}
+
+
+def test_binary_format_parameters(client):
+    """Bind parameters in binary format: int8, float8, numeric, date, and
+    a 1-D int4 array — the decode side of the types.rs parameter matrix."""
+    import datetime as dt
+
+    # int8 + float8 binary
+    rows, _ = client.extended(
+        "SELECT $1 + $2 AS s",
+        [struct.pack("!q", 40), struct.pack("!d", 2.5)],
+        [20, 701],
+        param_formats=[1, 1],
+    )
+    assert rows[0][0] == b"42.5"
+
+    # numeric binary: 123.45 → ndigits=2, weight=0, dscale=2, digits (123, 4500)
+    num = struct.pack("!hhHh", 2, 0, 0, 2) + struct.pack("!hh", 123, 4500)
+    rows, _ = client.extended(
+        "SELECT $1 AS n", [num], [1700], param_formats=[1]
+    )
+    assert rows[0][0] == b"123.45"
+
+    # date binary: days since 2000-01-01
+    days = (dt.date(2024, 3, 1) - dt.date(2000, 1, 1)).days
+    rows, _ = client.extended(
+        "SELECT $1 AS d", [struct.pack("!i", days)], [1082], param_formats=[1]
+    )
+    assert rows[0][0] == b"2024-03-01"
+
+
+def test_binary_array_parameter_roundtrip(client):
+    """A 1-D int4[] binary parameter decodes to a list and round-trips
+    through the engine back out as a PG text array."""
+    arr = struct.pack("!iiiii", 1, 0, 23, 3, 1)
+    for v in (7, 8, 9):
+        arr += struct.pack("!i", 4) + struct.pack("!i", v)
+    rows, _ = client.extended(
+        "SELECT $1 AS a", [arr], [1007], param_formats=[1]
+    )
+    assert rows[0][0] == b"{7,8,9}"
