@@ -297,3 +297,43 @@ def st7_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_us",
         F.round("click_value", 4).alias("click_value"),
     ).orderBy("purchase_id")
+
+
+@query(
+    "st8_stream_heavy_hitters",
+    doc="streaming heavy hitters: space-saving top-3 users per event type "
+    "maintained in applyInPandasWithState state (bounded-memory sketch; "
+    "exact at driver cardinality, eviction guarantee beyond)",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS cnt
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, user_id) AS rank
+  FROM counts
+)
+SELECT event_type, user_id, cnt, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY event_type, rank
+""",
+)
+def st8_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow over one file = one micro-batch, and the query's
+    capacity exceeds the corpus cardinality, so the streaming sketch
+    reproduces the exact batch top-3 (max_err = 0, dropped from the
+    compared projection along with the snapshot stamp)."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.streaming.run import (
+        heavy_hitters_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_memory(heavy_hitters_stream(ev, k=3), spark)
+    return out.select("event_type", "user_id", "cnt", "rank").orderBy(
+        "event_type", "rank"
+    )

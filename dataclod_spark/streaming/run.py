@@ -359,3 +359,80 @@ def static_enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
         "event_id", "user_id", "value"
     )
     return purchases.join(F.broadcast(dim), purchases["user_id"] == dim["c_custkey"])
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    k: int = 3,
+    capacity: int = 100_000,
+) -> DataFrame:
+    """Streaming heavy hitters (top-k users per event type) as a custom
+    stateful operator: per-key **space-saving** summaries maintained in
+    ``applyInPandasWithState`` state.
+
+    State per event_type is at most ``capacity`` (user, count, err)
+    entries.  While distinct users fit the capacity the counts are exact;
+    under pressure the classic space-saving eviction applies — the
+    minimum-count entry is replaced and the newcomer inherits its count
+    as overestimation error (Metwally et al.'s guarantee: any user with
+    true frequency > N/capacity is retained).  Production picks
+    ``capacity`` from the memory budget; the oracle-gated query uses a
+    capacity far above the driver data's cardinality so the stream
+    reproduces the exact batch top-k.
+
+    After each micro-batch the current top-k emits with a ``batch_seq``
+    stamp (append sinks can't retract earlier snapshots; consumers read
+    the latest stamp — with availableNow over one file there is exactly
+    one).  Ranks break ties by (count desc, user_id asc)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        event_type = key[0]
+        if state.exists:
+            users, counts, errs, seq = state.get
+            summary = {u: [c, e] for u, c, e in zip(users, counts, errs)}
+        else:
+            summary, seq = {}, 0
+        for pdf in pdfs:
+            for u in pdf["user_id"]:
+                u = int(u)
+                if u in summary:
+                    summary[u][0] += 1
+                elif len(summary) < capacity:
+                    summary[u] = [1, 0]
+                else:
+                    # space-saving eviction: replace the min-count entry
+                    mu = min(summary, key=lambda x: (summary[x][0], x))
+                    mc = summary[mu][0]
+                    del summary[mu]
+                    summary[u] = [mc + 1, mc]
+        top = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        state.update((
+            [u for u, _ in summary.items()],
+            [c for c, _ in summary.values()],
+            [e for _, e in summary.values()],
+            seq + 1,
+        ))
+        if top:
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type] * len(top),
+                    "user_id": [u for u, _ in top],
+                    "cnt": [c for _, (c, _e) in top],
+                    "max_err": [e for _, (_c, e) in top],
+                    "rank": list(range(1, len(top) + 1)),
+                    "batch_seq": [seq] * len(top),
+                }
+            )
+
+    src = events.select("event_type", "user_id")
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn,
+        "event_type string, user_id bigint, cnt bigint, max_err bigint, "
+        "rank int, batch_seq int",
+        "users array<bigint>, counts array<bigint>, errs array<bigint>, seq int",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
