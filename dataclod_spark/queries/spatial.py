@@ -1133,3 +1133,59 @@ def g21_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile")
     )
+
+
+@query(
+    "g22_tile_heatmap",
+    doc="slippy-tile heatmap: lon/lat-shaped point cloud bucketed to "
+    "WebMercator z8 tiles with per-tile counts and value sums — the "
+    "map-serving aggregation layer over a point corpus, pure codegen "
+    "arithmetic (no UDF, no geometry objects)",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(event_id % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+         CAST(user_id % 160 AS DOUBLE) / 2.0 - 40.0 + 0.25 AS lat,
+         value
+  FROM events
+), t AS (
+  SELECT
+    CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT) AS tx,
+    CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+               / 2.0 * 256) AS BIGINT) AS ty,
+    value
+  FROM pts
+)
+SELECT tx, ty, count(*) AS n_points,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+FROM t
+GROUP BY tx, ty
+ORDER BY tx, ty
+""",
+)
+def g22_tile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tile-pyramid aggregation a map service precomputes: WebMercator
+    tile indices at zoom 8 (2^8 tiles per axis) as plain trigonometric
+    expressions — whole-stage codegen end to end, one partial-aggregated
+    shuffle on (tx, ty).  Latitudes stay within ±40° so the Mercator
+    transform is well-conditioned and floor() never lands on a tile
+    boundary tie (offsets 0.5/0.25 keep inputs off exact edges)."""
+    e = load(spark, sf_dir, "events")
+    lon = (F.col("event_id") % 360).cast("double") - 180.0 + 0.5
+    lat = (F.col("user_id") % 160).cast("double") / 2.0 - 40.0 + 0.25
+    n = 256  # 2^zoom
+    latr = F.radians(lat)
+    tx = F.floor((lon + 180.0) / 360.0 * n).cast("bigint")
+    ty = F.floor(
+        (1.0 - F.log(F.tan(latr) + 1.0 / F.cos(latr)) / 3.141592653589793) / 2.0 * n
+    ).cast("bigint")
+    return (
+        e.select(tx.alias("tx"), ty.alias("ty"), "value")
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("tx", "ty")
+    )
