@@ -42,9 +42,10 @@ _PRIORITY = [
     "g15_sql_exists_spatial", "g16_sql_not_exists_spatial",
     "g17_sql_region_query", "g19_sql_dwithin_join",
     "g20_sql_distance_lt_join", "sp1_stratified_sample", "sp2_hash_sample",
-    # 26-31: new in round 4 (k-means, contamination check, CDC merge,
-    # embedding outliers, event-gap profile) and implementation changed in
-    # round 4 (single-scan TF-IDF)
+    # then: new in round 4 (k-means, contamination check, CDC merge,
+    # embedding outliers, event-gap profile, dedup reduction report, the
+    # derived-partsupp TPC-H closures, streaming heavy hitters, tile
+    # heatmap) and implementation changed in round 4 (single-scan TF-IDF)
     "v7_kmeans_clusters", "x16_contamination_check", "u3_cdc_merge",
     "v8_embedding_outliers", "e9_event_gap_profile",
     "d11_dedup_reduction_report",
@@ -52,10 +53,10 @@ _PRIORITY = [
     "q16_parts_supplier_counts", "q20_potential_promotion",
     "st8_stream_heavy_hitters", "g22_tile_heatmap",
     "x11_tfidf_top_terms",
-    # 27-31: last verified in round 1 — refresh
+    # then: last verified in round 1 — refresh
     "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",
     "v1_knn_bruteforce", "v2_knn_lsh",
-    # 32-50: freshness refill (r1/r2-green, unchecked since)
+    # freshness refill to the window edge (r1/r2-green, unchecked since)
     "d1_exact_dedup", "d2_minhash_signatures", "d3_lsh_pairs", "d4_simhash",
     "d5_embedding_dups", "d6_ngram_jaccard",
     "x1_token_stats", "x2_quality_score", "x3_langid",
