@@ -54,6 +54,16 @@ def apply_changes(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+    # runtime guard: an unrecognized op would otherwise silently act as a
+    # delete (its key lands in `touched` but never in `upserts`).  The check
+    # is folded into the op column itself — a dropped assert column would be
+    # pruned away by Catalyst and never evaluate (SCALE.md pitfall #5)
+    changes = changes.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin("I", "U", "D"), F.col(op_col)).otherwise(
+            F.raise_error(F.concat(F.lit("unknown CDC op: "), F.col(op_col)))
+        ),
+    )
     touched = changes.select(key, op_col)
     upserts = changes.filter(F.col(op_col).isin("I", "U")).select(*payload)
     survivors = base.join(touched.select(key), key, "left_anti")

@@ -434,3 +434,16 @@ def test_cdc_apply_changes_semantics(spark):
         for r in apply_changes(base, changes, "k", "op", seq_col="seq").collect()
     }
     assert got == {1: "a", 2: "b3", 4: "d"}
+
+
+def test_cdc_rejects_unknown_op(spark):
+    """An unrecognized op code must raise, not silently delete the key."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([Row(k=1, v="a")])
+    changes = spark.createDataFrame([Row(k=1, v="x", op="Z")])
+    with _pytest.raises(Exception, match="unknown CDC op"):
+        apply_changes(base, changes, "k", "op").collect()
