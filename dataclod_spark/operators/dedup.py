@@ -320,12 +320,19 @@ def connected_components(
 def _word_ngrams_from(toks: Column, n: int = 3) -> Column:
     """Distinct word n-grams from an already-staged token array (the
     per-gram lambda slices ``toks`` — stage it as a real column or the
-    tokenizing regex split is inlined per element)."""
+    tokenizing regex split is inlined per element).
+
+    Documents with fewer than ``n`` tokens yield an EMPTY gram set — the
+    short-doc branch must be explicit because ``sequence(1, 0)`` is the
+    DESCENDING array [1, 0] in Spark (not empty like DuckDB's
+    generate_series), and slice(toks, 0, n) then throws at runtime."""
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _ngram_tokens(col: Column) -> Column:
@@ -497,11 +504,15 @@ def contamination_check(
     Returns ``doc_id, n_grams, n_hits, contamination`` for docs at or
     above the threshold (rate = hits/grams as exact int-over-int double).
     """
+    # checkpoint the tokenized corpus once: the bench and training branches
+    # would otherwise each re-scan and re-tokenize (branch specialization
+    # defeats ReuseExchange — SCALE.md pitfall #6, same fix as x11/x15)
     grams = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), benchmark_pred.alias("__is_bench"))
         .withColumn("__toks", _ngram_tokens(F.col("__t")))
         .withColumn("__grams", _word_ngrams_from(F.col("__toks"), n))
         .select("__id", "__is_bench", "__grams", F.size("__grams").alias("__n_grams"))
+        .localCheckpoint()
     )
     bench = (
         grams.filter(F.col("__is_bench"))

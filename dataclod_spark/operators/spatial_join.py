@@ -128,13 +128,19 @@ def select_exec_mode(predicate: str, mean_points: Optional[float]) -> str:
     return "prepare"
 
 
+_MEAN_POINTS_CACHE: dict[int, Optional[float]] = {}
+_MEAN_POINTS_CACHE_MAX = 32
+
+
 def collect_mean_points(src: DataFrame, geom_col: str) -> Optional[float]:
     """Sampled mean point count per geometry (``GeoStatistics.
     mean_points_per_geometry``, statistics.rs): the same seeded 1%/cap
     sample policy as the grid sample, analyzed by the geo_stats summary
     UDF and aggregated to one row — the Spark analogue of the reference
     analyzing the first ``min_required_count`` probe geometries
-    (exec_mode_selector.rs:63-71)."""
+    (exec_mode_selector.rs:63-71).  Memoized per semantic plan like
+    ``_cached_sample`` so rebuilding the same join doesn't re-run the
+    sampling job."""
     from dataclod_spark.operators.geo_stats import geometry_statistics
 
     base = src.select(F.col(geom_col).alias("__g")).dropna()
@@ -142,10 +148,22 @@ def collect_mean_points(src: DataFrame, geom_col: str) -> Optional[float]:
         MAX_BBOX_SAMPLES
     )
     pool = samp.unionAll(base.limit(MIN_BBOX_SAMPLES)).coalesce(1)
+    try:
+        key: Optional[int] = pool.semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in _MEAN_POINTS_CACHE:
+        return _MEAN_POINTS_CACHE[key]
     row = geometry_statistics(pool, "__g").collect()[0]
     if not row["total_geometries"]:
-        return None
-    return float(row["total_points"]) / float(row["total_geometries"])
+        out = None
+    else:
+        out = float(row["total_points"]) / float(row["total_geometries"])
+    if key is not None:
+        if len(_MEAN_POINTS_CACHE) >= _MEAN_POINTS_CACHE_MAX:
+            _MEAN_POINTS_CACHE.pop(next(iter(_MEAN_POINTS_CACHE)))
+        _MEAN_POINTS_CACHE[key] = out
+    return out
 
 
 PREDICATES = {

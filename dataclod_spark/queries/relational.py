@@ -1461,12 +1461,19 @@ def p2_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .parquet(staged)
         )
-        if os.path.isdir(base) and not os.path.exists(marker):
-            shutil.rmtree(base, ignore_errors=True)  # legacy partial write
+        # rename FIRST; only if it fails AND no complete copy exists do we
+        # clear a legacy partial dir (an eager pre-check would race: another
+        # session could rename its complete copy between our check and
+        # rmtree, and we would delete it mid-read)
         try:
             os.rename(staged, base)
         except OSError:
-            pass  # another session renamed first; its copy is complete
+            if not os.path.exists(marker):
+                shutil.rmtree(base, ignore_errors=True)  # stale partial (pre-fix layout)
+                try:
+                    os.rename(staged, base)
+                except OSError:
+                    pass  # another session won the retry; its copy is complete
         shutil.rmtree(scratch, ignore_errors=True)
     p = spark.read.parquet(base).filter(F.col("event_type") == "purchase")
     return (

@@ -334,6 +334,18 @@ def st8_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     out = run_to_memory(heavy_hitters_stream(ev, k=3), spark)
-    return out.select("event_type", "user_id", "cnt", "rank").orderBy(
-        "event_type", "rank"
+    # keep only each key's LATEST snapshot: append sinks retain one top-k
+    # emission per micro-batch, so a multi-file source would otherwise
+    # return stale snapshots alongside the final one
+    last = out.groupBy(F.col("event_type").alias("__et")).agg(
+        F.max("batch_seq").alias("__last_seq")
+    )
+    return (
+        out.join(
+            F.broadcast(last),
+            (out["event_type"] == F.col("__et"))
+            & (out["batch_seq"] == F.col("__last_seq")),
+        )
+        .select("event_type", "user_id", "cnt", "rank")
+        .orderBy("event_type", "rank")
     )

@@ -167,7 +167,9 @@ def _text_encode(v) -> Optional[bytes]:
         sign = "-" if neg else ""
         parts = []
         if days:
-            parts.append(f"{sign}{days} day" + ("s" if days != 1 else ""))
+            # PG pluralizes on the SIGNED value ('-1 days', '1 day')
+            signed_days = -days if neg else days
+            parts.append(f"{sign}{days} day" + ("s" if signed_days != 1 else ""))
         if h or m or s or us or not parts:
             t = f"{sign}{h:02d}:{m:02d}:{s:02d}"
             if us:
@@ -266,9 +268,15 @@ def _binary_encode(v, oid: int) -> Optional[bytes]:
         micros = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000 + v.microsecond
         return struct.pack("!q", micros)
     if oid == _OID_INTERVAL:
-        # int64 micros-of-day, int32 days, int32 months (types.rs interval arm)
+        # int64 micros-of-day, int32 days, int32 months (types.rs interval
+        # arm).  Integer truncation toward zero — float division could round
+        # across a day boundary for large totals and emit a micros component
+        # whose sign disagrees with the day field
         total = v.days * 86_400_000_000 + v.seconds * 1_000_000 + v.microseconds
-        days = int(total / 86_400_000_000)  # trunc toward zero: sign-consistent
+        if total >= 0:
+            days = total // 86_400_000_000
+        else:
+            days = -((-total) // 86_400_000_000)
         return struct.pack("!qii", total - days * 86_400_000_000, days, 0)
     if oid in _ELEM_OF:
         # 1-D array: int32 ndim, hasnull, elem oid; per-dim len/lbound;

@@ -361,6 +361,38 @@ def static_enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     return purchases.join(F.broadcast(dim), purchases["user_id"] == dim["c_custkey"])
 
 
+def _space_saving_update(
+    summary: dict, heap: list, u: int, capacity: int
+) -> None:
+    """One space-saving increment over ``summary`` (user → [count, err]).
+
+    ``heap`` is a lazy-deletion min-heap of (count, user) snapshots: every
+    increment pushes the fresh snapshot and stale entries are discarded
+    when they surface, so the saturated-state eviction is O(log n)
+    amortized instead of a linear min() scan over the whole summary (the
+    scan would make a high-cardinality micro-batch O(rows × capacity)).
+    Eviction picks the (count, user)-smallest live entry — the same
+    deterministic order the linear scan produced."""
+    import heapq
+
+    if u in summary:
+        summary[u][0] += 1
+        heapq.heappush(heap, (summary[u][0], u))
+    elif len(summary) < capacity:
+        summary[u] = [1, 0]
+        heapq.heappush(heap, (1, u))
+    else:
+        while True:
+            c, mu = heap[0]
+            if mu in summary and summary[mu][0] == c:
+                break
+            heapq.heappop(heap)  # stale snapshot
+        heapq.heappop(heap)
+        del summary[mu]
+        summary[u] = [c + 1, c]
+        heapq.heappush(heap, (c + 1, u))
+
+
 def heavy_hitters_stream(
     events: DataFrame,
     k: int = 3,
@@ -389,25 +421,19 @@ def heavy_hitters_stream(
     def fn(
         key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        import heapq
+
         event_type = key[0]
         if state.exists:
             users, counts, errs, seq = state.get
             summary = {u: [c, e] for u, c, e in zip(users, counts, errs)}
+            heap = [(c, u) for u, c in zip(users, counts)]
+            heapq.heapify(heap)
         else:
-            summary, seq = {}, 0
+            summary, heap, seq = {}, [], 0
         for pdf in pdfs:
             for u in pdf["user_id"]:
-                u = int(u)
-                if u in summary:
-                    summary[u][0] += 1
-                elif len(summary) < capacity:
-                    summary[u] = [1, 0]
-                else:
-                    # space-saving eviction: replace the min-count entry
-                    mu = min(summary, key=lambda x: (summary[x][0], x))
-                    mc = summary[mu][0]
-                    del summary[mu]
-                    summary[u] = [mc + 1, mc]
+                _space_saving_update(summary, heap, int(u), capacity)
         top = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
         state.update((
             [u for u, _ in summary.items()],

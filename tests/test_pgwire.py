@@ -395,6 +395,18 @@ def test_binary_interval_result(client):
     assert row[1] == b"-03:00:00"
 
 
+def test_interval_negative_day_pluralization(client):
+    """PG pluralizes on the signed value: '-1 days', '1 day'."""
+    rows, _ = client.extended(
+        "SELECT INTERVAL '-1 day' AS a, INTERVAL '1 day' AS b, "
+        "INTERVAL '-2 days' AS c", [], [], result_formats=[0])
+    (row,) = rows
+    assert row[0] == b"-1 days" and row[1] == b"1 day" and row[2] == b"-2 days"
+    rows, _ = client.extended(
+        "SELECT INTERVAL '-1 day' AS a", [], [], result_formats=[1])
+    assert struct.unpack("!qii", rows[0][0]) == (0, -1, 0)
+
+
 def test_array_text_format_unchanged(client):
     """Array columns still render the PG text form in text format even
     though they now carry real array OIDs in RowDescription."""

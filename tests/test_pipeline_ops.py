@@ -447,3 +447,20 @@ def test_cdc_rejects_unknown_op(spark):
     changes = spark.createDataFrame([Row(k=1, v="x", op="Z")])
     with _pytest.raises(Exception, match="unknown CDC op"):
         apply_changes(base, changes, "k", "op").collect()
+
+
+def test_ngram_short_and_empty_docs_no_crash(spark):
+    """Docs with fewer than n tokens yield EMPTY gram sets (sequence(1,0)
+    is the descending [1,0] in Spark — regression for the short-doc crash
+    in every word-n-gram consumer: d6, d11, x16)."""
+    from dataclod_spark.operators.dedup import contamination_check, word_ngrams
+
+    df = _docs(spark, [(1, ""), (2, "hi"), (3, "hi there"), (4, "one two three four")])
+    got = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", word_ngrams(F.col("text"), 3).alias("g")).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["one two three", "two three four"]
+
+    # end-to-end: a corpus containing short docs must not crash x16's path
+    out = contamination_check(df, F.col("doc_id") >= 4, n=3, threshold=0.5)
+    assert out.count() == 0  # no training doc shares grams with the benchmark

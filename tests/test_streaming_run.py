@@ -236,21 +236,26 @@ def test_heavy_hitters_state_across_microbatches(spark, multibatch_src):
 def test_heavy_hitters_space_saving_eviction():
     """Capacity-2 summary obeys the space-saving contract on a crafted
     sequence: the frequent keys survive, the evicted newcomer inherits
-    the min count as overestimation error."""
-    # replicate the operator's inner update loop (pure python contract test)
+    the min count as overestimation error (heap-backed eviction)."""
+    from dataclod_spark.streaming.run import _space_saving_update
+
     capacity = 2
-    summary = {}
+    summary, heap = {}, []
     for u in [1, 1, 1, 2, 2, 3]:
-        if u in summary:
-            summary[u][0] += 1
-        elif len(summary) < capacity:
-            summary[u] = [1, 0]
-        else:
-            mu = min(summary, key=lambda x: (summary[x][0], x))
-            mc = summary[mu][0]
-            del summary[mu]
-            summary[u] = [mc + 1, mc]
+        _space_saving_update(summary, heap, u, capacity)
     # key 1 exact (3); key 2 (count 2) evicted by 3 → 3 carries count 3, err 2
     assert summary[1] == [3, 0]
     assert summary[3] == [3, 2]
     assert 2 not in summary
+
+    # tie on min count → lowest user evicted (deterministic heap order)
+    summary, heap = {}, []
+    for u in [5, 6, 7]:
+        _space_saving_update(summary, heap, u, 2)
+    assert 5 not in summary and summary[7] == [2, 1] and summary[6] == [1, 0]
+
+    # stale-snapshot handling: increments leave old heap entries behind
+    summary, heap = {}, []
+    for u in [1, 2, 1, 1, 2, 3]:
+        _space_saving_update(summary, heap, u, 2)
+    assert summary[3] == [3, 2] and 2 not in summary and summary[1] == [3, 0]
