@@ -51,7 +51,7 @@ _PRIORITY = [
     "d11_dedup_reduction_report",
     "q2_min_cost_supplier", "q11_important_stock",
     "q16_parts_supplier_counts", "q20_potential_promotion",
-    "st8_stream_heavy_hitters", "g22_tile_heatmap",
+    "st8_stream_heavy_hitters", "g22_tile_heatmap", "c5_scan_orc",
     "x11_tfidf_top_terms",
     # then: last verified in round 1 — refresh
     "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",

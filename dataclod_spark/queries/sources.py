@@ -269,3 +269,61 @@ def c4_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "c5_scan_orc",
+    doc="ORC write + read round-trip (inherited columnar-format surface): "
+    "documents exported to ORC by the engine, read back and aggregated — "
+    "the oracle reads the parquet original, so byte-level format fidelity "
+    "is what's under test",
+    oracle="""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(source) AS first_source
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def c5_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the external-format matrix (CSV/JSON/Parquet/ORC).  The
+    ORC copy is written once per (sf, mtime) behind an atomic rename —
+    same concurrent-session discipline as p2_partition_pruning."""
+    import hashlib
+    import shutil
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        stamp = f"{os.path.abspath(src)}:{os.path.getmtime(src)}"
+    except OSError:
+        stamp = os.path.abspath(src)
+    key = hashlib.md5(stamp.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"dataclod_orc_{key}")
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        scratch = tempfile.mkdtemp(prefix=f"dataclod_orc_{key}_w")
+        staged = os.path.join(scratch, "data")
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        ).write.mode("overwrite").orc(staged)
+        try:
+            os.rename(staged, base)
+        except OSError:
+            if not os.path.exists(marker):
+                shutil.rmtree(base, ignore_errors=True)
+                try:
+                    os.rename(staged, base)
+                except OSError:
+                    pass
+        shutil.rmtree(scratch, ignore_errors=True)
+    df = spark.read.orc(base)
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("source").alias("first_source"),
+        )
+        .orderBy("lang")
+    )
