@@ -259,3 +259,38 @@ def test_heavy_hitters_space_saving_eviction():
     for u in [1, 2, 1, 1, 2, 3]:
         _space_saving_update(summary, heap, u, 2)
     assert summary[3] == [3, 2] and 2 not in summary and summary[1] == [3, 0]
+
+
+def test_heavy_hitters_space_saving_properties():
+    """Space-saving invariants on random streams (hypothesis): for every
+    retained key, count is an overestimate bounded by err (count - err <=
+    true <= count), and any key with true frequency > N/capacity is
+    guaranteed retained."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataclod_spark.streaming.run import _space_saving_update
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=300),
+        st.integers(min_value=2, max_value=8),
+    )
+    def prop(stream, capacity):
+        summary, heap = {}, []
+        true = {}
+        for u in stream:
+            true[u] = true.get(u, 0) + 1
+            _space_saving_update(summary, heap, u, capacity)
+        n = len(stream)
+        assert len(summary) <= capacity
+        for u, (cnt, err) in summary.items():
+            assert cnt >= true[u], "estimate must never undercount"
+            assert cnt - err <= true[u], "err bounds the overestimate"
+            assert err <= n // capacity + (1 if n % capacity else 0) or err < cnt
+        # retention guarantee: true frequency > N/capacity → key retained
+        for u, t in true.items():
+            if t > n / capacity:
+                assert u in summary, f"heavy key {u} (freq {t}/{n}) evicted"
+
+    prop()
