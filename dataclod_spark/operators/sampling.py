@@ -57,3 +57,29 @@ def stratified_sample(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * rate_pct / 100))
         .drop("__rn", "__n")
     )
+
+
+def rebalance_to_min(df: DataFrame, key: str, stratum: str) -> DataFrame:
+    """Downsample every stratum to the size of the SMALLEST stratum —
+    the corpus-rebalancing pass a multilingual training mix runs so no
+    language dominates.  Deterministic: within each stratum rows rank by
+    ``hash(key)`` (ties by key) and the first ``min_n`` survive, so the
+    result is stable across engines and repartitionings.
+
+    Plan shape: one window shuffle on the stratum key, the global
+    ``min_n`` folded in as a 1-row broadcast crossJoin (no driver
+    action).  At 100 TB the window is the unavoidable per-stratum
+    ordering; everything else is projection."""
+    w = Window.partitionBy(stratum).orderBy(row_hash(F.col(key)), F.col(key))
+    n = Window.partitionBy(stratum)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(n)
+    )
+    min_n = ranked.groupBy(stratum).agg(F.max("__n").alias("__sn")).agg(
+        F.min("__sn").alias("__min_n")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(min_n))
+        .filter(F.col("__rn") <= F.col("__min_n"))
+        .drop("__rn", "__n", "__min_n")
+    )

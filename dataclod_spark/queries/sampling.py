@@ -61,3 +61,35 @@ def sp2_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@query(
+    "sp3_language_rebalance",
+    doc="corpus rebalancing: every language downsampled to the smallest "
+    "language's size by deterministic-hash ranking — the multilingual "
+    "training-mix equalizer (operators/sampling.rebalance_to_min); one "
+    "window shuffle, min size as a 1-row broadcast",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {_H}, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+), m AS (
+  SELECT min(n) AS min_n FROM (SELECT lang, max(n) AS n FROM ranked GROUP BY lang)
+)
+SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM ranked, m
+WHERE rn <= m.min_n
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def sp3_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    r = SMP.rebalance_to_min(d, key="doc_id", stratum="lang")
+    return (
+        r.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").cast("bigint").alias("id_sum"))
+        .orderBy("lang")
+    )

@@ -694,3 +694,44 @@ def x16_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(
         d, F.col("doc_id") % 97 == 0, n=3, threshold=0.05
     )
+
+
+@query(
+    "x17_lang_confusion",
+    doc="declared-vs-detected language confusion matrix (marker-word "
+    "language ID against the corpus labels) — the QA report a corpus "
+    "labeling pass publishes",
+    oracle=rf"""
+WITH scored AS (
+  SELECT lang AS declared,
+         {_marker_count(TX.LANG_MARKERS['en'])} AS s_en,
+         {_marker_count(TX.LANG_MARKERS['de'])} AS s_de,
+         {_marker_count(TX.LANG_MARKERS['es'])} AS s_es,
+         {_marker_count(TX.LANG_MARKERS['fr'])} AS s_fr
+  FROM documents
+), detected AS (
+  SELECT declared,
+         CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
+              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
+              ELSE 'und' END AS detected
+  FROM scored
+)
+SELECT declared, detected, count(*) AS n_docs
+FROM detected
+GROUP BY declared, detected
+ORDER BY declared, detected
+""",
+)
+def x17_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab of the corpus's declared lang column against the
+    marker-word detector (same scorer as x3) — one aggregate, the
+    label-quality diagnostic."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("declared"), TX.langid(F.col("text")).alias("detected"))
+        .groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("declared", "detected")
+    )
