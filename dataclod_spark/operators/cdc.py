@@ -61,7 +61,12 @@ def apply_changes(
     changes = changes.withColumn(
         op_col,
         F.when(F.col(op_col).isin("I", "U", "D"), F.col(op_col)).otherwise(
-            F.raise_error(F.concat(F.lit("unknown CDC op: "), F.col(op_col)))
+            F.raise_error(
+                F.concat(
+                    F.lit("unknown CDC op: "),
+                    F.coalesce(F.col(op_col), F.lit("NULL")),
+                )
+            )
         ),
     )
     touched = changes.select(key, op_col)

@@ -66,20 +66,20 @@ def rebalance_to_min(df: DataFrame, key: str, stratum: str) -> DataFrame:
     ``hash(key)`` (ties by key) and the first ``min_n`` survive, so the
     result is stable across engines and repartitionings.
 
-    Plan shape: one window shuffle on the stratum key, the global
-    ``min_n`` folded in as a 1-row broadcast crossJoin (no driver
-    action).  At 100 TB the window is the unavoidable per-stratum
-    ordering; everything else is projection."""
+    Plan shape: ONE window shuffle on the stratum key for the ranking;
+    the global ``min_n`` comes from a separate count-only aggregate over
+    a column-pruned scan (not from the ranked branch — deriving it there
+    would re-run the window sort, SCALE.md pitfall #6) and folds in as a
+    1-row broadcast crossJoin, no driver action."""
     w = Window.partitionBy(stratum).orderBy(row_hash(F.col(key)), F.col(key))
-    n = Window.partitionBy(stratum)
-    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__n", F.count(F.lit(1)).over(n)
-    )
-    min_n = ranked.groupBy(stratum).agg(F.max("__n").alias("__sn")).agg(
-        F.min("__sn").alias("__min_n")
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    min_n = (
+        df.groupBy(stratum)
+        .agg(F.count(F.lit(1)).alias("__sn"))
+        .agg(F.min("__sn").alias("__min_n"))
     )
     return (
         ranked.crossJoin(F.broadcast(min_n))
         .filter(F.col("__rn") <= F.col("__min_n"))
-        .drop("__rn", "__n", "__min_n")
+        .drop("__rn", "__min_n")
     )

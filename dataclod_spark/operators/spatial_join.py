@@ -655,7 +655,11 @@ _SAMPLE_CACHE_MAX = 32
 
 
 def clear_bbox_sample_cache() -> None:
+    """Clear the per-plan sample memos (bbox grid sample AND the
+    exec-mode mean-points stats — both key on semanticHash, which does
+    not see file rewrites at the same path)."""
     _SAMPLE_CACHE.clear()
+    _MEAN_POINTS_CACHE.clear()
 
 
 def _cached_sample(pool: DataFrame) -> list[tuple]:

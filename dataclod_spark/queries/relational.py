@@ -1430,51 +1430,28 @@ def p2_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     a partition-column filter, and aggregates — `tests/test_plans.py`
     asserts the scan plans with a pushed partition filter and one
     selected partition."""
-    import hashlib
     import os
     import tempfile
 
+    from dataclod_spark.cache import materialize_once, source_key
+
     # cache key = full source path + source mtime: a regenerated events
     # parquet (or a different parent dir with the same leaf name) must
-    # not hit a stale partitioned copy
-    src = os.path.join(sf_dir, "events.parquet")
-    try:
-        stamp = f"{os.path.abspath(src)}:{os.path.getmtime(src)}"
-    except OSError:
-        stamp = os.path.abspath(src)
-    key = hashlib.md5(stamp.encode()).hexdigest()[:12]
+    # not hit a stale partitioned copy.  Concurrent sessions (pgwire is
+    # thread-per-connection over one shared EngineSession) are serialized
+    # by materialize_once's flock + atomic-rename lifecycle.
+    key = source_key(os.path.join(sf_dir, "events.parquet"))
     base = os.path.join(tempfile.gettempdir(), f"dataclod_part_{key}")
-    marker = os.path.join(base, "_SUCCESS")
     e = load(spark, sf_dir, "events")
-    if not os.path.exists(marker):
-        # concurrent sessions (pgwire is thread-per-connection over one
-        # shared EngineSession) may race here: write to a private scratch
-        # dir, then atomically rename into place — losers of the rename
-        # discard their copy and read the winner's complete directory
-        import shutil
-
-        scratch = tempfile.mkdtemp(prefix=f"dataclod_part_{key}_w")
-        staged = os.path.join(scratch, "data")
-        (
+    materialize_once(
+        base,
+        lambda staged: (
             e.select("event_id", "ts", "event_type", "value")
             .write.partitionBy("event_type")
             .mode("overwrite")
             .parquet(staged)
-        )
-        # rename FIRST; only if it fails AND no complete copy exists do we
-        # clear a legacy partial dir (an eager pre-check would race: another
-        # session could rename its complete copy between our check and
-        # rmtree, and we would delete it mid-read)
-        try:
-            os.rename(staged, base)
-        except OSError:
-            if not os.path.exists(marker):
-                shutil.rmtree(base, ignore_errors=True)  # stale partial (pre-fix layout)
-                try:
-                    os.rename(staged, base)
-                except OSError:
-                    pass  # another session won the retry; its copy is complete
-        shutil.rmtree(scratch, ignore_errors=True)
+        ),
+    )
     p = spark.read.parquet(base).filter(F.col("event_type") == "purchase")
     return (
         p.groupBy(F.window(F.col("ts"), "1 hour").alias("w"))

@@ -290,33 +290,17 @@ def c5_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completes the external-format matrix (CSV/JSON/Parquet/ORC).  The
     ORC copy is written once per (sf, mtime) behind an atomic rename —
     same concurrent-session discipline as p2_partition_pruning."""
-    import hashlib
-    import shutil
+    from dataclod_spark.cache import materialize_once, source_key
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        stamp = f"{os.path.abspath(src)}:{os.path.getmtime(src)}"
-    except OSError:
-        stamp = os.path.abspath(src)
-    key = hashlib.md5(stamp.encode()).hexdigest()[:12]
+    key = source_key(os.path.join(sf_dir, "documents.parquet"))
     base = os.path.join(tempfile.gettempdir(), f"dataclod_orc_{key}")
-    marker = os.path.join(base, "_SUCCESS")
-    if not os.path.exists(marker):
-        scratch = tempfile.mkdtemp(prefix=f"dataclod_orc_{key}_w")
-        staged = os.path.join(scratch, "data")
-        load(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "source", "n_chars"
-        ).write.mode("overwrite").orc(staged)
-        try:
-            os.rename(staged, base)
-        except OSError:
-            if not os.path.exists(marker):
-                shutil.rmtree(base, ignore_errors=True)
-                try:
-                    os.rename(staged, base)
-                except OSError:
-                    pass
-        shutil.rmtree(scratch, ignore_errors=True)
+    materialize_once(
+        base,
+        lambda staged: load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .orc(staged),
+    )
     df = spark.read.orc(base)
     return (
         df.groupBy("lang")
