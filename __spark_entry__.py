@@ -52,7 +52,7 @@ _PRIORITY = [
     "q2_min_cost_supplier", "q11_important_stock",
     "q16_parts_supplier_counts", "q20_potential_promotion",
     "st8_stream_heavy_hitters", "g22_tile_heatmap", "c5_scan_orc",
-    "sp3_language_rebalance", "x17_lang_confusion",
+    "sp3_language_rebalance", "x17_lang_confusion", "st9_stream_cdc_upsert",
     "x11_tfidf_top_terms",
     # then: last verified in round 1 — refresh
     "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",

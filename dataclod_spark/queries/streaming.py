@@ -349,3 +349,47 @@ def st8_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id", "cnt", "rank")
         .orderBy("event_type", "rank")
     )
+
+
+@query(
+    "st9_stream_cdc_upsert",
+    doc="streaming MERGE INTO via foreachBatch + cdc.apply_changes: "
+    "events become I/U/D changes (signup/error/other) applied to a "
+    "snapshot with an out-of-order sequence guard and atomic version "
+    "swap — the Delta-style streaming-upsert pattern",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, value, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), last AS (
+  SELECT user_id, value, event_type FROM ordered WHERE rn = 1
+)
+SELECT count(*) AS n_users,
+       CAST(sum(user_id) AS BIGINT) AS id_sum,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum
+FROM last
+WHERE event_type <> 'error'
+""",
+)
+def st9_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot after draining the stream equals 'globally-latest
+    change per user wins' (deletes drop the user), which the oracle
+    computes as one window over the batch data."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.streaming.run import read_events_stream, streaming_cdc_apply
+
+    ev = read_events_stream(spark, sf_dir)
+    snap_dir = tempfile.mkdtemp(prefix="dataclod_cdc_snap_")
+    snap = streaming_cdc_apply(spark, ev, snap_dir)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("user_id").cast("bigint").alias("id_sum"),
+        F.round(
+            F.sum(F.col("last_value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("value_sum"),
+    )

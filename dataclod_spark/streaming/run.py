@@ -462,3 +462,86 @@ def heavy_hitters_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cdc_apply(
+    spark: SparkSession,
+    events: DataFrame,
+    snapshot_dir: str,
+) -> DataFrame:
+    """Streaming MERGE INTO: maintain a per-user snapshot table from an
+    event stream via ``foreachBatch`` + :func:`operators.cdc.apply_changes`
+    — the Delta/Iceberg streaming-upsert pattern without the table format.
+
+    Per micro-batch: events become I/U/D changes (signup → insert,
+    error → delete, click/view/purchase → upsert), deduped to the highest
+    ``(ts, event_id)`` sequence per user, **filtered against the
+    snapshot's stored sequence** so a stale change arriving in a later
+    micro-batch (out-of-order delivery) can never overwrite newer state,
+    then applied and atomically swapped into ``snapshot_dir``.
+
+    The final snapshot therefore equals "the globally-latest change per
+    user wins" regardless of how the stream is chopped into batches —
+    which is exactly the batch SQL the oracle runs.  At scale the
+    snapshot write becomes a real MERGE into a table format; the change
+    derivation and ordering guard are identical.
+    """
+    import os
+    import shutil
+
+    from dataclod_spark.operators.cdc import apply_changes
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # ordering key as a STRUCT — (ts_us << k) + event_id arithmetic
+        # overflows int64; struct comparison is lexicographic and safe
+        seq = F.struct(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.col("event_id").alias("event_id"),
+        )
+        changes = batch_df.select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            seq.alias("__seq"),
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+        cur = os.path.join(snapshot_dir, "current")
+        if os.path.exists(cur):
+            base = spark.read.parquet(cur)
+            # ordering guard: drop changes older than the snapshot row
+            prior = base.select("user_id", F.col("__seq").alias("__base_seq"))
+            changes = (
+                changes.join(prior, "user_id", "left")
+                .filter(F.col("__base_seq").isNull() | (F.col("__seq") > F.col("__base_seq")))
+                .drop("__base_seq")
+            )
+        else:
+            base = spark.createDataFrame(
+                [],
+                "user_id bigint, last_value double, "
+                "__seq struct<ts_us:bigint,event_id:bigint>",
+            )
+        new = apply_changes(base, changes, "user_id", "op", seq_col="__seq")
+        staged = os.path.join(snapshot_dir, f"stage_{batch_id}")
+        new.write.mode("overwrite").parquet(staged)
+        nxt = os.path.join(snapshot_dir, f"v{batch_id}")
+        os.rename(staged, nxt)
+        old = os.readlink(cur) if os.path.islink(cur) else None
+        tmp_link = os.path.join(snapshot_dir, "_lnk")
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(nxt, tmp_link)
+        os.replace(tmp_link, cur)  # atomic pointer swap
+        if old and os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(snapshot_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(snapshot_dir, "current"))

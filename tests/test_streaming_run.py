@@ -296,3 +296,48 @@ def test_heavy_hitters_space_saving_properties():
                 assert u in summary, f"heavy key {u} (freq {t}/{n}) evicted"
 
     prop()
+
+
+def test_cdc_upsert_out_of_order_across_batches(spark, tmp_path_factory):
+    """A STALE change arriving in a later micro-batch must not overwrite
+    newer snapshot state (the sequence guard), and deletes drop users."""
+    import os
+    import shutil
+    import tempfile
+
+    from dataclod_spark.streaming.run import streaming_cdc_apply
+
+    rows_by_chunk = [
+        # batch 0: user 1 latest value 5.0 at t=01:00; user 2 signup; user 3 value
+        [
+            (1, 10, "view", _ts(1, 0), 5.0),
+            (2, 11, "signup", _ts(0, 30), 2.0),
+            (3, 12, "click", _ts(0, 40), 3.0),
+        ],
+        # batch 1: STALE update for user 1 (t=00:10 < snapshot's 01:00 — must
+        # be ignored); user 3 deleted; user 2 newer value
+        [
+            (1, 20, "purchase", _ts(0, 10), 99.0),
+            (3, 21, "error", _ts(0, 50), 0.0),
+            (2, 22, "view", _ts(0, 45), 7.0),
+        ],
+    ]
+    d = tmp_path_factory.mktemp("cdc_src")
+    schema = "user_id bigint, event_id bigint, event_type string, ts timestamp, value double"
+    for i, rows in enumerate(rows_by_chunk):
+        tmp = d / f"_w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        target = d / f"c{i}.parquet"
+        shutil.move(str(part), str(target))
+        shutil.rmtree(str(tmp))
+        os.utime(str(target), (1_700_000_000 + i, 1_700_000_000 + i))
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    snap_dir = tempfile.mkdtemp(prefix="cdc_snap_test_")
+    snap = streaming_cdc_apply(spark, ev, snap_dir)
+    got = {r["user_id"]: r["last_value"] for r in snap.collect()}
+    assert got == {1: 5.0, 2: 7.0}  # stale 99.0 ignored; user 3 deleted
