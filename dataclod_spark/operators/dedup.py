@@ -267,26 +267,36 @@ def connected_components(
     src: str = "id_1",
     dst: str = "id_2",
     max_iter: int = 20,
+    driver_edge_limit: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every node of an undirected edge set; the
     component label is the minimum node id reachable from the node.
 
     This is the cluster step of near-duplicate removal: LSH/Jaccard pairs
     → connected components → keep one representative per component.
-    Pure DataFrame ops — iterative min-label propagation: each round joins
-    the current labels across the edges and keeps the per-node minimum,
-    with a cheap early-exit once a round changes nothing.
+
+    **Adaptive execution** (the AQE-broadcast idea applied to graph
+    connectivity): the edge set is materialized once, and if it fits the
+    ``driver_edge_limit`` (1M edges ≈ tens of MB — near-dup graphs are
+    usually tiny next to the corpus) the components are solved with one
+    driver-side union-find instead of an iterative job sequence; each
+    distributed round costs a join + shuffle + job launch, so for small
+    graphs the loop is pure fixed overhead (~6 s at sf0.1).  Larger
+    graphs take the distributed path: iterative min-label propagation,
+    one shuffle join + partial-agg min per round, early exit when a round
+    changes nothing.
 
     Scale: near-dup graphs are short-diameter (pairs / small stars), so
-    propagation converges in 2–4 rounds; each round is one shuffle join +
-    partial-agg min.  Iterative algorithms MUST truncate lineage: the edge
-    set (often an expensive LSH/fingerprint pipeline) is materialized ONCE
-    via ``localCheckpoint`` before the loop, and each round's labels are
-    checkpointed too — otherwise round N re-executes the full upstream
-    pipeline N times over AND the `changed` probe doubles it (measured:
-    357 s → ~10 s on the sf0.1 cluster query).  At extreme scale swap the
-    loop body for alternating large-star/small-star (same building blocks,
-    O(log n) rounds).
+    propagation converges in 2–4 rounds.  Iterative algorithms MUST
+    truncate lineage: the edge set (often an expensive LSH/fingerprint
+    pipeline) is materialized ONCE via ``localCheckpoint`` before the
+    loop, and each round's labels are checkpointed too — otherwise round
+    N re-executes the full upstream pipeline N times over AND the
+    `changed` probe doubles it (measured: 357 s → ~10 s on the sf0.1
+    cluster query).  At extreme scale swap the loop body for alternating
+    large-star/small-star (same building blocks, O(log n) rounds).
+
+    Both paths produce the identical (id, min-reachable-id) labeling.
     """
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
@@ -294,6 +304,33 @@ def connected_components(
     e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # one materialization of the (possibly very expensive) edge pipeline
     e = e.localCheckpoint(eager=True)
+
+    n_edges = e.count()  # free: reads the checkpointed materialization
+    if n_edges <= driver_edge_limit:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        # collect() (bounded by driver_edge_limit) — toLocalIterator pays
+        # per-partition job latency that dwarfs the union-find itself
+        for row in e.collect():
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        spark = edges.sparkSession
+        return spark.createDataFrame(rows, "id long, component long")
     labels = (
         e.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
     ).localCheckpoint(eager=True)

@@ -464,3 +464,31 @@ def test_ngram_short_and_empty_docs_no_crash(spark):
     # end-to-end: a corpus containing short docs must not crash x16's path
     out = contamination_check(df, F.col("doc_id") >= 4, n=3, threshold=0.5)
     assert out.count() == 0  # no training doc shares grams with the benchmark
+
+
+def test_connected_components_deep_chain(spark):
+    """A long path graph has diameter >> max_iter: min-label propagation
+    alone would silently return unconverged labels, but the adaptive
+    driver union-find (edge count under the limit) solves it exactly."""
+    from dataclod_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(500)], "id_1 long, id_2 long"
+    )
+    out = connected_components(chain).collect()
+    assert len(out) == 501
+    assert all(r["component"] == 0 for r in out)
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find and the distributed loop produce identical
+    labelings on a mixed graph."""
+    from dataclod_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (7, 7)],
+        "id_1 long, id_2 long",
+    )
+    a = sorted(map(tuple, connected_components(edges).collect()))
+    b = sorted(map(tuple, connected_components(edges, driver_edge_limit=0).collect()))
+    assert a == b
