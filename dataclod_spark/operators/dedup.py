@@ -298,14 +298,15 @@ def connected_components(
 
     Both paths produce the identical (id, min-reachable-id) labeling.
     """
-    e = edges.select(
+    # one materialization of the (possibly very expensive) edge pipeline —
+    # checkpoint the UNDIRECTED edges; the reversed union for the
+    # distributed loop derives cheaply from the materialization, and the
+    # driver limit/collect then count each edge once, not twice
+    ee = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    )
-    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # one materialization of the (possibly very expensive) edge pipeline
-    e = e.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
 
-    n_edges = e.count()  # free: reads the checkpointed materialization
+    n_edges = ee.count()  # free: reads the checkpointed materialization
     if n_edges <= driver_edge_limit:
         parent: dict[int, int] = {}
 
@@ -319,10 +320,14 @@ def connected_components(
 
         # collect() (bounded by driver_edge_limit) — toLocalIterator pays
         # per-partition job latency that dwarfs the union-find itself
-        for row in e.collect():
+        for row in ee.collect():
             a, b = row["a"], row["b"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
+            if a is not None:
+                parent.setdefault(a, a)
+            if b is not None:
+                parent.setdefault(b, b)
+            if a is None or b is None:
+                continue  # null endpoints never join (equi-join semantics)
             ra, rb = find(a), find(b)
             if ra != rb:
                 # union by MIN id so the root IS the component label
@@ -331,8 +336,18 @@ def connected_components(
         rows = [(x, find(x)) for x in parent]
         spark = edges.sparkSession
         return spark.createDataFrame(rows, "id long, component long")
+
+    # contract (both paths): null endpoints are ignored for connectivity
+    # (equi-join semantics) but a node paired only with a null still
+    # appears as its own singleton component
+    e = ee.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
-        e.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
+        ee.select(F.col("a").alias("id"))
+        .unionAll(ee.select(F.col("b").alias("id")))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+        .withColumn("component", F.col("id"))
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         prop = e.join(labels, e["a"] == labels["id"]).select(

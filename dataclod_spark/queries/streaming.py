@@ -383,13 +383,20 @@ def st9_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataclod_spark.streaming.run import read_events_stream, streaming_cdc_apply
 
+    import shutil
+
     ev = read_events_stream(spark, sf_dir)
     snap_dir = tempfile.mkdtemp(prefix="dataclod_cdc_snap_")
-    snap = streaming_cdc_apply(spark, ev, snap_dir)
-    return snap.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("user_id").cast("bigint").alias("id_sum"),
-        F.round(
-            F.sum(F.col("last_value").cast("decimal(18,6)")).cast("double"), 2
-        ).alias("value_sum"),
-    )
+    try:
+        snap = streaming_cdc_apply(spark, ev, snap_dir)
+        out = snap.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("id_sum"),
+            F.round(
+                F.sum(F.col("last_value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("value_sum"),
+        )
+        # materialize before removing the snapshot directory the plan reads
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)

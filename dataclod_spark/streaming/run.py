@@ -473,23 +473,37 @@ def streaming_cdc_apply(
     event stream via ``foreachBatch`` + :func:`operators.cdc.apply_changes`
     — the Delta/Iceberg streaming-upsert pattern without the table format.
 
-    Per micro-batch: events become I/U/D changes (signup → insert,
+    Per micro-batch: events become changes (signup → insert,
     error → delete, click/view/purchase → upsert), deduped to the highest
-    ``(ts, event_id)`` sequence per user, **filtered against the
+    ``(ts, event_id)`` sequence per user and **filtered against the
     snapshot's stored sequence** so a stale change arriving in a later
-    micro-batch (out-of-order delivery) can never overwrite newer state,
-    then applied and atomically swapped into ``snapshot_dir``.
+    micro-batch (out-of-order delivery) can never overwrite newer state.
+    Deletes are kept as **tombstones** (``__deleted`` rows carrying their
+    sequence) rather than physically dropped — otherwise a stale change
+    arriving after a delete would find no sequence to compare against and
+    resurrect the user (table formats retain delete markers for the same
+    reason; production compacts them after the out-of-orderness horizon).
+    Each version swap is idempotent (a re-executed micro-batch after a
+    crash overwrites its own version directory) and atomic (symlink
+    pointer swap).
 
-    The final snapshot therefore equals "the globally-latest change per
-    user wins" regardless of how the stream is chopped into batches —
-    which is exactly the batch SQL the oracle runs.  At scale the
-    snapshot write becomes a real MERGE into a table format; the change
-    derivation and ordering guard are identical.
+    The live rows of the final snapshot therefore equal "the
+    globally-latest change per user wins" regardless of how the stream is
+    chopped into batches — which is exactly the batch SQL the oracle
+    runs.  At scale the snapshot write becomes a real MERGE into a table
+    format; the change derivation, tombstones, and ordering guard are
+    identical.  Returns the LIVE rows; an empty stream yields an empty
+    snapshot.
     """
     import os
     import shutil
 
     from dataclod_spark.operators.cdc import apply_changes
+
+    snap_schema = (
+        "user_id bigint, last_value double, "
+        "__seq struct<ts_us:bigint,event_id:bigint>, __deleted boolean"
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # ordering key as a STRUCT — (ts_us << k) + event_id arithmetic
@@ -498,19 +512,22 @@ def streaming_cdc_apply(
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
             F.col("event_id").alias("event_id"),
         )
+        # every change is an upsert of (payload, seq, deleted-flag): deletes
+        # become tombstone rows so their sequence survives for the guard
         changes = batch_df.select(
             "user_id",
-            F.col("value").alias("last_value"),
+            F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("last_value"),
             seq.alias("__seq"),
-            F.when(F.col("event_type") == "signup", "I")
-            .when(F.col("event_type") == "error", "D")
-            .otherwise("U")
-            .alias("op"),
+            (F.col("event_type") == "error").alias("__deleted"),
+            F.lit("U").alias("op"),
         )
         cur = os.path.join(snapshot_dir, "current")
         if os.path.exists(cur):
             base = spark.read.parquet(cur)
             # ordering guard: drop changes older than the snapshot row
+            # (including tombstones — a delete blocks staler updates)
             prior = base.select("user_id", F.col("__seq").alias("__base_seq"))
             changes = (
                 changes.join(prior, "user_id", "left")
@@ -518,15 +535,16 @@ def streaming_cdc_apply(
                 .drop("__base_seq")
             )
         else:
-            base = spark.createDataFrame(
-                [],
-                "user_id bigint, last_value double, "
-                "__seq struct<ts_us:bigint,event_id:bigint>",
-            )
+            base = spark.createDataFrame([], snap_schema)
         new = apply_changes(base, changes, "user_id", "op", seq_col="__seq")
         staged = os.path.join(snapshot_dir, f"stage_{batch_id}")
         new.write.mode("overwrite").parquet(staged)
         nxt = os.path.join(snapshot_dir, f"v{batch_id}")
+        if os.path.exists(nxt):
+            # re-executed micro-batch (crash between pointer swap and
+            # checkpoint commit): replace our own prior version — the
+            # rename must stay idempotent or every restart wedges
+            shutil.rmtree(nxt, ignore_errors=True)
         os.rename(staged, nxt)
         old = os.readlink(cur) if os.path.islink(cur) else None
         tmp_link = os.path.join(snapshot_dir, "_lnk")
@@ -534,7 +552,7 @@ def streaming_cdc_apply(
             os.remove(tmp_link)
         os.symlink(nxt, tmp_link)
         os.replace(tmp_link, cur)  # atomic pointer swap
-        if old and os.path.exists(old):
+        if old and old != nxt and os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
 
     q = (
@@ -544,4 +562,7 @@ def streaming_cdc_apply(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(snapshot_dir, "current"))
+    cur = os.path.join(snapshot_dir, "current")
+    if not os.path.exists(cur):  # zero micro-batches ran
+        return spark.createDataFrame([], snap_schema).filter(~F.col("__deleted"))
+    return spark.read.parquet(cur).filter(~F.col("__deleted"))

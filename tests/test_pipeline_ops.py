@@ -492,3 +492,16 @@ def test_connected_components_paths_agree(spark):
     a = sorted(map(tuple, connected_components(edges).collect()))
     b = sorted(map(tuple, connected_components(edges, driver_edge_limit=0).collect()))
     assert a == b
+
+
+def test_connected_components_null_endpoints(spark):
+    """Null edge endpoints never join (equi-join semantics) and both
+    execution paths agree on them."""
+    from dataclod_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "id_1 long, id_2 long"
+    )
+    a = sorted(map(tuple, connected_components(edges).collect()))
+    b = sorted(map(tuple, connected_components(edges, driver_edge_limit=0).collect()))
+    assert a == b == [(1, 1), (2, 1), (3, 3), (4, 4)]

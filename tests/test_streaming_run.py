@@ -321,6 +321,11 @@ def test_cdc_upsert_out_of_order_across_batches(spark, tmp_path_factory):
             (3, 21, "error", _ts(0, 50), 0.0),
             (2, 22, "view", _ts(0, 45), 7.0),
         ],
+        # batch 2: STALE update for DELETED user 3 (t=00:45 < tombstone's
+        # 00:50) — the tombstone's sequence must block resurrection
+        [
+            (3, 30, "click", _ts(0, 45), 55.0),
+        ],
     ]
     d = tmp_path_factory.mktemp("cdc_src")
     schema = "user_id bigint, event_id bigint, event_type string, ts timestamp, value double"
@@ -340,4 +345,6 @@ def test_cdc_upsert_out_of_order_across_batches(spark, tmp_path_factory):
     snap_dir = tempfile.mkdtemp(prefix="cdc_snap_test_")
     snap = streaming_cdc_apply(spark, ev, snap_dir)
     got = {r["user_id"]: r["last_value"] for r in snap.collect()}
-    assert got == {1: 5.0, 2: 7.0}  # stale 99.0 ignored; user 3 deleted
+    # stale 99.0 ignored; user 3 deleted and NOT resurrected by the stale
+    # post-delete change (tombstone sequence blocks it)
+    assert got == {1: 5.0, 2: 7.0}
