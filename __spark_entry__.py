@@ -53,6 +53,7 @@ _PRIORITY = [
     "q16_parts_supplier_counts", "q20_potential_promotion",
     "st8_stream_heavy_hitters", "g22_tile_heatmap", "c5_scan_orc",
     "sp3_language_rebalance", "x17_lang_confusion", "st9_stream_cdc_upsert",
+    "g23_dbscan_clusters",
     "x11_tfidf_top_terms",
     # then: last verified in round 1 — refresh
     "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",

@@ -953,3 +953,78 @@ def spatial_join(
     if how == "full":
         return _finish(res.unionByName(null_r).unionByName(null_l))
     raise ValueError(f"unsupported how={how}")
+
+
+def dbscan_clusters(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_pts: int,
+) -> DataFrame:
+    """Density-based clustering of a point set — PostGIS
+    ``ST_ClusterDBSCAN`` semantics, Spark-first:
+
+    * **eps-neighbor pairs** via the grid-partitioned dwithin self-join
+      (bbox-exact point operands → the whole pair stage is pure JVM);
+    * **core points**: >= ``min_pts`` neighbors within eps, self
+      included (one partial-aggregated count over the pairs);
+    * **clusters**: connected components over core-core edges
+      (:func:`operators.dedup.connected_components` — adaptive driver
+      union-find for bounded graphs, distributed min-label beyond);
+    * **border points**: non-core within eps of a core join the MINIMUM
+      adjacent core's cluster (the deterministic tie-break PostGIS
+      leaves unspecified);
+    * noise points are omitted.
+
+    Returns ``(id, cluster, is_core)``; ``cluster`` is the minimum core
+    point id of the component.  Every stage is a bounded shuffle: the
+    pair join is grid-partitioned (never all-pairs), counts and labels
+    partial-aggregate, and the core graph is tiny next to the corpus.
+    """
+    p = points.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(x_col).cast("double").alias("px"),
+        F.col(y_col).cast("double").alias("py"),
+    )
+    a = p.select(F.col("pid").alias("a_id"), F.col("px").alias("ax"), F.col("py").alias("ay"))
+    b = p.select(F.col("pid").alias("b_id"), F.col("px").alias("bx"), F.col("py").alias("by"))
+    pairs = spatial_join(
+        a,
+        b,
+        "dwithin",
+        distance=eps,
+        left_bbox=("ax", "ay", "ax", "ay"),
+        right_bbox=("bx", "by", "bx", "by"),
+        refine="none",
+    ).select("a_id", "b_id")
+    # self-pairs are included by the join (distance 0 <= eps), so the
+    # neighbor count is DBSCAN's |N_eps(p)| with self
+    counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("__n"))
+    core = counts.filter(F.col("__n") >= min_pts).select(F.col("a_id").alias("cid"))
+    core_edges = (
+        pairs.join(core.select(F.col("cid").alias("a_id")), "a_id")
+        .join(core.select(F.col("cid").alias("b_id")), "b_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("a_id").alias("id_1"), F.col("b_id").alias("id_2"))
+    )
+    from dataclod_spark.operators.dedup import connected_components
+
+    comp = connected_components(core_edges, "id_1", "id_2")
+    # isolated cores (no core neighbor) form their own singleton cluster
+    core_labels = (
+        core.join(comp, core["cid"] == comp["id"], "left")
+        .select(
+            F.col("cid").alias("id"),
+            F.coalesce(F.col("component"), F.col("cid")).alias("cluster"),
+        )
+    )
+    border = (
+        pairs.join(core_labels.select(F.col("id").alias("b_id"), "cluster"), "b_id")
+        .join(core_labels.select(F.col("id").alias("a_id")), "a_id", "left_anti")
+        .groupBy(F.col("a_id").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+        .withColumn("is_core", F.lit(False))
+    )
+    return core_labels.withColumn("is_core", F.lit(True)).unionByName(border)

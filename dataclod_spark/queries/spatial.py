@@ -1189,3 +1189,81 @@ def g22_tile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tx", "ty")
     )
+
+
+@query(
+    "g23_dbscan_clusters",
+    doc="density-based spatial clustering (PostGIS ST_ClusterDBSCAN "
+    "semantics): eps-neighbor pairs via the grid dwithin self-join, "
+    "core/border classification, clusters as connected components of the "
+    "core graph (operators/spatial_join.dbscan_clusters)",
+    oracle="""
+WITH RECURSIVE pts AS (
+  SELECT event_id AS pid,
+         CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
+  FROM events WHERE event_id % 3 = 0
+), pairs AS (
+  SELECT a.pid AS a_id, b.pid AS b_id
+  FROM pts a JOIN pts b
+    ON (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 1.0
+), counts AS (
+  SELECT a_id, count(*) AS n FROM pairs GROUP BY a_id
+), core AS (
+  SELECT a_id AS cid FROM counts WHERE n >= 6
+), ce AS (
+  SELECT p.a_id, p.b_id FROM pairs p
+  JOIN core c1 ON c1.cid = p.a_id
+  JOIN core c2 ON c2.cid = p.b_id
+  WHERE p.a_id < p.b_id
+), edges AS (
+  SELECT a_id AS a, b_id AS b FROM ce UNION SELECT b_id, a_id FROM ce
+), walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, walk.lbl FROM walk JOIN edges e ON e.a = walk.id
+), comp AS (
+  SELECT id, min(lbl) AS component FROM walk GROUP BY id
+), core_labels AS (
+  SELECT c.cid AS id, coalesce(mp.component, c.cid) AS cluster
+  FROM core c LEFT JOIN comp mp ON mp.id = c.cid
+), border AS (
+  SELECT p.a_id AS id, min(cl.cluster) AS cluster
+  FROM pairs p JOIN core_labels cl ON cl.id = p.b_id
+  WHERE p.a_id NOT IN (SELECT cid FROM core)
+  GROUP BY p.a_id
+), allp AS (
+  SELECT id, cluster, 1 AS is_core FROM core_labels
+  UNION ALL
+  SELECT id, cluster, 0 AS is_core FROM border
+)
+SELECT cluster,
+       CAST(sum(is_core) AS BIGINT) AS n_core,
+       CAST(sum(1 - is_core) AS BIGINT) AS n_border,
+       CAST(sum(id) AS BIGINT) AS id_sum
+FROM allp
+GROUP BY cluster
+ORDER BY cluster
+""",
+)
+def g23_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (eps=1, minPts=6, neighbors counted with self) over the
+    integer-derived point cloud; border ties break to the minimum
+    adjacent core cluster — the determinism PostGIS leaves unspecified."""
+    from dataclod_spark.operators.spatial_join import dbscan_clusters
+
+    e = load(spark, sf_dir, "events")
+    pts = e.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("pid"),
+        (F.col("event_id") % 89).cast("double").alias("px"),
+        (F.col("user_id") % 43).cast("double").alias("py"),
+    )
+    cl = dbscan_clusters(pts, "pid", "px", "py", eps=1.0, min_pts=6)
+    return (
+        cl.groupBy("cluster")
+        .agg(
+            F.sum(F.col("is_core").cast("int")).cast("bigint").alias("n_core"),
+            F.sum((~F.col("is_core")).cast("int")).cast("bigint").alias("n_border"),
+            F.sum("id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("cluster")
+    )

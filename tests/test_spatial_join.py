@@ -313,3 +313,42 @@ def test_speculative_mode_flips_on_geometry_complexity(spark):
     # distance predicate: never prepares, regardless of complexity
     j_dw = spatial_join(gdf, bdf, "dwithin", distance=2.0, cell_target=16)
     assert j_dw._spatial_exec_mode == "none"
+
+
+def test_dbscan_planted_blobs(spark):
+    """Two dense blobs separated by > eps form two clusters; isolated
+    points are noise (absent); a point within eps of a core but with too
+    few neighbors is a border member of that cluster."""
+    from dataclod_spark.operators.spatial_join import dbscan_clusters
+
+    rows = []
+    # blob A: 3x3 lattice at (0..2, 0..2) — every point has >= 6 neighbors
+    # within eps=1.5 (orthogonal + diagonal)
+    pid = 0
+    for x in range(3):
+        for y in range(3):
+            rows.append((pid, float(x), float(y))); pid += 1
+    # blob B: 3x3 lattice at (100..102, 0..2)
+    for x in range(100, 103):
+        for y in range(3):
+            rows.append((pid, float(x), float(y))); pid += 1
+    # border: 1.4 below blob A's bottom edge-center (pid 3 at (1,0), a
+    # core); too far from every other point to be core itself
+    rows.append((50, 1.0, -1.4))
+    # noise: far from everything
+    rows.append((60, 50.0, 50.0))
+    df = spark.createDataFrame(rows, "pid long, px double, py double")
+    out = {r["id"]: (r["cluster"], r["is_core"]) for r in
+           dbscan_clusters(df, "pid", "px", "py", eps=1.5, min_pts=6).collect()}
+    assert 60 not in out                      # noise dropped
+    # lattice edge-centers + center are cores (6+ neighbors incl. self);
+    # corners have only 5 → border.  Min core id labels the cluster.
+    assert out[50] == (1, False)              # border via core pid 3
+    clusters = {c for c, _ in out.values()}
+    assert clusters == {1, 10}                # two clusters, min-core labels
+    for pid in (1, 3, 4, 5, 7):
+        assert out[pid] == (1, True)
+    for pid in (0, 2, 6, 8):
+        assert out[pid] == (1, False)         # corners are border
+    for pid in (10, 12, 13, 16):
+        assert out[pid] == (10, True)
