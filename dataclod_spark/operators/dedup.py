@@ -267,7 +267,7 @@ def connected_components(
     src: str = "id_1",
     dst: str = "id_2",
     max_iter: int = 20,
-    driver_edge_limit: int = 1_000_000,
+    driver_edge_limit: int = 500_000,
 ) -> DataFrame:
     """(id, component) for every node of an undirected edge set; the
     component label is the minimum node id reachable from the node.
@@ -277,14 +277,18 @@ def connected_components(
 
     **Adaptive execution** (the AQE-broadcast idea applied to graph
     connectivity): the edge set is materialized once, and if it fits the
-    ``driver_edge_limit`` (1M edges ≈ tens of MB — near-dup graphs are
-    usually tiny next to the corpus) the components are solved with one
-    driver-side union-find instead of an iterative job sequence; each
-    distributed round costs a join + shuffle + job launch, so for small
-    graphs the loop is pure fixed overhead (~6 s at sf0.1).  Larger
-    graphs take the distributed path: iterative min-label propagation,
-    one shuffle join + partial-agg min per round, early exit when a round
-    changes nothing.
+    ``driver_edge_limit`` (500k edges — a ~50-150 MB driver working set
+    counting Python object overhead for the arrays, dict and result
+    tuples; near-dup graphs are usually tiny next to the corpus) the
+    components are solved with one driver-side union-find instead of an
+    iterative job sequence; each distributed round costs a join + shuffle
+    + job launch, so for small graphs the loop is pure fixed overhead
+    (~6 s at sf0.1), and propagation needs O(graph diameter) rounds —
+    long chains are exact on the driver path but RAISE on the
+    distributed path once ``max_iter`` is exhausted (silent unconverged
+    labels were worse).  Larger graphs take the distributed path:
+    iterative min-label propagation, one shuffle join + partial-agg min
+    per round, early exit when a round changes nothing.
 
     Scale: near-dup graphs are short-diameter (pairs / small stars), so
     propagation converges in 2–4 rounds.  Iterative algorithms MUST
@@ -318,10 +322,15 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        # collect() (bounded by driver_edge_limit) — toLocalIterator pays
-        # per-partition job latency that dwarfs the union-find itself
-        for row in ee.collect():
-            a, b = row["a"], row["b"]
+        # one Arrow transfer (bounded by driver_edge_limit) — pandas keeps
+        # the endpoints as two int arrays instead of per-Row objects, and
+        # toLocalIterator would pay per-partition job latency
+        import pandas as _pd
+
+        pdf = ee.toPandas()
+        for a, b in zip(pdf["a"], pdf["b"]):
+            a = None if _pd.isna(a) else int(a)
+            b = None if _pd.isna(b) else int(b)
             if a is not None:
                 parent.setdefault(a, a)
             if b is not None:
@@ -365,8 +374,16 @@ def connected_components(
         )
         labels = new_labels
         if not changed:
-            break
-    return labels
+            return labels
+    # exhausting max_iter with changes still propagating means the labels
+    # are NOT component minima (propagation needs O(graph diameter)
+    # rounds) — silent wrong answers are worse than an instruction
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter); raise max_iter, or use the "
+        "driver path by raising driver_edge_limit, or switch the loop "
+        "body to large-star/small-star for O(log n) rounds"
+    )
 
 
 def _word_ngrams_from(toks: Column, n: int = 3) -> Column:

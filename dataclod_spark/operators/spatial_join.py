@@ -990,15 +990,22 @@ def dbscan_clusters(
     )
     a = p.select(F.col("pid").alias("a_id"), F.col("px").alias("ax"), F.col("py").alias("ay"))
     b = p.select(F.col("pid").alias("b_id"), F.col("px").alias("bx"), F.col("py").alias("by"))
-    pairs = spatial_join(
-        a,
-        b,
-        "dwithin",
-        distance=eps,
-        left_bbox=("ax", "ay", "ax", "ay"),
-        right_bbox=("bx", "by", "bx", "by"),
-        refine="none",
-    ).select("a_id", "b_id")
+    # the pair set feeds five consumers (counts, both core-edge joins,
+    # border, and the final union via core_labels) — materialize it once
+    # or each branch re-executes the grid join (SCALE.md pitfall #6)
+    pairs = (
+        spatial_join(
+            a,
+            b,
+            "dwithin",
+            distance=eps,
+            left_bbox=("ax", "ay", "ax", "ay"),
+            right_bbox=("bx", "by", "bx", "by"),
+            refine="none",
+        )
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
     # self-pairs are included by the join (distance 0 <= eps), so the
     # neighbor count is DBSCAN's |N_eps(p)| with self
     counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("__n"))
@@ -1011,7 +1018,13 @@ def dbscan_clusters(
     )
     from dataclod_spark.operators.dedup import connected_components
 
-    comp = connected_components(core_edges, "id_1", "id_2")
+    # lattice-like core graphs have O(extent) diameter, so the min-label
+    # loop would need hundreds of rounds: give the driver union-find a
+    # generous budget (5M edges ≈ tens of MB of Arrow arrays) and let the
+    # distributed fallback run long if a graph genuinely exceeds it
+    comp = connected_components(
+        core_edges, "id_1", "id_2", max_iter=1000, driver_edge_limit=5_000_000
+    )
     # isolated cores (no core neighbor) form their own singleton cluster
     core_labels = (
         core.join(comp, core["cid"] == comp["id"], "left")
@@ -1019,6 +1032,7 @@ def dbscan_clusters(
             F.col("cid").alias("id"),
             F.coalesce(F.col("component"), F.col("cid")).alias("cluster"),
         )
+        .localCheckpoint(eager=True)  # consumed by border + the final union
     )
     border = (
         pairs.join(core_labels.select(F.col("id").alias("b_id"), "cluster"), "b_id")

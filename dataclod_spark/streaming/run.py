@@ -539,12 +539,13 @@ def streaming_cdc_apply(
         new = apply_changes(base, changes, "user_id", "op", seq_col="__seq")
         staged = os.path.join(snapshot_dir, f"stage_{batch_id}")
         new.write.mode("overwrite").parquet(staged)
-        nxt = os.path.join(snapshot_dir, f"v{batch_id}")
-        if os.path.exists(nxt):
-            # re-executed micro-batch (crash between pointer swap and
-            # checkpoint commit): replace our own prior version — the
-            # rename must stay idempotent or every restart wedges
-            shutil.rmtree(nxt, ignore_errors=True)
+        # every attempt gets a FRESH version dir: a re-executed micro-batch
+        # (crash between pointer swap and checkpoint commit) must never
+        # delete or overwrite the directory `current` still points to —
+        # the old version is removed only AFTER the swap succeeds
+        import uuid
+
+        nxt = os.path.join(snapshot_dir, f"v{batch_id}_{uuid.uuid4().hex[:8]}")
         os.rename(staged, nxt)
         old = os.readlink(cur) if os.path.islink(cur) else None
         tmp_link = os.path.join(snapshot_dir, "_lnk")
