@@ -55,16 +55,24 @@ def materialize_once(base: str, write_fn: Callable[[str], None]) -> str:
         fcntl.flock(lk, fcntl.LOCK_EX)
         try:
             if not os.path.exists(marker):
-                scratch = tempfile.mkdtemp(prefix=os.path.basename(base) + "_w")
-                staged = os.path.join(scratch, "data")
-                write_fn(staged)
-                if os.path.isdir(base):
-                    # markerless partial from a pre-lock layout; safe to
-                    # clear under the lock (complete dirs have markers and
-                    # never reach this branch)
-                    shutil.rmtree(base, ignore_errors=True)
-                os.rename(staged, base)
-                shutil.rmtree(scratch, ignore_errors=True)
+                # stage on the SAME filesystem as base — os.rename cannot
+                # cross mounts (EXDEV), and tempfile.gettempdir() may be a
+                # different device (tmpfs) than the caller's base
+                scratch = tempfile.mkdtemp(
+                    dir=os.path.dirname(os.path.abspath(base)),
+                    prefix=os.path.basename(base) + "_w",
+                )
+                try:
+                    staged = os.path.join(scratch, "data")
+                    write_fn(staged)
+                    if os.path.isdir(base):
+                        # markerless partial from a pre-lock layout; safe to
+                        # clear under the lock (complete dirs have markers
+                        # and never reach this branch)
+                        shutil.rmtree(base, ignore_errors=True)
+                    os.rename(staged, base)
+                finally:
+                    shutil.rmtree(scratch, ignore_errors=True)
         finally:
             fcntl.flock(lk, fcntl.LOCK_UN)
     return base

@@ -69,7 +69,12 @@ def apply_changes(
             )
         ),
     )
-    touched = changes.select(key, op_col)
+    # materialize the deduped batch once: the anti-join and union branches
+    # would otherwise each re-run the change derivation (and, in the
+    # streaming caller, re-read the prior snapshot for the ordering guard)
+    # — SCALE.md pitfall #6; the batch is small by the merge's own 100 TB
+    # story, so the checkpoint is cheap
+    changes = changes.localCheckpoint(eager=True)
     upserts = changes.filter(F.col(op_col).isin("I", "U")).select(*payload)
-    survivors = base.join(touched.select(key), key, "left_anti")
+    survivors = base.join(changes.select(key), key, "left_anti")
     return survivors.unionByName(upserts)

@@ -322,15 +322,19 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        # one Arrow transfer (bounded by driver_edge_limit) — pandas keeps
-        # the endpoints as two int arrays instead of per-Row objects, and
+        # one Arrow transfer (bounded by driver_edge_limit) — Arrow keeps
+        # nullable int64 columns EXACT (pandas would coerce a column with
+        # one null to float64, silently rounding ids above 2^53), and
         # toLocalIterator would pay per-partition job latency
-        import pandas as _pd
-
-        pdf = ee.toPandas()
-        for a, b in zip(pdf["a"], pdf["b"]):
-            a = None if _pd.isna(a) else int(a)
-            b = None if _pd.isna(b) else int(b)
+        try:
+            tbl = ee.toArrow()
+            col_a = tbl.column("a").to_pylist()
+            col_b = tbl.column("b").to_pylist()
+        except AttributeError:  # pre-4.0 fallback: Rows keep longs exact
+            rows_ab = ee.collect()
+            col_a = [r["a"] for r in rows_ab]
+            col_b = [r["b"] for r in rows_ab]
+        for a, b in zip(col_a, col_b):
             if a is not None:
                 parent.setdefault(a, a)
             if b is not None:

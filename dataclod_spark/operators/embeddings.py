@@ -191,7 +191,12 @@ def kmeans_clusters(
     inertia`` (mean squared distance to the final centroid, DECIMAL-
     accumulated, rounded to 6)."""
     v = F.transform(F.col(vec), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    # null or wrong-width vectors would crash seed collection / break the
+    # zip_with length contract — drop them up front (a cleaning pass owns
+    # deciding what to do with malformed rows, not the clusterer)
+    base = df.filter(
+        F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
+    ).select(F.col(id_col).alias("__id"), v.alias("__v"))
     cents = [
         (i, [float(x) for x in r["__v"]])
         for i, r in enumerate(base.orderBy("__id").limit(k).collect())

@@ -129,7 +129,27 @@ def select_exec_mode(predicate: str, mean_points: Optional[float]) -> str:
 
 
 _MEAN_POINTS_CACHE: dict[int, Optional[float]] = {}
-_MEAN_POINTS_CACHE_MAX = 32
+_PLAN_MEMO_MAX = 32
+
+
+def _plan_memoized(cache: dict, pool: DataFrame, compute):
+    """Memoize ``compute()`` by the semantic hash of ``pool``'s plan, with
+    bounded FIFO eviction — shared by the bbox grid sample and the
+    exec-mode mean-points stats (both invalidated together by
+    :func:`clear_bbox_sample_cache`; semanticHash does not see file
+    rewrites at the same path)."""
+    try:
+        key: Optional[int] = pool.semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in cache:
+        return cache[key]
+    out = compute()
+    if key is not None:
+        if len(cache) >= _PLAN_MEMO_MAX:
+            cache.pop(next(iter(cache)))
+        cache[key] = out
+    return out
 
 
 def collect_mean_points(src: DataFrame, geom_col: str) -> Optional[float]:
@@ -148,22 +168,14 @@ def collect_mean_points(src: DataFrame, geom_col: str) -> Optional[float]:
         MAX_BBOX_SAMPLES
     )
     pool = samp.unionAll(base.limit(MIN_BBOX_SAMPLES)).coalesce(1)
-    try:
-        key: Optional[int] = pool.semanticHash()
-    except Exception:
-        key = None
-    if key is not None and key in _MEAN_POINTS_CACHE:
-        return _MEAN_POINTS_CACHE[key]
-    row = geometry_statistics(pool, "__g").collect()[0]
-    if not row["total_geometries"]:
-        out = None
-    else:
-        out = float(row["total_points"]) / float(row["total_geometries"])
-    if key is not None:
-        if len(_MEAN_POINTS_CACHE) >= _MEAN_POINTS_CACHE_MAX:
-            _MEAN_POINTS_CACHE.pop(next(iter(_MEAN_POINTS_CACHE)))
-        _MEAN_POINTS_CACHE[key] = out
-    return out
+
+    def compute() -> Optional[float]:
+        row = geometry_statistics(pool, "__g").collect()[0]
+        if not row["total_geometries"]:
+            return None
+        return float(row["total_points"]) / float(row["total_geometries"])
+
+    return _plan_memoized(_MEAN_POINTS_CACHE, pool, compute)
 
 
 PREDICATES = {
@@ -651,7 +663,6 @@ def _bbcol(c) -> Column:
 # expressions — changes the key.  Bounded FIFO (each entry ≤11k tuples);
 # ≈ the dispatch path's per-EngineSession grid cache, at the operator level.
 _SAMPLE_CACHE: dict[int, list[tuple]] = {}
-_SAMPLE_CACHE_MAX = 32
 
 
 def clear_bbox_sample_cache() -> None:
@@ -663,19 +674,14 @@ def clear_bbox_sample_cache() -> None:
 
 
 def _cached_sample(pool: DataFrame) -> list[tuple]:
-    try:
-        key = pool.semanticHash()
-    except Exception:
-        key = None
-    if key is not None and key in _SAMPLE_CACHE:
-        return _SAMPLE_CACHE[key]
-    rows = pool.collect()
-    out = [(r[0], r[1], r[2], r[3]) for r in rows[: MAX_BBOX_SAMPLES + MIN_BBOX_SAMPLES]]
-    if key is not None:
-        if len(_SAMPLE_CACHE) >= _SAMPLE_CACHE_MAX:
-            _SAMPLE_CACHE.pop(next(iter(_SAMPLE_CACHE)))
-        _SAMPLE_CACHE[key] = out
-    return out
+    def compute() -> list[tuple]:
+        rows = pool.collect()
+        return [
+            (r[0], r[1], r[2], r[3])
+            for r in rows[: MAX_BBOX_SAMPLES + MIN_BBOX_SAMPLES]
+        ]
+
+    return _plan_memoized(_SAMPLE_CACHE, pool, compute)
 
 
 def collect_bbox_sample_cols(src: DataFrame, cols: tuple) -> list[tuple]:

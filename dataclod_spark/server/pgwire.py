@@ -682,7 +682,10 @@ class _Connection:
             elif tag == b"P":
                 self.handle_parse(body)
             elif tag == b"B":
-                self.handle_bind(body)
+                try:
+                    self.handle_bind(body)
+                except Exception as e:  # noqa: BLE001 — bad param encodings
+                    self.p.send_error("22P03", f"invalid parameter: {e}"[:500])
             elif tag == b"D":
                 self.handle_describe(body)
             elif tag == b"E":
@@ -705,6 +708,10 @@ def _numeric_binary_decode(raw: bytes) -> Decimal:
     ndigits, weight, sign, dscale = struct.unpack("!hhHh", raw[:8])
     if sign == 0xC000:
         return Decimal("NaN")
+    if sign == 0xD000:  # PG 14+ numeric +Infinity
+        return Decimal("Infinity")
+    if sign == 0xF000:  # PG 14+ numeric -Infinity
+        return Decimal("-Infinity")
     digits = struct.unpack(f"!{ndigits}h", raw[8 : 8 + 2 * ndigits])
     val = Decimal(0)
     for k, d in enumerate(digits):
@@ -741,7 +748,14 @@ def _decode_param(raw: bytes, fmt: int, oid: int):
             return _PG_EPOCH_DT + timedelta(microseconds=struct.unpack("!q", raw)[0])
         if oid == _OID_INTERVAL:
             micros, days, months = struct.unpack("!qii", raw)
-            return timedelta(days=days + 30 * months, microseconds=micros)
+            if months:
+                # month length varies — flattening to 30 days would
+                # silently change the bound value; clean protocol error
+                raise ValueError(
+                    "INTERVAL parameters with a month component are not "
+                    "supported (month length is not a fixed number of days)"
+                )
+            return timedelta(days=days, microseconds=micros)
         if oid in _ELEM_OF:
             # 1-D array parameter in PG array binary format
             ndim, _hasnull, elem_oid = struct.unpack("!iii", raw[:12])
