@@ -592,3 +592,36 @@ def test_binary_array_parameter_roundtrip(client):
         "SELECT $1 AS a", [arr], [1007], param_formats=[1]
     )
     assert rows[0][0] == b"{7,8,9}"
+
+
+def test_slt_corpus_through_wire_matches_direct(client, engine):
+    """Replay the reference's whole spatial SLT corpus through the wire:
+    for every record, the pgwire text results must byte-match the same
+    SQL run directly on the EngineSession and encoded with the server's
+    own text codec — end-to-end proof the server path loses nothing
+    (golden-value fidelity itself is covered by test_spatial_slt)."""
+    from test_spatial_slt import _RECORDS
+
+    from dataclod_spark.server.pgwire import _text_encode
+
+    mismatches = []
+    checked = 0
+    for lineno, types, rowsort, sql, expected in _RECORDS:
+        try:
+            direct = engine.sql(sql).collect()
+        except Exception:
+            continue  # records the engine can't run are covered elsewhere
+        try:
+            _, wire_rows, _ = client.query(sql)
+        except RuntimeError as e:
+            mismatches.append((lineno, f"wire error: {str(e)[:120]}"))
+            continue
+        want = sorted(
+            tuple(_text_encode(v) for v in row) for row in direct
+        )
+        got = sorted(tuple(row) for row in wire_rows)
+        if want != got:
+            mismatches.append((lineno, f"want {want[:2]} got {got[:2]}"))
+        checked += 1
+    assert checked >= 80, f"only {checked} records replayed"
+    assert not mismatches, mismatches[:5]
