@@ -22,73 +22,66 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver samples a bounded window (50 in r2/r3) of the registry in dict
+# The driver samples a bounded window (50 in r2-r4) of the registry in dict
 # order, so present the queries most in need of a correctness row first.
-# Round-4 rotation (VERDICT r3 "Next round" #2): the 18 round-3 queries that
-# have never had a driver row go first, then the 7 whose oracles got the
-# CAST(sum(...) AS BIGINT) fix this round (re-verify hash-green), then the
-# queries whose implementations changed in round 4 (x11 single-scan) and the
-# only-r1-green set (g1-g3, v1, v2), then a freshness refill of r1/r2-era
-# relational/text/dedup queries.  Every query stays registered either way.
+# Round-5 rotation (VERDICT r4 "Next round" #1): the window can hold 50 of
+# the 48 r2-era stale queries + the queries changed/added this round, so:
+# 1-39 are the r2-era queries NOT in bench.py's per-round headline set,
+# 40-42 are d11 (broadcast-hint removal, re-prove hash-green) and the two
+# new multi-batch streaming gates (st10/st11), 43-50 are the r2-era
+# bench-set queries (q5/q13/q18/a2/j2/w1/e1/x1).  q1 sits at 51: it is the
+# driver's own entry() smoke check every round, the only registry query
+# with standing per-round evidence outside this window.  d7/g23 (changed
+# by the connected-components rewrite) follow — they are r3-green, within
+# the two-round freshness bar, and locally parity-proven this round — then
+# the rest of the r3-era set (the r6 rotation), then the r4-green set.
 _PRIORITY = [
-    # 1-18: never driver-verified (no row in CORRECTNESS_r01/r02/r03)
-    "st7_stream_asof_join", "e6_session_window", "a7_stat_aggregates",
-    "p2_partition_pruning", "g21_zorder_layout", "u1_scd2_merge",
-    "p3_unpivot", "x12_name_resolution", "u2_scd2_snapshot", "e7_funnel",
-    "e8_cohort_retention", "w7_cumulative_distinct", "r3_recursive_cte",
-    "x13_column_profile", "x14_integrity_checks", "x15_pmi_cooccurrence",
-    "x9_vocab_topk", "x10_repetition_ratio",
-    # 19-25: r3 hash-miss set — oracle casts fixed in round 4, re-verify
-    "g15_sql_exists_spatial", "g16_sql_not_exists_spatial",
-    "g17_sql_region_query", "g19_sql_dwithin_join",
-    "g20_sql_distance_lt_join", "sp1_stratified_sample", "sp2_hash_sample",
-    # then: new in round 4 (k-means, contamination check, CDC merge,
-    # embedding outliers, event-gap profile, dedup reduction report, the
-    # derived-partsupp TPC-H closures, streaming heavy hitters, tile
-    # heatmap) and implementation changed in round 4 (single-scan TF-IDF)
-    "v7_kmeans_clusters", "x16_contamination_check", "u3_cdc_merge",
-    "v8_embedding_outliers", "e9_event_gap_profile",
+    # 1-39: last driver row is round 2, not in the bench headline set
+    "q3_top_orders", "q4_order_priority", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_profit",
+    "q10_returned_items", "q12_priority_by_flag", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q21_waiting_supplier", "q22_idle_customers",
+    "a1_rollup", "a3_grouping_sets", "a4_distinct_aggs",
+    "s1_setops", "s2_exists_in", "s3_scalar_subquery",
+    "j1_semi_anti", "p1_pivot", "r1_cte_values_rangejoin",
+    "r2_parameterized", "t1_topk",
+    "w2_rank_parts", "w3_lag_lead", "w4_ntile_moving_avg",
+    "e2_tumbling_window", "e3_json_extract",
+    "x2_quality_score", "x3_langid", "x4_lang_quality_rollup",
+    "x5_bpe_tokens", "x6_rolling_fingerprint",
+    "d3_lsh_pairs", "d4_simhash", "d5_embedding_dups", "d6_ngram_jaccard",
+    # 40-42: changed or added in round 5
     "d11_dedup_reduction_report",
-    "q2_min_cost_supplier", "q11_important_stock",
-    "q16_parts_supplier_counts", "q20_potential_promotion",
-    "st8_stream_heavy_hitters", "g22_tile_heatmap", "c5_scan_orc",
-    "sp3_language_rebalance", "x17_lang_confusion", "st9_stream_cdc_upsert",
-    "g23_dbscan_clusters",
-    "x11_tfidf_top_terms",
-    # then: last verified in round 1 — refresh
-    "g1_covers_count", "g2_dwithin_count", "g3_envelope_area_sum",
-    "v1_knn_bruteforce", "v2_knn_lsh",
-    # freshness refill to the window edge (r1/r2-green, unchecked since)
-    "d1_exact_dedup", "d2_minhash_signatures", "d3_lsh_pairs", "d4_simhash",
-    "d5_embedding_dups", "d6_ngram_jaccard",
-    "x1_token_stats", "x2_quality_score", "x3_langid",
-    "x4_lang_quality_rollup", "x5_bpe_tokens", "x6_rolling_fingerprint",
-    "q1_pricing_summary", "q5_local_supplier", "q13_customer_distribution",
-    "q18_large_volume_customer", "j2_brand_supplier_revenue",
-    "a2_cube", "w1_running_total",
-    # below the driver window: r3-green custom operators (spatial SQL
-    # dispatch, streaming, scans, multimodal, ANN) — all hash-green in
-    # CORRECTNESS_r03, rotated down to make room
+    "st10_stream_heavy_hitters_multibatch", "st11_stream_cdc_multibatch",
+    # 43-50: r2-era bench-set queries (also timed every round by bench.py)
+    "q5_local_supplier", "q13_customer_distribution",
+    "q18_large_volume_customer", "a2_cube", "j2_brand_supplier_revenue",
+    "w1_running_total", "e1_sessionization", "x1_token_stats",
+    # 51+: q1 = the driver entry() smoke check; then the queries touched
+    # by the round-5 connected-components rewrite (r3-green + locally
+    # parity-proven); then the r3-era set, first in line for round 6
+    "q1_pricing_summary",
+    "d7_dedup_clusters", "g23_dbscan_clusters",
+    "s4_setops_all", "b1_bucketed_join", "a6_percentiles",
+    "w5_groups_frame", "w6_distribution_ranks",
+    "e4_asof_join", "e5_hypertable_rollup",
+    "x7_quality_filter_pipeline", "x8_langid_ngram",
+    "d8_embedding_sign_lsh", "d9_winnow_pairs",
+    "v3_knn_multiprobe", "v4_knn_ivf", "v5_centroid_cosine",
+    "v6_scalar_quantize",
     "g4_translate_bounds", "g5_wkt_roundtrip",
     "g6_spatial_join_points_in_boxes", "g7_dwithin_join",
     "g8_rect_within_join", "g9_sql_spatial_join", "g10_geo_statistics",
     "g11_sql_outer_spatial_join", "g12_sql_cte_spatial_join",
     "g13_mvt_points", "g14_sql_multi_join_spatial",
     "g18_sql_chain_spatial_second",
-    "v3_knn_multiprobe", "v4_knn_ivf",
     "c1_scan_duckdb", "c2_scan_sqlite", "c3_scan_csv", "c4_scan_json",
     "m1_multimodal_decode", "m2_frame_sampling", "m3_byte_histogram",
     "pg1_pg_type",
     "st1_stream_sessionization", "st2_stream_tumbling",
     "st3_stream_sliding", "st4_stream_interval_join", "st5_stream_dedup",
     "st6_stream_static_join",
-    "d7_dedup_clusters", "d8_embedding_sign_lsh",
-    "w5_groups_frame",
-    "x7_quality_filter_pipeline", "x8_langid_ngram",
-    "s4_setops_all",
-    "b1_bucketed_join", "w6_distribution_ranks", "a6_percentiles",
-    "e4_asof_join", "e5_hypertable_rollup",
-    "v5_centroid_cosine", "v6_scalar_quantize", "d9_winnow_pairs",
 ]
 
 

@@ -3,8 +3,13 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is executed to completion (count() action) so the full plan —
-scan, shuffle, aggregation — is measured, not just plan construction.
+Each query is executed to completion with a CONTENT-FORCING action:
+``agg(sum(xxhash64(struct(*cols))))`` hashes every output column of every
+row, so projection-only work (window columns, expression columns) is
+measured too — ``count()`` lets Catalyst prune unreferenced projections
+(SCALE.md pitfall #5), under-measuring projection-shaped queries like w1
+and x1.  Set ``SPARK_GRAFT_BENCH_ACTION=count`` to reproduce the r1–r4
+action for cross-round comparability (same 15-query set since r1).
 """
 
 from __future__ import annotations
@@ -35,6 +40,10 @@ def main() -> None:
 
     EngineSession(spark)
 
+    from pyspark.sql import functions as F
+
+    use_count = os.environ.get("SPARK_GRAFT_BENCH_ACTION") == "count"
+
     timings: dict[str, float] = {}
     for name, qd in sorted(headline.items()):
         # defined state per query: no cross-query cache reuse
@@ -42,7 +51,11 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = qd.fn(spark, sf_dir)
-            df.count()
+            if use_count:
+                df.count()
+            else:
+                # every column of every row feeds the hash — nothing prunable
+                df.agg(F.sum(F.xxhash64(F.struct(*df.columns)))).collect()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record failures as negative sentinel
             print(f"bench query {name} failed: {exc}", file=sys.stderr)

@@ -268,39 +268,48 @@ def connected_components(
     dst: str = "id_2",
     max_iter: int = 20,
     driver_edge_limit: int = 500_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every node of an undirected edge set; the
     component label is the minimum node id reachable from the node.
+
+    ``stats``, if a dict is passed, receives ``{"path": "driver" |
+    "distributed", "rounds": <LS+SS rounds executed>}`` — tests assert
+    the O(log n) round bound through it.
 
     This is the cluster step of near-duplicate removal: LSH/Jaccard pairs
     → connected components → keep one representative per component.
 
     **Adaptive execution** (the AQE-broadcast idea applied to graph
     connectivity): the edge set is materialized once, and if it fits the
-    ``driver_edge_limit`` (500k edges — a ~50-150 MB driver working set
-    counting Python object overhead for the arrays, dict and result
-    tuples; near-dup graphs are usually tiny next to the corpus) the
-    components are solved with one driver-side union-find instead of an
-    iterative job sequence; each distributed round costs a join + shuffle
-    + job launch, so for small graphs the loop is pure fixed overhead
-    (~6 s at sf0.1), and propagation needs O(graph diameter) rounds —
-    long chains are exact on the driver path but RAISE on the
-    distributed path once ``max_iter`` is exhausted (silent unconverged
-    labels were worse).  Larger graphs take the distributed path:
-    iterative min-label propagation, one shuffle join + partial-agg min
-    per round, early exit when a round changes nothing.
+    ``driver_edge_limit`` (500k edges — ~8 MB of int64 numpy buffers per
+    500k edges plus one index array per node; near-dup graphs are
+    usually tiny next to the corpus) the components are solved with one
+    driver-side union-find over the Arrow/numpy buffers directly (no
+    Python-object materialization); each distributed round costs joins +
+    shuffles + job launches, so for small graphs the loop is pure fixed
+    overhead (~6 s at sf0.1).  Larger graphs take the distributed path:
+    **alternating large-star/small-star** (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds
+    regardless of graph diameter, so long chains and lattice-like
+    spatial core graphs converge where min-label propagation's
+    O(diameter) rounds would not.  ``max_iter`` bounds the LS+SS rounds
+    and the function RAISES if exhausted (silent unconverged labels were
+    worse); 20 rounds covers any graph the planet's storage can hold.
 
-    Scale: near-dup graphs are short-diameter (pairs / small stars), so
-    propagation converges in 2–4 rounds.  Iterative algorithms MUST
-    truncate lineage: the edge set (often an expensive LSH/fingerprint
-    pipeline) is materialized ONCE via ``localCheckpoint`` before the
-    loop, and each round's labels are checkpointed too — otherwise round
-    N re-executes the full upstream pipeline N times over AND the
-    `changed` probe doubles it (measured: 357 s → ~10 s on the sf0.1
-    cluster query).  At extreme scale swap the loop body for alternating
-    large-star/small-star (same building blocks, O(log n) rounds).
+    Scale: each round is two groupBy+join passes over the *current* edge
+    set, which only shrinks toward one edge per non-root node.
+    Iterative algorithms MUST truncate lineage: the edge set (often an
+    expensive LSH/fingerprint pipeline) is materialized ONCE via
+    ``localCheckpoint`` before the loop, and each round's edges are
+    checkpointed too — otherwise round N re-executes the full upstream
+    pipeline N times over AND the convergence probe doubles it
+    (measured: 357 s → ~10 s on the sf0.1 cluster query).
 
     Both paths produce the identical (id, min-reachable-id) labeling.
+    The reference's analogue for this shape is the out-of-core design of
+    spatial/src/join/prepare.rs — bounded passes regardless of data
+    shape.
     """
     # one materialization of the (possibly very expensive) edge pipeline —
     # checkpoint the UNDIRECTED edges; the reversed union for the
@@ -312,82 +321,143 @@ def connected_components(
 
     n_edges = ee.count()  # free: reads the checkpointed materialization
     if n_edges <= driver_edge_limit:
-        parent: dict[int, int] = {}
+        if stats is not None:
+            stats["path"], stats["rounds"] = "driver", 0
+        spark = edges.sparkSession
+        # one Arrow transfer (bounded by driver_edge_limit) — Arrow keeps
+        # nullable int64 columns EXACT (pandas would coerce a column with
+        # one null to float64, silently rounding ids above 2^53).  The
+        # union-find runs over the numpy int64 buffers directly: no
+        # to_pylist(), so the working set is the ~16 B/edge columnar data
+        # plus one int64 parent array per node, not hundreds of MB of
+        # boxed Python ints.
+        import numpy as np
+        import pyarrow.compute as pc
+
+        try:
+            tbl = ee.toArrow()
+            col_a, col_b = tbl.column("a"), tbl.column("b")
+        except AttributeError:  # pre-4.0 fallback: Rows keep longs exact
+            import pyarrow as pa
+
+            rows_ab = ee.collect()
+            col_a = pa.array([r["a"] for r in rows_ab], type=pa.int64())
+            col_b = pa.array([r["b"] for r in rows_ab], type=pa.int64())
+        # null endpoints never join (equi-join semantics), but a node
+        # paired only with a null is still a singleton component
+        both = pc.and_(pc.is_valid(col_a), pc.is_valid(col_b))
+        ea = pc.filter(col_a, both).combine_chunks().to_numpy(zero_copy_only=False)
+        eb = pc.filter(col_b, both).combine_chunks().to_numpy(zero_copy_only=False)
+        nodes = np.unique(
+            np.concatenate(
+                [
+                    pc.drop_null(col_a).combine_chunks().to_numpy(zero_copy_only=False),
+                    pc.drop_null(col_b).combine_chunks().to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64, copy=False)
+        )
+        if nodes.size == 0:
+            return spark.createDataFrame([], "id long, component long")
+        # dense indices: nodes is sorted, so smaller index == smaller id
+        # and union-by-min-index makes the root the component label
+        ia = np.searchsorted(nodes, ea.astype(np.int64, copy=False))
+        ib = np.searchsorted(nodes, eb.astype(np.int64, copy=False))
+        parent = np.arange(nodes.size, dtype=np.int64)
 
         def find(x: int) -> int:
             root = x
             while parent[root] != root:
                 root = parent[root]
             while parent[x] != root:
-                parent[x], x = root, parent[x]
+                parent[x], x = root, int(parent[x])
             return root
 
-        # one Arrow transfer (bounded by driver_edge_limit) — Arrow keeps
-        # nullable int64 columns EXACT (pandas would coerce a column with
-        # one null to float64, silently rounding ids above 2^53), and
-        # toLocalIterator would pay per-partition job latency
-        try:
-            tbl = ee.toArrow()
-            col_a = tbl.column("a").to_pylist()
-            col_b = tbl.column("b").to_pylist()
-        except AttributeError:  # pre-4.0 fallback: Rows keep longs exact
-            rows_ab = ee.collect()
-            col_a = [r["a"] for r in rows_ab]
-            col_b = [r["b"] for r in rows_ab]
-        for a, b in zip(col_a, col_b):
-            if a is not None:
-                parent.setdefault(a, a)
-            if b is not None:
-                parent.setdefault(b, b)
-            if a is None or b is None:
-                continue  # null endpoints never join (equi-join semantics)
+        for a, b in zip(ia, ib):  # numpy scalars — no list materialization
             ra, rb = find(a), find(b)
             if ra != rb:
-                # union by MIN id so the root IS the component label
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        rows = [(x, find(x)) for x in parent]
-        spark = edges.sparkSession
-        return spark.createDataFrame(rows, "id long, component long")
+        roots = np.fromiter(
+            (find(i) for i in range(nodes.size)), dtype=np.int64, count=nodes.size
+        )
+        import pandas as pd
 
+        return spark.createDataFrame(
+            pd.DataFrame({"id": nodes, "component": nodes[roots]})
+        )
+
+    # ---- distributed path: alternating large-star / small-star ----
     # contract (both paths): null endpoints are ignored for connectivity
     # (equi-join semantics) but a node paired only with a null still
     # appears as its own singleton component
-    e = ee.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (
+    all_nodes = (
         ee.select(F.col("a").alias("id"))
         .unionAll(ee.select(F.col("b").alias("id")))
         .filter(F.col("id").isNotNull())
         .distinct()
-        .withColumn("component", F.col("id"))
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        prop = e.join(labels, e["a"] == labels["id"]).select(
-            F.col("b").alias("id"), F.col("component")
-        )
-        new_labels = (
-            labels.unionAll(prop).groupBy("id").agg(F.min("component").alias("component"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if not changed:
-            return labels
-    # exhausting max_iter with changes still propagating means the labels
-    # are NOT component minima (propagation needs O(graph diameter)
-    # rounds) — silent wrong answers are worse than an instruction
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        "(graph diameter exceeds max_iter); raise max_iter, or use the "
-        "driver path by raising driver_edge_limit, or switch the loop "
-        "body to large-star/small-star for O(log n) rounds"
+        .localCheckpoint(eager=True)
     )
+    # canonical form throughout the loop: (u, v) with u > v, distinct
+    cur = (
+        ee.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    converged = n_cur == 0
+    rounds = 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        rounds += 1
+        # LARGE-STAR: every node x links each LARGER neighbor y to the
+        # minimum m_x of its full neighborhood (incl. itself); each
+        # undirected edge {p<q} is emitted exactly once, from p's side,
+        # as (q, m_p) — so the output keeps the u>v canonical form
+        nbrs = cur.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+            cur.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        mins = nbrs.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("__m"))
+        ls = (
+            nbrs.join(mins, "x")
+            .filter(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("u"), F.col("__m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # SMALL-STAR: every node u links its SMALLER neighbors (and
+        # itself) to the minimum of that smaller neighborhood
+        smins = ls.groupBy("u").agg(F.min("v").alias("__m"))
+        nxt = (
+            ls.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .unionAll(smins.select("u", F.col("__m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = nxt.count()
+        # both relations are distinct sets, so equal count + empty
+        # one-way difference ⇔ identical edge sets ⇔ star-forest fixed
+        # point (LS and SS are both the identity there)
+        converged = n_new == n_cur and nxt.exceptAll(cur).limit(1).count() == 0
+        cur, n_cur = nxt, n_new
+    if stats is not None:
+        stats["path"], stats["rounds"] = "distributed", rounds
+    if not converged:
+        # silent wrong answers are worse than an instruction
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds; the round count is O(log n) in "
+            "the node count, so this graph needs a larger max_iter"
+        )
+    # fixed point = star forest of (child, root=component-min) edges;
+    # roots and singletons label themselves
+    return all_nodes.join(
+        cur.select(F.col("u").alias("id"), F.col("v").alias("__c")), "id", "left"
+    ).select("id", F.coalesce("__c", F.col("id")).alias("component"))
 
 
 def _word_ngrams_from(toks: Column, n: int = 3) -> Column:
@@ -558,6 +628,7 @@ def contamination_check(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.05,
+    broadcast_gram_limit: int = 5_000_000,
 ) -> DataFrame:
     """Benchmark-contamination scan (the Dolma/C4 decontamination shape):
     flag training documents whose word n-gram overlap with a held-out
@@ -570,7 +641,11 @@ def contamination_check(
       index building blocks);
     * benchmark gram set = distinct grams over benchmark docs → broadcast
       (a benchmark is small by definition; at 100 TB the training corpus
-      streams against it without shuffling);
+      streams against it without shuffling).  The broadcast contract is
+      GUARDED: if a caller's predicate selects more than
+      ``broadcast_gram_limit`` distinct grams — no longer a "benchmark" —
+      the operator logs and falls back to a shuffled join instead of
+      forcing an unbounded table through the driver;
     * per training doc: explode grams, count broadcast-set hits, one
       groupBy(doc) shuffle — O(corpus grams), never pairwise.
 
@@ -592,12 +667,24 @@ def contamination_check(
         .select(F.explode("__grams").alias("__g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
+        .localCheckpoint()  # counted for the guard, then joined — one pass
     )
+    if bench.count() <= broadcast_gram_limit:
+        bench = F.broadcast(bench)
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "contamination_check: benchmark gram set exceeds "
+            "broadcast_gram_limit=%d; falling back to a shuffled join "
+            "(is benchmark_pred really selecting a held-out benchmark?)",
+            broadcast_gram_limit,
+        )
     ex = grams.filter(~F.col("__is_bench")).select(
         "__id", "__n_grams", F.explode("__grams").alias("__g")
     )
     return (
-        ex.join(F.broadcast(bench), "__g", "left")
+        ex.join(bench, "__g", "left")
         .groupBy(F.col("__id").alias(id_col), F.col("__n_grams"))
         .agg(F.count("__hit").alias("n_hits"))
         .filter(

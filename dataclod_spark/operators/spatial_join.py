@@ -978,7 +978,8 @@ def dbscan_clusters(
       included (one partial-aggregated count over the pairs);
     * **clusters**: connected components over core-core edges
       (:func:`operators.dedup.connected_components` — adaptive driver
-      union-find for bounded graphs, distributed min-label beyond);
+      union-find for bounded graphs, distributed O(log n)
+      large-star/small-star beyond);
     * **border points**: non-core within eps of a core join the MINIMUM
       adjacent core's cluster (the deterministic tie-break PostGIS
       leaves unspecified);
@@ -1024,12 +1025,13 @@ def dbscan_clusters(
     )
     from dataclod_spark.operators.dedup import connected_components
 
-    # lattice-like core graphs have O(extent) diameter, so the min-label
-    # loop would need hundreds of rounds: give the driver union-find a
-    # generous budget (5M edges ≈ tens of MB of Arrow arrays) and let the
-    # distributed fallback run long if a graph genuinely exceeds it
+    # the driver union-find runs over numpy int64 buffers (no boxed
+    # Python ints), so 5M edges is ~80 MB of driver arrays; beyond that
+    # the distributed path is alternating large-star/small-star, whose
+    # O(log n) rounds handle the O(extent) diameter of lattice-like core
+    # graphs that would starve min-label propagation
     comp = connected_components(
-        core_edges, "id_1", "id_2", max_iter=1000, driver_edge_limit=5_000_000
+        core_edges, "id_1", "id_2", max_iter=30, driver_edge_limit=5_000_000
     )
     # isolated cores (no core neighbor) form their own singleton cluster
     core_labels = (

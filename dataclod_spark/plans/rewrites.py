@@ -139,6 +139,24 @@ def rewrite_values_tables(sql: str) -> str:
         out = out[:open_paren] + f"({union}){alias_sql}" + after
 
 
+class SqlFragmentParam:
+    """A bind-parameter value that must be spliced into the SQL text as a
+    fixed server-generated fragment instead of passed through
+    ``spark.sql(args=...)`` — Spark only accepts literals / collection
+    constructors as args, so e.g. a typed empty array parameter
+    (``CAST(array() AS array<int>)``) has no args representation.  The
+    fragment is authored by the server (never client text), so splicing
+    it is not an injection surface."""
+
+    __slots__ = ("fragment",)
+
+    def __init__(self, fragment: str):
+        self.fragment = fragment
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"SqlFragmentParam({self.fragment!r})"
+
+
 def rewrite_dollar_params(sql: str) -> tuple[str, list[int]]:
     """Rewrite PostgreSQL positional parameters ``$1..$n`` to Spark named
     parameters ``:__p1..:__pn``.

@@ -420,9 +420,10 @@ def d11_dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep actually ships: candidate pairs (banded LSH — never all-pairs),
     near-dup clusters (min-label components with checkpointed lineage),
     keep-lowest-id per cluster, and a per-language reduction summary.
-    The component table is tiny next to the corpus (only docs with a
-    near-dup edge), so the final accounting is a broadcast-friendly left
-    join against documents."""
+    The ``dropped`` table has one row per non-representative near-dup
+    doc — at web-corpus dup rates (30%+) that is O(corpus), so no
+    broadcast hint: AQE broadcasts it when it is genuinely small and
+    falls back to a shuffle join when it is not."""
     d = load(spark, sf_dir, "documents")
     pairs = DD.lsh_candidate_pairs(d, jaccard_threshold=0.2)
     comp = DD.connected_components(pairs, "id_1", "id_2")
@@ -431,7 +432,7 @@ def d11_dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select("doc_id", "lang")
-        .join(F.broadcast(dropped), "doc_id", "left")
+        .join(dropped, "doc_id", "left")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -400,3 +400,123 @@ def st9_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(snap_dir, ignore_errors=True)
+
+
+@query(
+    "st10_stream_heavy_hitters_multibatch",
+    doc="st8's cross-batch twin: the events table staged into 3 hash-"
+    "partitioned files streamed with maxFilesPerTrigger=1, so the "
+    "space-saving sketch state must carry across 3 micro-batches to "
+    "reproduce the exact batch top-3",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS cnt
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, user_id) AS rank
+  FROM counts
+)
+SELECT event_type, user_id, cnt, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY event_type, rank
+""",
+)
+def st10_stream_heavy_hitters_multibatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Each event type's LATEST snapshot reflects every batch that carried
+    that type (state accumulates; a type's events only arrive in batches
+    containing it), so with capacity above the corpus cardinality the
+    final per-type snapshot equals the exact batch top-3 regardless of
+    file order — the determinism the oracle needs, while still proving
+    sketch state survives micro-batch boundaries."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.streaming.run import (
+        heavy_hitters_stream,
+        read_events_stream_multibatch,
+        run_to_memory,
+    )
+
+    stage = tempfile.mkdtemp(prefix="dataclod_hh_stage_")
+    try:
+        ev = read_events_stream_multibatch(spark, sf_dir, stage, n_files=3)
+        out = run_to_memory(heavy_hitters_stream(ev, k=3), spark)
+    finally:
+        # memory-sink rows live on the driver; the staging dir can go
+        shutil.rmtree(stage, ignore_errors=True)
+    last = out.groupBy(F.col("event_type").alias("__et")).agg(
+        F.max("batch_seq").alias("__last_seq")
+    )
+    return (
+        out.join(
+            F.broadcast(last),
+            (out["event_type"] == F.col("__et"))
+            & (out["batch_seq"] == F.col("__last_seq")),
+        )
+        .select("event_type", "user_id", "cnt", "rank")
+        .orderBy("event_type", "rank")
+    )
+
+
+@query(
+    "st11_stream_cdc_multibatch",
+    doc="st9's cross-batch twin: CDC changes hash-scattered across 3 "
+    "micro-batches arrive out of time order, so the snapshot's "
+    "(ts,event_id) sequence guard and delete tombstones must hold "
+    "ACROSS batches for the final state to equal latest-change-wins",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, value, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), last AS (
+  SELECT user_id, value, event_type FROM ordered WHERE rn = 1
+)
+SELECT count(*) AS n_users,
+       CAST(sum(user_id) AS BIGINT) AS id_sum,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum
+FROM last
+WHERE event_type <> 'error'
+""",
+)
+def st11_stream_cdc_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash partitioning by event_id lands newer changes in earlier
+    batches and staler ones later; the guard filters the stale arrivals
+    against the stored snapshot sequence (tombstones included, so a
+    late update can't resurrect a deleted user) and the final live rows
+    equal the oracle's single-window latest-per-user — independent of
+    how the stream was chopped."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.streaming.run import (
+        read_events_stream_multibatch,
+        streaming_cdc_apply,
+    )
+
+    stage = tempfile.mkdtemp(prefix="dataclod_cdc_stage_")
+    snap_dir = tempfile.mkdtemp(prefix="dataclod_cdc_snap_")
+    try:
+        ev = read_events_stream_multibatch(spark, sf_dir, stage, n_files=3)
+        snap = streaming_cdc_apply(spark, ev, snap_dir)
+        out = snap.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("id_sum"),
+            F.round(
+                F.sum(F.col("last_value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("value_sum"),
+        )
+        # materialize before removing the snapshot directory the plan reads
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(snap_dir, ignore_errors=True)

@@ -94,6 +94,22 @@ _OID_ARRAY_OF = {
 }
 _ELEM_OF = {v: k for k, v in _OID_ARRAY_OF.items()}
 
+# element OID → Spark SQL type name, for typed empty-array parameters
+_SPARK_TYPE_OF_OID = {
+    _OID_BOOL: "boolean",
+    _OID_BYTEA: "binary",
+    _OID_INT2: "smallint",
+    _OID_INT4: "int",
+    _OID_INT8: "bigint",
+    _OID_TEXT: "string",
+    _OID_FLOAT4: "float",
+    _OID_FLOAT8: "double",
+    _OID_NUMERIC: "decimal(38,18)",
+    _OID_DATE: "date",
+    _OID_TIMESTAMP: "timestamp",
+    _OID_INTERVAL: "interval day to second",
+}
+
 
 def _spark_type_oid(dt) -> int:
     from pyspark.sql import types as T
@@ -409,6 +425,16 @@ class _Connection:
         self.password = password
         self.statements: dict[str, _PreparedStatement] = {}
         self.portals: dict[str, _Portal] = {}
+        # PG extended-protocol error state: after an ErrorResponse the
+        # server ignores further messages until Sync, so a pipelining
+        # client can never execute a stale portal from an earlier Bind
+        self.skip_to_sync = False
+
+    def _ext_error(self, code: str, message: str) -> None:
+        """ErrorResponse inside the extended protocol ⇒ enter the
+        skip-until-Sync state (PG protocol §55.2.3)."""
+        self.skip_to_sync = True
+        self.p.send_error(code, message)
 
     # -- startup / auth (auth.rs on_startup) --
     def startup(self) -> bool:
@@ -570,7 +596,7 @@ class _Connection:
         # PG forbids multiple commands in one prepared statement (the
         # simple protocol is the multi-statement path)
         if len(self._split_statements(text)) > 1:
-            self.p.send_error(
+            self._ext_error(
                 "42601", "cannot insert multiple commands into a prepared statement"
             )
             return
@@ -591,7 +617,7 @@ class _Connection:
         rest = rest[2:]
         stmt = self.statements.get(stmt_name.decode())
         if stmt is None:
-            self.p.send_error("26000", f"unknown statement {stmt_name!r}")
+            self._ext_error("26000", f"unknown statement {stmt_name!r}")
             return
         params = []
         for i in range(n_params):
@@ -639,16 +665,16 @@ class _Connection:
                 fields = [(f.name, _spark_type_oid(f.dataType)) for f in df.schema.fields]
                 self.p.send_row_description(fields, po.column_formats(len(fields)))
         except KeyError:
-            self.p.send_error("26000", f"unknown {kind!r} {name!r}")
+            self._ext_error("26000", f"unknown {kind!r} {name!r}")
         except Exception as e:  # noqa: BLE001
-            self.p.send_error("XX000", str(e)[:1000])
+            self._ext_error("XX000", str(e)[:1000])
 
     def handle_execute(self, body: bytes) -> None:
         name, rest = body.split(b"\x00", 1)
         (max_rows,) = struct.unpack("!i", rest[:4])
         po = self.portals.get(name.decode())
         if po is None:
-            self.p.send_error("26000", f"unknown portal {name.decode()!r}")
+            self._ext_error("26000", f"unknown portal {name.decode()!r}")
             return
         try:
             df, tag = self._run_sql(po.stmt.sql, po.params or None)
@@ -668,7 +694,7 @@ class _Connection:
                 n += 1
             self.p.send_command_complete(f"SELECT {n}")
         except Exception as e:  # noqa: BLE001
-            self.p.send_error("XX000", str(e)[:1000])
+            self._ext_error("XX000", str(e)[:1000])
 
     def serve(self) -> None:
         if not self.startup():
@@ -677,7 +703,12 @@ class _Connection:
             tag, body = self.p.read_message()
             if tag == b"X":  # Terminate
                 return
-            if tag == b"Q":
+            if tag == b"S":  # Sync — also clears the error state
+                self.skip_to_sync = False
+                self.p.send_ready()
+            elif self.skip_to_sync and tag in (b"P", b"B", b"D", b"E", b"C", b"H"):
+                continue  # discarded until Sync (PG error-recovery rule)
+            elif tag == b"Q":
                 self.handle_simple(body.rstrip(b"\x00").decode())
             elif tag == b"P":
                 self.handle_parse(body)
@@ -685,7 +716,10 @@ class _Connection:
                 try:
                     self.handle_bind(body)
                 except Exception as e:  # noqa: BLE001 — bad param encodings
-                    self.p.send_error("22P03", f"invalid parameter: {e}"[:500])
+                    # drop the name being bound: a pipelining client must
+                    # not Execute a stale portal from a previous Bind
+                    self.portals.pop(body.split(b"\x00", 1)[0].decode(errors="replace"), None)
+                    self._ext_error("22P03", f"invalid parameter: {e}"[:500])
             elif tag == b"D":
                 self.handle_describe(body)
             elif tag == b"E":
@@ -694,8 +728,6 @@ class _Connection:
                 kind, name = body[:1], body[1:].split(b"\x00", 1)[0].decode()
                 (self.statements if kind == b"S" else self.portals).pop(name, None)
                 self.p.send(b"3")  # CloseComplete
-            elif tag == b"S":  # Sync
-                self.p.send_ready()
             elif tag == b"H":  # Flush — we write eagerly; nothing buffered
                 pass
             else:
@@ -760,7 +792,16 @@ def _decode_param(raw: bytes, fmt: int, oid: int):
             # 1-D array parameter in PG array binary format
             ndim, _hasnull, elem_oid = struct.unpack("!iii", raw[:12])
             if ndim == 0:
-                return []
+                # empty array: a bare [] would discard the declared element
+                # type (Spark would infer array<void>); carry the OID through
+                # as a server-generated typed-empty-array fragment — Spark's
+                # parameterized sql() rejects cast expressions as args
+                from dataclod_spark.plans.rewrites import SqlFragmentParam
+
+                spark_elem = _SPARK_TYPE_OF_OID.get(elem_oid or _ELEM_OF[oid])
+                if spark_elem is None:
+                    return []
+                return SqlFragmentParam(f"CAST(array() AS array<{spark_elem}>)")
             if ndim != 1:
                 raise ValueError(f"only 1-D binary array parameters (got ndim={ndim})")
             nelems = struct.unpack("!ii", raw[12:20])[0]

@@ -63,6 +63,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    return _events_ts_to_timestamp(df)
+
+
+def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
+    """Normalize the parquet TIMESTAMP(NANOS) ``ts`` column to a streaming-
+    safe TIMESTAMP, whichever way this Spark version surfaced it."""
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -72,6 +78,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pinned UTC above, so naive → instant is a pure type change.
         df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
+
+
+def read_events_stream_multibatch(
+    spark: SparkSession, sf_dir: str, stage_dir: str, n_files: int = 3
+) -> DataFrame:
+    """Events as a MULTI-micro-batch stream: stage the table into
+    ``n_files`` parquet files hash-partitioned by ``event_id`` and read
+    them with ``maxFilesPerTrigger=1``, so availableNow runs ``n_files``
+    micro-batches.  Hash partitioning scatters each user's events across
+    batches in non-time order — the arrival pattern that exercises
+    cross-batch state carry-over and out-of-order guards for real
+    (single-file sources collapse to one batch and prove neither).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        n_files, "event_id"
+    ).write.mode("overwrite").parquet(stage_dir)
+    schema = spark.read.parquet(stage_dir).schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    return _events_ts_to_timestamp(df)
 
 
 def sessionize_stream(

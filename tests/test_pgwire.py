@@ -126,7 +126,7 @@ class MiniPgClient:
         self.send(b"B", bind)
         self.send(b"E", b"\x00" + struct.pack("!i", 0))
         self.send(b"S")
-        rows, tag = [], None
+        rows, tag, err = [], None, None
         while True:
             t, body = self.read_message()
             if t == b"D":
@@ -144,9 +144,13 @@ class MiniPgClient:
                 rows.append(row)
             elif t == b"C":
                 tag = body.rstrip(b"\x00").decode()
-            elif t == b"E":
-                raise RuntimeError(body.decode("utf-8", "replace"))
+            elif t == b"E" and err is None:
+                # keep draining to ReadyForQuery so the connection stays
+                # usable (real clients do the same), then raise
+                err = body.decode("utf-8", "replace")
             elif t == b"Z":
+                if err is not None:
+                    raise RuntimeError(err)
                 return rows, tag
 
 
@@ -594,6 +598,60 @@ def test_binary_array_parameter_roundtrip(client):
     assert rows[0][0] == b"{7,8,9}"
 
 
+def test_empty_binary_array_parameter_keeps_element_type(client):
+    """An EMPTY int4[] binary parameter (ndim=0) must keep its declared
+    element type: a bare [] would bind as array<void>/array<string>."""
+    empty = struct.pack("!iii", 0, 0, 23)  # ndim=0, hasnull=0, elem oid int4
+    rows, _ = client.extended(
+        "SELECT $1 AS a, typeof($1) AS t", [empty, empty], [1007, 1007],
+        param_formats=[1, 1],
+    )
+    assert rows[0][0] == b"{}"
+    assert rows[0][1] == b"array<int>"
+    # and it composes with array functions that need a concrete type
+    rows, _ = client.extended(
+        "SELECT size(array_union($1, array(1, 2))) AS n",
+        [empty], [1007], param_formats=[1],
+    )
+    assert rows[0][0] == b"2"
+
+
+def test_bind_failure_enters_skip_until_sync(client):
+    """After a Bind failure the server must discard Describe/Execute until
+    Sync AND drop the portal being bound — a pipelining client must never
+    receive rows from a stale portal bound with the previous parameters
+    (PG extended-protocol error recovery)."""
+    # 1. successfully bind + execute the unnamed portal with $1 = 111
+    rows, _ = client.extended("SELECT $1::int AS x", [b"111"], [23])
+    assert rows == [[b"111"]]
+    # 2. pipeline: re-Parse, then a Bind whose binary int4 is malformed
+    #    (2 bytes), then Describe + Execute of the unnamed portal, then Sync
+    parse = b"\x00" + b"SELECT $1::int AS x" + b"\x00" + struct.pack("!hi", 1, 23)
+    client.send(b"P", parse)
+    bad = struct.pack("!h", 7)  # 2 bytes where int4 needs 4
+    bind = b"\x00\x00" + struct.pack("!hh", 1, 1)  # 1 param-format: binary
+    bind += struct.pack("!h", 1) + struct.pack("!i", len(bad)) + bad
+    bind += struct.pack("!h", 0)
+    client.send(b"B", bind)
+    client.send(b"D", b"P\x00")
+    client.send(b"E", b"\x00" + struct.pack("!i", 0))
+    client.send(b"S")
+    seen = []
+    while True:
+        t, body = client.read_message()
+        seen.append(t)
+        if t == b"Z":
+            break
+    assert b"E" in seen, seen  # the 22P03 Bind error
+    # no RowDescription/DataRow/CommandComplete may follow the error:
+    # Describe and Execute were discarded, not run against a stale portal
+    after_err = seen[seen.index(b"E") + 1 :]
+    assert after_err == [b"Z"], seen
+    # 3. connection recovers after Sync
+    rows, _ = client.extended("SELECT 5 AS ok", [], [])
+    assert rows == [[b"5"]]
+
+
 def test_slt_corpus_through_wire_matches_direct(client, engine):
     """Replay the reference's whole spatial SLT corpus through the wire:
     for every record, the pgwire text results must byte-match the same
@@ -616,10 +674,15 @@ def test_slt_corpus_through_wire_matches_direct(client, engine):
         except RuntimeError as e:
             mismatches.append((lineno, f"wire error: {str(e)[:120]}"))
             continue
+        # NULL cells are None: Python can't order None vs bytes, so sort
+        # with a None-first key instead of raw tuples (a crash here would
+        # mask a real mismatch as the corpus grows)
+        none_first = lambda t: tuple((v is not None, v) for v in t)  # noqa: E731
         want = sorted(
-            tuple(_text_encode(v) for v in row) for row in direct
+            (tuple(_text_encode(v) for v in row) for row in direct),
+            key=none_first,
         )
-        got = sorted(tuple(row) for row in wire_rows)
+        got = sorted((tuple(row) for row in wire_rows), key=none_first)
         if want != got:
             mismatches.append((lineno, f"want {want[:2]} got {got[:2]}"))
         checked += 1

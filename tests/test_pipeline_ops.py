@@ -409,6 +409,40 @@ def test_contamination_flags_planted_benchmark_copy(spark):
     assert 100 not in out  # benchmark rows are never self-flagged
 
 
+def test_contamination_broadcast_guard_fallback(spark, caplog):
+    """When benchmark_pred selects more distinct grams than
+    broadcast_gram_limit, the operator must fall back to a shuffled join
+    (logging why) and still produce the identical result — the guard
+    keeps a mis-scoped 'benchmark' from being forced through the driver
+    as a broadcast."""
+    import logging
+
+    from dataclod_spark.operators.dedup import contamination_check
+
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (100, bench_text),
+        (1, bench_text),
+        (2, "totally unrelated words about columnar engines and vectorized execution"),
+    ]
+    df = _docs(spark, rows)
+    pred = F.col("doc_id") >= 100
+    broadcasted = sorted(
+        map(tuple, contamination_check(df, pred, n=3, threshold=0.5).collect())
+    )
+    with caplog.at_level(logging.WARNING, logger="dataclod_spark.operators.dedup"):
+        shuffled = sorted(
+            map(
+                tuple,
+                contamination_check(
+                    df, pred, n=3, threshold=0.5, broadcast_gram_limit=0
+                ).collect(),
+            )
+        )
+    assert shuffled == broadcasted
+    assert any("broadcast_gram_limit" in r.message for r in caplog.records)
+
+
 def test_cdc_apply_changes_semantics(spark):
     """Delete drops, update replaces, insert adds, untouched passes
     through; with seq_col the highest sequence number wins per key."""
@@ -505,3 +539,60 @@ def test_connected_components_null_endpoints(spark):
     a = sorted(map(tuple, connected_components(edges).collect()))
     b = sorted(map(tuple, connected_components(edges, driver_edge_limit=0).collect()))
     assert a == b == [(1, 1), (2, 1), (3, 3), (4, 4)]
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check: on random graphs the distributed large-star/
+    small-star path produces exactly the driver union-find labeling
+    (the exact oracle), within the O(log n) round budget."""
+    import random
+
+    from dataclod_spark.operators.dedup import connected_components
+
+    rng = random.Random(0xC0C0)
+    for trial in range(4):
+        n = rng.choice([30, 120, 400])
+        m = rng.randint(n // 4, 2 * n)
+        # node ids sparse + shuffled so label-min != index-min artifacts show
+        ids = rng.sample(range(1, 10_000_000), n)
+        edges = [
+            (ids[rng.randrange(n)], ids[rng.randrange(n)]) for _ in range(m)
+        ]
+        df = spark.createDataFrame(edges, "id_1 long, id_2 long")
+        stats: dict = {}
+        got = sorted(
+            map(
+                tuple,
+                connected_components(
+                    df, driver_edge_limit=0, stats=stats
+                ).collect(),
+            )
+        )
+        want = sorted(map(tuple, connected_components(df).collect()))
+        assert got == want, f"trial {trial} mismatch"
+        assert stats["path"] == "distributed"
+        # O(log n) bound with slack for the +1 confirmation round
+        assert stats["rounds"] <= 2 * (n.bit_length() + 2), stats
+
+
+def test_connected_components_path_graph_10k_olog_rounds(spark):
+    """The min-label worst case: a 10k-node path graph (diameter 10k).
+    The large-star/small-star distributed path must solve it exactly in
+    O(log n) LS+SS rounds — not O(diameter) — and match the driver
+    union-find labeling."""
+    from dataclod_spark.operators.dedup import connected_components
+
+    n = 10_000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_1 long, id_2 long"
+    ).coalesce(4)
+    stats: dict = {}
+    out = connected_components(
+        chain, driver_edge_limit=0, max_iter=40, stats=stats
+    ).collect()
+    assert stats["path"] == "distributed"
+    # log2(10_000) ~ 13.3; the alternating algorithm needs ~log n rounds
+    # plus the final no-change confirmation round
+    assert stats["rounds"] <= 20, stats
+    assert len(out) == n
+    assert all(r["component"] == 0 for r in out)
