@@ -4,8 +4,8 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Each query is executed to completion with a CONTENT-FORCING action:
-``agg(sum(xxhash64(struct(*cols))))`` hashes every output column of every
-row, so projection-only work (window columns, expression columns) is
+``agg(bit_xor(xxhash64(struct(*cols))))`` hashes every output column of
+every row, so projection-only work (window columns, expression columns) is
 measured too — ``count()`` lets Catalyst prune unreferenced projections
 (SCALE.md pitfall #5), under-measuring projection-shaped queries like w1
 and x1.  Set ``SPARK_GRAFT_BENCH_ACTION=count`` to reproduce the r1–r4
@@ -55,7 +55,8 @@ def main() -> None:
                 df.count()
             else:
                 # every column of every row feeds the hash — nothing prunable
-                df.agg(F.sum(F.xxhash64(F.struct(*df.columns)))).collect()
+                # (bit_xor, not sum: summing int64 hashes overflows ANSI mode)
+                df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record failures as negative sentinel
             print(f"bench query {name} failed: {exc}", file=sys.stderr)

@@ -266,7 +266,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_1",
     dst: str = "id_2",
-    max_iter: int = 20,
+    max_iter: int = 64,
     driver_edge_limit: int = 500_000,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -295,7 +295,11 @@ def connected_components(
     spatial core graphs converge where min-label propagation's
     O(diameter) rounds would not.  ``max_iter`` bounds the LS+SS rounds
     and the function RAISES if exhausted (silent unconverged labels were
-    worse); 20 rounds covers any graph the planet's storage can hold.
+    worse).  Observed round growth is ~1.5·log2(n) (20 rounds for a
+    10k-node path, the worst shape tested); the Alternating variant's
+    proven bound is O(log² n), so the default cap is 64 — comfortable
+    headroom for any realistic graph, and free when convergence is
+    earlier because the loop exits on the first no-change round.
 
     Scale: each round is two groupBy+join passes over the *current* edge
     set, which only shrinks toward one edge per non-root node.

@@ -1031,7 +1031,7 @@ def dbscan_clusters(
     # O(log n) rounds handle the O(extent) diameter of lattice-like core
     # graphs that would starve min-label propagation
     comp = connected_components(
-        core_edges, "id_1", "id_2", max_iter=30, driver_edge_limit=5_000_000
+        core_edges, "id_1", "id_2", max_iter=128, driver_edge_limit=5_000_000
     )
     # isolated cores (no core neighbor) form their own singleton cluster
     core_labels = (

@@ -157,6 +157,52 @@ class SqlFragmentParam:
         return f"SqlFragmentParam({self.fragment!r})"
 
 
+def splice_named_params(sql: str, fragments: dict[str, str]) -> str:
+    """Replace ``:name`` markers with server-generated SQL fragments
+    (parenthesized), using the same literal-aware scan as
+    :func:`rewrite_dollar_params`: quoted strings ('…' with '' escapes)
+    and quoted identifiers ("…") are never touched, so a literal that
+    happens to contain ``:__p1`` survives.  Only for
+    :class:`SqlFragmentParam` values, which have no ``spark.sql(args=…)``
+    representation; plain string replacement (no regex templates) so
+    fragments containing backslashes pass through verbatim."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif ch == '"':
+            j = sql.find('"', i + 1)
+            j = n - 1 if j == -1 else j
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif ch == ":":
+            j = i + 1
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            name = sql[i + 1 : j]
+            if name in fragments:
+                out.append(f"({fragments[name]})")
+                i = j
+            else:
+                out.append(ch)
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def rewrite_dollar_params(sql: str) -> tuple[str, list[int]]:
     """Rewrite PostgreSQL positional parameters ``$1..$n`` to Spark named
     parameters ``:__p1..:__pn``.

@@ -617,6 +617,9 @@ class _Connection:
         rest = rest[2:]
         stmt = self.statements.get(stmt_name.decode())
         if stmt is None:
+            # drop the name being bound too: a pipelining client must not
+            # be able to Execute a stale portal after this error + Sync
+            self.portals.pop(portal.decode(), None)
             self._ext_error("26000", f"unknown statement {stmt_name!r}")
             return
         params = []
@@ -706,8 +709,11 @@ class _Connection:
             if tag == b"S":  # Sync — also clears the error state
                 self.skip_to_sync = False
                 self.p.send_ready()
-            elif self.skip_to_sync and tag in (b"P", b"B", b"D", b"E", b"C", b"H"):
-                continue  # discarded until Sync (PG error-recovery rule)
+            elif self.skip_to_sync and tag in (b"P", b"B", b"D", b"E", b"C", b"H", b"Q"):
+                # discarded until Sync (PG error-recovery rule) — including
+                # simple Query: running it would end with ReadyForQuery
+                # while the error state still swallows extended messages
+                continue
             elif tag == b"Q":
                 self.handle_simple(body.rstrip(b"\x00").decode())
             elif tag == b"P":

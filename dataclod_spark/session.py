@@ -354,16 +354,18 @@ class EngineSession:
         if rewritten is not None:
             query = rewritten
         if args:
-            from dataclod_spark.plans.rewrites import SqlFragmentParam
+            from dataclod_spark.plans.rewrites import SqlFragmentParam, splice_named_params
 
             frags = {
-                k: v for k, v in dict(args).items() if isinstance(v, SqlFragmentParam)
+                k: v.fragment
+                for k, v in dict(args).items()
+                if isinstance(v, SqlFragmentParam)
             }
             if frags:
                 # server-generated fragments (typed empty arrays etc.) have
-                # no spark.sql(args=...) representation — splice them
-                for k, v in frags.items():
-                    query = re.sub(rf":{re.escape(k)}\b", f"({v.fragment})", query)
+                # no spark.sql(args=...) representation — splice them with
+                # the literal-aware scanner (never inside quoted strings)
+                query = splice_named_params(query, frags)
                 args = {k: v for k, v in dict(args).items() if k not in frags}
         if args:
             return self.spark.sql(query, args=dict(args))

@@ -652,6 +652,72 @@ def test_bind_failure_enters_skip_until_sync(client):
     assert rows == [[b"5"]]
 
 
+def test_bind_unknown_statement_drops_portal(client):
+    """Bind naming an unknown statement must also drop the portal being
+    bound: after Sync, Execute of that portal is 'unknown portal', not a
+    replay of the previous Bind's parameters."""
+    # bind + execute portal "sp" against a real statement
+    client.send(b"P", b"keep\x00SELECT 42 AS x\x00" + struct.pack("!h", 0))
+    client.send(
+        b"B",
+        b"sp\x00keep\x00" + struct.pack("!hhh", 0, 0, 0),
+    )
+    client.send(b"E", b"sp\x00" + struct.pack("!i", 0))
+    client.send(b"S")
+    seen = []
+    while True:
+        t, body = client.read_message()
+        seen.append(t)
+        if t == b"Z":
+            break
+    assert b"D" in seen  # the 42 row arrived
+    # re-Bind "sp" to a statement that does not exist → 26000, portal dropped
+    client.send(
+        b"B", b"sp\x00no_such_stmt\x00" + struct.pack("!hhh", 0, 0, 0)
+    )
+    client.send(b"S")
+    while client.read_message()[0] != b"Z":
+        pass
+    client.send(b"E", b"sp\x00" + struct.pack("!i", 0))
+    client.send(b"S")
+    msgs = []
+    while True:
+        t, body = client.read_message()
+        msgs.append((t, body))
+        if t == b"Z":
+            break
+    errs = [b for t, b in msgs if t == b"E"]
+    assert errs and b"unknown portal" in errs[0], msgs
+    assert not any(t == b"D" for t, _ in msgs)  # no stale 42 replay
+
+
+def test_simple_query_discarded_during_error_state(client):
+    """PG discards ALL messages until Sync after an extended-protocol
+    error — including simple Query.  Running it would emit ReadyForQuery
+    while the connection still swallows extended messages."""
+    # enter the error state: bind a malformed binary int4
+    client.send(b"P", b"\x00SELECT $1::int AS x\x00" + struct.pack("!hi", 1, 23))
+    bad = struct.pack("!h", 7)
+    bind = b"\x00\x00" + struct.pack("!hh", 1, 1)
+    bind += struct.pack("!h", 1) + struct.pack("!i", len(bad)) + bad
+    bind += struct.pack("!h", 0)
+    client.send(b"B", bind)
+    # pipeline a simple Query BEFORE Sync: must be discarded, not run
+    client.send(b"Q", b"SELECT 9 AS q\x00")
+    client.send(b"S")
+    seen = []
+    while True:
+        t, _ = client.read_message()
+        seen.append(t)
+        if t == b"Z":
+            break
+    assert seen.count(b"Z") == 1  # no extra ReadyForQuery from the Query
+    assert not any(t in (b"T", b"D") for t in seen), seen  # no rows ran
+    # and the connection is healthy afterwards
+    _, rows, _ = client.query("SELECT 3 AS ok")
+    assert rows == [[b"3"]]
+
+
 def test_slt_corpus_through_wire_matches_direct(client, engine):
     """Replay the reference's whole spatial SLT corpus through the wire:
     for every record, the pgwire text results must byte-match the same

@@ -73,3 +73,31 @@ def test_ddl_roundtrip_through_session(engine, tmp_path):
     finally:
         engine.sql("DROP TABLE IF EXISTS ddl_t")
         engine.sql("DROP TABLE IF EXISTS ddl_t2")
+
+
+def test_sql_fragment_param_spliced_outside_literals(engine):
+    """SqlFragmentParam values (typed empty arrays from the wire) splice
+    into the query text at parameter sites only — a string literal that
+    happens to contain the marker text is untouched, matching Spark's
+    parser-level named-parameter binding."""
+    from dataclod_spark.plans.rewrites import SqlFragmentParam
+
+    rows = engine.sql(
+        "SELECT ':__p1' AS s, $1 AS a, typeof($1) AS t",
+        args=[SqlFragmentParam("CAST(array() AS array<int>)")],
+    ).collect()
+    assert rows[0].s == ":__p1"
+    assert rows[0].a == []
+    assert rows[0].t == "array<int>"
+
+
+def test_splice_named_params_scanner():
+    from dataclod_spark.plans.rewrites import splice_named_params
+
+    frags = {"__p1": "CAST(array() AS array<int>)"}
+    assert (
+        splice_named_params("SELECT :__p1, ':__p1', \":__p1\", :__p12", frags)
+        == "SELECT (CAST(array() AS array<int>)), ':__p1', \":__p1\", :__p12"
+    )
+    # backslashes in fragments pass through verbatim (no regex templates)
+    assert splice_named_params("SELECT :f", {"f": r"'a\g<0>b'"}) == r"SELECT ('a\g<0>b')"
