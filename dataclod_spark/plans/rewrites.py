@@ -157,35 +157,48 @@ class SqlFragmentParam:
         return f"SqlFragmentParam({self.fragment!r})"
 
 
+def _quoted_span(sql: str, i: int) -> int:
+    """``sql[i]`` is a quote character (``'``, ``"`` or backtick): return
+    the index one past the closing quote.  Matches Spark's default
+    tokenization: backslash escapes are live inside ``'…'`` and ``"…"``
+    string literals (``escapedStringLiterals=false``), doubled quotes
+    escape in all three forms, backticks know no backslash."""
+    q = sql[i]
+    n = len(sql)
+    backslash = q in "'\""
+    j = i + 1
+    while j < n:
+        c = sql[j]
+        if backslash and c == "\\":
+            j += 2
+            continue
+        if c == q:
+            if j + 1 < n and sql[j + 1] == q:
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
 def splice_named_params(sql: str, fragments: dict[str, str]) -> str:
     """Replace ``:name`` markers with server-generated SQL fragments
     (parenthesized), using the same literal-aware scan as
-    :func:`rewrite_dollar_params`: quoted strings ('…' with '' escapes)
-    and quoted identifiers ("…") are never touched, so a literal that
-    happens to contain ``:__p1`` survives.  Only for
-    :class:`SqlFragmentParam` values, which have no ``spark.sql(args=…)``
-    representation; plain string replacement (no regex templates) so
-    fragments containing backslashes pass through verbatim."""
+    :func:`rewrite_dollar_params` (shared ``_quoted_span``): quoted
+    strings, quoted identifiers and backticked identifiers are never
+    touched, so a literal that happens to contain ``:__p1`` survives.
+    Only for :class:`SqlFragmentParam` values, which have no
+    ``spark.sql(args=…)`` representation; plain string concatenation (no
+    regex templates) so fragments containing backslashes pass through
+    verbatim."""
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if sql[j] == "'":
-                    if j + 1 < n and sql[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            out.append(sql[i : j + 1])
-            i = j + 1
-        elif ch == '"':
-            j = sql.find('"', i + 1)
-            j = n - 1 if j == -1 else j
-            out.append(sql[i : j + 1])
-            i = j + 1
+        if ch in "'\"`":
+            j = _quoted_span(sql, i)
+            out.append(sql[i:j])
+            i = j
         elif ch == ":":
             j = i + 1
             while j < n and (sql[j].isalnum() or sql[j] == "_"):
@@ -211,8 +224,9 @@ def rewrite_dollar_params(sql: str) -> tuple[str, list[int]]:
     (``server/src/postgres/parser.rs:31-44`` → LogicalPlan parameter
     substitution); Spark's parameterized SQL uses named ``:name`` markers,
     so the shim renames them and EngineSession maps a positional argument
-    list onto the generated names.  Quoted strings ('…', with '' escapes)
-    and quoted identifiers ("…") are left untouched.
+    list onto the generated names.  Quoted strings, quoted identifiers and
+    backticked identifiers are left untouched (shared ``_quoted_span``
+    scan — backslash escapes honored the way Spark's parser does).
 
     Returns (rewritten_sql, sorted list of parameter indices used).
     """
@@ -221,22 +235,10 @@ def rewrite_dollar_params(sql: str) -> tuple[str, list[int]]:
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if sql[j] == "'":
-                    if j + 1 < n and sql[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            out.append(sql[i : j + 1])
-            i = j + 1
-        elif ch == '"':
-            j = sql.find('"', i + 1)
-            j = n - 1 if j == -1 else j
-            out.append(sql[i : j + 1])
-            i = j + 1
+        if ch in "'\"`":
+            j = _quoted_span(sql, i)
+            out.append(sql[i:j])
+            i = j
         elif ch == "$" and i + 1 < n and sql[i + 1].isdigit():
             j = i + 1
             while j < n and sql[j].isdigit():

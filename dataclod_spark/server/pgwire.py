@@ -709,10 +709,12 @@ class _Connection:
             if tag == b"S":  # Sync — also clears the error state
                 self.skip_to_sync = False
                 self.p.send_ready()
-            elif self.skip_to_sync and tag in (b"P", b"B", b"D", b"E", b"C", b"H", b"Q"):
-                # discarded until Sync (PG error-recovery rule) — including
-                # simple Query: running it would end with ReadyForQuery
-                # while the error state still swallows extended messages
+            elif self.skip_to_sync:
+                # discard EVERYTHING until Sync (PG error-recovery rule:
+                # ignore_till_sync) — including simple Query (running it
+                # would emit ReadyForQuery while the error state still
+                # swallows extended messages) and unknown tags (answering
+                # them with an error + ready would desync the client)
                 continue
             elif tag == b"Q":
                 self.handle_simple(body.rstrip(b"\x00").decode())
@@ -806,7 +808,12 @@ def _decode_param(raw: bytes, fmt: int, oid: int):
 
                 spark_elem = _SPARK_TYPE_OF_OID.get(elem_oid or _ELEM_OF[oid])
                 if spark_elem is None:
-                    return []
+                    # e.g. time[] — Spark has no TIME type; a bare [] would
+                    # silently bind as array<void>, so error cleanly instead
+                    raise ValueError(
+                        f"empty array parameter with unsupported element "
+                        f"oid {elem_oid or _ELEM_OF[oid]}"
+                    )
                 return SqlFragmentParam(f"CAST(array() AS array<{spark_elem}>)")
             if ndim != 1:
                 raise ValueError(f"only 1-D binary array parameters (got ndim={ndim})")

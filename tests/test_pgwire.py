@@ -652,6 +652,44 @@ def test_bind_failure_enters_skip_until_sync(client):
     assert rows == [[b"5"]]
 
 
+def test_empty_time_array_parameter_errors_cleanly(client):
+    """Spark has no TIME type: an empty time[] binary parameter must be a
+    clean 22P03 protocol error, not a silent array<void> bind."""
+    import pytest as _pytest
+
+    empty = struct.pack("!iii", 0, 0, 1083)  # ndim=0, elem oid = time
+    with _pytest.raises(RuntimeError, match="unsupported element oid 1083"):
+        client.extended("SELECT $1 AS a", [empty], [1183], param_formats=[1])
+    # connection recovered via the drained Sync
+    rows, _ = client.extended("SELECT 6 AS ok", [], [])
+    assert rows == [[b"6"]]
+
+
+def test_unknown_tag_discarded_during_error_state(client):
+    """Messages outside the known tag set are also discarded while in the
+    error state — answering them with error+ready would desync a
+    pipelining client."""
+    client.send(b"P", b"\x00SELECT $1::int AS x\x00" + struct.pack("!hi", 1, 23))
+    bad = struct.pack("!h", 7)
+    bind = b"\x00\x00" + struct.pack("!hh", 1, 1)
+    bind += struct.pack("!h", 1) + struct.pack("!i", len(bad)) + bad
+    bind += struct.pack("!h", 0)
+    client.send(b"B", bind)
+    client.send(b"F", b"\x00\x00\x00\x00")  # FunctionCall — unsupported
+    client.send(b"S")
+    seen = []
+    while True:
+        t, _ = client.read_message()
+        seen.append(t)
+        if t == b"Z":
+            break
+    # exactly one error (the Bind failure), one ready; the F message is
+    # silently discarded rather than answered
+    assert seen.count(b"E") == 1 and seen.count(b"Z") == 1, seen
+    rows, _ = client.extended("SELECT 8 AS ok", [], [])
+    assert rows == [[b"8"]]
+
+
 def test_bind_unknown_statement_drops_portal(client):
     """Bind naming an unknown statement must also drop the portal being
     bound: after Sync, Execute of that portal is 'unknown portal', not a
