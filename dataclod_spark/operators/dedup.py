@@ -423,7 +423,7 @@ def connected_components(
         nbrs = cur.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
             cur.select(F.col("v").alias("x"), F.col("u").alias("y"))
         )
-        mins = nbrs.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("__m"))
+        mins = nbrs.groupBy("x").agg(F.least(F.min("y"), F.col("x")).alias("__m"))
         ls = (
             nbrs.join(mins, "x")
             .filter(F.col("y") > F.col("x"))

@@ -22,6 +22,44 @@ from pyspark.sql import DataFrame, SparkSession
 from dataclod_spark.registry import query
 
 
+def _latest_topk_snapshot(out: DataFrame) -> DataFrame:
+    """Keep only each event type's LATEST heavy-hitters snapshot: append
+    sinks retain one top-k emission per micro-batch, and a type's final
+    snapshot reflects every batch that carried that type (state
+    accumulates), so this equals the exact batch top-k when the sketch
+    capacity exceeds the corpus cardinality.  Shared by st8/st10."""
+    from pyspark.sql import functions as F
+
+    last = out.groupBy(F.col("event_type").alias("__et")).agg(
+        F.max("batch_seq").alias("__last_seq")
+    )
+    return (
+        out.join(
+            F.broadcast(last),
+            (out["event_type"] == F.col("__et"))
+            & (out["batch_seq"] == F.col("__last_seq")),
+        )
+        .select("event_type", "user_id", "cnt", "rank")
+        .orderBy("event_type", "rank")
+    )
+
+
+def _cdc_snapshot_rollup(snap: DataFrame) -> DataFrame:
+    """The (n_users, id_sum, value_sum) rollup of a CDC snapshot,
+    localCheckpoint'ed so the result survives the snapshot directory's
+    removal.  Shared by st9/st11."""
+    from pyspark.sql import functions as F
+
+    out = snap.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("user_id").cast("bigint").alias("id_sum"),
+        F.round(
+            F.sum(F.col("last_value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("value_sum"),
+    )
+    return out.localCheckpoint()
+
+
 @query(
     "st1_stream_sessionization",
     doc="custom stateful streaming operator: applyInPandasWithState gap "
@@ -324,8 +362,6 @@ def st8_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     capacity exceeds the corpus cardinality, so the streaming sketch
     reproduces the exact batch top-3 (max_err = 0, dropped from the
     compared projection along with the snapshot stamp)."""
-    from pyspark.sql import functions as F
-
     from dataclod_spark.streaming.run import (
         heavy_hitters_stream,
         read_events_stream,
@@ -334,21 +370,7 @@ def st8_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     out = run_to_memory(heavy_hitters_stream(ev, k=3), spark)
-    # keep only each key's LATEST snapshot: append sinks retain one top-k
-    # emission per micro-batch, so a multi-file source would otherwise
-    # return stale snapshots alongside the final one
-    last = out.groupBy(F.col("event_type").alias("__et")).agg(
-        F.max("batch_seq").alias("__last_seq")
-    )
-    return (
-        out.join(
-            F.broadcast(last),
-            (out["event_type"] == F.col("__et"))
-            & (out["batch_seq"] == F.col("__last_seq")),
-        )
-        .select("event_type", "user_id", "cnt", "rank")
-        .orderBy("event_type", "rank")
-    )
+    return _latest_topk_snapshot(out)
 
 
 @query(
@@ -379,8 +401,6 @@ def st9_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes as one window over the batch data."""
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from dataclod_spark.streaming.run import read_events_stream, streaming_cdc_apply
 
     import shutil
@@ -389,15 +409,7 @@ def st9_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_dir = tempfile.mkdtemp(prefix="dataclod_cdc_snap_")
     try:
         snap = streaming_cdc_apply(spark, ev, snap_dir)
-        out = snap.agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum("user_id").cast("bigint").alias("id_sum"),
-            F.round(
-                F.sum(F.col("last_value").cast("decimal(18,6)")).cast("double"), 2
-            ).alias("value_sum"),
-        )
-        # materialize before removing the snapshot directory the plan reads
-        return out.localCheckpoint()
+        return _cdc_snapshot_rollup(snap)
     finally:
         shutil.rmtree(snap_dir, ignore_errors=True)
 
@@ -435,8 +447,6 @@ def st10_stream_heavy_hitters_multibatch(
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from dataclod_spark.streaming.run import (
         heavy_hitters_stream,
         read_events_stream_multibatch,
@@ -450,18 +460,7 @@ def st10_stream_heavy_hitters_multibatch(
     finally:
         # memory-sink rows live on the driver; the staging dir can go
         shutil.rmtree(stage, ignore_errors=True)
-    last = out.groupBy(F.col("event_type").alias("__et")).agg(
-        F.max("batch_seq").alias("__last_seq")
-    )
-    return (
-        out.join(
-            F.broadcast(last),
-            (out["event_type"] == F.col("__et"))
-            & (out["batch_seq"] == F.col("__last_seq")),
-        )
-        .select("event_type", "user_id", "cnt", "rank")
-        .orderBy("event_type", "rank")
-    )
+    return _latest_topk_snapshot(out)
 
 
 @query(
@@ -496,8 +495,6 @@ def st11_stream_cdc_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from dataclod_spark.streaming.run import (
         read_events_stream_multibatch,
         streaming_cdc_apply,
@@ -508,15 +505,7 @@ def st11_stream_cdc_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev = read_events_stream_multibatch(spark, sf_dir, stage, n_files=3)
         snap = streaming_cdc_apply(spark, ev, snap_dir)
-        out = snap.agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum("user_id").cast("bigint").alias("id_sum"),
-            F.round(
-                F.sum(F.col("last_value").cast("decimal(18,6)")).cast("double"), 2
-            ).alias("value_sum"),
-        )
-        # materialize before removing the snapshot directory the plan reads
-        return out.localCheckpoint()
+        return _cdc_snapshot_rollup(snap)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(snap_dir, ignore_errors=True)

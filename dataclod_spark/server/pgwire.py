@@ -643,9 +643,19 @@ class _Connection:
 
     def handle_describe(self, body: bytes) -> None:
         kind, name = body[:1], body[1:].split(b"\x00", 1)[0].decode()
+        # name resolution FIRST, outside the broad catch: a KeyError deep
+        # in the engine path must surface as XX000, not masquerade as
+        # "unknown statement/portal" (26000)
+        if kind == b"S":
+            stmt = self.statements.get(name)
+        else:
+            stmt = None
+            po = self.portals.get(name)
+        if (stmt is None) if kind == b"S" else (po is None):
+            self._ext_error("26000", f"unknown {kind!r} {name!r}")
+            return
         try:
             if kind == b"S":
-                stmt = self.statements[name]
                 # ParameterDescription then RowDescription
                 oids = stmt.param_oids + [_OID_TEXT] * (
                     stmt.n_params - len(stmt.param_oids)
@@ -660,15 +670,12 @@ class _Connection:
                 else:
                     self._stream_result(df, 0, describe_only=True)
                 return
-            po = self.portals[name]
             df, _ = self._run_sql(po.stmt.sql, po.params or None)
             if df is None:
                 self.p.send(b"n")  # NoData
             else:
                 fields = [(f.name, _spark_type_oid(f.dataType)) for f in df.schema.fields]
                 self.p.send_row_description(fields, po.column_formats(len(fields)))
-        except KeyError:
-            self._ext_error("26000", f"unknown {kind!r} {name!r}")
         except Exception as e:  # noqa: BLE001
             self._ext_error("XX000", str(e)[:1000])
 
@@ -718,8 +725,6 @@ class _Connection:
                 continue
             elif tag == b"Q":
                 self.handle_simple(body.rstrip(b"\x00").decode())
-            elif tag == b"P":
-                self.handle_parse(body)
             elif tag == b"B":
                 try:
                     self.handle_bind(body)
@@ -728,19 +733,47 @@ class _Connection:
                     # not Execute a stale portal from a previous Bind
                     self.portals.pop(body.split(b"\x00", 1)[0].decode(errors="replace"), None)
                     self._ext_error("22P03", f"invalid parameter: {e}"[:500])
-            elif tag == b"D":
-                self.handle_describe(body)
-            elif tag == b"E":
-                self.handle_execute(body)
-            elif tag == b"C":  # Close statement/portal
-                kind, name = body[:1], body[1:].split(b"\x00", 1)[0].decode()
-                (self.statements if kind == b"S" else self.portals).pop(name, None)
-                self.p.send(b"3")  # CloseComplete
+            elif tag in (b"P", b"D", b"E", b"C"):
+                # a malformed body (missing NUL, truncated header) must
+                # produce ErrorResponse + skip-until-Sync, not an uncaught
+                # exception that kills the connection with a bare EOF
+                try:
+                    if tag == b"P":
+                        self.handle_parse(body)
+                    elif tag == b"D":
+                        self.handle_describe(body)
+                    elif tag == b"E":
+                        self.handle_execute(body)
+                    else:  # Close statement/portal
+                        kind, name = body[:1], body[1:].split(b"\x00", 1)[0].decode()
+                        (self.statements if kind == b"S" else self.portals).pop(name, None)
+                        self.p.send(b"3")  # CloseComplete
+                except Exception as e:  # noqa: BLE001 — protocol boundary
+                    self._ext_error("08P01", f"malformed {tag.decode()} message: {e}"[:500])
             elif tag == b"H":  # Flush — we write eagerly; nothing buffered
                 pass
             else:
-                self.p.send_error("0A000", f"unsupported message {tag!r}")
-                self.p.send_ready()
+                # unsupported tag: error AND enter the error state — an
+                # immediate ReadyForQuery here would desync a pipelining
+                # client mid-cycle (its Sync still gets the real Ready)
+                self._ext_error("0A000", f"unsupported message {tag!r}")
+
+
+def _typed_empty_array(elem_oid: int):
+    """An empty array parameter must keep its declared element type: a
+    bare ``[]`` would bind as ``array<void>``.  Spark's parameterized
+    ``sql()`` rejects cast expressions as args, so the type travels as a
+    server-generated fragment the session splices textually."""
+    from dataclod_spark.plans.rewrites import SqlFragmentParam
+
+    spark_elem = _SPARK_TYPE_OF_OID.get(elem_oid)
+    if spark_elem is None:
+        # e.g. time[] — Spark has no TIME type; a silent array<void> bind
+        # would be worse than a clean protocol error
+        raise ValueError(
+            f"empty array parameter with unsupported element oid {elem_oid}"
+        )
+    return SqlFragmentParam(f"CAST(array() AS array<{spark_elem}>)")
 
 
 def _numeric_binary_decode(raw: bytes) -> Decimal:
@@ -800,24 +833,14 @@ def _decode_param(raw: bytes, fmt: int, oid: int):
             # 1-D array parameter in PG array binary format
             ndim, _hasnull, elem_oid = struct.unpack("!iii", raw[:12])
             if ndim == 0:
-                # empty array: a bare [] would discard the declared element
-                # type (Spark would infer array<void>); carry the OID through
-                # as a server-generated typed-empty-array fragment — Spark's
-                # parameterized sql() rejects cast expressions as args
-                from dataclod_spark.plans.rewrites import SqlFragmentParam
-
-                spark_elem = _SPARK_TYPE_OF_OID.get(elem_oid or _ELEM_OF[oid])
-                if spark_elem is None:
-                    # e.g. time[] — Spark has no TIME type; a bare [] would
-                    # silently bind as array<void>, so error cleanly instead
-                    raise ValueError(
-                        f"empty array parameter with unsupported element "
-                        f"oid {elem_oid or _ELEM_OF[oid]}"
-                    )
-                return SqlFragmentParam(f"CAST(array() AS array<{spark_elem}>)")
+                return _typed_empty_array(elem_oid or _ELEM_OF[oid])
             if ndim != 1:
                 raise ValueError(f"only 1-D binary array parameters (got ndim={ndim})")
             nelems = struct.unpack("!ii", raw[12:20])[0]
+            if nelems == 0:
+                # some clients encode empty arrays as one zero-length
+                # dimension instead of ndim=0 — same typed-empty handling
+                return _typed_empty_array(elem_oid or _ELEM_OF[oid])
             off, out = 20, []
             for _ in range(nelems):
                 (ln,) = struct.unpack("!i", raw[off : off + 4])

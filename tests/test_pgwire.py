@@ -652,6 +652,32 @@ def test_bind_failure_enters_skip_until_sync(client):
     assert rows == [[b"5"]]
 
 
+def test_empty_binary_array_ndim1_zero_elems_keeps_type(client):
+    """Some clients encode an empty array as ndim=1 with one zero-length
+    dimension; that spelling must get the same typed-empty treatment."""
+    empty = struct.pack("!iiiii", 1, 0, 23, 0, 1)  # ndim=1, 0 elems, lbound 1
+    rows, _ = client.extended(
+        "SELECT typeof($1) AS t", [empty], [1007], param_formats=[1]
+    )
+    assert rows[0][0] == b"array<int>"
+
+
+def test_malformed_parse_body_recovers(client):
+    """A Parse body missing its NUL terminators must produce an
+    ErrorResponse + skip-until-Sync, not kill the connection."""
+    client.send(b"P", b"no_nul_terminators_here")
+    client.send(b"S")
+    seen = []
+    while True:
+        t, _ = client.read_message()
+        seen.append(t)
+        if t == b"Z":
+            break
+    assert b"E" in seen, seen
+    rows, _ = client.extended("SELECT 4 AS ok", [], [])
+    assert rows == [[b"4"]]
+
+
 def test_empty_time_array_parameter_errors_cleanly(client):
     """Spark has no TIME type: an empty time[] binary parameter must be a
     clean 22P03 protocol error, not a silent array<void> bind."""
