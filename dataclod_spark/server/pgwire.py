@@ -507,28 +507,24 @@ class _Connection:
     def _split_statements(sql: str) -> list[str]:
         """Split a simple-protocol query string on top-level semicolons
         (the PG simple protocol executes each statement in order).  Aware
-        of single/double quotes (with '' escaping), dollar-quoting (tags
+        of single/double quotes (Spark tokenization: backslash and doubled
+        escapes, via the shared scanner), dollar-quoting (tags
         may contain digits after the first char, e.g. $q1$), line comments,
         and nesting block comments, so semicolons inside literals or
         comments don't split."""
+        from dataclod_spark.plans.rewrites import _quoted_span
+
         out, buf = [], []
         i, n = 0, len(sql)
         while i < n:
             ch = sql[i]
-            if ch == "'" or ch == '"':
-                q = ch
-                buf.append(ch)
-                i += 1
-                while i < n:
-                    buf.append(sql[i])
-                    if sql[i] == q:
-                        if q == "'" and i + 1 < n and sql[i + 1] == "'":
-                            buf.append(sql[i + 1])
-                            i += 2
-                            continue
-                        i += 1
-                        break
-                    i += 1
+            if ch in "'\"`":
+                # shared Spark-tokenization scanner (backslash + doubled
+                # quote escapes) — a \' inside a literal must not end it,
+                # or one Spark-valid statement splits at a literal ';'
+                j = _quoted_span(sql, i)
+                buf.append(sql[i:j])
+                i = j
                 continue
             if ch == "$":
                 m = re.match(r"\$(?:[A-Za-z_][A-Za-z0-9_]*)?\$", sql[i:])
@@ -643,6 +639,11 @@ class _Connection:
 
     def handle_describe(self, body: bytes) -> None:
         kind, name = body[:1], body[1:].split(b"\x00", 1)[0].decode()
+        if kind not in (b"S", b"P"):
+            # PG: 'invalid DESCRIBE message subtype' — falling through to
+            # the portal branch would describe (and run) the unnamed portal
+            self._ext_error("08P01", f"invalid DESCRIBE message subtype {kind!r}")
+            return
         # name resolution FIRST, outside the broad catch: a KeyError deep
         # in the engine path must surface as XX000, not masquerade as
         # "unknown statement/portal" (26000)
@@ -664,11 +665,20 @@ class _Connection:
                     b"t", struct.pack("!h", stmt.n_params)
                     + b"".join(struct.pack("!i", o or _OID_TEXT) for o in oids[: stmt.n_params]),
                 )
+                if not _returns_rows(stmt.sql):
+                    self.p.send(b"n")  # NoData — never execute DML for a schema
+                    return
                 df, _ = self._run_sql(stmt.sql, [None] * stmt.n_params or None)
                 if df is None:
                     self.p.send(b"n")  # NoData
                 else:
                     self._stream_result(df, 0, describe_only=True)
+                return
+            if not _returns_rows(po.stmt.sql):
+                # Describe of an INSERT/CTAS/COPY portal is NoData in PG;
+                # executing it here would run the side effect twice
+                # (psycopg3 sends Describe before every Execute)
+                self.p.send(b"n")
                 return
             df, _ = self._run_sql(po.stmt.sql, po.params or None)
             if df is None:
@@ -753,10 +763,61 @@ class _Connection:
             elif tag == b"H":  # Flush — we write eagerly; nothing buffered
                 pass
             else:
-                # unsupported tag: error AND enter the error state — an
-                # immediate ReadyForQuery here would desync a pipelining
-                # client mid-cycle (its Sync still gets the real Ready)
-                self._ext_error("0A000", f"unsupported message {tag!r}")
+                # unsupported tag: PG treats an invalid message type as a
+                # protocol violation — FATAL and close.  (Entering the
+                # skip state instead would deadlock simple-protocol
+                # clients, which never send Sync; error+ready would
+                # desync pipelining extended-protocol clients.)
+                self.p.send_error(
+                    "08P01", f"invalid frontend message type {tag!r}", severity="FATAL"
+                )
+                return
+
+
+_ROW_RETURNING_HEADS = frozenset(
+    ("select", "with", "values", "show", "describe", "desc", "explain", "table")
+)
+
+
+def _returns_rows(sql: str) -> bool:
+    """Whether a statement's Describe may safely plan it for a schema.
+
+    ``spark.sql`` executes DML/DDL eagerly, so Describe must never run a
+    statement whose execution has side effects — clients (psycopg3) send
+    Describe before every Execute, and executing there would double every
+    INSERT.  PG answers NoData for those anyway.  The head keyword is
+    found by skipping whitespace and comments (line and nesting block).
+    """
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch.isspace():
+            i += 1
+        elif sql[i : i + 2] == "--":
+            nl = sql.find("\n", i)
+            i = n if nl < 0 else nl + 1
+        elif sql[i : i + 2] == "/*":
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if sql[i : i + 2] == "/*":
+                    depth, i = depth + 1, i + 2
+                elif sql[i : i + 2] == "*/":
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
+        elif ch == "(":
+            i += 1  # parenthesized SELECT / set-op
+        else:
+            break
+    j = i
+    while j < n and (sql[j].isalpha() or sql[j] == "_"):
+        j += 1
+    head = sql[i:j].lower()
+    if head == "with":
+        # Spark allows CTEs on DML (WITH … INSERT INTO …) — treat any
+        # DML keyword after the CTE as side-effecting
+        return not re.search(r"\b(insert|update|delete|merge)\b", sql, re.IGNORECASE)
+    return head in _ROW_RETURNING_HEADS
 
 
 def _typed_empty_array(elem_oid: int):

@@ -818,3 +818,91 @@ def test_slt_corpus_through_wire_matches_direct(client, engine):
         checked += 1
     assert checked >= 80, f"only {checked} records replayed"
     assert not mismatches, mismatches[:5]
+
+
+def test_describe_does_not_execute_dml(client, engine):
+    """psycopg3 sends Describe before every Execute; Describe of an
+    INSERT portal must answer NoData WITHOUT running the statement, or
+    every INSERT executes twice."""
+    import uuid
+
+    tbl = f"dml_desc_{uuid.uuid4().hex[:8]}"
+    engine.sql(f"CREATE TABLE {tbl} (id BIGINT) USING parquet")
+    try:
+        # Parse + Bind + Describe(portal) + Execute + Sync — one cycle
+        client.send(
+            b"P",
+            b"\x00" + f"INSERT INTO {tbl} VALUES (1)".encode() + b"\x00"
+            + struct.pack("!h", 0),
+        )
+        client.send(b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+        client.send(b"D", b"P\x00")
+        client.send(b"E", b"\x00" + struct.pack("!i", 0))
+        client.send(b"S")
+        seen = []
+        while True:
+            t, _ = client.read_message()
+            seen.append(t)
+            if t == b"Z":
+                break
+        assert b"n" in seen, seen  # NoData from Describe
+        assert b"E" not in seen, seen
+        n = engine.sql(f"SELECT count(*) AS n FROM {tbl}").collect()[0][0]
+        assert n == 1, f"INSERT ran {n} times (Describe must not execute DML)"
+    finally:
+        engine.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_describe_invalid_kind_rejected(client):
+    """A Describe whose subtype byte is neither S nor P is a protocol
+    error — not an accidental describe-and-run of the unnamed portal."""
+    client.send(b"D", b"X\x00")
+    client.send(b"S")
+    seen = []
+    while True:
+        t, _ = client.read_message()
+        seen.append(t)
+        if t == b"Z":
+            break
+    assert b"E" in seen and b"T" not in seen and b"D" not in seen, seen
+    rows, _ = client.extended("SELECT 11 AS ok", [], [])
+    assert rows == [[b"11"]]
+
+
+def test_unknown_tag_outside_error_state_fatals(server):
+    """PG treats an invalid frontend message type as a protocol violation:
+    FATAL + close.  (Skip-until-Sync would deadlock simple-protocol
+    clients; error+ready would desync extended ones.)"""
+    c = MiniPgClient(server.port)
+    c.login()
+    c.send(b"F", b"\x00\x00\x00\x00")
+    t, body = c.read_message()
+    assert t == b"E" and b"SFATAL" in body, (t, body)
+    # server closes the connection after the FATAL
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError):
+        c.read_message()
+    c.close()
+
+
+def test_simple_query_backslash_literal_not_split(client):
+    """Spark tokenization: \\' inside a literal does not end it, so a
+    semicolon after it stays inside the string and must not split the
+    statement (shared scanner with rewrites)."""
+    cols, rows, _ = client.query(r"SELECT 'a\'; b' AS s")
+    assert rows == [[b"a'; b"]]
+
+
+def test_returns_rows_heads():
+    from dataclod_spark.server.pgwire import _returns_rows
+
+    assert _returns_rows("SELECT 1")
+    assert _returns_rows("  -- lead comment\n /* block /* nested */ */ SELECT 1")
+    assert _returns_rows("(SELECT 1) UNION (SELECT 2)")
+    assert _returns_rows("WITH t AS (SELECT 1 AS x) SELECT * FROM t")
+    assert _returns_rows("EXPLAIN SELECT 1")
+    assert not _returns_rows("INSERT INTO t VALUES (1)")
+    assert not _returns_rows("/* c */ CREATE TABLE t (x INT) USING parquet")
+    assert not _returns_rows("COPY (SELECT 1) TO '/tmp/x'")
+    assert not _returns_rows("WITH t AS (SELECT 1) INSERT INTO u SELECT * FROM t")
