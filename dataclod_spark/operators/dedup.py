@@ -345,8 +345,10 @@ def connected_components(
             import pyarrow as pa
 
             rows_ab = ee.collect()
-            col_a = pa.array([r["a"] for r in rows_ab], type=pa.int64())
-            col_b = pa.array([r["b"] for r in rows_ab], type=pa.int64())
+            # chunked_array: the pc.filter/drop_null results below are
+            # combine_chunks()'d, which plain Arrays don't implement
+            col_a = pa.chunked_array([pa.array([r["a"] for r in rows_ab], type=pa.int64())])
+            col_b = pa.chunked_array([pa.array([r["b"] for r in rows_ab], type=pa.int64())])
         # null endpoints never join (equi-join semantics), but a node
         # paired only with a null is still a singleton component
         both = pc.and_(pc.is_valid(col_a), pc.is_valid(col_b))

@@ -647,14 +647,13 @@ class _Connection:
         # name resolution FIRST, outside the broad catch: a KeyError deep
         # in the engine path must surface as XX000, not masquerade as
         # "unknown statement/portal" (26000)
-        if kind == b"S":
-            stmt = self.statements.get(name)
-        else:
-            stmt = None
-            po = self.portals.get(name)
-        if (stmt is None) if kind == b"S" else (po is None):
+        target = self.statements if kind == b"S" else self.portals
+        obj = target.get(name)
+        if obj is None:
             self._ext_error("26000", f"unknown {kind!r} {name!r}")
             return
+        stmt = obj if kind == b"S" else None
+        po = obj if kind == b"P" else None
         try:
             if kind == b"S":
                 # ParameterDescription then RowDescription
@@ -700,6 +699,16 @@ class _Connection:
             df, tag = self._run_sql(po.stmt.sql, po.params or None)
             if df is None:
                 self.p.send_command_complete(tag or "SET")
+                return
+            if not _returns_rows(po.stmt.sql):
+                # Describe answered NoData for this statement, so Execute
+                # must not stream rows (a DataRow with no RowDescription is
+                # a protocol violation) — surface the count frame (COPY) in
+                # the CommandComplete tag instead
+                head = next(iter(_top_level_words(po.stmt.sql)), "ok").upper()
+                frame = df.limit(1).collect()
+                n = frame[0][0] if frame and len(frame[0]) else 0
+                self.p.send_command_complete(f"{head} {n}")
                 return
             oids = [_spark_type_oid(f.dataType) for f in df.schema.fields]
             col_fmts = po.column_formats(len(oids))
@@ -775,8 +784,54 @@ class _Connection:
 
 
 _ROW_RETURNING_HEADS = frozenset(
-    ("select", "with", "values", "show", "describe", "desc", "explain", "table")
+    (
+        "select", "with", "values", "show", "describe", "desc", "explain",
+        "table", "from",
+        # a fully parenthesized query contributes only its set-op / suffix
+        # words at depth 0: "(SELECT 1) UNION (SELECT 2)" → ["union"]
+        "union", "intersect", "except", "minus", "order", "limit", "offset",
+    )
 )
+_DML_HEADS = frozenset(("insert", "update", "delete", "merge"))
+
+
+def _top_level_words(sql: str):
+    """Yield lowercased word tokens at parenthesis depth 0, outside string
+    literals (shared ``_quoted_span`` tokenization) and comments (line +
+    nesting block).  Dollar-quoted strings are also skipped."""
+    from dataclod_spark.plans.rewrites import _quoted_span
+
+    i, n, depth = 0, len(sql), 0
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"`":
+            i = _quoted_span(sql, i)
+        elif sql[i : i + 2] == "--":
+            nl = sql.find("\n", i)
+            i = n if nl < 0 else nl + 1
+        elif sql[i : i + 2] == "/*":
+            d, i = 1, i + 2
+            while i < n and d:
+                if sql[i : i + 2] == "/*":
+                    d, i = d + 1, i + 2
+                elif sql[i : i + 2] == "*/":
+                    d, i = d - 1, i + 2
+                else:
+                    i += 1
+        elif ch == "(":
+            depth += 1
+            i += 1
+        elif ch == ")":
+            depth -= 1
+            i += 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            yield sql[i:j].lower()
+            i = j
+        else:
+            i += 1
 
 
 def _returns_rows(sql: str) -> bool:
@@ -785,39 +840,29 @@ def _returns_rows(sql: str) -> bool:
     ``spark.sql`` executes DML/DDL eagerly, so Describe must never run a
     statement whose execution has side effects — clients (psycopg3) send
     Describe before every Execute, and executing there would double every
-    INSERT.  PG answers NoData for those anyway.  The head keyword is
-    found by skipping whitespace and comments (line and nesting block).
+    INSERT.  PG answers NoData for those anyway.  Keywords are read at
+    parenthesis depth 0 outside literals/comments, so 'delete' inside a
+    string, a comment, or a CTE body never misclassifies a SELECT; a CTE
+    *named* delete is recognized by its following AS.
     """
-    i, n = 0, len(sql)
-    while i < n:
-        ch = sql[i]
-        if ch.isspace():
-            i += 1
-        elif sql[i : i + 2] == "--":
-            nl = sql.find("\n", i)
-            i = n if nl < 0 else nl + 1
-        elif sql[i : i + 2] == "/*":
-            depth, i = 1, i + 2
-            while i < n and depth:
-                if sql[i : i + 2] == "/*":
-                    depth, i = depth + 1, i + 2
-                elif sql[i : i + 2] == "*/":
-                    depth, i = depth - 1, i + 2
-                else:
-                    i += 1
-        elif ch == "(":
-            i += 1  # parenthesized SELECT / set-op
-        else:
-            break
-    j = i
-    while j < n and (sql[j].isalpha() or sql[j] == "_"):
-        j += 1
-    head = sql[i:j].lower()
-    if head == "with":
-        # Spark allows CTEs on DML (WITH … INSERT INTO …) — treat any
-        # DML keyword after the CTE as side-effecting
-        return not re.search(r"\b(insert|update|delete|merge)\b", sql, re.IGNORECASE)
-    return head in _ROW_RETURNING_HEADS
+    words = list(_top_level_words(sql))
+    if not words:
+        # nothing but parens/comments at depth 0 — "(SELECT 1)" is a query
+        return bool(sql.strip())
+    head = words[0]
+    if head != "with":
+        return head in _ROW_RETURNING_HEADS
+    # WITH: Spark allows CTEs on DML (WITH … INSERT INTO …).  At depth 0
+    # the token stream is: with [recursive] (name as)* HEAD … — CTE bodies
+    # and column lists are inside parens, so consume name/as pairs until
+    # the first word that is not one; that word is the statement head.
+    idx = 1
+    if idx < len(words) and words[idx] == "recursive":
+        idx += 1
+    while idx + 1 < len(words) and words[idx + 1] == "as":
+        idx += 2
+    head = words[idx] if idx < len(words) else "select"
+    return head not in _DML_HEADS
 
 
 def _typed_empty_array(elem_oid: int):

@@ -906,3 +906,38 @@ def test_returns_rows_heads():
     assert not _returns_rows("/* c */ CREATE TABLE t (x INT) USING parquet")
     assert not _returns_rows("COPY (SELECT 1) TO '/tmp/x'")
     assert not _returns_rows("WITH t AS (SELECT 1) INSERT INTO u SELECT * FROM t")
+    # keywords inside literals/comments/CTE bodies never misclassify
+    assert _returns_rows(
+        "WITH c AS (SELECT * FROM events WHERE op = 'delete') SELECT count(*) FROM c"
+    )
+    assert _returns_rows("WITH delete AS (SELECT 1) SELECT * FROM delete")
+    assert _returns_rows("SELECT 1 -- insert later\n")
+    assert _returns_rows("(SELECT 1) UNION (SELECT 2)")
+    assert not _returns_rows(
+        "WITH a AS (SELECT 1) MERGE INTO t USING a ON 1=1 WHEN MATCHED THEN DELETE"
+    )
+
+
+def test_extended_copy_to_no_datarow_after_nodata(client, tmp_path):
+    """Extended-protocol COPY: Describe answers NoData, so Execute must
+    not stream the count frame as a DataRow (protocol violation); the
+    count surfaces in the CommandComplete tag instead."""
+    dest = tmp_path / "copy_out"
+    sql = f"COPY (SELECT 1 AS x) TO '{dest}' (FORMAT parquet)"
+    client.send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", 0))
+    client.send(b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+    client.send(b"D", b"P\x00")
+    client.send(b"E", b"\x00" + struct.pack("!i", 0))
+    client.send(b"S")
+    seen = []
+    tag = None
+    while True:
+        t, body = client.read_message()
+        seen.append(t)
+        if t == b"C":
+            tag = body.rstrip(b"\x00").decode()
+        if t == b"Z":
+            break
+    assert b"n" in seen and b"D" not in seen and b"T" not in seen, seen
+    assert b"E" not in seen, seen
+    assert tag == "COPY 1", tag

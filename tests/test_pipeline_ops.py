@@ -596,3 +596,19 @@ def test_connected_components_path_graph_10k_olog_rounds(spark):
     assert stats["rounds"] <= 20, stats
     assert len(out) == n
     assert all(r["component"] == 0 for r in out)
+
+
+def test_connected_components_collect_fallback(spark, monkeypatch):
+    """The pre-toArrow driver path (collect + manual Arrow build) must
+    produce the same labeling as the main path."""
+    from pyspark.sql import DataFrame
+
+    from dataclod_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 4), (5, None), (10, 11)], "id_1 long, id_2 long"
+    )
+    want = sorted(map(tuple, connected_components(edges).collect()))
+    monkeypatch.delattr(DataFrame, "toArrow")
+    got = sorted(map(tuple, connected_components(edges).collect()))
+    assert got == want == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (10, 10), (11, 10)]
