@@ -39,15 +39,20 @@ def main() -> None:
     from dataclod_spark.session import EngineSession
 
     EngineSession(spark)
-    # one untimed throwaway query at the tiny scale factor warms the shared
-    # JVM paths (codegen compiler, shuffle machinery, whole-stage classes)
-    # the same way for every timed query — measured: the first timed query
-    # otherwise absorbs ~1.3 s of one-time JIT that belongs to the session,
-    # not the query (same policy as registration-outside-timings above)
+    # one untimed throwaway query at the smallest available scale factor
+    # warms the shared JVM paths (codegen compiler, shuffle machinery,
+    # whole-stage classes) the same way for every timed query — measured:
+    # the first timed query otherwise absorbs ~1.3 s of one-time JIT that
+    # belongs to the session, not the query (same policy as
+    # registration-outside-timings above)
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir  # fall back to the bench data itself
     try:
-        registry["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
-    except Exception:
-        pass  # warmup must never fail the bench
+        registry["q1_pricing_summary"].fn(spark, warm_dir).count()
+    except Exception as exc:
+        # a silently-skipped warmup would skew the first timed query
+        print(f"bench warmup failed ({exc}); first-query JIT included", file=sys.stderr)
 
     from pyspark.sql import functions as F
 

@@ -592,6 +592,9 @@ class _Connection:
         # PG forbids multiple commands in one prepared statement (the
         # simple protocol is the multi-statement path)
         if len(self._split_statements(text)) > 1:
+            # drop any previous statement under this name — same stale-
+            # execution hazard as portals on Bind failure
+            self.statements.pop(name.decode(), None)
             self._ext_error(
                 "42601", "cannot insert multiple commands into a prepared statement"
             )
@@ -768,15 +771,29 @@ class _Connection:
                         (self.statements if kind == b"S" else self.portals).pop(name, None)
                         self.p.send(b"3")  # CloseComplete
                 except Exception as e:  # noqa: BLE001 — protocol boundary
+                    if tag == b"P":
+                        # best effort: drop the statement being parsed
+                        self.statements.pop(
+                            body.split(b"\x00", 1)[0].decode(errors="replace"), None
+                        )
                     self._ext_error("08P01", f"malformed {tag.decode()} message: {e}"[:500])
             elif tag == b"H":  # Flush — we write eagerly; nothing buffered
                 pass
+            elif tag == b"F":
+                # fastpath FunctionCall: PG answers with a recoverable
+                # ErrorResponse + ReadyForQuery (its own mini-cycle), not
+                # a FATAL — libpq PQfn sessions survive
+                self.p.send_error("0A000", "fast-path function calls are not supported")
+                self.p.send_ready()
+            elif tag in (b"d", b"c", b"f"):
+                # COPY sub-protocol data outside a COPY operation: PG
+                # discards these silently
+                continue
             else:
-                # unsupported tag: PG treats an invalid message type as a
-                # protocol violation — FATAL and close.  (Entering the
-                # skip state instead would deadlock simple-protocol
-                # clients, which never send Sync; error+ready would
-                # desync pipelining extended-protocol clients.)
+                # truly invalid message type: PG treats it as a protocol
+                # violation — FATAL and close.  (Entering the skip state
+                # would deadlock simple-protocol clients, which never
+                # send Sync; error+ready would desync pipelining ones.)
                 self.p.send_error(
                     "08P01", f"invalid frontend message type {tag!r}", severity="FATAL"
                 )
@@ -797,15 +814,27 @@ _DML_HEADS = frozenset(("insert", "update", "delete", "merge"))
 
 def _top_level_words(sql: str):
     """Yield lowercased word tokens at parenthesis depth 0, outside string
-    literals (shared ``_quoted_span`` tokenization) and comments (line +
-    nesting block).  Dollar-quoted strings are also skipped."""
+    literals (shared ``_quoted_span`` tokenization), comments (line +
+    nesting block) and dollar-quoted strings.  Quoted/backticked
+    IDENTIFIERS yield a ``"?"`` placeholder token so grammar positions
+    survive (a backticked CTE name must still count as a name)."""
     from dataclod_spark.plans.rewrites import _quoted_span
 
     i, n, depth = 0, len(sql), 0
     while i < n:
         ch = sql[i]
         if ch in "'\"`":
+            if ch != "'" and depth == 0:
+                yield "?"  # quoted identifier placeholder
             i = _quoted_span(sql, i)
+        elif ch == "$":
+            m = re.match(r"\$(?:[A-Za-z_][A-Za-z0-9_]*)?\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                end = sql.find(tag, i + len(tag))
+                i = n if end < 0 else end + len(tag)
+            else:
+                i += 1
         elif sql[i : i + 2] == "--":
             nl = sql.find("\n", i)
             i = n if nl < 0 else nl + 1

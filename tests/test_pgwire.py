@@ -875,7 +875,7 @@ def test_unknown_tag_outside_error_state_fatals(server):
     clients; error+ready would desync extended ones.)"""
     c = MiniPgClient(server.port)
     c.login()
-    c.send(b"F", b"\x00\x00\x00\x00")
+    c.send(b"@", b"\x00\x00\x00\x00")  # not a PG frontend message type
     t, body = c.read_message()
     assert t == b"E" and b"SFATAL" in body, (t, body)
     # server closes the connection after the FATAL
@@ -941,3 +941,58 @@ def test_extended_copy_to_no_datarow_after_nodata(client, tmp_path):
     assert b"n" in seen and b"D" not in seen and b"T" not in seen, seen
     assert b"E" not in seen, seen
     assert tag == "COPY 1", tag
+
+
+def test_parse_failure_drops_statement(client):
+    """A failed re-Parse of an existing statement name must drop the old
+    statement — otherwise Bind+Execute after Sync silently runs stale SQL."""
+    client.send(b"P", b"st\x00SELECT 21 AS x\x00" + struct.pack("!h", 0))
+    client.send(b"S")
+    while client.read_message()[0] != b"Z":
+        pass
+    # re-Parse the same name with a multi-statement (42601 error)
+    client.send(b"P", b"st\x00SELECT 1; SELECT 2\x00" + struct.pack("!h", 0))
+    client.send(b"S")
+    while client.read_message()[0] != b"Z":
+        pass
+    # Bind the old name: must be 'unknown statement', not stale 21
+    client.send(b"B", b"\x00st\x00" + struct.pack("!hhh", 0, 0, 0))
+    client.send(b"E", b"\x00" + struct.pack("!i", 0))
+    client.send(b"S")
+    msgs = []
+    while True:
+        t, body = client.read_message()
+        msgs.append((t, body))
+        if t == b"Z":
+            break
+    errs = [b for t, b in msgs if t == b"E"]
+    assert errs and b"unknown statement" in errs[0], msgs
+    assert not any(t == b"D" for t, _ in msgs), msgs
+
+
+def test_fastpath_function_call_recoverable(client):
+    """FunctionCall ('F') gets a recoverable error + ReadyForQuery — a
+    libpq PQfn session must survive, unlike a truly invalid tag."""
+    client.send(b"F", b"\x00\x00\x00\x00")
+    t, body = client.read_message()
+    assert t == b"E" and b"fast-path" in body, (t, body)
+    t, _ = client.read_message()
+    assert t == b"Z"
+    _, rows, _ = client.query("SELECT 12 AS ok")
+    assert rows == [[b"12"]]
+
+
+def test_copy_subprotocol_data_discarded(client):
+    """CopyData/CopyDone outside a COPY operation are silently discarded
+    (PG behavior) — the connection keeps working."""
+    client.send(b"d", b"bytes")
+    client.send(b"c", b"")
+    _, rows, _ = client.query("SELECT 13 AS ok")
+    assert rows == [[b"13"]]
+
+
+def test_returns_rows_quoted_cte_names():
+    from dataclod_spark.server.pgwire import _returns_rows
+
+    assert not _returns_rows("WITH `t` AS (SELECT 1) INSERT INTO u SELECT * FROM t")
+    assert _returns_rows("WITH `t` AS (SELECT 1) SELECT * FROM `t`")
