@@ -69,8 +69,11 @@ def main() -> None:
                 df.count()
             else:
                 # every column of every row feeds the hash — nothing prunable
-                # (bit_xor, not sum: summing int64 hashes overflows ANSI mode)
-                df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
+                # (bit_xor, not sum: summing int64 hashes overflows ANSI
+                # mode); backticked so auto-generated names with dots or
+                # parens resolve as column names, not nested-field paths
+                cols = [F.col("`" + c.replace("`", "``") + "`") for c in df.columns]
+                df.agg(F.bit_xor(F.xxhash64(F.struct(*cols)))).collect()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record failures as negative sentinel
             print(f"bench query {name} failed: {exc}", file=sys.stderr)

@@ -181,6 +181,52 @@ def _quoted_span(sql: str, i: int) -> int:
     return n
 
 
+_DOLLAR_TAG_RE = re.compile(r"\$(?:[A-Za-z_][A-Za-z0-9_]*)?\$")
+
+
+def scan_noncode_span(sql: str, i: int) -> tuple[str | None, int]:
+    """If ``sql[i]`` starts a non-code span, return ``(kind, end)`` with
+    ``end`` one past the span; otherwise ``(None, i)``.  Kinds:
+
+    * ``"quote"`` — single/double/backtick literal (Spark escape rules,
+      via :func:`_quoted_span`);
+    * ``"dollar"`` — PG dollar-quoted string (tags may contain digits
+      after the first character, e.g. ``$q1$``);
+    * ``"line"`` — ``--`` comment, ending BEFORE the newline (the newline
+      stays code so statement splitting keeps it as whitespace);
+    * ``"block"`` — ``/* */`` comment; PG block comments NEST (scan.l).
+
+    This is the single source of truth for "what is not SQL code" —
+    statement splitting (:meth:`_split_statements`), statement-head
+    classification (``_top_level_words``) and any future scanner must all
+    consume it so their escape rules cannot diverge."""
+    n = len(sql)
+    ch = sql[i]
+    if ch in "'\"`":
+        return "quote", _quoted_span(sql, i)
+    if ch == "$":
+        m = _DOLLAR_TAG_RE.match(sql, i)
+        if m:
+            tag = m.group(0)
+            end = sql.find(tag, i + len(tag))
+            return "dollar", (n if end < 0 else end + len(tag))
+        return None, i
+    if ch == "-" and sql[i : i + 2] == "--":
+        nl = sql.find("\n", i)
+        return "line", (n if nl < 0 else nl)
+    if ch == "/" and sql[i : i + 2] == "/*":
+        depth, j = 1, i + 2
+        while j < n and depth:
+            if sql[j : j + 2] == "/*":
+                depth, j = depth + 1, j + 2
+            elif sql[j : j + 2] == "*/":
+                depth, j = depth - 1, j + 2
+            else:
+                j += 1
+        return "block", j
+    return None, i
+
+
 def splice_named_params(sql: str, fragments: dict[str, str]) -> str:
     """Replace ``:name`` markers with server-generated SQL fragments
     (parenthesized), using the same literal-aware scan as

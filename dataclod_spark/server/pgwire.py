@@ -508,52 +508,23 @@ class _Connection:
         """Split a simple-protocol query string on top-level semicolons
         (the PG simple protocol executes each statement in order).  Aware
         of single/double quotes (Spark tokenization: backslash and doubled
-        escapes, via the shared scanner), dollar-quoting (tags
-        may contain digits after the first char, e.g. $q1$), line comments,
-        and nesting block comments, so semicolons inside literals or
-        comments don't split."""
-        from dataclod_spark.plans.rewrites import _quoted_span
+        escapes), dollar-quoting (tags may contain digits after the first
+        char, e.g. $q1$), line comments, and nesting block comments, so
+        semicolons inside literals or comments don't split.  All span
+        rules come from the one shared scanner
+        (plans.rewrites.scan_noncode_span) also used by the statement-head
+        classifier — they cannot diverge."""
+        from dataclod_spark.plans.rewrites import scan_noncode_span
 
         out, buf = [], []
         i, n = 0, len(sql)
         while i < n:
+            kind, j = scan_noncode_span(sql, i)
+            if kind is not None:
+                buf.append(sql[i:j])
+                i = j
+                continue
             ch = sql[i]
-            if ch in "'\"`":
-                # shared Spark-tokenization scanner (backslash + doubled
-                # quote escapes) — a \' inside a literal must not end it,
-                # or one Spark-valid statement splits at a literal ';'
-                j = _quoted_span(sql, i)
-                buf.append(sql[i:j])
-                i = j
-                continue
-            if ch == "$":
-                m = re.match(r"\$(?:[A-Za-z_][A-Za-z0-9_]*)?\$", sql[i:])
-                if m:
-                    tag = m.group(0)
-                    end = sql.find(tag, i + len(tag))
-                    end = n if end < 0 else end + len(tag)
-                    buf.append(sql[i:end])
-                    i = end
-                    continue
-            if ch == "-" and sql[i : i + 2] == "--":
-                nl = sql.find("\n", i)
-                nl = n if nl < 0 else nl
-                buf.append(sql[i:nl])
-                i = nl
-                continue
-            if ch == "/" and sql[i : i + 2] == "/*":
-                # PG block comments nest (lexer rules in scan.l)
-                depth, j = 1, i + 2
-                while j < n and depth:
-                    if sql[j : j + 2] == "/*":
-                        depth, j = depth + 1, j + 2
-                    elif sql[j : j + 2] == "*/":
-                        depth, j = depth - 1, j + 2
-                    else:
-                        j += 1
-                buf.append(sql[i:j])
-                i = j
-                continue
             if ch == ";":
                 out.append("".join(buf))
                 buf = []
@@ -670,6 +641,13 @@ class _Connection:
                 if not _returns_rows(stmt.sql):
                     self.p.send(b"n")  # NoData — never execute DML for a schema
                     return
+                if _statement_head(stmt.sql) == "explain":
+                    # EXPLAIN's schema is statically one text column
+                    # ("plan", session shim + Spark's ExplainCommand
+                    # agree) — planning it through _run_sql would execute
+                    # an EXPLAIN [ANALYZE] DML body during Describe
+                    self.p.send_row_description([("plan", _OID_TEXT)])
+                    return
                 df, _ = self._run_sql(stmt.sql, [None] * stmt.n_params or None)
                 if df is None:
                     self.p.send(b"n")  # NoData
@@ -681,6 +659,9 @@ class _Connection:
                 # executing it here would run the side effect twice
                 # (psycopg3 sends Describe before every Execute)
                 self.p.send(b"n")
+                return
+            if _statement_head(po.stmt.sql) == "explain":
+                self.p.send_row_description([("plan", _OID_TEXT)], po.column_formats(1))
                 return
             df, _ = self._run_sql(po.stmt.sql, po.params or None)
             if df is None:
@@ -704,15 +685,27 @@ class _Connection:
                 self.p.send_command_complete(tag or "SET")
                 return
             if not _returns_rows(po.stmt.sql):
-                # Describe answered NoData for this statement, so Execute
-                # must not stream rows (a DataRow with no RowDescription is
-                # a protocol violation) — surface the count frame (COPY) in
-                # the CommandComplete tag instead
-                head = next(iter(_top_level_words(po.stmt.sql)), "ok").upper()
-                frame = df.limit(1).collect()
-                n = frame[0][0] if frame and len(frame[0]) else 0
-                self.p.send_command_complete(f"{head} {n}")
-                return
+                head = _statement_head(po.stmt.sql) or "ok"
+                if head in _COMMAND_TAG_HEADS:
+                    # Describe answered NoData for this statement, so
+                    # Execute must not stream rows (a DataRow with no
+                    # RowDescription is a protocol violation) — surface
+                    # the count frame (COPY / DML) in the CommandComplete
+                    # tag instead
+                    frame = df.limit(1).collect()
+                    n = frame[0][0] if frame and len(frame[0]) else 0
+                    self.p.send_command_complete(f"{head.upper()} {n}")
+                    return
+                # a row-returning statement Describe could not safely plan
+                # (e.g. EXECUTE IMMEDIATE — planning executes whatever it
+                # wraps): libpq and its descendants treat a RowDescription
+                # arriving here as the start of a tuple-bearing result, so
+                # send the late descriptor and stream instead of silently
+                # swallowing the rows
+                fields = [
+                    (f.name, _spark_type_oid(f.dataType)) for f in df.schema.fields
+                ]
+                self.p.send_row_description(fields, po.column_formats(len(fields)))
             oids = [_spark_type_oid(f.dataType) for f in df.schema.fields]
             col_fmts = po.column_formats(len(oids))
             limit = max_rows if max_rows > 0 else 0
@@ -810,43 +803,40 @@ _ROW_RETURNING_HEADS = frozenset(
     )
 )
 _DML_HEADS = frozenset(("insert", "update", "delete", "merge"))
+# Statements whose eager-executed DataFrame is a count/status frame (COPY
+# row count, DML/DDL command output), not a user result set: Execute
+# surfaces the first cell in the CommandComplete tag.  Heads outside this
+# set that still reach the no-Describe path (EXECUTE IMMEDIATE, future
+# Spark statements) stream their rows with a late RowDescription instead.
+_COMMAND_TAG_HEADS = _DML_HEADS | frozenset(
+    (
+        "copy", "create", "drop", "alter", "truncate", "msck", "repair",
+        "refresh", "cache", "uncache", "clear", "use", "reset", "analyze",
+        "grant", "revoke", "comment", "load", "import", "vacuum",
+        "optimize", "call", "begin", "commit", "rollback", "abort",
+        "start", "end", "declare", "deallocate", "prepare", "add",
+    )
+)
 
 
 def _top_level_words(sql: str):
     """Yield lowercased word tokens at parenthesis depth 0, outside string
-    literals (shared ``_quoted_span`` tokenization), comments (line +
-    nesting block) and dollar-quoted strings.  Quoted/backticked
-    IDENTIFIERS yield a ``"?"`` placeholder token so grammar positions
-    survive (a backticked CTE name must still count as a name)."""
-    from dataclod_spark.plans.rewrites import _quoted_span
+    literals, comments (line + nesting block) and dollar-quoted strings —
+    span rules from the one shared scanner
+    (plans.rewrites.scan_noncode_span, also behind ``_split_statements``).
+    Quoted/backticked IDENTIFIERS yield a ``"?"`` placeholder token so
+    grammar positions survive (a backticked CTE name must still count as
+    a name)."""
+    from dataclod_spark.plans.rewrites import scan_noncode_span
 
     i, n, depth = 0, len(sql), 0
     while i < n:
         ch = sql[i]
-        if ch in "'\"`":
-            if ch != "'" and depth == 0:
+        kind, j = scan_noncode_span(sql, i)
+        if kind is not None:
+            if kind == "quote" and ch != "'" and depth == 0:
                 yield "?"  # quoted identifier placeholder
-            i = _quoted_span(sql, i)
-        elif ch == "$":
-            m = re.match(r"\$(?:[A-Za-z_][A-Za-z0-9_]*)?\$", sql[i:])
-            if m:
-                tag = m.group(0)
-                end = sql.find(tag, i + len(tag))
-                i = n if end < 0 else end + len(tag)
-            else:
-                i += 1
-        elif sql[i : i + 2] == "--":
-            nl = sql.find("\n", i)
-            i = n if nl < 0 else nl + 1
-        elif sql[i : i + 2] == "/*":
-            d, i = 1, i + 2
-            while i < n and d:
-                if sql[i : i + 2] == "/*":
-                    d, i = d + 1, i + 2
-                elif sql[i : i + 2] == "*/":
-                    d, i = d - 1, i + 2
-                else:
-                    i += 1
+            i = j
         elif ch == "(":
             depth += 1
             i += 1
@@ -861,6 +851,27 @@ def _top_level_words(sql: str):
             i = j
         else:
             i += 1
+
+
+def _statement_head(sql: str) -> str:
+    """The statement's first depth-0 word, with WITH-chains resolved to
+    the head that follows the CTE list (``""`` when the statement is all
+    parens/comments, e.g. ``(SELECT 1)``)."""
+    words = list(_top_level_words(sql))
+    if not words:
+        return ""
+    if words[0] != "with":
+        return words[0]
+    # WITH: Spark allows CTEs on DML (WITH … INSERT INTO …).  At depth 0
+    # the token stream is: with [recursive] (name as)* HEAD … — CTE bodies
+    # and column lists are inside parens, so consume name/as pairs until
+    # the first word that is not one; that word is the statement head.
+    idx = 1
+    if idx < len(words) and words[idx] == "recursive":
+        idx += 1
+    while idx + 1 < len(words) and words[idx + 1] == "as":
+        idx += 2
+    return words[idx] if idx < len(words) else "select"
 
 
 def _returns_rows(sql: str) -> bool:
@@ -879,19 +890,23 @@ def _returns_rows(sql: str) -> bool:
         # nothing but parens/comments at depth 0 — "(SELECT 1)" is a query
         return bool(sql.strip())
     head = words[0]
-    if head != "with":
-        return head in _ROW_RETURNING_HEADS
-    # WITH: Spark allows CTEs on DML (WITH … INSERT INTO …).  At depth 0
-    # the token stream is: with [recursive] (name as)* HEAD … — CTE bodies
-    # and column lists are inside parens, so consume name/as pairs until
-    # the first word that is not one; that word is the statement head.
-    idx = 1
-    if idx < len(words) and words[idx] == "recursive":
-        idx += 1
-    while idx + 1 < len(words) and words[idx + 1] == "as":
-        idx += 2
-    head = words[idx] if idx < len(words) else "select"
-    return head not in _DML_HEADS
+    if head == "with":
+        return _statement_head(sql) not in _DML_HEADS
+    if head == "from":
+        # Hive-style multi-insert: FROM t INSERT INTO a SELECT … [INSERT
+        # INTO b SELECT …] is DML with a row-returning head word — the
+        # INSERTs sit at depth 0, unlike any subquery in a plain FROM query
+        return not any(w in _DML_HEADS for w in words[1:])
+    if head == "set":
+        # SET key=value / SET key TO value is the session's conf shim (a
+        # command, no result set).  Bare SET / SET key / SET -v reach
+        # spark.sql and return (key, value) rows — and are side-effect-free
+        # to plan during Describe.  Delegate to the session's own regex so
+        # the two layers cannot disagree about which form is which.
+        from dataclod_spark.session import _SET_RE
+
+        return not _SET_RE.match(sql)
+    return head in _ROW_RETURNING_HEADS
 
 
 def _typed_empty_array(elem_oid: int):

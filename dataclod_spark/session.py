@@ -276,6 +276,43 @@ class EngineSession:
                     return self.spark.createDataFrame(
                         [(f"== Engine Shim ==\n{tag}; no Spark plan",)], "plan string"
                     )
+            # DML/DDL bodies also EXECUTE eagerly in self.sql — plain
+            # EXPLAIN INSERT must not insert (PG: only ANALYZE executes).
+            # Spark's native ExplainCommand plans any statement without
+            # running it, so delegate; the dispatched-spatial-join plan
+            # view is sacrificed for side-effecting bodies only.
+            from dataclod_spark.server.pgwire import _returns_rows
+
+            if mode != "analyze" and not _returns_rows(body):
+                from dataclod_spark.plans.rewrites import (
+                    SqlFragmentParam,
+                    rewrite_dollar_params,
+                    splice_named_params,
+                )
+
+                native = {"formatted": "FORMATTED", "extended": "EXTENDED",
+                          "verbose": "EXTENDED", "codegen": "CODEGEN",
+                          "cost": "COST"}.get(mode, "FORMATTED")
+                q = f"EXPLAIN {native} {body}"
+                if args is not None and not isinstance(args, Mapping):
+                    q, used = rewrite_dollar_params(q)
+                    vals = list(args)
+                    args = {f"__p{i}": vals[i - 1] for i in used}
+                if args:
+                    frags = {
+                        k: v.fragment
+                        for k, v in dict(args).items()
+                        if isinstance(v, SqlFragmentParam)
+                    }
+                    if frags:
+                        q = splice_named_params(q, frags)
+                    args = {
+                        k: v for k, v in dict(args).items() if k not in frags
+                    }
+                return (
+                    self.spark.sql(q, args=dict(args)) if args
+                    else self.spark.sql(q)
+                )
             df = self.sql(body, args)
             if mode == "analyze":
                 df.count()

@@ -996,3 +996,113 @@ def test_returns_rows_quoted_cte_names():
 
     assert not _returns_rows("WITH `t` AS (SELECT 1) INSERT INTO u SELECT * FROM t")
     assert _returns_rows("WITH `t` AS (SELECT 1) SELECT * FROM `t`")
+
+
+def test_returns_rows_new_heads():
+    """Round-5 classifier fixes: Hive multi-insert FROM, SET conf reads,
+    EXECUTE IMMEDIATE."""
+    from dataclod_spark.server.pgwire import _returns_rows
+
+    assert not _returns_rows("FROM src INSERT INTO t SELECT *")
+    assert _returns_rows("FROM (SELECT * FROM t) SELECT count(*)")
+    assert _returns_rows("FROM t SELECT *")
+    # bare SET / SET key read conf rows; assignments are the no-row shim
+    assert _returns_rows("SET spark.sql.shuffle.partitions")
+    assert _returns_rows("SET -v")
+    assert not _returns_rows("SET spark.sql.shuffle.partitions = 8")
+    assert not _returns_rows("SET x TO 5")
+    # planning EXECUTE IMMEDIATE would execute whatever it wraps
+    assert not _returns_rows("EXECUTE IMMEDIATE 'INSERT INTO t VALUES (1)'")
+
+
+def test_describe_explain_analyze_dml_executes_once(client, engine):
+    """EXPLAIN [ANALYZE] <DML> has head 'explain' (row-returning), but
+    Describe must answer its static plan schema WITHOUT running the body —
+    otherwise psycopg3's Describe-before-Execute inserts twice."""
+    import uuid
+
+    tbl = f"exp_dml_{uuid.uuid4().hex[:8]}"
+    engine.sql(f"CREATE TABLE {tbl} (id BIGINT) USING parquet")
+    try:
+        sql = f"EXPLAIN ANALYZE INSERT INTO {tbl} VALUES (1)"
+        client.send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", 0))
+        client.send(b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+        client.send(b"D", b"P\x00")
+        client.send(b"E", b"\x00" + struct.pack("!i", 0))
+        client.send(b"S")
+        seen, rows = [], []
+        while True:
+            t, body = client.read_message()
+            seen.append(t)
+            if t == b"D":
+                rows.append(body)
+            if t == b"Z":
+                break
+        assert b"T" in seen and b"E" not in seen, seen  # plan RowDescription
+        assert rows, "EXPLAIN ANALYZE streamed no plan row"
+        n = engine.sql(f"SELECT count(*) AS n FROM {tbl}").collect()[0][0]
+        assert n == 1, f"INSERT ran {n} times (Describe must not run EXPLAIN body)"
+    finally:
+        engine.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_plain_explain_dml_does_not_execute(client, engine):
+    """PG: only EXPLAIN ANALYZE executes the statement; plain EXPLAIN
+    plans it.  Spark's ExplainCommand gives the plan without running."""
+    import uuid
+
+    tbl = f"exp_plain_{uuid.uuid4().hex[:8]}"
+    engine.sql(f"CREATE TABLE {tbl} (id BIGINT) USING parquet")
+    try:
+        cols, rows, _ = client.query(f"EXPLAIN INSERT INTO {tbl} VALUES (1)")
+        assert rows and rows[0][0], "no plan text"
+        n = engine.sql(f"SELECT count(*) AS n FROM {tbl}").collect()[0][0]
+        assert n == 0, f"plain EXPLAIN executed the INSERT ({n} rows)"
+    finally:
+        engine.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_set_conf_read_streams_rows(client):
+    """`SET <key>` (no value) is a conf READ returning a (key, value) row;
+    the extended protocol must describe and stream it, not swallow it
+    behind a NoData + bare CommandComplete."""
+    rows, tag = client.extended("SET spark.sql.shuffle.partitions", [], [])
+    assert rows and rows[0][0] == b"spark.sql.shuffle.partitions", (rows, tag)
+    assert tag.startswith("SELECT"), tag
+
+
+def test_from_insert_multi_table_not_described_as_rows(engine):
+    """Hive-style `FROM t INSERT INTO ...` is DML: Describe must classify
+    it NoData so it never runs during Describe."""
+    from dataclod_spark.server.pgwire import _returns_rows
+
+    assert not _returns_rows(
+        "FROM lineitem INSERT INTO a SELECT * INSERT INTO b SELECT *"
+    )
+
+
+def test_execute_immediate_streams_with_late_row_description(client):
+    """EXECUTE IMMEDIATE can wrap DML, so Describe answers NoData rather
+    than planning (= running) it; Execute must then send the late
+    RowDescription and stream the result instead of swallowing it."""
+    sql = "EXECUTE IMMEDIATE 'SELECT 7 AS x'"
+    client.send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", 0))
+    client.send(b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+    client.send(b"D", b"P\x00")
+    client.send(b"E", b"\x00" + struct.pack("!i", 0))
+    client.send(b"S")
+    seen, rows, tag = [], [], None
+    while True:
+        t, body = client.read_message()
+        seen.append(t)
+        if t == b"D":
+            rows.append(body)
+        elif t == b"C":
+            tag = body.rstrip(b"\x00").decode()
+        if t == b"Z":
+            break
+    assert b"n" in seen, seen          # Describe: NoData (can't plan safely)
+    assert b"T" in seen, seen          # Execute: late RowDescription
+    assert b"E" not in seen, seen
+    assert len(rows) == 1 and rows[0].endswith(b"7"), rows
+    assert tag == "SELECT 1", tag
