@@ -400,12 +400,21 @@ class _PreparedStatement:
 
 
 class _Portal:
-    __slots__ = ("stmt", "params", "result_formats")
+    __slots__ = ("stmt", "params", "result_formats", "iter", "oids", "fmts",
+                 "pushback", "done")
 
     def __init__(self, stmt: _PreparedStatement, params: list, result_formats: list[int]):
         self.stmt = stmt
         self.params = params
         self.result_formats = result_formats
+        # partial-fetch state (PG portal suspension): Execute with a row
+        # limit keeps the result iterator on the portal and answers
+        # PortalSuspended; the next Execute resumes where it stopped
+        self.iter = None
+        self.oids: list[int] = []
+        self.fmts: list[int] = []
+        self.pushback = None  # one-row lookahead used to detect exhaustion
+        self.done = False
 
     def column_formats(self, n_cols: int) -> list[int]:
         """Per-column result format per the Bind rules: none → all text,
@@ -487,8 +496,12 @@ class _Connection:
         if not bare:
             return None, ""
         df = self.engine.sql(bare, args=params if params else None)
-        if not df.columns:  # SET/txn shims return zero-column frames
-            return None, "SET"
+        if not df.columns:
+            # SET/txn shims and Spark DML/DDL commands return zero-column
+            # frames: answer the PG command tag for the statement head.
+            # Spark does not report affected-row counts for file-format
+            # DML, so the count in INSERT/UPDATE/DELETE tags is 0.
+            return None, _command_tag(bare)
         return df, "SELECT"
 
     def _stream_result(self, df, limit: int, describe_only: bool = False) -> int:
@@ -680,43 +693,65 @@ class _Connection:
             self._ext_error("26000", f"unknown portal {name.decode()!r}")
             return
         try:
-            df, tag = self._run_sql(po.stmt.sql, po.params or None)
-            if df is None:
-                self.p.send_command_complete(tag or "SET")
-                return
-            if not _returns_rows(po.stmt.sql):
-                head = _statement_head(po.stmt.sql) or "ok"
-                if head in _COMMAND_TAG_HEADS:
-                    # Describe answered NoData for this statement, so
-                    # Execute must not stream rows (a DataRow with no
-                    # RowDescription is a protocol violation) — surface
-                    # the count frame (COPY / DML) in the CommandComplete
-                    # tag instead
-                    frame = df.limit(1).collect()
-                    n = frame[0][0] if frame and len(frame[0]) else 0
-                    self.p.send_command_complete(f"{head.upper()} {n}")
+            if po.iter is None and not po.done:
+                # first Execute of this portal: run the statement and put
+                # the result iterator on the portal so a limited fetch can
+                # suspend and resume (PG portal semantics)
+                df, tag = self._run_sql(po.stmt.sql, po.params or None)
+                if df is None:
+                    self.p.send_command_complete(tag or "SET")
                     return
-                # a row-returning statement Describe could not safely plan
-                # (e.g. EXECUTE IMMEDIATE — planning executes whatever it
-                # wraps): libpq and its descendants treat a RowDescription
-                # arriving here as the start of a tuple-bearing result, so
-                # send the late descriptor and stream instead of silently
-                # swallowing the rows
-                fields = [
-                    (f.name, _spark_type_oid(f.dataType)) for f in df.schema.fields
-                ]
-                self.p.send_row_description(fields, po.column_formats(len(fields)))
-            oids = [_spark_type_oid(f.dataType) for f in df.schema.fields]
-            col_fmts = po.column_formats(len(oids))
-            limit = max_rows if max_rows > 0 else 0
+                if not _returns_rows(po.stmt.sql):
+                    head = _statement_head(po.stmt.sql) or "ok"
+                    if head in _COMMAND_TAG_HEADS:
+                        # Describe answered NoData for this statement, so
+                        # Execute must not stream rows (a DataRow with no
+                        # RowDescription is a protocol violation) — surface
+                        # the count frame (COPY / DML) in the
+                        # CommandComplete tag instead.  INSERT tags carry
+                        # a leading oid field (PQcmdTuples parses the
+                        # LAST space-separated token as the count).
+                        frame = df.limit(1).collect()
+                        n = frame[0][0] if frame and len(frame[0]) else 0
+                        tag_head = "INSERT 0" if head == "insert" else head.upper()
+                        self.p.send_command_complete(f"{tag_head} {n}")
+                        return
+                    # a row-returning statement Describe could not safely
+                    # plan (e.g. EXECUTE IMMEDIATE — planning executes
+                    # whatever it wraps): libpq and its descendants treat a
+                    # RowDescription arriving here as the start of a
+                    # tuple-bearing result, so send the late descriptor and
+                    # stream instead of silently swallowing the rows
+                    fields = [
+                        (f.name, _spark_type_oid(f.dataType)) for f in df.schema.fields
+                    ]
+                    self.p.send_row_description(fields, po.column_formats(len(fields)))
+                po.oids = [_spark_type_oid(f.dataType) for f in df.schema.fields]
+                po.fmts = po.column_formats(len(po.oids))
+                po.iter = df.toLocalIterator()
             n = 0
-            it = df.limit(limit).toLocalIterator() if limit else df.toLocalIterator()
-            for row in it:
+            while po.iter is not None:
+                if po.pushback is not None:
+                    row, po.pushback = po.pushback, None
+                else:
+                    row = next(po.iter, None)
+                    if row is None:
+                        po.iter, po.done = None, True
+                        break
                 self.p.send_data_row(
                     _binary_encode(v, oid) if fmt == 1 else _text_encode(v)
-                    for v, oid, fmt in zip(row, oids, col_fmts)
+                    for v, oid, fmt in zip(row, po.oids, po.fmts)
                 )
                 n += 1
+                if max_rows > 0 and n == max_rows:
+                    # row limit hit: suspend only if more rows exist —
+                    # one-row lookahead, stashed for the next Execute
+                    po.pushback = next(po.iter, None)
+                    if po.pushback is not None:
+                        self.p.send(b"s")  # PortalSuspended
+                        return
+                    po.iter, po.done = None, True
+                    break
             self.p.send_command_complete(f"SELECT {n}")
         except Exception as e:  # noqa: BLE001
             self._ext_error("XX000", str(e)[:1000])
@@ -739,7 +774,17 @@ class _Connection:
                 # them with an error + ready would desync the client)
                 continue
             elif tag == b"Q":
-                self.handle_simple(body.rstrip(b"\x00").decode())
+                try:
+                    text = body.rstrip(b"\x00").decode()
+                except UnicodeDecodeError as e:
+                    # PG: recoverable ERROR, session survives (simple
+                    # protocol has its own ready cycle — no skip state)
+                    self.p.send_error(
+                        "22021", f"invalid byte sequence for encoding UTF8: {e}"[:300]
+                    )
+                    self.p.send_ready()
+                    continue
+                self.handle_simple(text)
             elif tag == b"B":
                 try:
                     self.handle_bind(body)
@@ -761,8 +806,17 @@ class _Connection:
                         self.handle_execute(body)
                     else:  # Close statement/portal
                         kind, name = body[:1], body[1:].split(b"\x00", 1)[0].decode()
-                        (self.statements if kind == b"S" else self.portals).pop(name, None)
-                        self.p.send(b"3")  # CloseComplete
+                        if kind not in (b"S", b"P"):
+                            # PG validates the subtype; treating junk as a
+                            # portal close could drop a live portal
+                            self._ext_error(
+                                "08P01", f"invalid CLOSE message subtype {kind!r}"
+                            )
+                        else:
+                            (self.statements if kind == b"S" else self.portals).pop(
+                                name, None
+                            )
+                            self.p.send(b"3")  # CloseComplete
                 except Exception as e:  # noqa: BLE001 — protocol boundary
                     if tag == b"P":
                         # best effort: drop the statement being parsed
@@ -867,11 +921,50 @@ def _statement_head(sql: str) -> str:
     # and column lists are inside parens, so consume name/as pairs until
     # the first word that is not one; that word is the statement head.
     idx = 1
-    if idx < len(words) and words[idx] == "recursive":
+    if (
+        idx < len(words)
+        and words[idx] == "recursive"
+        # a CTE literally NAMED recursive ("WITH recursive AS (...)") is
+        # followed by "as"; the RECURSIVE keyword is followed by a name
+        and not (idx + 1 < len(words) and words[idx + 1] == "as")
+    ):
         idx += 1
     while idx + 1 < len(words) and words[idx + 1] == "as":
         idx += 2
     return words[idx] if idx < len(words) else "select"
+
+
+# modifier words skipped when deriving the object type in CREATE/DROP/
+# ALTER command tags: CREATE OR REPLACE TEMPORARY VIEW → "CREATE VIEW"
+_DDL_MODIFIERS = frozenset(
+    ("or", "replace", "temp", "temporary", "global", "local", "external",
+     "unique", "if", "not", "exists", "concurrently")
+)
+
+
+def _command_tag(sql: str) -> str:
+    """PG CommandComplete tag for a statement that produced no result set.
+
+    libpq's PQcmdTuples parses counts out of these, so the shapes matter:
+    INSERT carries a leading oid field ("INSERT 0 <rows>"), UPDATE/DELETE
+    a bare count, CREATE/DROP/ALTER the object type.  Spark's eager DML
+    returns no affected-row count for file-format tables, so counts are 0.
+    """
+    words = list(_top_level_words(sql))
+    head = _statement_head(sql)
+    if head == "insert":
+        return "INSERT 0 0"
+    if head in ("update", "delete", "merge"):
+        return f"{head.upper()} 0"
+    if head == "truncate":
+        return "TRUNCATE TABLE"
+    if head in ("create", "drop", "alter"):
+        idx = words.index(head) + 1
+        while idx < len(words) and words[idx] in _DDL_MODIFIERS:
+            idx += 1
+        obj = words[idx].upper() if idx < len(words) else ""
+        return f"{head.upper()} {obj}".strip()
+    return head.upper() if head else "SET"
 
 
 def _returns_rows(sql: str) -> bool:

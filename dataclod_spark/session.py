@@ -48,6 +48,37 @@ _EXPLAIN_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+def _positional_to_named(query: str, args) -> tuple[str, dict]:
+    """``$n`` positional parameters → (``:__pN``-rewritten query, named
+    dict), with the descriptive under-supply error.  Single source for
+    both the main ``sql()`` path and the native-EXPLAIN branch."""
+    from dataclod_spark.plans.rewrites import rewrite_dollar_params
+
+    query, used = rewrite_dollar_params(query)
+    vals = list(args)
+    if used and used[-1] > len(vals):
+        raise ValueError(
+            f"query references ${used[-1]} but only {len(vals)} "
+            "positional parameters were supplied"
+        )
+    return query, {f"__p{i}": vals[i - 1] for i in used}
+
+
+def _splice_fragments(query: str, args) -> tuple[str, dict]:
+    """Splice server-generated :class:`SqlFragmentParam` values (typed
+    empty arrays etc.) into the query text — they have no
+    ``spark.sql(args=…)`` representation — and return the remaining
+    plain args."""
+    from dataclod_spark.plans.rewrites import SqlFragmentParam, splice_named_params
+
+    args = dict(args)
+    frags = {k: v.fragment for k, v in args.items() if isinstance(v, SqlFragmentParam)}
+    if frags:
+        query = splice_named_params(query, frags)
+        args = {k: v for k, v in args.items() if k not in frags}
+    return query, args
+
+
 # COPY (query|table) TO 'path' [(FORMAT fmt[, HEADER bool])]  — DataFusion /
 # PostgreSQL export form (inherited surface, SURVEY §2.B DDL/DML)
 _COPY_RE = re.compile(
@@ -284,35 +315,15 @@ class EngineSession:
             from dataclod_spark.server.pgwire import _returns_rows
 
             if mode != "analyze" and not _returns_rows(body):
-                from dataclod_spark.plans.rewrites import (
-                    SqlFragmentParam,
-                    rewrite_dollar_params,
-                    splice_named_params,
-                )
-
                 native = {"formatted": "FORMATTED", "extended": "EXTENDED",
                           "verbose": "EXTENDED", "codegen": "CODEGEN",
                           "cost": "COST"}.get(mode, "FORMATTED")
                 q = f"EXPLAIN {native} {body}"
                 if args is not None and not isinstance(args, Mapping):
-                    q, used = rewrite_dollar_params(q)
-                    vals = list(args)
-                    args = {f"__p{i}": vals[i - 1] for i in used}
+                    q, args = _positional_to_named(q, args)
                 if args:
-                    frags = {
-                        k: v.fragment
-                        for k, v in dict(args).items()
-                        if isinstance(v, SqlFragmentParam)
-                    }
-                    if frags:
-                        q = splice_named_params(q, frags)
-                    args = {
-                        k: v for k, v in dict(args).items() if k not in frags
-                    }
-                return (
-                    self.spark.sql(q, args=dict(args)) if args
-                    else self.spark.sql(q)
-                )
+                    q, args = _splice_fragments(q, args)
+                return self.spark.sql(q, args=args) if args else self.spark.sql(q)
             df = self.sql(body, args)
             if mode == "analyze":
                 df.count()
@@ -338,7 +349,6 @@ class EngineSession:
                 self._swallowed_sets[key] = value
             return self.spark.range(0).select()
         from dataclod_spark.plans.rewrites import (
-            rewrite_dollar_params,
             rewrite_information_schema_refs,
             rewrite_pg_catalog_refs,
             rewrite_values_tables,
@@ -362,14 +372,7 @@ class EngineSession:
             query = rewrite_information_schema_refs(query)
         if args is not None and not isinstance(args, Mapping):
             # positional $n parameters: rename to :__pN and map the list on
-            query, used = rewrite_dollar_params(query)
-            vals = list(args)
-            if used and used[-1] > len(vals):
-                raise ValueError(
-                    f"query references ${used[-1]} but only {len(vals)} "
-                    "positional parameters were supplied"
-                )
-            args = {f"__p{i}": vals[i - 1] for i in used}
+            query, args = _positional_to_named(query, args)
         # SQL-path spatial join dispatch (≈ the reference's logical rewrite,
         # optimizer.rs:33-113): JOIN ON ST_pred(...) becomes a grid
         # equi-join instead of a nested-loop cross product.
@@ -391,19 +394,10 @@ class EngineSession:
         if rewritten is not None:
             query = rewritten
         if args:
-            from dataclod_spark.plans.rewrites import SqlFragmentParam, splice_named_params
-
-            frags = {
-                k: v.fragment
-                for k, v in dict(args).items()
-                if isinstance(v, SqlFragmentParam)
-            }
-            if frags:
-                # server-generated fragments (typed empty arrays etc.) have
-                # no spark.sql(args=...) representation — splice them with
-                # the literal-aware scanner (never inside quoted strings)
-                query = splice_named_params(query, frags)
-                args = {k: v for k, v in dict(args).items() if k not in frags}
+            # server-generated fragments (typed empty arrays etc.) have
+            # no spark.sql(args=...) representation — splice them with
+            # the literal-aware scanner (never inside quoted strings)
+            query, args = _splice_fragments(query, args)
         if args:
             return self.spark.sql(query, args=dict(args))
         return self.spark.sql(query)

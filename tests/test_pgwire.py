@@ -1106,3 +1106,98 @@ def test_execute_immediate_streams_with_late_row_description(client):
     assert b"E" not in seen, seen
     assert len(rows) == 1 and rows[0].endswith(b"7"), rows
     assert tag == "SELECT 1", tag
+
+
+def test_dml_command_tag_not_set(client, engine):
+    """Zero-column Spark DML frames must answer PG command tags
+    (INSERT 0 0 / CREATE TABLE / DROP TABLE), not a blanket SET —
+    PQcmdTuples and ORMs parse these."""
+    import uuid
+
+    tbl = f"tag_{uuid.uuid4().hex[:8]}"
+    try:
+        _, _, tag = client.query(f"CREATE TABLE {tbl} (id BIGINT) USING parquet")
+        assert tag == "CREATE TABLE", tag
+        _, _, tag = client.query(f"INSERT INTO {tbl} VALUES (1)")
+        assert tag == "INSERT 0 0", tag
+    finally:
+        _, _, tag = client.query(f"DROP TABLE IF EXISTS {tbl}")
+        assert tag == "DROP TABLE", tag
+
+
+def test_portal_suspension_resumes(client):
+    """Execute with max_rows streams that many rows then PortalSuspended;
+    the next Execute resumes from the stored position (PG cursors /
+    JDBC setFetchSize)."""
+    sql = "SELECT id FROM range(7) ORDER BY id"
+    client.send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", 0))
+    client.send(b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+    client.send(b"E", b"\x00" + struct.pack("!i", 3))  # fetch 3
+    client.send(b"E", b"\x00" + struct.pack("!i", 3))  # fetch 3 more
+    client.send(b"E", b"\x00" + struct.pack("!i", 3))  # last 1 + complete
+    client.send(b"S")
+    events, rows = [], []
+    while True:
+        t, body = client.read_message()
+        events.append(t)
+        if t == b"D":
+            rows.append(body[-1:])
+        if t == b"Z":
+            break
+    assert events.count(b"s") == 2, events      # two suspensions
+    assert events.count(b"C") == 1, events      # one completion
+    assert rows == [b"0", b"1", b"2", b"3", b"4", b"5", b"6"], rows
+    # completion tag counts only the final chunk's rows (PG semantics)
+    assert b"E" not in events, events
+
+
+def test_statement_head_cte_named_recursive():
+    """A CTE literally named `recursive` must not be skipped as the
+    RECURSIVE keyword — that would shift the name/AS pairing and classify
+    WITH...INSERT as row-returning (double execution via Describe)."""
+    from dataclod_spark.server.pgwire import _returns_rows, _statement_head
+
+    assert (
+        _statement_head(
+            "WITH recursive AS (SELECT 1 AS x) INSERT INTO t SELECT * FROM recursive"
+        )
+        == "insert"
+    )
+    assert not _returns_rows(
+        "WITH recursive AS (SELECT 1 AS x) INSERT INTO t SELECT * FROM recursive"
+    )
+    assert _statement_head("WITH RECURSIVE t AS (SELECT 1) SELECT * FROM t") == "select"
+    assert _statement_head(
+        "WITH RECURSIVE recursive AS (SELECT 1) SELECT * FROM recursive"
+    ) == "select"
+
+
+def test_close_invalid_subtype_rejected(client):
+    """Close with a junk subtype byte is a protocol error, not an
+    accidental portal drop."""
+    client.send(b"C", b"X\x00")
+    client.send(b"S")
+    seen = []
+    while True:
+        t, _ = client.read_message()
+        seen.append(t)
+        if t == b"Z":
+            break
+    assert b"E" in seen and b"3" not in seen, seen
+    rows, _ = client.extended("SELECT 5 AS ok", [], [])
+    assert rows == [[b"5"]]
+
+
+def test_invalid_utf8_query_recovers(client):
+    """A Q message with invalid UTF-8 answers a recoverable ErrorResponse
+    + ReadyForQuery (PG 22021), not a dead socket."""
+    client.send(b"Q", b"SELECT '\xe9'\x00")  # latin-1 e-acute, invalid UTF-8
+    seen = []
+    while True:
+        t, _ = client.read_message()
+        seen.append(t)
+        if t == b"Z":
+            break
+    assert b"E" in seen, seen
+    cols, rows, _ = client.query("SELECT 3 AS ok")
+    assert rows == [[b"3"]]
