@@ -58,6 +58,10 @@ from decimal import Decimal
 from typing import Iterable, Optional
 
 DEFAULT_ROW_LIMIT = 1024  # handler.rs:21
+# Execute row limits up to this size take the probe fast path (limit
+# pushed into the plan, probe collected on the driver); larger limits go
+# straight to the streaming cursor so the driver never buffers huge fetches
+_FAST_FETCH_CAP = 10_000
 PG_VERSION = "10.0"  # auth.rs:17
 _DEFAULT_PASSWORD = "dataclod"  # auth.rs:18
 
@@ -401,7 +405,7 @@ class _PreparedStatement:
 
 class _Portal:
     __slots__ = ("stmt", "params", "result_formats", "iter", "oids", "fmts",
-                 "pushback", "done")
+                 "pushback", "done", "tag")
 
     def __init__(self, stmt: _PreparedStatement, params: list, result_formats: list[int]):
         self.stmt = stmt
@@ -415,6 +419,10 @@ class _Portal:
         self.fmts: list[int] = []
         self.pushback = None  # one-row lookahead used to detect exhaustion
         self.done = False
+        # CommandComplete tag of a completed tag-only (DML/DDL) portal:
+        # a repeated Execute re-sends it instead of re-running the
+        # side effect (PG never re-executes a completed portal)
+        self.tag: Optional[str] = None
 
     def column_formats(self, n_cols: int) -> list[int]:
         """Per-column result format per the Bind rules: none → all text,
@@ -693,13 +701,19 @@ class _Connection:
             self._ext_error("26000", f"unknown portal {name.decode()!r}")
             return
         try:
+            if po.done and po.iter is None and po.pushback is None:
+                # completed portal: PG never re-executes — re-send the
+                # completed result (its tag; row portals re-answer 0 rows)
+                self.p.send_command_complete(po.tag or "SELECT 0")
+                return
             if po.iter is None and not po.done:
                 # first Execute of this portal: run the statement and put
                 # the result iterator on the portal so a limited fetch can
                 # suspend and resume (PG portal semantics)
                 df, tag = self._run_sql(po.stmt.sql, po.params or None)
                 if df is None:
-                    self.p.send_command_complete(tag or "SET")
+                    po.done, po.tag = True, (tag or "SET")
+                    self.p.send_command_complete(po.tag)
                     return
                 if not _returns_rows(po.stmt.sql):
                     head = _statement_head(po.stmt.sql) or "ok"
@@ -714,7 +728,8 @@ class _Connection:
                         frame = df.limit(1).collect()
                         n = frame[0][0] if frame and len(frame[0]) else 0
                         tag_head = "INSERT 0" if head == "insert" else head.upper()
-                        self.p.send_command_complete(f"{tag_head} {n}")
+                        po.done, po.tag = True, f"{tag_head} {n}"
+                        self.p.send_command_complete(po.tag)
                         return
                     # a row-returning statement Describe could not safely
                     # plan (e.g. EXECUTE IMMEDIATE — planning executes
@@ -728,6 +743,24 @@ class _Connection:
                     self.p.send_row_description(fields, po.column_formats(len(fields)))
                 po.oids = [_spark_type_oid(f.dataType) for f in df.schema.fields]
                 po.fmts = po.column_formats(len(po.oids))
+                if 0 < max_rows <= _FAST_FETCH_CAP:
+                    # bounded first fetch: probe with the limit pushed into
+                    # the plan (Spark turns ORDER BY + limit into a cheap
+                    # top-N).  Complete within the limit → never compute
+                    # the full plan.  More rows exist → discard the probe
+                    # and open the real cursor, so every row the client
+                    # ever sees comes from ONE iteration (re-running a
+                    # nondeterministic plan could skip/duplicate rows).
+                    probe = df.limit(max_rows + 1).collect()
+                    if len(probe) <= max_rows:
+                        for row in probe:
+                            self.p.send_data_row(
+                                _binary_encode(v, oid) if fmt == 1 else _text_encode(v)
+                                for v, oid, fmt in zip(row, po.oids, po.fmts)
+                            )
+                        po.done = True
+                        self.p.send_command_complete(f"SELECT {len(probe)}")
+                        return
                 po.iter = df.toLocalIterator()
             n = 0
             while po.iter is not None:
@@ -950,15 +983,17 @@ def _command_tag(sql: str) -> str:
     a bare count, CREATE/DROP/ALTER the object type.  Spark's eager DML
     returns no affected-row count for file-format tables, so counts are 0.
     """
-    words = list(_top_level_words(sql))
     head = _statement_head(sql)
-    if head == "insert":
+    if head == "insert" or head == "from":
+        # head "from" reaching a zero-column frame is Hive-style
+        # multi-insert (FROM t INSERT INTO ... [INSERT INTO ...])
         return "INSERT 0 0"
     if head in ("update", "delete", "merge"):
         return f"{head.upper()} 0"
     if head == "truncate":
         return "TRUNCATE TABLE"
     if head in ("create", "drop", "alter"):
+        words = list(_top_level_words(sql))
         idx = words.index(head) + 1
         while idx < len(words) and words[idx] in _DDL_MODIFIERS:
             idx += 1

@@ -1201,3 +1201,83 @@ def test_invalid_utf8_query_recovers(client):
     assert b"E" in seen, seen
     cols, rows, _ = client.query("SELECT 3 AS ok")
     assert rows == [[b"3"]]
+
+
+def test_repeated_execute_does_not_rerun_dml(client, engine):
+    """PG never re-executes a completed portal: two Execute messages for
+    one bound INSERT portal must insert exactly once and re-send the tag."""
+    import uuid
+
+    tbl = f"reexec_{uuid.uuid4().hex[:8]}"
+    engine.sql(f"CREATE TABLE {tbl} (id BIGINT) USING parquet")
+    try:
+        sql = f"INSERT INTO {tbl} VALUES (1)"
+        client.send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", 0))
+        client.send(b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+        client.send(b"E", b"\x00" + struct.pack("!i", 0))
+        client.send(b"E", b"\x00" + struct.pack("!i", 0))  # pipelined repeat
+        client.send(b"S")
+        tags = []
+        while True:
+            t, body = client.read_message()
+            if t == b"C":
+                tags.append(body.rstrip(b"\x00").decode())
+            if t == b"Z":
+                break
+        assert tags == ["INSERT 0 0", "INSERT 0 0"], tags
+        n = engine.sql(f"SELECT count(*) AS n FROM {tbl}").collect()[0][0]
+        assert n == 1, f"INSERT ran {n} times (completed portal re-executed)"
+    finally:
+        engine.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_execute_completed_row_portal_returns_zero_rows(client):
+    """Re-Execute of an exhausted row portal answers 0 rows, not a
+    re-run of the query."""
+    sql = "SELECT id FROM range(2)"
+    client.send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", 0))
+    client.send(b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+    client.send(b"E", b"\x00" + struct.pack("!i", 0))   # full fetch
+    client.send(b"E", b"\x00" + struct.pack("!i", 0))   # completed portal
+    client.send(b"S")
+    tags, n_rows = [], 0
+    while True:
+        t, body = client.read_message()
+        if t == b"D":
+            n_rows += 1
+        elif t == b"C":
+            tags.append(body.rstrip(b"\x00").decode())
+        if t == b"Z":
+            break
+    assert n_rows == 2, n_rows
+    assert tags == ["SELECT 2", "SELECT 0"], tags
+
+
+def test_bounded_fetch_completes_via_probe(client):
+    """A single Execute whose limit covers the whole result completes
+    with the probe fast path (limit pushed into the plan) — same wire
+    behavior, rows + CommandComplete, no suspension."""
+    sql = "SELECT id FROM range(3) ORDER BY id"
+    client.send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", 0))
+    client.send(b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+    client.send(b"E", b"\x00" + struct.pack("!i", 10))
+    client.send(b"S")
+    events, rows, tags = [], [], []
+    while True:
+        t, body = client.read_message()
+        events.append(t)
+        if t == b"D":
+            rows.append(body[-1:])
+        elif t == b"C":
+            tags.append(body.rstrip(b"\x00").decode())
+        if t == b"Z":
+            break
+    assert b"s" not in events, events
+    assert rows == [b"0", b"1", b"2"] and tags == ["SELECT 3"], (rows, tags)
+
+
+def test_from_multi_insert_command_tag():
+    from dataclod_spark.server.pgwire import _command_tag
+
+    assert _command_tag("FROM src INSERT INTO a SELECT * INSERT INTO b SELECT *") == "INSERT 0 0"
+    assert _command_tag("MERGE INTO t USING s ON 1=1 WHEN MATCHED THEN DELETE") == "MERGE 0"
