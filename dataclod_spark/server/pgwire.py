@@ -59,9 +59,13 @@ from typing import Iterable, Optional
 
 DEFAULT_ROW_LIMIT = 1024  # handler.rs:21
 # Execute row limits up to this size take the probe fast path (limit
-# pushed into the plan, probe collected on the driver); larger limits go
-# straight to the streaming cursor so the driver never buffers huge fetches
-_FAST_FETCH_CAP = 10_000
+# pushed into the plan → Spark top-N, probe collected on the driver);
+# larger limits go straight to the streaming cursor.  Deliberately small:
+# when the probe overflows it is discarded and the full cursor opened (so
+# every delivered row comes from one iteration), which costs one extra
+# top-(N+1) execution — capping N bounds that waste while keeping the
+# common psql/ORM bounded-fetch sizes on the cheap path.
+_FAST_FETCH_CAP = 1024
 PG_VERSION = "10.0"  # auth.rs:17
 _DEFAULT_PASSWORD = "dataclod"  # auth.rs:18
 
@@ -405,7 +409,7 @@ class _PreparedStatement:
 
 class _Portal:
     __slots__ = ("stmt", "params", "result_formats", "iter", "oids", "fmts",
-                 "pushback", "done", "tag")
+                 "pushback", "done", "tag", "failed")
 
     def __init__(self, stmt: _PreparedStatement, params: list, result_formats: list[int]):
         self.stmt = stmt
@@ -419,10 +423,13 @@ class _Portal:
         self.fmts: list[int] = []
         self.pushback = None  # one-row lookahead used to detect exhaustion
         self.done = False
-        # CommandComplete tag of a completed tag-only (DML/DDL) portal:
-        # a repeated Execute re-sends it instead of re-running the
-        # side effect (PG never re-executes a completed portal)
+        # tag set on completed tag-only (DML/DDL) portals: PG refuses to
+        # run those again (55000), unlike exhausted SELECT portals which
+        # re-answer zero rows
         self.tag: Optional[str] = None
+        # a portal whose Execute raised must never be re-run — PG marks it
+        # FAILED; re-running could repeat a partially-applied side effect
+        self.failed = False
 
     def column_formats(self, n_cols: int) -> list[int]:
         """Per-column result format per the Bind rules: none → all text,
@@ -511,6 +518,13 @@ class _Connection:
             # DML, so the count in INSERT/UPDATE/DELETE tags is 0.
             return None, _command_tag(bare)
         return df, "SELECT"
+
+    def _send_portal_row(self, po: _Portal, row) -> None:
+        """One DataRow in the portal's negotiated per-column formats."""
+        self.p.send_data_row(
+            _binary_encode(v, oid) if fmt == 1 else _text_encode(v)
+            for v, oid, fmt in zip(row, po.oids, po.fmts)
+        )
 
     def _stream_result(self, df, limit: int, describe_only: bool = False) -> int:
         fields = [(f.name, _spark_type_oid(f.dataType)) for f in df.schema.fields]
@@ -700,11 +714,23 @@ class _Connection:
         if po is None:
             self._ext_error("26000", f"unknown portal {name.decode()!r}")
             return
+        if po.failed:
+            # PG marks a portal FAILED after an error; re-running it could
+            # repeat a partially-applied side effect
+            self._ext_error("55000", f"portal {name.decode()!r} cannot be run")
+            return
         try:
             if po.done and po.iter is None and po.pushback is None:
-                # completed portal: PG never re-executes — re-send the
-                # completed result (its tag; row portals re-answer 0 rows)
-                self.p.send_command_complete(po.tag or "SELECT 0")
+                if po.tag is not None:
+                    # completed tag-only (DML/utility) portal: PG refuses
+                    # to run it again — a duplicate success tag would
+                    # misreport work that never happened
+                    self._ext_error(
+                        "55000", f"portal {name.decode()!r} cannot be run"
+                    )
+                    return
+                # exhausted SELECT portal: PG re-answers zero rows
+                self.p.send_command_complete("SELECT 0")
                 return
             if po.iter is None and not po.done:
                 # first Execute of this portal: run the statement and put
@@ -754,10 +780,7 @@ class _Connection:
                     probe = df.limit(max_rows + 1).collect()
                     if len(probe) <= max_rows:
                         for row in probe:
-                            self.p.send_data_row(
-                                _binary_encode(v, oid) if fmt == 1 else _text_encode(v)
-                                for v, oid, fmt in zip(row, po.oids, po.fmts)
-                            )
+                            self._send_portal_row(po, row)
                         po.done = True
                         self.p.send_command_complete(f"SELECT {len(probe)}")
                         return
@@ -771,10 +794,7 @@ class _Connection:
                     if row is None:
                         po.iter, po.done = None, True
                         break
-                self.p.send_data_row(
-                    _binary_encode(v, oid) if fmt == 1 else _text_encode(v)
-                    for v, oid, fmt in zip(row, po.oids, po.fmts)
-                )
+                self._send_portal_row(po, row)
                 n += 1
                 if max_rows > 0 and n == max_rows:
                     # row limit hit: suspend only if more rows exist —
@@ -787,6 +807,7 @@ class _Connection:
                     break
             self.p.send_command_complete(f"SELECT {n}")
         except Exception as e:  # noqa: BLE001
+            po.failed = True
             self._ext_error("XX000", str(e)[:1000])
 
     def serve(self) -> None:

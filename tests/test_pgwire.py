@@ -1217,14 +1217,17 @@ def test_repeated_execute_does_not_rerun_dml(client, engine):
         client.send(b"E", b"\x00" + struct.pack("!i", 0))
         client.send(b"E", b"\x00" + struct.pack("!i", 0))  # pipelined repeat
         client.send(b"S")
-        tags = []
+        tags, errs = [], 0
         while True:
             t, body = client.read_message()
             if t == b"C":
                 tags.append(body.rstrip(b"\x00").decode())
+            elif t == b"E":
+                errs += 1
+                assert b"55000" in body, body  # PG: portal cannot be run
             if t == b"Z":
                 break
-        assert tags == ["INSERT 0 0", "INSERT 0 0"], tags
+        assert tags == ["INSERT 0 0"] and errs == 1, (tags, errs)
         n = engine.sql(f"SELECT count(*) AS n FROM {tbl}").collect()[0][0]
         assert n == 1, f"INSERT ran {n} times (completed portal re-executed)"
     finally:
@@ -1281,3 +1284,35 @@ def test_from_multi_insert_command_tag():
 
     assert _command_tag("FROM src INSERT INTO a SELECT * INSERT INTO b SELECT *") == "INSERT 0 0"
     assert _command_tag("MERGE INTO t USING s ON 1=1 WHEN MATCHED THEN DELETE") == "MERGE 0"
+
+
+def test_failed_portal_cannot_be_rerun(client):
+    """A portal whose Execute raised is FAILED: re-Execute answers 55000
+    instead of re-running (a partially-applied side effect must not
+    repeat)."""
+    sql = "SELECT raise_error('boom') FROM range(1)"
+    client.send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", 0))
+    client.send(b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+    client.send(b"E", b"\x00" + struct.pack("!i", 0))
+    client.send(b"S")
+    codes = []
+    while True:
+        t, body = client.read_message()
+        if t == b"E":
+            codes.append(body)
+        if t == b"Z":
+            break
+    assert len(codes) == 1, codes
+    # re-Execute the same (failed) portal in a fresh cycle
+    client.send(b"E", b"\x00" + struct.pack("!i", 0))
+    client.send(b"S")
+    codes = []
+    while True:
+        t, body = client.read_message()
+        if t == b"E":
+            codes.append(body)
+        if t == b"Z":
+            break
+    assert len(codes) == 1 and b"55000" in codes[0], codes
+    rows, _ = client.extended("SELECT 9 AS ok", [], [])
+    assert rows == [[b"9"]]
