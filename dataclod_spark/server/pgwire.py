@@ -659,7 +659,10 @@ class _Connection:
         target = self.statements if kind == b"S" else self.portals
         obj = target.get(name)
         if obj is None:
-            self._ext_error("26000", f"unknown {kind!r} {name!r}")
+            if kind == b"S":
+                self._ext_error("26000", f"unknown statement {name!r}")
+            else:
+                self._ext_error("34000", f"portal {name!r} does not exist")
             return
         stmt = obj if kind == b"S" else None
         po = obj if kind == b"P" else None
@@ -712,24 +715,22 @@ class _Connection:
         (max_rows,) = struct.unpack("!i", rest[:4])
         po = self.portals.get(name.decode())
         if po is None:
-            self._ext_error("26000", f"unknown portal {name.decode()!r}")
+            # 34000 invalid_cursor_name — PG's code for a missing portal
+            # (26000 is for prepared STATEMENTS)
+            self._ext_error("34000", f"portal {name.decode()!r} does not exist")
             return
-        if po.failed:
-            # PG marks a portal FAILED after an error; re-running it could
-            # repeat a partially-applied side effect
+        # PG refuses to run FAILED portals (re-running could repeat a
+        # partially-applied side effect) and completed tag-only (DML/
+        # utility) portals (a duplicate success tag would misreport work
+        # that never happened); exhausted SELECT portals re-answer 0 rows
+        unrunnable = po.failed or (
+            po.done and po.iter is None and po.pushback is None and po.tag is not None
+        )
+        if unrunnable:
             self._ext_error("55000", f"portal {name.decode()!r} cannot be run")
             return
         try:
             if po.done and po.iter is None and po.pushback is None:
-                if po.tag is not None:
-                    # completed tag-only (DML/utility) portal: PG refuses
-                    # to run it again — a duplicate success tag would
-                    # misreport work that never happened
-                    self._ext_error(
-                        "55000", f"portal {name.decode()!r} cannot be run"
-                    )
-                    return
-                # exhausted SELECT portal: PG re-answers zero rows
                 self.p.send_command_complete("SELECT 0")
                 return
             if po.iter is None and not po.done:
@@ -807,7 +808,9 @@ class _Connection:
                     break
             self.p.send_command_complete(f"SELECT {n}")
         except Exception as e:  # noqa: BLE001
-            po.failed = True
+            # release the cursor too: a FAILED portal can never run again,
+            # so a pinned toLocalIterator would leak driver-side state
+            po.failed, po.iter, po.pushback = True, None, None
             self._ext_error("XX000", str(e)[:1000])
 
     def serve(self) -> None:
@@ -819,6 +822,16 @@ class _Connection:
                 return
             if tag == b"S":  # Sync — also clears the error state
                 self.skip_to_sync = False
+                # PG destroys portals at (implicit) transaction end.  This
+                # server keeps suspended/ready portals alive across Sync —
+                # cursor clients (JDBC fetchSize) resume them, and our
+                # BEGIN/COMMIT are no-ops — but FAILED portals are dead
+                # weight: drop them so a later Execute answers PG's 34000
+                # "portal does not exist" rather than a code PG can't
+                # produce in that sequence
+                self.portals = {
+                    k: p for k, p in self.portals.items() if not p.failed
+                }
                 self.p.send_ready()
             elif self.skip_to_sync:
                 # discard EVERYTHING until Sync (PG error-recovery rule:

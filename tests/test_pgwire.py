@@ -751,7 +751,7 @@ def test_bind_unknown_statement_drops_portal(client):
         if t == b"Z":
             break
     errs = [b for t, b in msgs if t == b"E"]
-    assert errs and b"unknown portal" in errs[0], msgs
+    assert errs and b"does not exist" in errs[0] and b"34000" in errs[0], msgs
     assert not any(t == b"D" for t, _ in msgs)  # no stale 42 replay
 
 
@@ -1204,8 +1204,9 @@ def test_invalid_utf8_query_recovers(client):
 
 
 def test_repeated_execute_does_not_rerun_dml(client, engine):
-    """PG never re-executes a completed portal: two Execute messages for
-    one bound INSERT portal must insert exactly once and re-send the tag."""
+    """PG never re-executes a completed portal: a pipelined second Execute
+    of a bound INSERT portal answers 55000 "portal cannot be run" and the
+    row is inserted exactly once."""
     import uuid
 
     tbl = f"reexec_{uuid.uuid4().hex[:8]}"
@@ -1287,9 +1288,10 @@ def test_from_multi_insert_command_tag():
 
 
 def test_failed_portal_cannot_be_rerun(client):
-    """A portal whose Execute raised is FAILED: re-Execute answers 55000
-    instead of re-running (a partially-applied side effect must not
-    repeat)."""
+    """A portal whose Execute raised is FAILED and destroyed at Sync
+    (PG drops portals at transaction end): a post-Sync re-Execute answers
+    34000 "portal does not exist" instead of re-running a partially
+    applied side effect."""
     sql = "SELECT raise_error('boom') FROM range(1)"
     client.send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!h", 0))
     client.send(b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
@@ -1313,6 +1315,6 @@ def test_failed_portal_cannot_be_rerun(client):
             codes.append(body)
         if t == b"Z":
             break
-    assert len(codes) == 1 and b"55000" in codes[0], codes
+    assert len(codes) == 1 and b"34000" in codes[0], codes
     rows, _ = client.extended("SELECT 9 AS ok", [], [])
     assert rows == [[b"9"]]
