@@ -657,6 +657,12 @@ def contamination_check(
 
     Returns ``doc_id, n_grams, n_hits, contamination`` for docs at or
     above the threshold (rate = hits/grams as exact int-over-int double).
+
+    NOT lazy: CONSTRUCTING the plan executes eagerly — the corpus
+    tokenization is ``localCheckpoint``-ed once (one scan instead of the
+    two that branch specialization would force, SCALE.md pitfall #6) and
+    the broadcast-vs-shuffle guard counts the benchmark gram set.  Build
+    the operator only when you intend to run it.
     """
     # checkpoint the tokenized corpus once: the bench and training branches
     # would otherwise each re-scan and re-tokenize (branch specialization

@@ -371,10 +371,18 @@ def run_to_memory(df: DataFrame, spark: SparkSession, timeout_sec: int = 300) ->
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not finished:
+        # a truncated memory sink (missing later micro-batches) would flow
+        # into downstream snapshot logic as silently-wrong data — the
+        # multibatch gates (st10/st11) depend on EVERY batch having run
+        raise TimeoutError(
+            f"streaming query {name} did not finish within {timeout_sec}s; "
+            "partial sink contents discarded"
+        )
     return df.sparkSession.table(name)
 
 
