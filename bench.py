@@ -52,19 +52,27 @@ def main() -> None:
 
     use_count = os.environ.get("SPARK_GRAFT_BENCH_ACTION") == "count"
 
-    try:
-        wdf = registry["q1_pricing_summary"].fn(spark, warm_dir)
-        if use_count:
-            wdf.count()
-        else:
-            # warm with the SAME action as the timed queries, or the
-            # XxHash64/BitXor whole-stage code JIT lands on the first
-            # timed query instead of the session
-            wcols = [F.col("`" + c.replace("`", "``") + "`") for c in wdf.columns]
-            wdf.agg(F.bit_xor(F.xxhash64(F.struct(*wcols)))).collect()
-    except Exception as exc:
-        # a silently-skipped warmup would skew the first timed query
-        print(f"bench warmup failed ({exc}); first-query JIT included", file=sys.stderr)
+    # q1 warms the relational paths; g6 warms the spatial grid join's
+    # codegen + Arrow python-worker round trip (both one-time session
+    # costs that would otherwise land on the first timed query using them)
+    for warm_query in ("q1_pricing_summary", "g6_spatial_join_points_in_boxes"):
+        try:
+            wdf = registry[warm_query].fn(spark, warm_dir)
+            if use_count:
+                wdf.count()
+            else:
+                # warm with the SAME action as the timed queries, or the
+                # XxHash64/BitXor whole-stage code JIT lands on the first
+                # timed query instead of the session
+                wcols = [F.col("`" + c.replace("`", "``") + "`") for c in wdf.columns]
+                wdf.agg(F.bit_xor(F.xxhash64(F.struct(*wcols)))).collect()
+        except Exception as exc:
+            # a silently-skipped warmup would skew the first timed query
+            print(
+                f"bench warmup {warm_query} failed ({exc}); "
+                "first-query JIT included",
+                file=sys.stderr,
+            )
 
     timings: dict[str, float] = {}
     for name, qd in sorted(headline.items()):
