@@ -52,20 +52,29 @@ def main() -> None:
 
     use_count = os.environ.get("SPARK_GRAFT_BENCH_ACTION") == "count"
 
+    def force(df) -> None:
+        """The measured action: content-forcing hash over every column of
+        every row — nothing prunable (bit_xor, not sum: summing int64
+        hashes overflows ANSI mode); backticked so auto-generated names
+        with dots or parens resolve as column names, not nested-field
+        paths.  One definition shared by warmup and timed loop so they
+        JIT the same whole-stage classes."""
+        if use_count:
+            df.count()
+        else:
+            cols = [F.col("`" + c.replace("`", "``") + "`") for c in df.columns]
+            df.agg(F.bit_xor(F.xxhash64(F.struct(*cols)))).collect()
+
     # q1 warms the relational paths; g6 warms the spatial grid join's
     # codegen + Arrow python-worker round trip (both one-time session
-    # costs that would otherwise land on the first timed query using them)
-    for warm_query in ("q1_pricing_summary", "g6_spatial_join_points_in_boxes"):
+    # costs that would otherwise land on the first timed query using
+    # them).  count mode reproduces the r1-r4 harness exactly, which
+    # warmed q1 only — so g6's JIT stays inside its timing there.
+    warm_queries = ("q1_pricing_summary",) if use_count else (
+        "q1_pricing_summary", "g6_spatial_join_points_in_boxes")
+    for warm_query in warm_queries:
         try:
-            wdf = registry[warm_query].fn(spark, warm_dir)
-            if use_count:
-                wdf.count()
-            else:
-                # warm with the SAME action as the timed queries, or the
-                # XxHash64/BitXor whole-stage code JIT lands on the first
-                # timed query instead of the session
-                wcols = [F.col("`" + c.replace("`", "``") + "`") for c in wdf.columns]
-                wdf.agg(F.bit_xor(F.xxhash64(F.struct(*wcols)))).collect()
+            force(registry[warm_query].fn(spark, warm_dir))
         except Exception as exc:
             # a silently-skipped warmup would skew the first timed query
             print(
@@ -80,16 +89,7 @@ def main() -> None:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
-            df = qd.fn(spark, sf_dir)
-            if use_count:
-                df.count()
-            else:
-                # every column of every row feeds the hash — nothing prunable
-                # (bit_xor, not sum: summing int64 hashes overflows ANSI
-                # mode); backticked so auto-generated names with dots or
-                # parens resolve as column names, not nested-field paths
-                cols = [F.col("`" + c.replace("`", "``") + "`") for c in df.columns]
-                df.agg(F.bit_xor(F.xxhash64(F.struct(*cols)))).collect()
+            force(qd.fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record failures as negative sentinel
             print(f"bench query {name} failed: {exc}", file=sys.stderr)

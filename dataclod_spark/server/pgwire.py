@@ -654,8 +654,8 @@ class _Connection:
             self._ext_error("08P01", f"invalid DESCRIBE message subtype {kind!r}")
             return
         # name resolution FIRST, outside the broad catch: a KeyError deep
-        # in the engine path must surface as XX000, not masquerade as
-        # "unknown statement/portal" (26000)
+        # in the engine path must surface as XX000, not masquerade as a
+        # missing statement (26000) / portal (34000)
         target = self.statements if kind == b"S" else self.portals
         obj = target.get(name)
         if obj is None:
@@ -719,14 +719,11 @@ class _Connection:
             # (26000 is for prepared STATEMENTS)
             self._ext_error("34000", f"portal {name.decode()!r} does not exist")
             return
-        # PG refuses to run FAILED portals (re-running could repeat a
-        # partially-applied side effect) and completed tag-only (DML/
-        # utility) portals (a duplicate success tag would misreport work
-        # that never happened); exhausted SELECT portals re-answer 0 rows
-        unrunnable = po.failed or (
-            po.done and po.iter is None and po.pushback is None and po.tag is not None
-        )
-        if unrunnable:
+        # PG refuses to run completed tag-only (DML/utility) portals — a
+        # duplicate success tag would misreport work that never happened;
+        # exhausted SELECT portals re-answer 0 rows.  (FAILED portals never
+        # reach here: the error set skip-until-Sync, and Sync drops them.)
+        if po.done and po.iter is None and po.pushback is None and po.tag is not None:
             self._ext_error("55000", f"portal {name.decode()!r} cannot be run")
             return
         try:

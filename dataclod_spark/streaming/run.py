@@ -378,7 +378,10 @@ def run_to_memory(df: DataFrame, spark: SparkSession, timeout_sec: int = 300) ->
     if not finished:
         # a truncated memory sink (missing later micro-batches) would flow
         # into downstream snapshot logic as silently-wrong data — the
-        # multibatch gates (st10/st11) depend on EVERY batch having run
+        # multibatch gates (st10/st11) depend on EVERY batch having run.
+        # Drop the partial sink so a long-lived session doesn't accumulate
+        # leaked temp views full of wrong rows.
+        df.sparkSession.catalog.dropTempView(name)
         raise TimeoutError(
             f"streaming query {name} did not finish within {timeout_sec}s; "
             "partial sink contents discarded"
