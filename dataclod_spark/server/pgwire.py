@@ -519,6 +519,17 @@ class _Connection:
             return None, _command_tag(bare)
         return df, "SELECT"
 
+    @staticmethod
+    def _count_frame_tag(head: str, df) -> str:
+        """CommandComplete tag for a side-effecting statement whose eager
+        result is a count/status frame (COPY row count, DML command
+        output).  INSERT tags carry a leading oid field — PQcmdTuples
+        parses the LAST space-separated token as the count."""
+        frame = df.limit(1).collect()
+        n = frame[0][0] if frame and len(frame[0]) else 0
+        tag_head = "INSERT 0" if head == "insert" else head.upper()
+        return f"{tag_head} {n}"
+
     def _send_portal_row(self, po: _Portal, row) -> None:
         """One DataRow in the portal's negotiated per-column formats."""
         self.p.send_data_row(
@@ -580,6 +591,16 @@ class _Connection:
                 df, tag = self._run_sql(stmt)
                 if df is None:
                     self.p.send_command_complete(tag or "SET")
+                elif (
+                    not _returns_rows(stmt)
+                    and (_statement_head(stmt) or "ok") in _COMMAND_TAG_HEADS
+                ):
+                    # count/status frame (COPY): answer the PG tag, same
+                    # as the extended path — psql shows "COPY 5", not a
+                    # one-row result set
+                    self.p.send_command_complete(
+                        self._count_frame_tag(_statement_head(stmt), df)
+                    )
                 else:
                     n = self._stream_result(df, DEFAULT_ROW_LIMIT)
                     self.p.send_command_complete(f"SELECT {n}")
@@ -746,13 +767,8 @@ class _Connection:
                         # Execute must not stream rows (a DataRow with no
                         # RowDescription is a protocol violation) — surface
                         # the count frame (COPY / DML) in the
-                        # CommandComplete tag instead.  INSERT tags carry
-                        # a leading oid field (PQcmdTuples parses the
-                        # LAST space-separated token as the count).
-                        frame = df.limit(1).collect()
-                        n = frame[0][0] if frame and len(frame[0]) else 0
-                        tag_head = "INSERT 0" if head == "insert" else head.upper()
-                        po.done, po.tag = True, f"{tag_head} {n}"
+                        # CommandComplete tag instead
+                        po.done, po.tag = True, self._count_frame_tag(head, df)
                         self.p.send_command_complete(po.tag)
                         return
                     # a row-returning statement Describe could not safely

@@ -1318,3 +1318,11 @@ def test_failed_portal_cannot_be_rerun(client):
     assert len(codes) == 1 and b"34000" in codes[0], codes
     rows, _ = client.extended("SELECT 9 AS ok", [], [])
     assert rows == [[b"9"]]
+
+
+def test_simple_copy_answers_copy_tag(client, tmp_path):
+    """Simple-protocol COPY: psql expects the "COPY <n>" tag, not a
+    one-row count result set — consistent with the extended path."""
+    dest = tmp_path / "copy_simple"
+    cols, rows, tag = client.query(f"COPY (SELECT 1 AS x) TO '{dest}' (FORMAT parquet)")
+    assert rows == [] and tag == "COPY 1", (cols, rows, tag)
