@@ -409,7 +409,7 @@ class _PreparedStatement:
 
 class _Portal:
     __slots__ = ("stmt", "params", "result_formats", "iter", "oids", "fmts",
-                 "pushback", "done", "tag", "failed")
+                 "pushback", "done", "tag", "failed", "df")
 
     def __init__(self, stmt: _PreparedStatement, params: list, result_formats: list[int]):
         self.stmt = stmt
@@ -430,6 +430,10 @@ class _Portal:
         # a portal whose Execute raised must never be re-run — PG marks it
         # FAILED; re-running could repeat a partially-applied side effect
         self.failed = False
+        # planned (lazy) DataFrame cached by Describe so Execute does not
+        # re-plan — spatial dispatch runs sampling jobs at PLAN time, so
+        # a Describe-then-Execute client would otherwise pay them twice
+        self.df = None
 
     def column_formats(self, n_cols: int) -> list[int]:
         """Per-column result format per the Bind rules: none → all text,
@@ -726,6 +730,7 @@ class _Connection:
             if df is None:
                 self.p.send(b"n")  # NoData
             else:
+                po.df = df  # reuse the planned frame in Execute
                 fields = [(f.name, _spark_type_oid(f.dataType)) for f in df.schema.fields]
                 self.p.send_row_description(fields, po.column_formats(len(fields)))
         except Exception as e:  # noqa: BLE001
@@ -755,11 +760,16 @@ class _Connection:
                 # first Execute of this portal: run the statement and put
                 # the result iterator on the portal so a limited fetch can
                 # suspend and resume (PG portal semantics)
-                df, tag = self._run_sql(po.stmt.sql, po.params or None)
-                if df is None:
-                    po.done, po.tag = True, (tag or "SET")
-                    self.p.send_command_complete(po.tag)
-                    return
+                if po.df is not None:
+                    # Describe already planned this portal (lazily — the
+                    # row-returning path never executes at Describe time)
+                    df, po.df = po.df, None
+                else:
+                    df, tag = self._run_sql(po.stmt.sql, po.params or None)
+                    if df is None:
+                        po.done, po.tag = True, (tag or "SET")
+                        self.p.send_command_complete(po.tag)
+                        return
                 if not _returns_rows(po.stmt.sql):
                     head = _statement_head(po.stmt.sql) or "ok"
                     if head in _COMMAND_TAG_HEADS:
