@@ -595,16 +595,13 @@ class _Connection:
                 df, tag = self._run_sql(stmt)
                 if df is None:
                     self.p.send_command_complete(tag or "SET")
-                elif (
-                    not _returns_rows(stmt)
-                    and (_statement_head(stmt) or "ok") in _COMMAND_TAG_HEADS
-                ):
+                elif (head := _statement_head(stmt)) in _COMMAND_TAG_HEADS:
                     # count/status frame (COPY): answer the PG tag, same
                     # as the extended path — psql shows "COPY 5", not a
-                    # one-row result set
-                    self.p.send_command_complete(
-                        self._count_frame_tag(_statement_head(stmt), df)
-                    )
+                    # one-row result set.  (_COMMAND_TAG_HEADS is disjoint
+                    # from every row-returning head, so this one resolved
+                    # head decides; no second scan.)
+                    self.p.send_command_complete(self._count_frame_tag(head, df))
                 else:
                     n = self._stream_result(df, DEFAULT_ROW_LIMIT)
                     self.p.send_command_complete(f"SELECT {n}")
@@ -730,7 +727,11 @@ class _Connection:
             if df is None:
                 self.p.send(b"n")  # NoData
             else:
-                po.df = df  # reuse the planned frame in Execute
+                if po.iter is None and not po.done:
+                    # reuse the planned frame in Execute; a suspended or
+                    # completed portal resumes its iterator and would
+                    # never consume (only pin) the cached frame
+                    po.df = df
                 fields = [(f.name, _spark_type_oid(f.dataType)) for f in df.schema.fields]
                 self.p.send_row_description(fields, po.column_formats(len(fields)))
         except Exception as e:  # noqa: BLE001
