@@ -111,11 +111,19 @@ _ON_END_KEYWORDS = re.compile(
 
 def _scan_on_clause(sql: str, start: int) -> tuple[str, int]:
     """Return (on_text, end_index): the ON expression from ``start`` up to
-    the next top-level (paren-balanced) clause keyword or end of string."""
+    the next top-level (paren-balanced) clause keyword or end of string.
+    Literal/comment spans are skipped via the shared scanner so a ``(``
+    or clause keyword inside a string cannot corrupt the scan."""
+    from dataclod_spark.plans.rewrites import scan_noncode_span
+
     depth = 0
     i = start
     end = len(sql)
     while i < len(sql):
+        kind, j = scan_noncode_span(sql, i)
+        if kind is not None:
+            i = j
+            continue
         ch = sql[i]
         if ch == "(":
             depth += 1
@@ -131,13 +139,19 @@ def _scan_on_clause(sql: str, start: int) -> tuple[str, int]:
 
 
 def _split_top_and(expr: str) -> list[str]:
-    """Split an expression on top-level AND keywords."""
+    """Split an expression on top-level AND keywords (outside literals)."""
     parts: list[str] = []
     depth = 0
+    from dataclod_spark.plans.rewrites import scan_noncode_span
+
     last = 0
     i = 0
     up = expr.upper()
     while i < len(expr):
+        kind, j = scan_noncode_span(expr, i)
+        if kind is not None:
+            i = j
+            continue
         ch = expr[i]
         if ch == "(":
             depth += 1
@@ -155,6 +169,153 @@ def _split_top_and(expr: str) -> list[str]:
         i += 1
     parts.append(expr[last:].strip())
     return [p[1:-1].strip() if _is_wrapped(p) else p for p in parts if p]
+
+
+def _split_top_commas(expr: str) -> list[str]:
+    """Split a select list on top-level commas (outside parens/literals)."""
+    from dataclod_spark.plans.rewrites import scan_noncode_span
+
+    parts: list[str] = []
+    depth, last, i = 0, 0, 0
+    while i < len(expr):
+        kind, j = scan_noncode_span(expr, i)
+        if kind is not None:
+            i = j
+            continue
+        ch = expr[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(expr[last:i])
+            last = i + 1
+        i += 1
+    parts.append(expr[last:])
+    return parts
+
+
+def _paren_depth_at(sql: str, pos: int) -> int:
+    """Paren depth of code position ``pos`` (literals/comments skipped)."""
+    from dataclod_spark.plans.rewrites import scan_noncode_span
+
+    depth, i = 0, 0
+    while i < pos:
+        kind, j = scan_noncode_span(sql, i)
+        if kind is not None:
+            i = j
+            continue
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    return depth
+
+
+def _subquery_spans(sql: str) -> list[tuple[int, int]]:
+    """(start, end) index pairs of every parenthesized ``(SELECT …)``
+    group — subqueries and CTE bodies; expression parens are excluded."""
+    from dataclod_spark.plans.rewrites import scan_noncode_span
+
+    spans: list[tuple[int, int]] = []
+    stack: list[int] = []
+    i, n = 0, len(sql)
+    while i < n:
+        kind, j = scan_noncode_span(sql, i)
+        if kind is not None:
+            i = j
+            continue
+        ch = sql[i]
+        if ch == "(":
+            stack.append(i)
+        elif ch == ")" and stack:
+            s = stack.pop()
+            k = s + 1
+            while k < i:
+                kd, j2 = scan_noncode_span(sql, k)
+                if kd is not None:
+                    k = j2
+                    continue
+                if sql[k].isspace():
+                    k += 1
+                    continue
+                break
+            if re.match(r"SELECT\b", sql[k:i], re.IGNORECASE):
+                spans.append((s, i))
+        i += 1
+    return spans
+
+
+def _cols_sql(alias: str, cols: list[str]) -> str:
+    """Explicit alias-qualified column list for a star expansion."""
+    return ", ".join(f"{alias}.`{c}`" for c in cols)
+
+
+_SELECT_KW_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
+_ALIAS_STAR_RE = re.compile(r"^([A-Za-z_]\w*)\s*\.\s*\*$")
+
+
+def _expand_select_stars(
+    prefix: str, expansions: dict[str, str], all_sides: Optional[list[str]]
+) -> Optional[str]:
+    """Expand ``*`` / ``alias.*`` items of the OUTER select list to explicit
+    column lists.  The grid rewrite substitutes derived relations carrying
+    internal ``__cell``/``__bb``/``__ix0``/``__iy0`` columns, so a star over
+    a rewritten side would silently change the query's output schema.
+
+    ``prefix`` is everything before the FROM being rewritten (may include a
+    WITH chain — CTE bodies sit inside parens, so the depth-0 scan below
+    never touches their stars).  ``expansions`` maps lowercased alias →
+    explicit column SQL; ``all_sides`` is the full left-to-right expansion
+    for a bare ``*``, or None when the caller cannot produce one (bare
+    ``*`` then returns None = decline the dispatch).  Items that are not
+    exactly ``*`` or ``alias.*`` pass through untouched (a depth-0 ``*``
+    inside an expression is multiplication; ``count(*)`` sits inside
+    parens)."""
+    from dataclod_spark.plans.rewrites import scan_noncode_span
+
+    # locate the outer SELECT: last depth-0 SELECT keyword of the prefix
+    depth, i, sel_end = 0, 0, None
+    while i < len(prefix):
+        kind, j = scan_noncode_span(prefix, i)
+        if kind is not None:
+            i = j
+            continue
+        ch = prefix[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _SELECT_KW_RE.match(prefix, i)
+            if m and (i == 0 or not (prefix[i - 1].isalnum() or prefix[i - 1] == "_")):
+                sel_end = m.end()
+                i = m.end()
+                continue
+        i += 1
+    if sel_end is None:
+        return prefix  # no outer select list (shouldn't happen) — unchanged
+    head, body = prefix[:sel_end], prefix[sel_end:]
+    lead = ""
+    lm = re.match(r"\s*(DISTINCT|ALL)\b", body, re.IGNORECASE)
+    if lm:
+        lead, body = body[: lm.end()], body[lm.end() :]
+    items = _split_top_commas(body)
+    out_items: list[str] = []
+    for it in items:
+        s = it.strip()
+        if s == "*":
+            if all_sides is None:
+                return None
+            out_items.append(", ".join(all_sides))
+            continue
+        am = _ALIAS_STAR_RE.match(s)
+        if am and am.group(1).lower() in expansions:
+            out_items.append(expansions[am.group(1).lower()])
+        else:
+            out_items.append(s)
+    return head + lead + " " + ", ".join(out_items) + " "
 
 
 def _is_wrapped(p: str) -> bool:
@@ -212,8 +373,28 @@ def _verdict_sql(key: str, b1: str, b2: str, e: float = 0.0, strict: bool = Fals
     ``__bb`` struct references — the exact predicate for bbox-exact pairs
     (point / axis rectangle), decided fully JVM-side.  ``b1``/``b2`` follow
     the predicate's argument order (g1 = b1's geometry)."""
-    lx0, ly0, lx1, ly1 = f"{b1}.xmin", f"{b1}.ymin", f"{b1}.xmax", f"{b1}.ymax"
-    rx0, ry0, rx1, ry1 = f"{b2}.xmin", f"{b2}.ymin", f"{b2}.xmax", f"{b2}.ymax"
+    return _verdict_sql_fields(
+        key,
+        (f"{b1}.xmin", f"{b1}.ymin", f"{b1}.xmax", f"{b1}.ymax"),
+        (f"{b2}.xmin", f"{b2}.ymin", f"{b2}.xmax", f"{b2}.ymax"),
+        e,
+        strict,
+    )
+
+
+def _verdict_sql_fields(
+    key: str,
+    lf: tuple[str, str, str, str],
+    rf: tuple[str, str, str, str],
+    e: float = 0.0,
+    strict: bool = False,
+) -> str:
+    """:func:`_verdict_sql` over explicit (xmin, ymin, xmax, ymax) SQL
+    field expressions — shared with the filter pushdown's exact
+    elimination so the boundary semantics (open intervals for point
+    within/contains) cannot drift between the two paths."""
+    lx0, ly0, lx1, ly1 = lf
+    rx0, ry0, rx1, ry1 = rf
     lpt = f"({lx0} = {lx1} AND {ly0} = {ly1})"
     rpt = f"({rx0} = {rx1} AND {ry0} = {ry1})"
     overlap = f"({lx0} <= {rx1} AND {rx0} <= {lx1} AND {ly0} <= {ry1} AND {ry0} <= {ly1})"
@@ -391,20 +572,22 @@ def _parse_with_prefix(sql: str) -> tuple[str, list[str]]:
 
 
 def _resolve_relation(session, sql: str, name: str):
-    """DataFrame for a join side: a catalog table/view, or a CTE from the
-    query's own WITH prefix (planned but unexecuted — used for schema checks
-    and grid sampling only)."""
-    try:
-        return session.spark.table(name)
-    except Exception:
-        pass
+    """DataFrame for a join side: a CTE from the query's own WITH prefix,
+    else a catalog table/view (planned but unexecuted — used for schema
+    checks, grid sampling, and the outer path's operator input).  CTE
+    lookup comes FIRST: SQL scoping lets a CTE shadow a catalog table of
+    the same name, and resolving the catalog table instead would run the
+    outer spatial join against the unfiltered base relation."""
     prefix, names = _parse_with_prefix(sql)
     if prefix and name.lower() in {n.lower() for n in names}:
         try:
             return session.spark.sql(f"{prefix} SELECT * FROM {name}")
         except Exception:
             return None
-    return None
+    try:
+        return session.spark.table(name)
+    except Exception:
+        return None
 
 
 def _meta_cols_exprs(meta):
@@ -512,8 +695,13 @@ def _grid_on_parts(
         spatial_sql = f"IF({both}, {verdict}, coalesce({masked}, false))"
     if spatial_sql is not None:
         on_parts.append(spatial_sql)
-    # any extra conjuncts ride along as join filters after the cell equi-join
-    on_parts.extend(conjuncts[i] for i in range(len(conjuncts)) if i != spatial_idx)
+    # any extra conjuncts ride along as join filters after the cell
+    # equi-join — re-parenthesized: _split_top_and strips a conjunct's
+    # wrapping parens, and an OR spliced bare into the AND-joined ON
+    # clause would change precedence (silently wrong rows)
+    on_parts.extend(
+        f"({conjuncts[i]})" for i in range(len(conjuncts)) if i != spatial_idx
+    )
     return on_parts
 
 
@@ -596,7 +784,18 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
         f"JOIN {_side_sql(rt, rgeom, grid, 0.0, rpar, rmeta)} {ra} "
         f"ON {' AND '.join(on_parts)} "
     )
-    return sql[: m.start()] + new_from + sql[on_end:]
+    # the derived sides carry internal __cell/__bb columns: stars in the
+    # outer select list must expand to the ORIGINAL columns or the result
+    # schema silently changes
+    lsql, rsql = _cols_sql(la, ldf.columns), _cols_sql(ra, rdf.columns)
+    prefix = _expand_select_stars(
+        sql[: m.start()],
+        {la.lower(): lsql, ra.lower(): rsql},
+        [lsql, rsql],
+    )
+    if prefix is None:
+        return None
+    return prefix + new_from + sql[on_end:]
 
 
 _CHAIN_FROM_RE = re.compile(
@@ -700,7 +899,19 @@ def try_chain_spatial_join(session, sql: str) -> Optional[str]:
                 out.append(txt)
                 cur = s1
             out.append(sql[cur:])
-            return "".join(out)
+            rewritten = "".join(out)
+            # star discipline for the two swapped (derived) sides; a bare
+            # `*` would need every chain relation's columns — decline and
+            # let default planning produce the correct schema
+            prefix = _expand_select_stars(
+                sql[: fm.start()],
+                {la.lower(): _cols_sql(la, ldf.columns),
+                 ra.lower(): _cols_sql(ra, rdf.columns)},
+                None,
+            )
+            if prefix is None:
+                return None
+            return prefix + rewritten[fm.start():]
     return None
 
 
@@ -1111,16 +1322,30 @@ def try_spatial_filter_pushdown(session, sql: str) -> Optional[str]:
     """
     if not _LIT_PRED_RE.search(sql):
         return None
-    up = sql.upper()
-    if " JOIN " in up or "\nJOIN " in up:
+    # any JOIN anywhere (token match, not whitespace-fragile substring)
+    # declines the single-relation rewrite; declining is always safe
+    if re.search(r"\bJOIN\b", sql, re.IGNORECASE):
         return None
-    fm = _FROM_SINGLE_RE.search(sql)
+    # the FROM this rewrite resolves covering metadata against must be the
+    # statement's own (depth-0) FROM — a match inside a CTE body or
+    # subquery would attach the wrong table's covering columns
+    fm = next(
+        (
+            m_
+            for m_ in _FROM_SINGLE_RE.finditer(sql)
+            if _paren_depth_at(sql, m_.start()) == 0
+        ),
+        None,
+    )
     if not fm:
         return None
     table = fm.group("t")
     alias = fm.group("a")
     if alias and alias.lower() in _RESERVED_ALIAS:
         alias = None
+    # predicates inside subqueries scan OTHER relations: only rewrite
+    # matches that sit outside every (SELECT ...) span
+    sub_spans = _subquery_spans(sql)
 
     from dataclod_spark.geo.core import wkt_parse
     from dataclod_spark.geo.algos import bounds as gbounds
@@ -1129,6 +1354,8 @@ def try_spatial_filter_pushdown(session, sql: str) -> Optional[str]:
 
     def _repl(mm: re.Match) -> str:
         nonlocal changed
+        if any(s < mm.start() < e_ for s, e_ in sub_spans):
+            return mm.group(0)
         fn = mm.group("fn").lower()
         col_first = mm.group("col") is not None
         al = mm.group("al") if col_first else mm.group("al2")
@@ -1181,14 +1408,23 @@ def try_spatial_filter_pushdown(session, sql: str) -> Optional[str]:
             )
         changed = True
         # exact elimination: covering is exact (bbox IS the geometry) and
-        # the literal is an axis rectangle → for the pure containment /
-        # overlap predicates the bbox relation IS the predicate
+        # the literal is an axis rectangle → the shared JVM verdict IS the
+        # predicate (NOT the closed-interval covering conjuncts alone:
+        # ST_Within is false for a point ON the boundary, so within/
+        # contains need _verdict_sql's open-interval point cases).  The
+        # simple covering conjuncts still ride along — they are the part
+        # that reaches the parquet scan as PushedFilters.
         if (
             meta.exact
             and _axis_rect_bounds(lit) is not None
             and key in ("intersects", "within", "covered_by", "contains", "covers")
         ):
-            return f"({conj})"
+            verdict = _verdict_sql_fields(
+                key,
+                (f"({cx0})", f"({cy0})", f"({cx1})", f"({cy1})"),
+                (f"{x0!r}", f"{y0!r}", f"{x1!r}", f"{y1!r}"),
+            )
+            return f"(({conj}) AND {verdict})"
         return f"(({conj}) AND {orig})"
 
     out = _LIT_PRED_RE.sub(_repl, sql)

@@ -493,3 +493,140 @@ def test_dispatch_robust_to_sql_formatting(engine, sdata, variant):
     df = engine.sql(variant)
     assert "BroadcastNestedLoopJoin" not in _plan(df)
     assert df.count() > 0
+
+
+def test_select_star_expansion_dispatch(engine, sdata):
+    """Outer ``SELECT *`` over a dispatched spatial join must expand to the
+    ORIGINAL columns of both sides — the grid rewrite's internal
+    ``__cell``/``__bb`` columns may never leak into the result schema."""
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT * FROM disp_pts p JOIN disp_boxes b ON ST_Intersects(p.geom, b.geom)"
+    )
+    assert df.columns == ["pid", "geom", "bid", "geom"]
+    got = {(r[0], r[2]) for r in df.collect()}
+    want = {(pi, bi) for pi, pg in points for bi, bg in boxes if GP.intersects(pg, bg)}
+    assert got == want and got
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
+
+
+def test_alias_star_expansion_dispatch(engine, sdata):
+    """``p.*`` of a rewritten side expands; other items pass through."""
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.*, b.bid AS boxid FROM disp_pts p JOIN disp_boxes b "
+        "ON ST_Intersects(p.geom, b.geom)"
+    )
+    assert df.columns == ["pid", "geom", "boxid"]
+    got = {(r.pid, r.boxid) for r in df.collect()}
+    want = {(pi, bi) for pi, pg in points for bi, bg in boxes if GP.intersects(pg, bg)}
+    assert got == want and got
+
+
+def test_or_conjunct_precedence_dispatch(engine, sdata):
+    """A parenthesized OR conjunct alongside the spatial predicate must be
+    re-wrapped when spliced into the AND-joined rewritten ON clause —
+    bare splicing would flip precedence and return extra rows."""
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid, b.bid FROM disp_pts p JOIN disp_boxes b "
+        "ON ST_Intersects(p.geom, b.geom) AND (p.pid % 7 = 0 OR b.bid % 5 = 0)"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    want = {
+        (pi, bi)
+        for pi, pg in points
+        for bi, bg in boxes
+        if GP.intersects(pg, bg) and (pi % 7 == 0 or bi % 5 == 0)
+    }
+    assert got == want and got
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
+
+
+def test_on_clause_string_literal_robust(engine, sdata):
+    """String literals inside the ON clause containing parens / clause
+    keywords must not corrupt the paren-balanced clause scan."""
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid, b.bid FROM disp_pts p JOIN disp_boxes b "
+        "ON ST_Intersects(p.geom, b.geom) AND 'x(WHERE' = 'x(WHERE' "
+        "WHERE p.pid % 2 = 0"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    want = {
+        (pi, bi)
+        for pi, pg in points
+        for bi, bg in boxes
+        if pi % 2 == 0 and GP.intersects(pg, bg)
+    }
+    assert got == want and got
+
+
+def test_pushdown_skips_subquery_predicate(engine, sdata):
+    """A literal spatial predicate INSIDE a subquery scans a different
+    relation — attaching the outer table's covering columns to it would
+    break analysis (or silently filter on the wrong table).  The rewrite
+    must only touch predicates outside every (SELECT ...) span."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.spatial_join import point_wkb
+
+    spark = engine.spark
+    import random as _r
+
+    rnd = _r.Random(11)
+    pts_rows = [(i, rnd.uniform(0, 100), rnd.uniform(0, 100)) for i in range(300)]
+    spark.createDataFrame(pts_rows, "pid long, px double, py double").select(
+        "pid", "px", "py", point_wkb(F.col("px"), F.col("py")).alias("geom")
+    ).createOrReplaceTempView("subq_pts")
+    engine.register_bbox("subq_pts", "geom", "px", "py", "px", "py", exact=True)
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT pid FROM subq_pts t WHERE "
+        "ST_Within(t.geom, ST_GeomFromText('POLYGON((20 20,70 20,70 80,20 80,20 20))')) "
+        "AND pid IN (SELECT pid FROM disp_pts WHERE "
+        "ST_Intersects(geom, ST_GeomFromText('POLYGON((0 0,80 0,80 80,0 80,0 0))')))"
+    )
+    from dataclod_spark.geo.core import wkt_parse
+
+    inner_lit = wkt_parse("POLYGON((0 0,80 0,80 80,0 80,0 0))")
+    inner_ok = {pi for pi, pg in points if GP.intersects(pg, inner_lit)}
+    outer_lit = wkt_parse("POLYGON((20 20,70 20,70 80,20 80,20 20))")
+    got = {r.pid for r in df.collect()}
+    from dataclod_spark.geo.algos import make_point
+
+    want = {
+        pid
+        for pid, x, y in pts_rows
+        if GP.within(make_point(x, y), outer_lit) and pid in inner_ok
+    }
+    assert got == want and got
+
+
+def test_exact_elimination_boundary_semantics(engine, sdata):
+    """Exact covering + axis-rect literal: the eliminated-UDF path must
+    keep OPEN-interval semantics for ST_Within of a boundary point (the
+    closed-interval covering conjuncts alone would wrongly include it)."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.spatial_join import point_wkb
+
+    spark = engine.spark
+    rows = [
+        (0, 20.0, 50.0),   # on left edge -> NOT within, intersects
+        (1, 45.0, 80.0),   # on top edge -> NOT within, intersects
+        (2, 20.0, 20.0),   # corner -> NOT within, intersects
+        (3, 30.0, 30.0),   # interior -> within
+        (4, 10.0, 10.0),   # outside
+    ]
+    spark.createDataFrame(rows, "pid long, px double, py double").select(
+        "pid", "px", "py", point_wkb(F.col("px"), F.col("py")).alias("geom")
+    ).createOrReplaceTempView("edge_pts")
+    engine.register_bbox("edge_pts", "geom", "px", "py", "px", "py", exact=True)
+    rect = "ST_GeomFromText('POLYGON((20 20,70 20,70 80,20 80,20 20))')"
+    dfw = engine.sql(f"SELECT pid FROM edge_pts t WHERE ST_Within(t.geom, {rect})")
+    assert {r.pid for r in dfw.collect()} == {3}
+    assert "EvalPython" not in _plan(dfw)
+    dfi = engine.sql(f"SELECT pid FROM edge_pts t WHERE ST_Intersects(t.geom, {rect})")
+    assert {r.pid for r in dfi.collect()} == {0, 1, 2, 3}
+    assert "EvalPython" not in _plan(dfi)
