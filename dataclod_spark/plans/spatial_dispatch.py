@@ -46,6 +46,8 @@ import itertools
 import re
 from typing import Optional
 
+from dataclod_spark.plans.rewrites import scan_noncode_span
+
 # join predicates recognized by the reference's planner
 # (spatial_expr_utils.rs:20-76)
 _SYMMETRIC = {
@@ -114,8 +116,6 @@ def _scan_on_clause(sql: str, start: int) -> tuple[str, int]:
     the next top-level (paren-balanced) clause keyword or end of string.
     Literal/comment spans are skipped via the shared scanner so a ``(``
     or clause keyword inside a string cannot corrupt the scan."""
-    from dataclod_spark.plans.rewrites import scan_noncode_span
-
     depth = 0
     i = start
     end = len(sql)
@@ -142,8 +142,6 @@ def _split_top_and(expr: str) -> list[str]:
     """Split an expression on top-level AND keywords (outside literals)."""
     parts: list[str] = []
     depth = 0
-    from dataclod_spark.plans.rewrites import scan_noncode_span
-
     last = 0
     i = 0
     up = expr.upper()
@@ -173,8 +171,6 @@ def _split_top_and(expr: str) -> list[str]:
 
 def _split_top_commas(expr: str) -> list[str]:
     """Split a select list on top-level commas (outside parens/literals)."""
-    from dataclod_spark.plans.rewrites import scan_noncode_span
-
     parts: list[str] = []
     depth, last, i = 0, 0, 0
     while i < len(expr):
@@ -197,8 +193,6 @@ def _split_top_commas(expr: str) -> list[str]:
 
 def _paren_depth_at(sql: str, pos: int) -> int:
     """Paren depth of code position ``pos`` (literals/comments skipped)."""
-    from dataclod_spark.plans.rewrites import scan_noncode_span
-
     depth, i = 0, 0
     while i < pos:
         kind, j = scan_noncode_span(sql, i)
@@ -216,8 +210,6 @@ def _paren_depth_at(sql: str, pos: int) -> int:
 def _subquery_spans(sql: str) -> list[tuple[int, int]]:
     """(start, end) index pairs of every parenthesized ``(SELECT …)``
     group — subqueries and CTE bodies; expression parens are excluded."""
-    from dataclod_spark.plans.rewrites import scan_noncode_span
-
     spans: list[tuple[int, int]] = []
     stack: list[int] = []
     i, n = 0, len(sql)
@@ -247,6 +239,76 @@ def _subquery_spans(sql: str) -> list[tuple[int, int]]:
     return spans
 
 
+def _noncode_spans(sql: str) -> list[tuple[int, int]]:
+    """(start, end) index pairs of every literal/comment span."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        kind, j = scan_noncode_span(sql, i)
+        if kind is not None:
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _search_code(pattern: re.Pattern, sql: str) -> Optional[re.Match]:
+    """First match of ``pattern`` whose start lies OUTSIDE every literal
+    and comment — a ``FROM x JOIN y`` inside a string must not anchor a
+    rewrite against the wrong (or non-existent) relations."""
+    spans = _noncode_spans(sql)
+    for m in pattern.finditer(sql):
+        if not any(s <= m.start() < e for s, e in spans):
+            return m
+    return None
+
+
+def _code_text(fragment: str) -> str:
+    """``fragment`` with comments removed (string literals kept verbatim),
+    for matching select-list items: ``* -- note`` must still be
+    recognized as a bare star, or the unexpanded star would leak the
+    rewrite's internal columns."""
+    out: list[str] = []
+    i, n = 0, len(fragment)
+    while i < n:
+        kind, j = scan_noncode_span(fragment, i)
+        if kind in ("line", "block"):
+            out.append(" ")
+            i = j
+        elif kind is not None:
+            out.append(fragment[i:j])
+            i = j
+        else:
+            out.append(fragment[i])
+            i += 1
+    return "".join(out).strip()
+
+
+def _has_top_level_setop(sql: str) -> bool:
+    """True when a depth-0 UNION/INTERSECT/EXCEPT exists outside literals
+    — each set-op arm has its own FROM, so single-relation rewrites must
+    decline rather than attach the first arm's table metadata to every
+    arm's predicates."""
+    i, depth, n = 0, 0, len(sql)
+    while i < n:
+        kind, j = scan_noncode_span(sql, i)
+        if kind is not None:
+            i = j
+            continue
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "UIEuie":
+            m = re.match(r"(UNION|INTERSECT|EXCEPT)\b", sql[i:], re.IGNORECASE)
+            if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                return True
+        i += 1
+    return False
+
+
 def _cols_sql(alias: str, cols: list[str]) -> str:
     """Explicit alias-qualified column list for a star expansion."""
     return ", ".join(f"{alias}.`{c}`" for c in cols)
@@ -259,23 +321,28 @@ _ALIAS_STAR_RE = re.compile(r"^([A-Za-z_]\w*)\s*\.\s*\*$")
 def _expand_select_stars(
     prefix: str, expansions: dict[str, str], all_sides: Optional[list[str]]
 ) -> Optional[str]:
-    """Expand ``*`` / ``alias.*`` items of the OUTER select list to explicit
-    column lists.  The grid rewrite substitutes derived relations carrying
-    internal ``__cell``/``__bb``/``__ix0``/``__iy0`` columns, so a star over
-    a rewritten side would silently change the query's output schema.
+    """Expand ``*`` / ``alias.*`` items of the select list OWNING the FROM
+    being rewritten to explicit column lists.  The grid rewrite substitutes
+    derived relations carrying internal ``__cell``/``__bb``/``__ix0``/
+    ``__iy0`` columns, so a star over a rewritten side would silently
+    change the query's output schema.
 
     ``prefix`` is everything before the FROM being rewritten (may include a
-    WITH chain — CTE bodies sit inside parens, so the depth-0 scan below
-    never touches their stars).  ``expansions`` maps lowercased alias →
-    explicit column SQL; ``all_sides`` is the full left-to-right expansion
-    for a bare ``*``, or None when the caller cannot produce one (bare
-    ``*`` then returns None = decline the dispatch).  Items that are not
-    exactly ``*`` or ``alias.*`` pass through untouched (a depth-0 ``*``
-    inside an expression is multiplication; ``count(*)`` sits inside
-    parens)."""
-    from dataclod_spark.plans.rewrites import scan_noncode_span
-
-    # locate the outer SELECT: last depth-0 SELECT keyword of the prefix
+    WITH chain and enclosing subqueries).  The owning select list is the
+    LAST ``SELECT`` at the same paren depth as the FROM (= the depth at the
+    end of the prefix): when the spatial join sits inside a derived table
+    ``(SELECT * FROM a JOIN b ON ST_..) q``, the inner star is the one that
+    must expand — earlier same-depth SELECTs belong to already-closed
+    sibling groups.  ``expansions`` maps lowercased alias → explicit column
+    SQL; ``all_sides`` is the full left-to-right expansion for a bare
+    ``*``, or None when the caller cannot produce one (bare ``*`` then
+    returns None = decline the dispatch).  Items that are not exactly ``*``
+    or ``alias.*`` after comment stripping pass through byte-identical (a
+    depth-0 ``*`` inside an expression is multiplication; ``count(*)``
+    sits inside parens); when nothing matches, the prefix is returned
+    unchanged."""
+    from_depth = _paren_depth_at(prefix, len(prefix))
+    # locate the owning SELECT: last SELECT keyword at the FROM's depth
     depth, i, sel_end = 0, 0, None
     while i < len(prefix):
         kind, j = scan_noncode_span(prefix, i)
@@ -287,7 +354,7 @@ def _expand_select_stars(
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0:
+        elif depth == from_depth:
             m = _SELECT_KW_RE.match(prefix, i)
             if m and (i == 0 or not (prefix[i - 1].isalnum() or prefix[i - 1] == "_")):
                 sel_end = m.end()
@@ -295,7 +362,7 @@ def _expand_select_stars(
                 continue
         i += 1
     if sel_end is None:
-        return prefix  # no outer select list (shouldn't happen) — unchanged
+        return prefix  # no owning select list (shouldn't happen) — unchanged
     head, body = prefix[:sel_end], prefix[sel_end:]
     lead = ""
     lm = re.match(r"\s*(DISTINCT|ALL)\b", body, re.IGNORECASE)
@@ -303,19 +370,27 @@ def _expand_select_stars(
         lead, body = body[: lm.end()], body[lm.end() :]
     items = _split_top_commas(body)
     out_items: list[str] = []
+    changed = False
     for it in items:
-        s = it.strip()
+        s = _code_text(it)
         if s == "*":
             if all_sides is None:
                 return None
-            out_items.append(", ".join(all_sides))
+            out_items.append(" " + ", ".join(all_sides))
+            changed = True
             continue
         am = _ALIAS_STAR_RE.match(s)
         if am and am.group(1).lower() in expansions:
-            out_items.append(expansions[am.group(1).lower()])
+            out_items.append(" " + expansions[am.group(1).lower()])
+            changed = True
         else:
-            out_items.append(s)
-    return head + lead + " " + ", ".join(out_items) + " "
+            # byte-identical pass-through: stripping would detach a
+            # trailing `-- comment` from its newline and comment out the
+            # FROM clause the caller appends
+            out_items.append(it)
+    if not changed:
+        return prefix
+    return head + lead + ",".join(out_items) + " "
 
 
 def _is_wrapped(p: str) -> bool:
@@ -719,7 +794,7 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
     spatial segment is rewritten and the remaining joins ride along
     verbatim (left-associative parse order is unchanged).
     """
-    m = _FROM_JOIN_RE.search(sql)
+    m = _search_code(_FROM_JOIN_RE, sql)
     if not m:
         return None
     lt, la, rt, ra = m.group("lt"), m.group("la"), m.group("rt"), m.group("ra")
@@ -786,12 +861,20 @@ def try_rewrite_spatial_join(session, sql: str) -> Optional[str]:
     )
     # the derived sides carry internal __cell/__bb columns: stars in the
     # outer select list must expand to the ORIGINAL columns or the result
-    # schema silently changes
+    # schema silently changes.  A bare `*` is only expandable when the two
+    # spatial relations are the WHOLE from-list: with ride-along joins
+    # after the rewritten ON, [lsql, rsql] would drop the later relations'
+    # columns — decline and let default planning keep the schema.
     lsql, rsql = _cols_sql(la, ldf.columns), _cols_sql(ra, rdf.columns)
+    tail_has_join = re.match(
+        r"\s*(?:(?:LEFT|RIGHT|FULL|INNER|CROSS)\s+(?:OUTER\s+)?)?JOIN\b",
+        sql[on_end:],
+        re.IGNORECASE,
+    )
     prefix = _expand_select_stars(
         sql[: m.start()],
         {la.lower(): lsql, ra.lower(): rsql},
-        [lsql, rsql],
+        None if tail_has_join else [lsql, rsql],
     )
     if prefix is None:
         return None
@@ -825,7 +908,7 @@ def try_chain_spatial_join(session, sql: str) -> Optional[str]:
     copies of the probe side are collapsed by the reference-point dedup in
     the rewritten ON, so inner-chain multiplicities are unchanged.
     """
-    fm = _CHAIN_FROM_RE.search(sql)
+    fm = _search_code(_CHAIN_FROM_RE, sql)
     if not fm or fm.group("a").lower() in _RESERVED_ALIAS:
         return None
     # rels: (table, alias, span of the "table alias" text)
@@ -949,7 +1032,7 @@ def try_outer_spatial_join(session, sql: str) -> Optional[str]:
     strict form (the operator's dwithin is boundary-inclusive).  Subsequent
     joins after the outer spatial one ride along against the temp view.
     Returns the rewritten SQL or None (fall back to default planning)."""
-    m = _OUTER_FROM_JOIN_RE.search(sql)
+    m = _search_code(_OUTER_FROM_JOIN_RE, sql)
     if not m:
         return None
     lt, la, rt, ra = m.group("lt"), m.group("la"), m.group("rt"), m.group("ra")
@@ -1077,7 +1160,7 @@ def try_exists_spatial_join(session, sql: str) -> Optional[str]:
     side; any conjunct touching the outer alias beyond the spatial
     predicate falls back.
     """
-    m = _EXISTS_RE.search(sql)
+    m = _search_code(_EXISTS_RE, sql)
     if not m:
         return None
     lt, la, neg = m.group("lt"), m.group("la"), bool(m.group("neg"))
@@ -1280,6 +1363,8 @@ _FROM_SINGLE_RE = re.compile(
     re.IGNORECASE,
 )
 
+_JOIN_TOKEN_RE = re.compile(r"\bJOIN\b", re.IGNORECASE)
+
 
 def _axis_rect_bounds(g) -> Optional[tuple[float, float, float, float]]:
     """(xmin, ymin, xmax, ymax) when the geometry is exactly its envelope
@@ -1324,16 +1409,23 @@ def try_spatial_filter_pushdown(session, sql: str) -> Optional[str]:
         return None
     # any JOIN anywhere (token match, not whitespace-fragile substring)
     # declines the single-relation rewrite; declining is always safe
-    if re.search(r"\bJOIN\b", sql, re.IGNORECASE):
+    if _search_code(_JOIN_TOKEN_RE, sql):
+        return None
+    # set-op arms each have their own FROM: attaching the first arm's
+    # covering metadata to the other arms' predicates would be wrong
+    if _has_top_level_setop(sql):
         return None
     # the FROM this rewrite resolves covering metadata against must be the
-    # statement's own (depth-0) FROM — a match inside a CTE body or
-    # subquery would attach the wrong table's covering columns
+    # statement's own (depth-0) FROM — a match inside a CTE body, a
+    # subquery, or a string literal would attach the wrong table's
+    # covering columns
+    lit_spans = _noncode_spans(sql)
     fm = next(
         (
             m_
             for m_ in _FROM_SINGLE_RE.finditer(sql)
-            if _paren_depth_at(sql, m_.start()) == 0
+            if not any(s <= m_.start() < e_ for s, e_ in lit_spans)
+            and _paren_depth_at(sql, m_.start()) == 0
         ),
         None,
     )

@@ -630,3 +630,125 @@ def test_exact_elimination_boundary_semantics(engine, sdata):
     dfi = engine.sql(f"SELECT pid FROM edge_pts t WHERE ST_Intersects(t.geom, {rect})")
     assert {r.pid for r in dfi.collect()} == {0, 1, 2, 3}
     assert "EvalPython" not in _plan(dfi)
+
+
+def test_bare_star_with_ride_along_join_keeps_schema(engine, sdata):
+    """`SELECT *` with a dim join AFTER the spatial ON: [left, right]
+    expansion would drop the dim columns — the dispatch must decline the
+    bare star (or include every relation), never narrow the schema."""
+    boxes, points = sdata
+    spark = engine.spark
+    spark.createDataFrame(
+        [(i, f"cat{i % 3}") for i in range(40)], "bid long, category string"
+    ).createOrReplaceTempView("star_dim")
+    df = engine.sql(
+        "SELECT * FROM disp_pts p "
+        "JOIN disp_boxes b ON ST_Intersects(p.geom, b.geom) "
+        "JOIN star_dim d ON b.bid = d.bid"
+    )
+    assert df.columns == ["pid", "geom", "bid", "geom", "bid", "category"]
+    got = {(r[0], r[2], r[5]) for r in df.collect()}
+    want = {
+        (pi, bi, f"cat{bi % 3}")
+        for pi, pg in points
+        for bi, bg in boxes
+        if GP.intersects(pg, bg)
+    }
+    assert got == want and got
+
+
+def test_pushdown_declines_setop_arms(engine, sdata):
+    """UNION arms scan different tables: the single-relation pushdown must
+    not attach the first arm's covering metadata to the second arm."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.spatial_join import point_wkb
+
+    spark = engine.spark
+    rows_a = [(i, float(i), float(i)) for i in range(50)]
+    rows_b = [(100 + i, float(i), float(i)) for i in range(50)]
+    for name, rows in (("setop_a", rows_a), ("setop_b", rows_b)):
+        spark.createDataFrame(rows, "pid long, px double, py double").select(
+            "pid", "px", "py", point_wkb(F.col("px"), F.col("py")).alias("geom")
+        ).createOrReplaceTempView(name)
+    engine.register_bbox("setop_a", "geom", "px", "py", "px", "py", exact=True)
+    rect = "ST_GeomFromText('POLYGON((10 10,20 10,20 20,10 20,10 10))')"
+    df = engine.sql(
+        f"SELECT pid FROM setop_a WHERE ST_Within(geom, {rect}) "
+        f"UNION ALL SELECT pid FROM setop_b WHERE ST_Within(geom, {rect})"
+    )
+    got = sorted(r.pid for r in df.collect())
+    want = sorted(
+        [i for i in range(50) if 10 < i < 20]
+        + [100 + i for i in range(50) if 10 < i < 20]
+    )
+    assert got == want and got
+
+
+def test_derived_table_inner_star_no_internal_columns(engine, sdata):
+    """A spatial join inside a derived table with an inner `SELECT *`:
+    the INNER star owns the rewritten FROM and must expand — internal
+    __cell/__bb columns leaking through it would change the outer schema."""
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT * FROM (SELECT * FROM disp_pts p "
+        "JOIN disp_boxes b ON ST_Intersects(p.geom, b.geom) "
+        "WHERE p.pid > 0) q"
+    )
+    assert df.columns == ["pid", "geom", "bid", "geom"]
+    got = {(r[0], r[2]) for r in df.collect()}
+    want = {
+        (pi, bi)
+        for pi, pg in points
+        for bi, bg in boxes
+        if pi > 0 and GP.intersects(pg, bg)
+    }
+    assert got == want and got
+
+
+def test_select_list_trailing_line_comment(engine, sdata):
+    """A line comment ending the select list must not swallow the
+    generated FROM clause when the rewrite rebuilds the prefix."""
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid, b.bid -- selected pair\n"
+        "FROM disp_pts p JOIN disp_boxes b ON ST_Intersects(p.geom, b.geom)"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    want = {(pi, bi) for pi, pg in points for bi, bg in boxes if GP.intersects(pg, bg)}
+    assert got == want and got
+
+
+def test_star_with_trailing_comment_still_expands(engine, sdata):
+    """`* -- note` is still a bare star after comment stripping; leaving
+    it unexpanded would leak the rewrite's internal columns."""
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT * -- all columns\n"
+        "FROM disp_pts p JOIN disp_boxes b ON ST_Intersects(p.geom, b.geom)"
+    )
+    assert df.columns == ["pid", "geom", "bid", "geom"]
+    assert df.count() > 0
+
+
+def test_from_inside_string_literal_ignored(engine, sdata):
+    """A 'FROM x' inside a string literal must not anchor the pushdown
+    against the wrong relation."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.spatial_join import point_wkb
+
+    spark = engine.spark
+    rows = [(i, float(i % 30), float(i % 30)) for i in range(60)]
+    spark.createDataFrame(rows, "pid long, px double, py double").select(
+        "pid", "px", "py", point_wkb(F.col("px"), F.col("py")).alias("geom")
+    ).createOrReplaceTempView("lit_pts")
+    engine.register_bbox("lit_pts", "geom", "px", "py", "px", "py", exact=True)
+    df = engine.sql(
+        "SELECT 'report FROM disp_pts' AS lbl, pid FROM lit_pts t WHERE "
+        "ST_Within(t.geom, ST_GeomFromText('POLYGON((5 5,15 5,15 15,5 15,5 5))'))"
+    )
+    got = sorted(r.pid for r in df.collect())
+    want = sorted(i for i in range(60) if 5 < (i % 30) < 15)
+    assert got == want and got
+    assert all(r.lbl == "report FROM disp_pts" for r in df.collect())
