@@ -737,6 +737,7 @@ def spatial_join(
     right_bbox: Optional[tuple] = None,
     refine: str = "auto",
     exec_mode: str = "speculative",
+    extra_condition: Optional[str] = None,
 ) -> DataFrame:
     """Spatial join of two DataFrames with WKB geometry columns.
 
@@ -771,6 +772,13 @@ def spatial_join(
     every mode — preparation memoizes derived segment structures per
     distinct geometry, trading memory for per-pair rebuild time.  The
     chosen mode is recorded on the result as ``_spatial_exec_mode``.
+
+    extra_condition: optional SQL boolean expression over the OUTPUT
+    column names (left columns + overlap-renamed ``*_right`` columns)
+    AND-ed into the join condition — evaluated on candidate pairs BEFORE
+    outer/semi/anti completion, i.e. genuine ON-clause semantics (the
+    reference models this as the join filter on SpatialJoinExec's
+    candidate pairs).
 
     Output: left columns + right columns (both sides' geometry included);
     for semi/anti only left columns.
@@ -923,6 +931,15 @@ def spatial_join(
         or c in ("l_exact", "r_exact")
     ]
     pairs = matched.drop("__cell", *bbox_helper)
+    if extra_condition is not None:
+        # extra ON conjuncts (SQL expr over the OUTPUT columns: left names
+        # + overlap-renamed right names).  Filtering the matched pairs
+        # BEFORE outer/semi/anti completion is exactly ON-clause
+        # semantics: an outer row is unmatched unless some pair satisfies
+        # the WHOLE condition — a post-join WHERE would instead drop the
+        # null-completed rows (DataFusion models this the same way: the
+        # join *filter* runs on candidate pairs inside the join).
+        pairs = pairs.filter(F.expr(extra_condition))
 
     def _finish(df0: DataFrame) -> DataFrame:
         # expose the refine-mode decision for tests/metrics (≈ the

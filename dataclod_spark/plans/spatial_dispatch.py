@@ -129,6 +129,11 @@ def _scan_on_clause(sql: str, start: int) -> tuple[str, int]:
             depth += 1
         elif ch == ")":
             depth -= 1
+            if depth < 0:
+                # closing paren of an ENCLOSING group (the join sits inside
+                # a derived table / CTE body): the ON expression ends here
+                end = i
+                break
         elif depth == 0:
             m = _ON_END_KEYWORDS.match(sql, i)
             if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
@@ -283,6 +288,44 @@ def _code_text(fragment: str) -> str:
             out.append(fragment[i])
             i += 1
     return "".join(out).strip()
+
+
+def _setop_positions(sql: str) -> list[int]:
+    """Indexes of every depth-0 UNION/INTERSECT/EXCEPT keyword (outside
+    literals) — the set-op arm boundaries of the statement."""
+    out: list[int] = []
+    i, depth, n = 0, 0, len(sql)
+    while i < n:
+        kind, j = scan_noncode_span(sql, i)
+        if kind is not None:
+            i = j
+            continue
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "UIEuie":
+            m = re.match(r"(UNION|INTERSECT|EXCEPT)\b", sql[i:], re.IGNORECASE)
+            if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                out.append(i)
+        i += 1
+    return out
+
+
+def _arm_bounds(sql: str, pos: int) -> tuple[int, int]:
+    """(start, end) of the set-op arm containing position ``pos``.
+    View-rewriting dispatches substitute alias references only within
+    this window — the other arms have their own FROMs whose identical
+    aliases must stay untouched."""
+    start, end = 0, len(sql)
+    for p in _setop_positions(sql):
+        if p <= pos:
+            start = p
+        else:
+            end = p
+            break
+    return start, end
 
 
 def _has_top_level_setop(sql: str) -> bool:
@@ -1022,15 +1065,104 @@ _SWAPPED = {
 }
 
 
+# identifiers an extra outer-join conjunct may contain besides
+# alias-qualified column refs: operators/keywords and total scalar
+# functions.  Anything else (unqualified columns, subqueries, UDFs)
+# declines the dispatch — conservative by construction.
+_OUTER_CONJ_ALLOWED = {
+    "and", "or", "not", "is", "null", "in", "between", "like", "rlike",
+    "true", "false", "case", "when", "then", "else", "end", "cast", "as",
+    "int", "bigint", "integer", "smallint", "tinyint", "double", "float",
+    "decimal", "string", "varchar", "boolean", "date", "timestamp",
+    "abs", "coalesce", "nullif", "greatest", "least", "mod", "pmod",
+    "round", "floor", "ceil", "ceiling", "sign", "sqrt", "pow", "power",
+    "upper", "lower", "length", "substr", "substring", "concat", "trim",
+    "ltrim", "rtrim", "instr", "left", "right", "lpad", "rpad", "split",
+    "year", "month", "day", "hour", "minute", "second", "to_date",
+    "to_timestamp", "date_add", "date_sub", "datediff", "if", "ifnull",
+    "nvl", "exp", "ln", "log", "log10", "log2",
+}
+
+_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def _map_outer_conjunct(
+    c: str, la: str, ra: str, lcols: set, rcols: set
+) -> Optional[str]:
+    """Map an extra ON conjunct's ``alias.col`` references onto the
+    spatial-join OUTPUT columns (left names; right names suffixed
+    ``_right`` on overlap), validating that every other identifier is a
+    whitelisted keyword/function.  Returns the mapped SQL expression, or
+    None when the conjunct is out of the conservative scope."""
+    qual_re = re.compile(
+        rf"\b(?P<al>{re.escape(la)}|{re.escape(ra)})\s*\.\s*`?(?P<col>\w+)`?",
+        re.IGNORECASE,
+    )
+    bad = False
+
+    def _sub(mm: re.Match) -> str:
+        nonlocal bad
+        al, col = mm.group("al").lower(), mm.group("col")
+        if al == la.lower():
+            if col not in lcols:
+                bad = True
+                return mm.group(0)
+            return f"`{col}`"
+        if col not in rcols:
+            bad = True
+            return mm.group(0)
+        return f"`{col}_right`" if col in lcols else f"`{col}`"
+
+    # substitute outside literals/comments only
+    out: list[str] = []
+    i, n = 0, len(c)
+    while i < n:
+        kind, j = scan_noncode_span(c, i)
+        if kind is not None:
+            out.append(c[i:j])
+            i = j
+            continue
+        mm = qual_re.match(c, i)
+        if mm:
+            out.append(_sub(mm))
+            i = mm.end()
+            continue
+        out.append(c[i])
+        i += 1
+    if bad:
+        return None
+    mapped = "".join(out)
+    # validate the residue: strip literals/comments and the substituted
+    # backticked refs, then whitelist every remaining identifier
+    residue: list[str] = []
+    i = 0
+    while i < len(mapped):
+        kind, j = scan_noncode_span(mapped, i)
+        if kind is not None:
+            i = j
+            continue
+        residue.append(mapped[i])
+        i += 1
+    for ident in _IDENT_RE.findall("".join(residue)):
+        if ident.lower() not in _OUTER_CONJ_ALLOWED:
+            return None
+    return mapped
+
+
 def try_outer_spatial_join(session, sql: str) -> Optional[str]:
     """Rewrite ``FROM a LEFT|RIGHT|FULL JOIN b ON ST_Pred(...)`` through the
     DataFrame spatial-join operator (which owns outer completion —
     anti-join recovery of unmatched rows), exposed back to SQL as a temp
     view with the statement's alias-qualified references rewritten.
 
-    Scope: single spatial conjunct, named relations, no ``ST_Distance < d``
-    strict form (the operator's dwithin is boundary-inclusive).  Subsequent
-    joins after the outer spatial one ride along against the temp view.
+    Scope: one spatial conjunct plus optional extra conjuncts over the two
+    aliases (routed to the operator's ``extra_condition`` join filter —
+    ON-clause semantics, applied before outer completion); named
+    relations; no ``ST_Distance < d`` strict form (the operator's dwithin
+    is boundary-inclusive).  Subsequent joins after the outer spatial one
+    ride along against the temp view.  Without this dispatch these
+    queries are not merely slow but UNPLANNABLE: Spark rejects a Python
+    UDF in an outer-join condition outright.
     Returns the rewritten SQL or None (fall back to default planning)."""
     m = _search_code(_OUTER_FROM_JOIN_RE, sql)
     if not m:
@@ -1041,13 +1173,16 @@ def try_outer_spatial_join(session, sql: str) -> Optional[str]:
         return None
     on_text, on_end = _scan_on_clause(sql, m.end())
     conjuncts = _split_top_and(on_text)
-    if len(conjuncts) != 1:
-        # extra conjuncts are join-condition semantics for outer joins, not
-        # post-filters — out of the conservative scope
-        return None
-    parsed = _match_spatial_conjunct(conjuncts[0])
+    spatial_idx, parsed = None, None
+    for ci, c in enumerate(conjuncts):
+        p_ = _match_spatial_conjunct(c)
+        if p_ is not None:
+            if spatial_idx is not None:
+                return None  # two spatial conjuncts — out of scope
+            spatial_idx, parsed = ci, p_
     if parsed is None:
         return None
+    extra = [c for ci, c in enumerate(conjuncts) if ci != spatial_idx]
     a1, c1, a2, c2, expand, pred_key, strict = parsed
     if strict or pred_key == "bbox":
         return None
@@ -1065,6 +1200,16 @@ def try_outer_spatial_join(session, sql: str) -> Optional[str]:
         return None
     if lgeom not in ldf.columns or rgeom not in rdf.columns:
         return None
+    extra_cond = None
+    if extra:
+        lcols_set, rcols_set = set(ldf.columns), set(rdf.columns)
+        mapped_parts = []
+        for c in extra:
+            mc = _map_outer_conjunct(c, la, ra, lcols_set, rcols_set)
+            if mc is None:
+                return None
+            mapped_parts.append(f"({mc})")
+        extra_cond = " AND ".join(mapped_parts)
 
     from pyspark.sql import functions as F
 
@@ -1095,6 +1240,7 @@ def try_outer_spatial_join(session, sql: str) -> Optional[str]:
         left_bbox=_meta_bbox(lmeta),
         right_bbox=_meta_bbox(rmeta),
         refine=refine,
+        extra_condition=extra_cond,
     )
     view = f"__spatial_outer_join_{next(_outer_view_counter)}"
     joined.createOrReplaceTempView(view)
@@ -1106,30 +1252,61 @@ def try_outer_spatial_join(session, sql: str) -> Optional[str]:
             return col
         return f"{col}_right" if col in lcols else col
 
-    rest = sql[: m.start()] + f"FROM {view} " + sql[on_end:]
-    # rewrite alias-qualified references (a.x / b.`x` / a.*) against the view
-    star_l = ", ".join(ldf.columns)
-    star_r = ", ".join(_map_ref(ra, c) for c in rdf.columns)
-    rest = re.sub(rf"\b{re.escape(la)}\.\*", star_l, rest, flags=re.IGNORECASE)
-    rest = re.sub(rf"\b{re.escape(ra)}\.\*", star_r, rest, flags=re.IGNORECASE)
-    rest = re.sub(
-        rf"\b({re.escape(la)}|{re.escape(ra)})\.`?(\w+)`?",
-        lambda mm: _map_ref(mm.group(1), mm.group(2)),
-        rest,
+    # star discipline first: the view's overlap columns carry the _right
+    # suffix, so `b.*` (and b's slice of a bare `*`) must alias them BACK
+    # to the original names or the result schema silently changes.
+    star_l = ", ".join(f"`{c}`" for c in ldf.columns)
+    star_r = ", ".join(
+        f"`{m_}` AS `{c}`" if (m_ := _map_ref(ra, c)) != c else f"`{c}`"
+        for c in rdf.columns
+    )
+    tail_has_join = re.match(
+        r"\s*(?:(?:LEFT|RIGHT|FULL|INNER|CROSS)\s+(?:OUTER\s+)?)?JOIN\b",
+        sql[on_end:],
+        re.IGNORECASE,
+    )
+    prefix = _expand_select_stars(
+        sql[: m.start()],
+        {la.lower(): star_l, ra.lower(): star_r},
+        None if tail_has_join else [star_l, star_r],
+    )
+    if prefix is None:
+        return None
+    rest = prefix + f"FROM {view} " + sql[on_end:]
+    # rewrite remaining alias-qualified references (a.x / b.`x` / a.* in
+    # clauses outside the owning select list) against the view — but only
+    # within THIS set-op arm: a later UNION/INTERSECT/EXCEPT arm has its
+    # own FROM whose identical aliases must stay untouched (the fixpoint
+    # loop in session.sql rewrites that arm on its own pass)
+    arm_start, cut = _arm_bounds(rest, len(prefix))
+    head, arm, rest_tail = rest[:arm_start], rest[arm_start:cut], rest[cut:]
+    arm = re.sub(
+        rf"\b{re.escape(la)}\.\*", star_l.replace("`", ""), arm, flags=re.IGNORECASE
+    )
+    arm = re.sub(
+        rf"\b{re.escape(ra)}\.\*",
+        ", ".join(_map_ref(ra, c) for c in rdf.columns),
+        arm,
         flags=re.IGNORECASE,
     )
-    return rest
+    arm = re.sub(
+        rf"\b({re.escape(la)}|{re.escape(ra)})\.`?(\w+)`?",
+        lambda mm: _map_ref(mm.group(1), mm.group(2)),
+        arm,
+        flags=re.IGNORECASE,
+    )
+    return head + arm + rest_tail
 
 
 _EXISTS_RE = re.compile(
-    r"\bFROM\s+(?P<lt>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<la>[A-Za-z_]\w*)\s+"
+    r"\bFROM\s+(?P<lt>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?P<la>[A-Za-z_]\w*))?\s+"
     r"WHERE\s+(?P<neg>NOT\s+)?EXISTS\s*\(",
     re.IGNORECASE,
 )
 
 _EXISTS_SUB_RE = re.compile(
-    r"^\s*SELECT\s+.+?\s+FROM\s+(?P<rt>[A-Za-z_][\w.]*)\s+(?:AS\s+)?"
-    r"(?P<ra>[A-Za-z_]\w*)\s+WHERE\s+(?P<conds>.+)$",
+    r"^\s*SELECT\s+.+?\s+FROM\s+(?P<rt>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?"
+    r"(?P<ra>[A-Za-z_]\w*))?\s+WHERE\s+(?P<conds>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1164,7 +1341,9 @@ def try_exists_spatial_join(session, sql: str) -> Optional[str]:
     if not m:
         return None
     lt, la, neg = m.group("lt"), m.group("la"), bool(m.group("neg"))
-    if la.lower() in _RESERVED_ALIAS:
+    if la is None:
+        la = lt  # no alias: the subquery correlates by table name
+    elif la.lower() in _RESERVED_ALIAS:
         return None
     # balanced-paren scan for the subquery body
     depth = 1
@@ -1182,7 +1361,11 @@ def try_exists_spatial_join(session, sql: str) -> Optional[str]:
     if not sm:
         return None
     rt, ra, conds = sm.group("rt"), sm.group("ra"), sm.group("conds")
-    if ra.lower() in _RESERVED_ALIAS or ra.lower() == la.lower():
+    if ra is None:
+        ra = rt  # no alias: predicate references the inner table name
+    elif ra.lower() in _RESERVED_ALIAS:
+        return None
+    if ra.lower() == la.lower():
         return None
     conjuncts = _split_top_and(conds)
     spatial_idx, parsed = None, None
@@ -1333,12 +1516,16 @@ def try_exists_spatial_join(session, sql: str) -> Optional[str]:
     if tm:
         tail = " WHERE " + tail[tm.end() :]
     rest = sql[: m.start()] + f"FROM {view}" + tail
+    # alias substitution only within THIS set-op arm (other arms own their
+    # identical aliases; the session fixpoint loop rewrites them later)
+    arm_start, cut = _arm_bounds(rest, m.start())
+    head, arm, rest_tail = rest[:arm_start], rest[arm_start:cut], rest[cut:]
     star_l = ", ".join(ldf.columns)
-    rest = re.sub(rf"\b{re.escape(la)}\.\*", star_l, rest, flags=re.IGNORECASE)
-    rest = re.sub(
-        rf"\b{re.escape(la)}\.`?(\w+)`?", r"\1", rest, flags=re.IGNORECASE
+    arm = re.sub(rf"\b{re.escape(la)}\.\*", star_l, arm, flags=re.IGNORECASE)
+    arm = re.sub(
+        rf"\b{re.escape(la)}\.`?(\w+)`?", r"\1", arm, flags=re.IGNORECASE
     )
-    return rest
+    return head + arm + rest_tail
 
 
 # ST_Pred(alias.col | col, ST_GeomFromText('WKT'[, srid])[, d]) — both

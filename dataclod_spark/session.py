@@ -375,22 +375,33 @@ class EngineSession:
             query, args = _positional_to_named(query, args)
         # SQL-path spatial join dispatch (≈ the reference's logical rewrite,
         # optimizer.rs:33-113): JOIN ON ST_pred(...) becomes a grid
-        # equi-join instead of a nested-loop cross product.
-        rewritten = try_rewrite_spatial_join(self, query)
-        if rewritten is None:
-            # spatial join deeper in an inner-join chain (any position)
-            rewritten = try_chain_spatial_join(self, query)
-        if rewritten is None:
-            # LEFT/RIGHT/FULL spatial joins route through the DataFrame
-            # operator's outer completion (exec.rs:47-131 parity)
-            rewritten = try_outer_spatial_join(self, query)
-        if rewritten is None:
-            # correlated spatial [NOT] EXISTS → grid semi/anti join
-            rewritten = try_exists_spatial_join(self, query)
-        if rewritten is None:
-            # region query: spatial predicate vs literal geometry → inject
-            # bbox covering-column conjuncts that push to the parquet scan
-            rewritten = try_spatial_filter_pushdown(self, query)
+        # equi-join instead of a nested-loop cross product.  Applied to a
+        # FIXPOINT (like an optimizer rule): a statement can hold several
+        # spatial joins — one per UNION arm, say — and each rewrite
+        # handles exactly one.  The join rewrites never re-match their own
+        # output (the derived/view FROMs no longer fit the dispatch
+        # patterns), so the loop strictly consumes spatial joins; the cap
+        # is a safety net, and the filter pushdown runs once at the end
+        # (it wraps the original predicate into its own output, so a
+        # second pass would re-match it).
+        for _ in range(8):
+            rewritten = try_rewrite_spatial_join(self, query)
+            if rewritten is None:
+                # spatial join deeper in an inner-join chain (any position)
+                rewritten = try_chain_spatial_join(self, query)
+            if rewritten is None:
+                # LEFT/RIGHT/FULL spatial joins route through the DataFrame
+                # operator's outer completion (exec.rs:47-131 parity)
+                rewritten = try_outer_spatial_join(self, query)
+            if rewritten is None:
+                # correlated spatial [NOT] EXISTS → grid semi/anti join
+                rewritten = try_exists_spatial_join(self, query)
+            if rewritten is None:
+                break
+            query = rewritten
+        # region query: spatial predicate vs literal geometry → inject
+        # bbox covering-column conjuncts that push to the parquet scan
+        rewritten = try_spatial_filter_pushdown(self, query)
         if rewritten is not None:
             query = rewritten
         if args:

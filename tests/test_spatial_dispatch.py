@@ -752,3 +752,45 @@ def test_from_inside_string_literal_ignored(engine, sdata):
     want = sorted(i for i in range(60) if 5 < (i % 30) < 15)
     assert got == want and got
     assert all(r.lbl == "report FROM disp_pts" for r in df.collect())
+
+
+def test_outer_join_extra_conjunct_dispatch(engine, sdata):
+    """LEFT/FULL spatial joins with extra ON conjuncts: without dispatch
+    these are UNPLANNABLE (Spark rejects a Python UDF in an outer join
+    condition), so the rewrite must route the conjunct through the
+    operator's candidate-pair filter — ON semantics, not a post-WHERE."""
+    boxes, points = sdata
+    df = engine.sql(
+        "SELECT p.pid, b.bid FROM disp_pts p LEFT JOIN disp_boxes b "
+        "ON ST_Intersects(p.geom, b.geom) AND b.bid % 2 = 0 AND p.pid < 150"
+    )
+    got = {(r.pid, r.bid) for r in df.collect()}
+    matched = {
+        (pi, bi)
+        for pi, pg in points
+        for bi, bg in boxes
+        if bi % 2 == 0 and pi < 150 and GP.intersects(pg, bg)
+    }
+    mp = {p for p, _ in matched}
+    want = matched | {(pi, None) for pi, _ in points if pi not in mp}
+    assert got == want and got
+
+    df2 = engine.sql(
+        "SELECT p.pid, b.bid FROM disp_pts p FULL OUTER JOIN disp_boxes b "
+        "ON ST_Contains(b.geom, p.geom) AND (b.bid < 10 OR b.bid > 30)"
+    )
+    got2 = {(r.pid, r.bid) for r in df2.collect()}
+    matched2 = {
+        (pi, bi)
+        for pi, pg in points
+        for bi, bg in boxes
+        if (bi < 10 or bi > 30) and GP.contains(bg, pg)
+    }
+    mp2 = {p for p, _ in matched2}
+    mb2 = {b for _, b in matched2}
+    want2 = (
+        matched2
+        | {(pi, None) for pi, _ in points if pi not in mp2}
+        | {(None, bi) for bi, _ in boxes if bi not in mb2}
+    )
+    assert got2 == want2 and got2

@@ -352,3 +352,66 @@ def test_dbscan_planted_blobs(spark):
         assert out[pid] == (1, False)         # corners are border
     for pid in (10, 12, 13, 16):
         assert out[pid] == (10, True)
+
+
+def test_extra_condition_outer_semantics(spark, data):
+    """extra_condition is ON-clause semantics: it filters candidate PAIRS
+    before outer completion, so a left row whose only matches fail the
+    condition comes back null-completed — a post-join WHERE would instead
+    drop it entirely."""
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    boxes, points, pdf, bdf = data
+    got = spatial_join(
+        pdf, bdf, "intersects", how="left", cell_target=64,
+        extra_condition="bid % 2 = 0",
+    )
+    got_pairs = {(r.pid, r.bid) for r in got.collect()}
+    matched = {
+        (pi, bi) for pi, pg in points for bi, bg in boxes
+        if bi % 2 == 0 and GP.intersects(pg, bg)
+    }
+    mp = {p for p, _ in matched}
+    want = matched | {(pi, None) for pi, _ in points if pi not in mp}
+    assert got_pairs == want
+
+    # semi/anti honor it too
+    semi = spatial_join(
+        pdf, bdf, "intersects", how="left_semi", cell_target=64,
+        extra_condition="bid % 2 = 0",
+    )
+    assert {r.pid for r in semi.collect()} == mp
+    anti = spatial_join(
+        pdf, bdf, "intersects", how="left_anti", cell_target=64,
+        extra_condition="bid % 2 = 0",
+    )
+    assert {r.pid for r in anti.collect()} == {p for p, _ in points} - mp
+
+
+def test_extra_condition_overlap_renamed_columns(spark, data):
+    """Overlapping column names: the condition is written over the OUTPUT
+    names, i.e. the right side's overlap columns carry the _right suffix."""
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.spatial_join import spatial_join
+
+    boxes, points, pdf, bdf = data
+    l = pdf.withColumnRenamed("pid", "id")
+    r = bdf.withColumnRenamed("bid", "id")
+    got = spatial_join(
+        l, r, "intersects", how="full", cell_target=64,
+        extra_condition="id_right > 5 AND id % 3 = 0",
+    )
+    got_pairs = {(r_.id, r_.id_right) for r_ in got.collect()}
+    matched = {
+        (pi, bi) for pi, pg in points for bi, bg in boxes
+        if bi > 5 and pi % 3 == 0 and GP.intersects(pg, bg)
+    }
+    mp = {p for p, _ in matched}
+    mb = {b for _, b in matched}
+    want = (
+        matched
+        | {(pi, None) for pi, _ in points if pi not in mp}
+        | {(None, bi) for bi, _ in boxes if bi not in mb}
+    )
+    assert got_pairs == want
