@@ -51,17 +51,26 @@ _PRIORITY = [
     "x2_quality_score", "x3_langid", "x4_lang_quality_rollup",
     "x5_bpe_tokens", "x6_rolling_fingerprint",
     "d3_lsh_pairs", "d4_simhash", "d5_embedding_dups", "d6_ngram_jaccard",
-    # 40-42: changed or added in round 5
-    "d11_dedup_reduction_report",
+    # 40-43: changed or added in round 5 (d2's minhash switched to the
+    # single-digest slice scheme — its r4 hash row describes old values,
+    # so it re-enters the window; d3's oracle moved in lockstep and is
+    # already at position 37)
+    "d11_dedup_reduction_report", "d2_minhash_signatures",
     "st10_stream_heavy_hitters_multibatch", "st11_stream_cdc_multibatch",
-    # 43-50: r2-era bench-set queries (also timed every round by bench.py)
+    # 44-50: r2-era bench-set queries (also timed every round by
+    # bench.py); x1 is the one bench query displaced to 51+ by d2's
+    # re-entry — it is the lowest-risk member (pure projection, md5
+    # fingerprint, impl unchanged since r2) and is first in line for r6
     "q5_local_supplier", "q13_customer_distribution",
     "q18_large_volume_customer", "a2_cube", "j2_brand_supplier_revenue",
-    "w1_running_total", "e1_sessionization", "x1_token_stats",
-    # 51+: q1 = the driver entry() smoke check; then the queries touched
-    # by the round-5 connected-components rewrite (r3-green + locally
-    # parity-proven); then the r3-era set, first in line for round 6
-    "q1_pricing_summary",
+    "w1_running_total", "e1_sessionization",
+    # 51+: q1 = the driver entry() smoke check; x1 as above; the round-5
+    # additions x18/x19 (locally parity-proven at sf0.001+sf0.01, driver-
+    # gated in r6); then the queries touched by the round-5 connected-
+    # components rewrite (r3-green + locally parity-proven); then the
+    # r3-era set, first in line for round 6
+    "q1_pricing_summary", "x1_token_stats",
+    "x18_pii_redaction", "x19_sequence_packing",
     "d7_dedup_clusters", "g23_dbscan_clusters",
     "s4_setops_all", "b1_bucketed_join", "a6_percentiles",
     "w5_groups_frame", "w6_distribution_ranks",

@@ -66,12 +66,14 @@ def main() -> None:
             df.agg(F.bit_xor(F.xxhash64(F.struct(*cols)))).collect()
 
     # q1 warms the relational paths; g6 warms the spatial grid join's
-    # codegen + Arrow python-worker round trip (both one-time session
-    # costs that would otherwise land on the first timed query using
-    # them).  count mode reproduces the r1-r4 harness exactly, which
-    # warmed q1 only — so g6's JIT stays inside its timing there.
+    # codegen + Arrow python-worker round trip; d2 warms the higher-order-
+    # function array/md5 path (all one-time session costs that would
+    # otherwise land on the first timed query using them).  count mode
+    # reproduces the r1-r4 harness exactly, which warmed q1 only — so
+    # g6/d2 JIT stays inside their timings there.
     warm_queries = ("q1_pricing_summary",) if use_count else (
-        "q1_pricing_summary", "g6_spatial_join_points_in_boxes")
+        "q1_pricing_summary", "g6_spatial_join_points_in_boxes",
+        "d2_minhash_signatures")
     for warm_query in warm_queries:
         try:
             force(registry[warm_query].fn(spark, warm_dir))

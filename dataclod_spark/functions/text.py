@@ -346,3 +346,35 @@ def repetition_ratio(col: Column) -> Column:
     nt = token_count(col)
     nd = distinct_token_count(col)
     return F.when(nt == 0, F.lit(0.0)).otherwise((nt - nd).cast("double") / nt)
+
+
+# ---------------------------------------------------------------------------
+# PII / denylist scrubbing (training-data pipeline hygiene pass)
+# ---------------------------------------------------------------------------
+# Patterns are kept to the regex subset with identical semantics in Java
+# (Spark codegen) and RE2 (DuckDB oracle): character classes, bounded
+# repetition, \b word boundaries — no backreferences or lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_count(col: Column, pattern: str) -> Column:
+    """Number of non-overlapping matches of one scrub pattern."""
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def scrub_text(col: Column, patterns=PII_PATTERNS, denylist: tuple[str, ...] = ()) -> Column:
+    """Redact every PII pattern (and optional ``\\b``-delimited denylist
+    terms) with its placeholder.  Chained ``regexp_replace`` — pure
+    whole-stage-codegen string work, no Python, order = declaration order
+    (email before phone so a digit-bearing local-part is consumed as the
+    email match, matching the oracle's identical chain)."""
+    out = col
+    for _, pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    for term in denylist:
+        out = F.regexp_replace(out, rf"\b{term}\b", "<TERM>")
+    return out

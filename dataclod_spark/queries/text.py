@@ -735,3 +735,97 @@ def x17_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("declared", "detected")
     )
+
+
+_SCRUB_DENY = ("customer",)
+# DuckDB spelling of functions.text.scrub_text's replace chain (the 'g'
+# flag is implicit in Spark's regexp_replace, explicit in DuckDB's)
+_SCRUBBED = "text"
+for _, _pat, _repl in TX.PII_PATTERNS:
+    _SCRUBBED = f"regexp_replace({_SCRUBBED}, '{_pat}', '{_repl}', 'g')"
+for _term in _SCRUB_DENY:
+    _SCRUBBED = rf"regexp_replace({_SCRUBBED}, '\b{_term}\b', '<TERM>', 'g')"
+
+
+@query(
+    "x18_pii_redaction",
+    doc="PII / denylist scrub report: per-source match counts for email, "
+    "IPv4, phone and denylist-term patterns plus post-scrub corpus size "
+    "— the redaction pass every training pipeline runs before tokenizing",
+    oracle=rf"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '{TX.PII_PATTERNS[0][1]}'))) AS BIGINT) AS n_email,
+       CAST(sum(len(regexp_extract_all(text, '{TX.PII_PATTERNS[1][1]}'))) AS BIGINT) AS n_ipv4,
+       CAST(sum(len(regexp_extract_all(text, '{TX.PII_PATTERNS[2][1]}'))) AS BIGINT) AS n_phone,
+       CAST(sum(len(regexp_extract_all(text, '\b{_SCRUB_DENY[0]}\b'))) AS BIGINT) AS n_term,
+       CAST(sum(len({_SCRUBBED})) AS BIGINT) AS scrubbed_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def x18_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrubbing is pure chained ``regexp_replace``/``regexp_count``
+    — whole-stage codegen, one scan, one small groupBy(source) shuffle;
+    at 100 TB the scrub itself is embarrassingly parallel map work.  The
+    synthetic corpus carries no real PII (the email/ip/phone counts
+    legitimately aggregate to 0 — the patterns are exercised non-trivially
+    by unit tests), while the denylist term hits throughout."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.pii_count(t, TX.PII_PATTERNS[0][1])).alias("n_email"),
+            F.sum(TX.pii_count(t, TX.PII_PATTERNS[1][1])).alias("n_ipv4"),
+            F.sum(TX.pii_count(t, TX.PII_PATTERNS[2][1])).alias("n_phone"),
+            F.sum(TX.pii_count(t, rf"\b{_SCRUB_DENY[0]}\b")).alias("n_term"),
+            F.sum(F.length(TX.scrub_text(t, denylist=_SCRUB_DENY))).alias("scrubbed_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x19_sequence_packing",
+    doc="concat-and-chunk sequence packing report (ctx=64 whitespace "
+    "tokens, 8 shards per source): sequences produced, boundary-straddling "
+    "documents — LM pretraining batch-prep accounting",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, source, CAST({_NTOK} AS BIGINT) AS tok, doc_id % 8 AS shard
+  FROM documents
+), cum AS (
+  SELECT source, shard, tok,
+         sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - tok AS strt
+  FROM toks
+), per_shard AS (
+  SELECT source, shard, count(*) AS n_docs, sum(tok) AS toks,
+         sum(CASE WHEN tok > 0 AND (strt + tok - 1) // 64 != strt // 64
+                  THEN 1 ELSE 0 END) AS n_straddle
+  FROM cum GROUP BY source, shard
+)
+SELECT source,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(floor((toks + 63) / 64.0) AS BIGINT)) AS BIGINT) AS n_sequences,
+       CAST(sum(n_straddle) AS BIGINT) AS n_straddle_docs
+FROM per_shard
+GROUP BY source
+ORDER BY source
+""",
+)
+def x19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.packing: one (source, shard) window cumsum shuffle,
+    codegen arithmetic after it; the shard column bounds window-partition
+    size so a few-source 100 TB corpus still fans out."""
+    from dataclod_spark.operators.packing import packing_report
+
+    d = load(spark, sf_dir, "documents")
+    return packing_report(
+        d, TX.token_count(F.col("text")), id_col="doc_id",
+        group_col="source", ctx_len=64, n_shards=8,
+    )
