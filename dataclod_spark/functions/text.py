@@ -128,10 +128,20 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 
 def _char_trigrams_from(padded: Column) -> Column:
     """Overlapping trigrams of an already-staged padded string (pass an
-    attribute in hot paths — see the lambda-inlining notes elsewhere)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(0))),
-        lambda i: padded.substr(i, F.lit(3)),
+    attribute in hot paths — see the lambda-inlining notes elsewhere).
+
+    Blank text pads to two spaces and must yield NO trigrams — the short
+    branch is explicit because ``sequence(1, 0)`` is the DESCENDING array
+    [1, 0] in Spark (the old ``greatest(len-2, 0)`` bound produced two
+    junk '  ' trigrams per blank doc, where the DuckDB oracle's
+    ``range(1, len-1)`` is empty)."""
+    return F.when(
+        F.length(padded) < 3, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - 2),
+            lambda i: padded.substr(i, F.lit(3)),
+        )
     )
 
 
@@ -346,6 +356,74 @@ def repetition_ratio(col: Column) -> Column:
     nt = token_count(col)
     nd = distinct_token_count(col)
     return F.when(nt == 0, F.lit(0.0)).otherwise((nt - nd).cast("double") / nt)
+
+
+def word_ngram_stream_from(toks: Column, n: int) -> Column:
+    """ALL space-joined word n-grams of an already-staged token array, in
+    order and NON-distinct (frequency matters for repetition metrics —
+    the distinct counterpart is ``operators.dedup._word_ngrams_from``).
+
+    Fewer than ``n`` tokens → EMPTY array; the branch is explicit because
+    ``sequence(1, 0)`` is the DESCENDING [1, 0] in Spark.  Stage ``toks``
+    as a real column first: the per-gram lambda slices it, and an inlined
+    tokenizer regex would re-run per element.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition_from(grams: Column) -> Column:
+    """``struct(top_cover bigint, dup_cover bigint)`` repetition stats of a
+    staged gram array (Gopher-style repetition signals, Rae et al. 2021
+    §A1.1): ``top_cover`` = max over distinct grams of count·len(gram)
+    (characters covered by the most-covering gram — deterministic where
+    "most frequent, ties unspecified" is not), ``dup_cover`` = total
+    count·len over grams occurring more than once.
+
+    Zero-shuffle by construction: sort the array, then one run-length
+    ``aggregate`` fold — per-document map work, no explode, no groupBy.
+    The equivalent unnest+GROUP BY formulation (what the DuckDB oracle
+    spells) shuffles the whole gram stream; at 100 TB a per-doc metric
+    must never leave its row.
+    """
+    s = F.array_sort(grams)
+    init = F.named_struct(
+        F.lit("prev"), F.lit(None).cast("string"),
+        F.lit("run"), F.lit(0).cast("bigint"),
+        F.lit("top"), F.lit(0).cast("bigint"),
+        F.lit("dup"), F.lit(0).cast("bigint"),
+    )
+
+    def _close(acc):
+        """top/dup after closing the run in progress (no-op before the
+        first element, when prev is still null)."""
+        top = F.greatest(acc["top"], acc["run"] * F.length(acc["prev"]))
+        dup = acc["dup"] + F.when(
+            acc["run"] > 1, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0))
+        return (
+            F.when(acc["prev"].isNull(), acc["top"]).otherwise(top),
+            F.when(acc["prev"].isNull(), acc["dup"]).otherwise(dup),
+        )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        top, dup = _close(acc)
+        return F.named_struct(
+            F.lit("prev"), x,
+            F.lit("run"), F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint")),
+            F.lit("top"), F.when(same, acc["top"]).otherwise(top),
+            F.lit("dup"), F.when(same, acc["dup"]).otherwise(dup),
+        )
+
+    def finish(acc):
+        top, dup = _close(acc)
+        return F.named_struct(F.lit("top_cover"), top, F.lit("dup_cover"), dup)
+
+    return F.aggregate(s, init, step, finish)
 
 
 # ---------------------------------------------------------------------------

@@ -829,3 +829,181 @@ def x19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, TX.token_count(F.col("text")), id_col="doc_id",
         group_col="source", ctx_len=64, n_shards=8,
     )
+
+
+@query(
+    "x20_gopher_repetition",
+    doc="Gopher-style intra-document repetition report (Rae et al. 2021 "
+    "§A1.1): per-source character coverage of the top word-2-gram and of "
+    "duplicate word-5-grams, plus docs flagged by the 0.20 / 0.15 "
+    "thresholds — the repetition-removal quality gate",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, source, len({_NORM}) AS n_chars, {_TOKS} AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, n_chars,
+         list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1]) AS g2,
+         list_transform(generate_series(1, len(t) - 4),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) AS g5
+  FROM base
+), c2 AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(g2) AS gram FROM grams) GROUP BY doc_id, gram
+), s2 AS (
+  SELECT doc_id, max(cnt * len(gram)) AS top2 FROM c2 GROUP BY doc_id
+), c5 AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(g5) AS gram FROM grams) GROUP BY doc_id, gram
+), s5 AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt * len(gram) END), 0) AS BIGINT) AS dup5
+  FROM c5 GROUP BY doc_id
+), per_doc AS (
+  SELECT g.source, g.n_chars,
+         coalesce(s2.top2, 0) AS top2, coalesce(s5.dup5, 0) AS dup5
+  FROM grams g LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id)
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS norm_chars,
+       CAST(sum(top2) AS BIGINT) AS top2_chars,
+       CAST(sum(dup5) AS BIGINT) AS dup5_chars,
+       CASE WHEN sum(n_chars) = 0 THEN 0.0
+            ELSE CAST(sum(top2) AS DOUBLE) / CAST(sum(n_chars) AS BIGINT) END AS top2_frac,
+       CASE WHEN sum(n_chars) = 0 THEN 0.0
+            ELSE CAST(sum(dup5) AS DOUBLE) / CAST(sum(n_chars) AS BIGINT) END AS dup5_frac,
+       CAST(sum(CASE WHEN top2 * 100 > 20 * n_chars
+                       OR dup5 * 100 > 15 * n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def x20_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher repetition signals computed with ZERO shuffle —
+    ``functions.text.ngram_repetition_from`` folds a run-length pass over
+    the sorted in-row gram array (no explode, no per-gram groupBy), so at
+    100 TB the only exchange is the final tiny groupBy(source).  The
+    DuckDB oracle spells the equivalent unnest+GROUP BY formulation.
+    ``top_cover`` is the deterministic "characters covered by the
+    most-covering gram" form of Gopher's top-n-gram fraction (count·len
+    max, where "most frequent" alone is tie-ambiguous); flags use exact
+    integer cross-multiplication, fractions are one bigint/bigint
+    division — bit-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    staged = d.select(
+        "source",
+        F.length(TX.normalize_text(F.col("text"))).alias("n_chars"),
+        TX.tokens(F.col("text")).alias("__toks"),
+    )
+    reps = staged.select(
+        "source",
+        "n_chars",
+        TX.ngram_repetition_from(
+            TX.word_ngram_stream_from(F.col("__toks"), 2)
+        )["top_cover"].alias("top2"),
+        TX.ngram_repetition_from(
+            TX.word_ngram_stream_from(F.col("__toks"), 5)
+        )["dup_cover"].alias("dup5"),
+    )
+    agg = reps.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("norm_chars"),
+        F.sum("top2").alias("top2_chars"),
+        F.sum("dup5").alias("dup5_chars"),
+        F.sum(
+            F.when(
+                (F.col("top2") * 100 > 20 * F.col("n_chars"))
+                | (F.col("dup5") * 100 > 15 * F.col("n_chars")),
+                1,
+            ).otherwise(0)
+        ).alias("n_flagged"),
+    )
+    frac = lambda num: F.when(F.col("norm_chars") == 0, F.lit(0.0)).otherwise(
+        F.col(num).cast("double") / F.col("norm_chars")
+    )
+    return agg.select(
+        "source", "n_docs", "norm_chars", "top2_chars", "dup5_chars",
+        frac("top2_chars").alias("top2_frac"),
+        frac("dup5_chars").alias("dup5_frac"),
+        "n_flagged",
+    ).orderBy("source")
+
+
+@query(
+    "x21_ngram_lm_score",
+    doc="corpus-trained character-trigram LM familiarity score (the CCNet "
+    "perplexity-filter shape, kept log-free for engine-exact doubles): "
+    "bottom-20 least-corpus-typical documents",
+    oracle=rf"""
+WITH padded AS (
+  SELECT doc_id, ' ' || {_NORM} || ' ' AS p FROM documents
+), tri AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(p) - 1),
+                                       i -> substr(p, i, 3))) AS g
+  FROM padded
+), per AS (
+  SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY doc_id, g
+), vocab AS (
+  SELECT g, CAST(sum(cnt) AS BIGINT) AS corpus_cnt FROM per GROUP BY g
+), tot AS (
+  SELECT CAST(sum(corpus_cnt) AS BIGINT) AS total FROM vocab
+)
+SELECT per.doc_id,
+       CAST(sum(per.cnt) AS BIGINT) AS n_grams,
+       CAST(sum(per.cnt * vocab.corpus_cnt) AS DOUBLE)
+         / CAST(sum(per.cnt) AS BIGINT) / tot.total AS familiarity
+FROM per JOIN vocab USING (g) CROSS JOIN tot
+GROUP BY per.doc_id, tot.total
+ORDER BY familiarity ASC, per.doc_id
+LIMIT 20
+""",
+)
+def x21_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-corpus / score-on-corpus fluency filter: the "LM" is the
+    corpus's own trigram occurrence table, a document's familiarity is its
+    mean trigram corpus-frequency (sum cnt·corpus_cnt / n_grams / total —
+    all-bigint numerators, two IEEE divisions, no log, so the double and
+    its ORDER BY cut are bit-identical across engines).  Same
+    single-scan shape as x11: the (doc, gram) counts are materialized
+    once via localCheckpoint, the vocab and grand total both derive from
+    them, and vocab (bounded: ≤ charset³ rows) + total (1 row) broadcast
+    back — at 100 TB the one corpus-sized shuffle is the partial-agged
+    (doc, gram) count."""
+    d = load(spark, sf_dir, "documents")
+    padded = d.select(
+        "doc_id",
+        F.concat(F.lit(" "), TX.normalize_text(F.col("text")), F.lit(" ")).alias("__p"),
+    )
+    tri = padded.select(
+        "doc_id", F.explode(TX._char_trigrams_from(F.col("__p"))).alias("g")
+    )
+    per = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    vocab = per.groupBy("g").agg(F.sum("cnt").alias("corpus_cnt"))
+    tot = vocab.agg(F.sum("corpus_cnt").alias("total"))
+    doc = (
+        per.join(F.broadcast(vocab), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("corpus_cnt")).alias("__fam"),
+        )
+    )
+    return (
+        doc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("__fam").cast("double") / F.col("n_grams") / F.col("total")).alias(
+                "familiarity"
+            ),
+        )
+        .orderBy(F.asc("familiarity"), "doc_id")
+        .limit(20)
+    )
