@@ -744,3 +744,111 @@ def contamination_check(
         )
         .orderBy(id_col)
     )
+
+
+def incremental_dedup(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Screen a NEW batch against an EXISTING corpus snapshot — the
+    crawl-refresh dedup shape (every production pipeline's steady state:
+    the corpus is already deduped, only the delta needs screening).
+
+    Returns ``new``'s rows plus ``drop_reason``:
+
+    * ``'exact'`` — the normalized-text fingerprint already exists in
+      ``old``;
+    * ``'near_dup'`` — some old document shares an LSH band and verifies
+      at exact Jaccard ≥ ``jaccard_threshold``;
+    * NULL — keep (genuinely new content).
+
+    Asymmetric by design: pairs WITHIN ``new`` are not considered — the
+    delta self-dedups first (``exact_dedup`` + ``lsh_candidate_pairs``),
+    then screens against the corpus.  Ids are assumed disjoint across the
+    two inputs (they are distinct crawls).
+
+    100 TB shape: the old side is corpus-sized and is never broadcast or
+    collected — the exact pass shuffles distinct fingerprints (bounded by
+    |old|, partial-aggregated), the band joins shuffle (id, band-hash)
+    pairs only, and full shingle arrays move once, onto the surviving
+    candidate pairs (the ``lsh_candidate_pairs`` discipline).  Both band
+    tables are localCheckpoint-ed for the same reason as there: the
+    per-band join branches would otherwise inline and re-run the whole
+    shingle→md5 chain per row (on a real cluster swap for persist/
+    checkpoint).
+    """
+    from dataclod_spark.functions.text import fingerprint
+
+    n_bands = k // rows_per_band
+    cols = new.columns
+
+    # --- exact pass: fingerprint anti-set from the snapshot -------------
+    old_fp = (
+        old.select(fingerprint(F.col(text_col)).alias("__ofp"))
+        .distinct()
+        .withColumn("__exact", F.lit(1))
+    )
+    labeled = new.withColumn("__fp", fingerprint(F.col(text_col))).join(
+        old_fp, F.col("__fp") == F.col("__ofp"), "left"
+    )
+
+    # --- near-dup pass: asymmetric band join new → old ------------------
+    def band_table(df: DataFrame, out_id: str) -> DataFrame:
+        sig = with_lsh_bands(
+            with_minhash_signature(df.select(id_col, text_col), text_col, k, hash_fn),
+            k, rows_per_band, hash_fn,
+        )
+        return sig.select(
+            F.col(id_col).alias(out_id), *[f"band_{b}" for b in range(n_bands)]
+        ).localCheckpoint(eager=True)
+
+    nb = band_table(new, "__nid")
+    ob = band_table(old, "__oid")
+    pairs = None
+    for b in range(n_bands):
+        p = nb.select("__nid", F.col(f"band_{b}").alias("__b")).join(
+            ob.select("__oid", F.col(f"band_{b}").alias("__b")), "__b"
+        ).select("__nid", "__oid")
+        pairs = p if pairs is None else pairs.unionAll(p)
+    cand = pairs.dropDuplicates(["__nid", "__oid"])
+
+    def shingle_table(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        return (
+            with_shingles(df.select(id_col, text_col), text_col, out=out_sh)
+            .select(F.col(id_col).alias(out_id), out_sh)
+            .localCheckpoint(eager=True)
+        )
+
+    nsh = shingle_table(new, "__nsh_id", "__nsh")
+    osh = shingle_table(old, "__osh_id", "__osh")
+    verified = (
+        cand.join(nsh, cand["__nid"] == nsh["__nsh_id"])
+        .join(osh, cand["__oid"] == osh["__osh_id"])
+        .withColumn(
+            "__j",
+            F.round(
+                F.size(F.array_intersect(F.col("__nsh"), F.col("__osh"))).cast("double")
+                / F.size(F.array_union(F.col("__nsh"), F.col("__osh"))),
+                4,
+            ),
+        )
+        .filter(F.col("__j") >= jaccard_threshold)
+        .select(F.col("__nid"))
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+
+    return labeled.join(
+        verified, labeled[id_col] == verified["__nid"], "left"
+    ).select(
+        *cols,
+        F.when(F.col("__exact").isNotNull(), F.lit("exact"))
+        .when(F.col("__near").isNotNull(), F.lit("near_dup"))
+        .alias("drop_reason"),
+    )

@@ -449,3 +449,72 @@ def d11_dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "d12_incremental_dedup",
+    doc="incremental crawl-refresh dedup: screen the new batch "
+    "(doc_id % 3 = 0) against the existing corpus snapshot (the rest) — "
+    "per-source exact / near-dup / kept counts",
+    oracle=rf"""
+WITH newd AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0
+), old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+), old_fp AS (
+  SELECT DISTINCT md5({_NORM}) AS fp FROM old
+), nsig AS (
+  SELECT doc_id, s, md5({_mh(0)} || {_mh(1)}) AS band_0,
+         md5({_mh(2)} || {_mh(3)}) AS band_1
+  FROM (SELECT doc_id, {_SHINGLES} AS s FROM newd)
+), osig AS (
+  SELECT doc_id, s, md5({_mh(0)} || {_mh(1)}) AS band_0,
+         md5({_mh(2)} || {_mh(3)}) AS band_1
+  FROM (SELECT doc_id, {_SHINGLES} AS s FROM old)
+), cand AS (
+  SELECT n.doc_id AS nid, n.s AS sh_1, o.s AS sh_2
+  FROM nsig n JOIN osig o ON n.band_0 = o.band_0
+  UNION
+  SELECT n.doc_id, n.s, o.s
+  FROM nsig n JOIN osig o ON n.band_1 = o.band_1
+), near AS (
+  SELECT DISTINCT nid FROM cand
+  WHERE round(CAST(len(list_distinct(list_intersect(sh_1, sh_2))) AS DOUBLE)
+              / len(list_distinct(list_concat(sh_1, sh_2))), 4) >= 0.2
+), lab AS (
+  SELECT n.source,
+         CASE WHEN md5({_NORM}) IN (SELECT fp FROM old_fp) THEN 'exact'
+              WHEN n.doc_id IN (SELECT nid FROM near) THEN 'near_dup'
+         END AS drop_reason
+  FROM newd n
+)
+SELECT source,
+       count(*) AS n_new,
+       CAST(sum(CASE WHEN drop_reason = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN drop_reason = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM lab
+GROUP BY source
+ORDER BY source
+""",
+)
+def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state dedup a production pipeline actually runs: the
+    corpus snapshot is already deduped, only the delta is screened — see
+    ``operators.dedup.incremental_dedup`` for the asymmetric exact-
+    fingerprint + band-join design (old side never broadcast or
+    collected; shingle arrays move once, onto verified candidates)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    new = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    old = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    res = DD.incremental_dedup(new, old, jaccard_threshold=0.2)
+    return (
+        res.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.when(F.col("drop_reason") == "exact", 1).otherwise(0)).alias("n_exact"),
+            F.sum(F.when(F.col("drop_reason") == "near_dup", 1).otherwise(0)).alias("n_near_dup"),
+            F.sum(F.when(F.col("drop_reason").isNull(), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

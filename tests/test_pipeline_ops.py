@@ -612,3 +612,30 @@ def test_connected_components_collect_fallback(spark, monkeypatch):
     monkeypatch.delattr(DataFrame, "toArrow")
     got = sorted(map(tuple, connected_components(edges).collect()))
     assert got == want == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (10, 10), (11, 10)]
+
+
+def test_incremental_dedup_labels(spark):
+    """Planted corpus: an exact dup, a near dup, and fresh content in the
+    new batch against the old snapshot — asymmetric (new-new dups are NOT
+    labeled) and exact takes precedence over near_dup."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="completely different snapshot content here")]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base),                       # exact copy of old 1
+            Row(doc_id=11, text=base + " extra tail"),       # near dup of old 1
+            Row(doc_id=12, text="entirely novel text with no overlap whatsoever"),
+            Row(doc_id=13, text="entirely novel text with no overlap whatsoever"),  # dup of 12 — WITHIN new: kept
+        ]
+    )
+    out = {
+        r.doc_id: r.drop_reason
+        for r in incremental_dedup(new, old, jaccard_threshold=0.5).collect()
+    }
+    assert out == {10: "exact", 11: "near_dup", 12: None, 13: None}
