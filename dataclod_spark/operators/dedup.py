@@ -746,21 +746,70 @@ def contamination_check(
     )
 
 
+def build_dedup_index(
+    old: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+    hash_fn: str = "md5",
+) -> dict:
+    """Materialize the snapshot-side structures ``incremental_dedup``
+    screens against: the distinct fingerprint set, the LSH band table and
+    the shingle table (each localCheckpoint-ed once — on a real cluster
+    swap for persist/reliable checkpoint, or simply parquet tables
+    maintained alongside the corpus).
+
+    Build this ONCE per corpus snapshot and reuse it across every delta
+    (the streaming twin screens each micro-batch against the same index;
+    rebuilding per delta would re-pay the corpus-sized md5 pass).
+    """
+    from dataclod_spark.functions.text import fingerprint
+
+    n_bands = k // rows_per_band
+    sig = with_lsh_bands(
+        with_minhash_signature(old.select(id_col, text_col), text_col, k, hash_fn),
+        k, rows_per_band, hash_fn,
+    )
+    return {
+        "k": k,
+        "rows_per_band": rows_per_band,
+        "hash_fn": hash_fn,
+        "fp": (
+            old.select(fingerprint(F.col(text_col)).alias("__ofp"))
+            .distinct()
+            .withColumn("__exact", F.lit(1))
+            .localCheckpoint(eager=True)
+        ),
+        "bands": sig.select(
+            F.col(id_col).alias("__oid"), *[f"band_{b}" for b in range(n_bands)]
+        ).localCheckpoint(eager=True),
+        "shingles": (
+            with_shingles(old.select(id_col, text_col), text_col, out="__osh")
+            .select(F.col(id_col).alias("__osh_id"), "__osh")
+            .localCheckpoint(eager=True)
+        ),
+    }
+
+
 def incremental_dedup(
     new: DataFrame,
-    old: DataFrame,
+    old: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = MINHASH_K,
     rows_per_band: int = 2,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "md5",
+    index: dict | None = None,
 ) -> DataFrame:
     """Screen a NEW batch against an EXISTING corpus snapshot — the
     crawl-refresh dedup shape (every production pipeline's steady state:
     the corpus is already deduped, only the delta needs screening).
 
-    Returns ``new``'s rows plus ``drop_reason``:
+    Pass either ``old`` (the index is built ad hoc) or a prebuilt
+    ``index`` from :func:`build_dedup_index` (reused across deltas —
+    the streaming path).  Returns ``new``'s rows plus ``drop_reason``:
 
     * ``'exact'`` — the normalized-text fingerprint already exists in
       ``old``;
@@ -783,19 +832,19 @@ def incremental_dedup(
     shingle→md5 chain per row (on a real cluster swap for persist/
     checkpoint).
     """
-    from dataclod_spark.functions.text import fingerprint
-
+    if index is None:
+        if old is None:
+            raise ValueError("incremental_dedup: pass either old or index")
+        index = build_dedup_index(old, id_col, text_col, k, rows_per_band, hash_fn)
+    k, rows_per_band, hash_fn = index["k"], index["rows_per_band"], index["hash_fn"]
     n_bands = k // rows_per_band
     cols = new.columns
 
+    from dataclod_spark.functions.text import fingerprint
+
     # --- exact pass: fingerprint anti-set from the snapshot -------------
-    old_fp = (
-        old.select(fingerprint(F.col(text_col)).alias("__ofp"))
-        .distinct()
-        .withColumn("__exact", F.lit(1))
-    )
     labeled = new.withColumn("__fp", fingerprint(F.col(text_col))).join(
-        old_fp, F.col("__fp") == F.col("__ofp"), "left"
+        index["fp"], F.col("__fp") == F.col("__ofp"), "left"
     )
 
     # --- near-dup pass: asymmetric band join new → old ------------------
@@ -809,7 +858,7 @@ def incremental_dedup(
         ).localCheckpoint(eager=True)
 
     nb = band_table(new, "__nid")
-    ob = band_table(old, "__oid")
+    ob = index["bands"]
     pairs = None
     for b in range(n_bands):
         p = nb.select("__nid", F.col(f"band_{b}").alias("__b")).join(
@@ -826,7 +875,7 @@ def incremental_dedup(
         )
 
     nsh = shingle_table(new, "__nsh_id", "__nsh")
-    osh = shingle_table(old, "__osh_id", "__osh")
+    osh = index["shingles"]
     verified = (
         cand.join(nsh, cand["__nid"] == nsh["__nsh_id"])
         .join(osh, cand["__oid"] == osh["__osh_id"])

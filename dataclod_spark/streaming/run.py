@@ -609,3 +609,92 @@ def streaming_cdc_apply(
     if not os.path.exists(cur):  # zero micro-batches ran
         return spark.createDataFrame([], snap_schema).filter(~F.col("__deleted"))
     return spark.read.parquet(cur).filter(~F.col("__deleted"))
+
+
+def read_documents_stream_multibatch(
+    spark: SparkSession,
+    sf_dir: str,
+    stage_dir: str,
+    n_files: int = 3,
+    pred_sql: str = "doc_id % 3 = 0",
+) -> DataFrame:
+    """The new-crawl delta (``pred_sql`` rows of ``documents``) as a
+    MULTI-micro-batch stream: staged into ``n_files`` hash-partitioned
+    parquet files read with ``maxFilesPerTrigger=1`` (the st10/st11
+    staging pattern — single-file sources collapse to one batch and prove
+    nothing about cross-batch behavior)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").where(pred_sql).repartition(
+        n_files, "doc_id"
+    ).write.mode("overwrite").parquet(stage_dir)
+    schema = spark.read.parquet(stage_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    snapshot: DataFrame,
+    out_dir: str,
+    jaccard_threshold: float = 0.5,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Screen a stream of new documents against a STATIC corpus snapshot —
+    the streaming face of :func:`operators.dedup.incremental_dedup`, and
+    how a continuously-ingesting pipeline actually runs the crawl-refresh
+    dedup: the snapshot index (fingerprints, LSH bands, shingles) is built
+    ONCE, every micro-batch screens against it via ``foreachBatch``.
+
+    Each batch's labels depend only on the batch's own rows and the static
+    index, so the drained output is batching-invariant and equals the
+    batch operator on the union of all batches — which is what the st12
+    oracle checks across 3 hash-scattered micro-batches.
+
+    Idempotent per micro-batch: each batch OVERWRITES its own
+    ``batch_id=<n>`` partition directory, so a crash-replayed batch
+    rewrites itself instead of appending duplicates (same recovery
+    contract as streaming_cdc_apply's version swap).  At scale the sink
+    becomes a real table-format MERGE/append; the index lives as parquet
+    next to the corpus and is refreshed when the snapshot compacts the
+    accepted deltas in.
+    """
+    import os
+
+    from dataclod_spark.operators.dedup import build_dedup_index, incremental_dedup
+
+    index = build_dedup_index(snapshot)
+    res_dir = os.path.join(out_dir, "labeled")
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_dedup(
+            batch_df, index=index, jaccard_threshold=jaccard_threshold
+        ).write.mode("overwrite").parquet(
+            os.path.join(res_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming incremental dedup did not finish within {timeout_sec}s"
+        )
+    if not os.path.exists(res_dir):  # zero micro-batches ran
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in docs_stream.schema.fields)
+        return spark.createDataFrame([], schema).withColumn(
+            "drop_reason", F.lit(None).cast("string")
+        )
+    # batch_id is a partition-discovery column of the sink layout, not a
+    # label — drop it
+    return spark.read.parquet(res_dir).drop("batch_id")

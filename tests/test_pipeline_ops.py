@@ -639,3 +639,33 @@ def test_incremental_dedup_labels(spark):
         for r in incremental_dedup(new, old, jaccard_threshold=0.5).collect()
     }
     assert out == {10: "exact", 11: "near_dup", 12: None, 13: None}
+
+
+def test_incremental_dedup_index_reuse_matches_adhoc(spark):
+    """A prebuilt snapshot index (the streaming path: built once, reused
+    per micro-batch) labels identically to the ad hoc old= path."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import build_dedup_index, incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="completely different snapshot content here")]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base),
+            Row(doc_id=11, text=base + " extra tail"),
+            Row(doc_id=12, text="entirely novel text with no overlap whatsoever"),
+        ]
+    )
+    idx = build_dedup_index(old)
+    via_index = {
+        r.doc_id: r.drop_reason
+        for r in incremental_dedup(new, index=idx, jaccard_threshold=0.5).collect()
+    }
+    adhoc = {
+        r.doc_id: r.drop_reason
+        for r in incremental_dedup(new, old, jaccard_threshold=0.5).collect()
+    }
+    assert via_index == adhoc == {10: "exact", 11: "near_dup", 12: None}
