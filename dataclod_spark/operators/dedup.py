@@ -746,6 +746,39 @@ def contamination_check(
     )
 
 
+def _band_table(
+    df: DataFrame,
+    out_id: str,
+    id_col: str,
+    text_col: str,
+    k: int,
+    rows_per_band: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, band_0..band_{n-1}) LSH band table, checkpointed (shared by
+    both sides of incremental_dedup so the index= and old= paths cannot
+    drift)."""
+    n_bands = k // rows_per_band
+    sig = with_lsh_bands(
+        with_minhash_signature(df.select(id_col, text_col), text_col, k, hash_fn),
+        k, rows_per_band, hash_fn,
+    )
+    return sig.select(
+        F.col(id_col).alias(out_id), *[f"band_{b}" for b in range(n_bands)]
+    ).localCheckpoint(eager=True)
+
+
+def _shingle_table(
+    df: DataFrame, out_id: str, out_sh: str, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, shingle-set) table, checkpointed (shared — see _band_table)."""
+    return (
+        with_shingles(df.select(id_col, text_col), text_col, out=out_sh)
+        .select(F.col(id_col).alias(out_id), out_sh)
+        .localCheckpoint(eager=True)
+    )
+
+
 def build_dedup_index(
     old: DataFrame,
     id_col: str = "doc_id",
@@ -766,11 +799,6 @@ def build_dedup_index(
     """
     from dataclod_spark.functions.text import fingerprint
 
-    n_bands = k // rows_per_band
-    sig = with_lsh_bands(
-        with_minhash_signature(old.select(id_col, text_col), text_col, k, hash_fn),
-        k, rows_per_band, hash_fn,
-    )
     return {
         "k": k,
         "rows_per_band": rows_per_band,
@@ -781,14 +809,8 @@ def build_dedup_index(
             .withColumn("__exact", F.lit(1))
             .localCheckpoint(eager=True)
         ),
-        "bands": sig.select(
-            F.col(id_col).alias("__oid"), *[f"band_{b}" for b in range(n_bands)]
-        ).localCheckpoint(eager=True),
-        "shingles": (
-            with_shingles(old.select(id_col, text_col), text_col, out="__osh")
-            .select(F.col(id_col).alias("__osh_id"), "__osh")
-            .localCheckpoint(eager=True)
-        ),
+        "bands": _band_table(old, "__oid", id_col, text_col, k, rows_per_band, hash_fn),
+        "shingles": _shingle_table(old, "__osh_id", "__osh", id_col, text_col),
     }
 
 
@@ -848,16 +870,7 @@ def incremental_dedup(
     )
 
     # --- near-dup pass: asymmetric band join new → old ------------------
-    def band_table(df: DataFrame, out_id: str) -> DataFrame:
-        sig = with_lsh_bands(
-            with_minhash_signature(df.select(id_col, text_col), text_col, k, hash_fn),
-            k, rows_per_band, hash_fn,
-        )
-        return sig.select(
-            F.col(id_col).alias(out_id), *[f"band_{b}" for b in range(n_bands)]
-        ).localCheckpoint(eager=True)
-
-    nb = band_table(new, "__nid")
+    nb = _band_table(new, "__nid", id_col, text_col, k, rows_per_band, hash_fn)
     ob = index["bands"]
     pairs = None
     for b in range(n_bands):
@@ -867,14 +880,7 @@ def incremental_dedup(
         pairs = p if pairs is None else pairs.unionAll(p)
     cand = pairs.dropDuplicates(["__nid", "__oid"])
 
-    def shingle_table(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
-        return (
-            with_shingles(df.select(id_col, text_col), text_col, out=out_sh)
-            .select(F.col(id_col).alias(out_id), out_sh)
-            .localCheckpoint(eager=True)
-        )
-
-    nsh = shingle_table(new, "__nsh_id", "__nsh")
+    nsh = _shingle_table(new, "__nsh_id", "__nsh", id_col, text_col)
     osh = index["shingles"]
     verified = (
         cand.join(nsh, cand["__nid"] == nsh["__nsh_id"])

@@ -451,12 +451,9 @@ def d11_dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "d12_incremental_dedup",
-    doc="incremental crawl-refresh dedup: screen the new batch "
-    "(doc_id % 3 = 0) against the existing corpus snapshot (the rest) — "
-    "per-source exact / near-dup / kept counts",
-    oracle=rf"""
+# shared with st12 (the streaming twin promises rollup-equality with the
+# batch operator, so oracle and rollup must be ONE definition, not copies)
+INCREMENTAL_DEDUP_ORACLE = rf"""
 WITH newd AS (
   SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0
 ), old AS (
@@ -496,18 +493,13 @@ SELECT source,
 FROM lab
 GROUP BY source
 ORDER BY source
-""",
-)
-def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The steady-state dedup a production pipeline actually runs: the
-    corpus snapshot is already deduped, only the delta is screened — see
-    ``operators.dedup.incremental_dedup`` for the asymmetric exact-
-    fingerprint + band-join design (old side never broadcast or
-    collected; shingle arrays move once, onto verified candidates)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    new = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
-    old = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
-    res = DD.incremental_dedup(new, old, jaccard_threshold=0.2)
+"""
+
+
+def incremental_rollup(res: DataFrame) -> DataFrame:
+    """Per-source exact / near-dup / kept rollup of an
+    ``incremental_dedup`` result — shared by d12 and st12 so their
+    promised equality is structural, not two copies that can drift."""
     return (
         res.groupBy("source")
         .agg(
@@ -518,3 +510,22 @@ def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "d12_incremental_dedup",
+    doc="incremental crawl-refresh dedup: screen the new batch "
+    "(doc_id % 3 = 0) against the existing corpus snapshot (the rest) — "
+    "per-source exact / near-dup / kept counts",
+    oracle=INCREMENTAL_DEDUP_ORACLE,
+)
+def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state dedup a production pipeline actually runs: the
+    corpus snapshot is already deduped, only the delta is screened — see
+    ``operators.dedup.incremental_dedup`` for the asymmetric exact-
+    fingerprint + band-join design (old side never broadcast or
+    collected; shingle arrays move once, onto verified candidates)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    new = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    old = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    return incremental_rollup(DD.incremental_dedup(new, old, jaccard_threshold=0.2))

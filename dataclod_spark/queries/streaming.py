@@ -512,74 +512,21 @@ def st11_stream_cdc_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(snap_dir, ignore_errors=True)
 
 
+from dataclod_spark.queries.dedup import (  # noqa: E402  (shared oracle/rollup)
+    INCREMENTAL_DEDUP_ORACLE,
+    incremental_rollup,
+)
+
+
 @query(
     "st12_stream_incremental_dedup",
     doc="d12's streaming twin: the new-crawl delta (doc_id % 3 = 0) "
     "hash-scattered across 3 micro-batches, each screened via "
     "foreachBatch against a corpus-snapshot dedup index built once — "
     "per-source exact / near-dup / kept counts equal the batch operator",
-    oracle="""
-WITH newd AS (
-  SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0
-), old AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
-), norm_new AS (
-  SELECT doc_id, source,
-         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM newd
-), norm_old AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM old
-), old_fp AS (
-  SELECT DISTINCT md5(norm) AS fp FROM norm_old
-), nsh AS (
-  SELECT doc_id, source, md5(norm) AS fp,
-         list_distinct(CASE WHEN len(norm) < 8 THEN [norm]
-              ELSE list_transform(range(1, len(norm) - 6), i -> substr(norm, i, 8)) END) AS s
-  FROM norm_new
-), osh AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(norm) < 8 THEN [norm]
-              ELSE list_transform(range(1, len(norm) - 6), i -> substr(norm, i, 8)) END) AS s
-  FROM norm_old
-), nsig AS (
-  SELECT doc_id, source, fp, s,
-         md5(list_aggregate(list_transform(s, x -> substr(md5(x), 1, 8)), 'min')
-             || list_aggregate(list_transform(s, x -> substr(md5(x), 9, 8)), 'min')) AS band_0,
-         md5(list_aggregate(list_transform(s, x -> substr(md5(x), 17, 8)), 'min')
-             || list_aggregate(list_transform(s, x -> substr(md5(x), 25, 8)), 'min')) AS band_1
-  FROM nsh
-), osig AS (
-  SELECT doc_id, s,
-         md5(list_aggregate(list_transform(s, x -> substr(md5(x), 1, 8)), 'min')
-             || list_aggregate(list_transform(s, x -> substr(md5(x), 9, 8)), 'min')) AS band_0,
-         md5(list_aggregate(list_transform(s, x -> substr(md5(x), 17, 8)), 'min')
-             || list_aggregate(list_transform(s, x -> substr(md5(x), 25, 8)), 'min')) AS band_1
-  FROM osh
-), cand AS (
-  SELECT n.doc_id AS nid, n.s AS sh_1, o.s AS sh_2
-  FROM nsig n JOIN osig o ON n.band_0 = o.band_0
-  UNION
-  SELECT n.doc_id, n.s, o.s
-  FROM nsig n JOIN osig o ON n.band_1 = o.band_1
-), near AS (
-  SELECT DISTINCT nid FROM cand
-  WHERE round(CAST(len(list_distinct(list_intersect(sh_1, sh_2))) AS DOUBLE)
-              / len(list_distinct(list_concat(sh_1, sh_2))), 4) >= 0.2
-), lab AS (
-  SELECT source,
-         CASE WHEN fp IN (SELECT fp FROM old_fp) THEN 'exact'
-              WHEN doc_id IN (SELECT nid FROM near) THEN 'near_dup'
-         END AS drop_reason
-  FROM nsig
-)
-SELECT source,
-       count(*) AS n_new,
-       CAST(sum(CASE WHEN drop_reason = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-       CAST(sum(CASE WHEN drop_reason = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
-       CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-FROM lab
-GROUP BY source
-ORDER BY source
-""",
+    # literally d12's oracle: batching-invariant labels mean the drained
+    # stream must reproduce the batch result exactly
+    oracle=INCREMENTAL_DEDUP_ORACLE,
 )
 def st12_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The snapshot index is built once from the static old split; the
@@ -603,18 +550,8 @@ def st12_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     try:
         ds = read_documents_stream_multibatch(spark, sf_dir, stage, n_files=3)
         res = streaming_incremental_dedup(spark, ds, old, out, jaccard_threshold=0.2)
-        return (
-            res.groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("n_new"),
-                F.sum(F.when(F.col("drop_reason") == "exact", 1).otherwise(0)).alias("n_exact"),
-                F.sum(F.when(F.col("drop_reason") == "near_dup", 1).otherwise(0)).alias("n_near_dup"),
-                F.sum(F.when(F.col("drop_reason").isNull(), 1).otherwise(0)).alias("n_kept"),
-            )
-            .orderBy("source")
-            # survives the sink directory's removal below (st9 pattern)
-            .localCheckpoint()
-        )
+        # localCheckpoint: survives the sink directory's removal (st9 pattern)
+        return incremental_rollup(res).localCheckpoint()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)

@@ -953,7 +953,7 @@ WITH padded AS (
 )
 SELECT per.doc_id,
        CAST(sum(per.cnt) AS BIGINT) AS n_grams,
-       CAST(sum(per.cnt * vocab.corpus_cnt) AS DOUBLE)
+       CAST(sum(CAST(per.cnt AS HUGEINT) * vocab.corpus_cnt) AS DOUBLE)
          / CAST(sum(per.cnt) AS BIGINT) / tot.total AS familiarity
 FROM per JOIN vocab USING (g) CROSS JOIN tot
 GROUP BY per.doc_id, tot.total
@@ -987,12 +987,22 @@ def x21_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = per.groupBy("g").agg(F.sum("cnt").alias("corpus_cnt"))
     tot = vocab.agg(F.sum("corpus_cnt").alias("total"))
+    # the familiarity numerator Σ cnt·corpus_cnt reaches ~1e19 at the
+    # 100 TB target (corpus_cnt ~ total/|vocab| ~ 1e12 × a large doc's
+    # 1e7 grams) — past int64, where Spark's bigint sum would silently
+    # wrap while DuckDB widens to HUGEINT.  DECIMAL(38,0) keeps the
+    # product and sum exact on the Spark side (the oracle casts the
+    # product to HUGEINT for the same reason); the double conversion at
+    # the end rounds the same exact integer on both engines.
     doc = (
         per.join(F.broadcast(vocab), "g")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_grams"),
-            F.sum(F.col("cnt") * F.col("corpus_cnt")).alias("__fam"),
+            F.sum(
+                F.col("cnt").cast("decimal(19,0)")
+                * F.col("corpus_cnt").cast("decimal(19,0)")
+            ).alias("__fam"),
         )
     )
     return (

@@ -80,27 +80,42 @@ def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
     return df
 
 
-def read_events_stream_multibatch(
-    spark: SparkSession, sf_dir: str, stage_dir: str, n_files: int = 3
+def _stage_multibatch(
+    spark: SparkSession,
+    src_path: str,
+    stage_dir: str,
+    key_col: str,
+    n_files: int,
+    pred_sql: str | None = None,
 ) -> DataFrame:
-    """Events as a MULTI-micro-batch stream: stage the table into
-    ``n_files`` parquet files hash-partitioned by ``event_id`` and read
-    them with ``maxFilesPerTrigger=1``, so availableNow runs ``n_files``
-    micro-batches.  Hash partitioning scatters each user's events across
-    batches in non-time order — the arrival pattern that exercises
-    cross-batch state carry-over and out-of-order guards for real
-    (single-file sources collapse to one batch and prove neither).
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
-        n_files, "event_id"
-    ).write.mode("overwrite").parquet(stage_dir)
+    """Stage a parquet table into ``n_files`` files hash-partitioned by
+    ``key_col`` and read them back with ``maxFilesPerTrigger=1``, so
+    availableNow runs ``n_files`` micro-batches.  Hash partitioning
+    scatters related rows across batches in non-time order — the arrival
+    pattern that exercises cross-batch state carry-over and out-of-order
+    guards for real (single-file sources collapse to one batch and prove
+    neither).  Shared by the events and documents multibatch readers."""
+    src = spark.read.parquet(src_path)
+    if pred_sql is not None:
+        src = src.where(pred_sql)
+    src.repartition(n_files, key_col).write.mode("overwrite").parquet(stage_dir)
     schema = spark.read.parquet(stage_dir).schema
-    df = (
+    return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
+    )
+
+
+def read_events_stream_multibatch(
+    spark: SparkSession, sf_dir: str, stage_dir: str, n_files: int = 3
+) -> DataFrame:
+    """Events as a MULTI-micro-batch stream (see :func:`_stage_multibatch`;
+    each user's events land in different batches out of time order)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = _stage_multibatch(
+        spark, f"{sf_dir}/events.parquet", stage_dir, "event_id", n_files
     )
     return _events_ts_to_timestamp(df)
 
@@ -619,18 +634,9 @@ def read_documents_stream_multibatch(
     pred_sql: str = "doc_id % 3 = 0",
 ) -> DataFrame:
     """The new-crawl delta (``pred_sql`` rows of ``documents``) as a
-    MULTI-micro-batch stream: staged into ``n_files`` hash-partitioned
-    parquet files read with ``maxFilesPerTrigger=1`` (the st10/st11
-    staging pattern — single-file sources collapse to one batch and prove
-    nothing about cross-batch behavior)."""
-    spark.read.parquet(f"{sf_dir}/documents.parquet").where(pred_sql).repartition(
-        n_files, "doc_id"
-    ).write.mode("overwrite").parquet(stage_dir)
-    schema = spark.read.parquet(stage_dir).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage_dir)
+    MULTI-micro-batch stream (see :func:`_stage_multibatch`)."""
+    return _stage_multibatch(
+        spark, f"{sf_dir}/documents.parquet", stage_dir, "doc_id", n_files, pred_sql
     )
 
 
