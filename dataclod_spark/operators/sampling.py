@@ -83,3 +83,48 @@ def rebalance_to_min(df: DataFrame, key: str, stratum: str) -> DataFrame:
         .filter(F.col("__rn") <= F.col("__min_n"))
         .drop("__rn", "__min_n")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    token_col: Column,
+    budgets: int | dict,
+) -> DataFrame:
+    """Sample each stratum up to a TOKEN budget — the LM data-mixture op
+    proper (a training mix is specified in tokens per source/language,
+    not document counts, because document length varies wildly across
+    strata; sp1/sp3 are the doc-count variants).
+
+    Within each stratum rows rank by ``hash(key)`` (ties by key — total
+    order), and a row survives while the tokens BEFORE it are inside the
+    stratum's budget — greedy fill: the boundary document is included, so
+    every non-empty stratum with a positive budget contributes at least
+    one document and reaches its target (a ≤-budget rule would silently
+    undershoot and can starve a stratum whose first document alone
+    exceeds the budget).
+
+    ``budgets``: one int for every stratum, or a ``{stratum: budget}``
+    mixture spec — the spec is exhaustive, unspecified strata contribute
+    NOTHING (a mixture is a closed list; silently passing unknown strata
+    through would change the mix).  Null/negative token counts count 0.
+
+    Plan shape: ONE window shuffle on the stratum key (cumsum, same
+    ranking window as the quota samplers), codegen arithmetic after it —
+    no driver state, reproducible across engines and repartitionings.
+    """
+    tok = F.greatest(F.coalesce(token_col.cast("bigint"), F.lit(0)), F.lit(0))
+    if isinstance(budgets, dict):
+        budget = F.lit(0).cast("bigint")
+        for s, b in sorted(budgets.items()):
+            budget = F.when(F.col(stratum) == s, F.lit(int(b)).cast("bigint")).otherwise(budget)
+    else:
+        budget = F.lit(int(budgets)).cast("bigint")
+    w = Window.partitionBy(stratum).orderBy(row_hash(F.col(key)), F.col(key))
+    before = F.sum(tok).over(w) - tok
+    return (
+        df.withColumn("__before", before)
+        .filter(F.col("__before") < budget)
+        .drop("__before")
+    )

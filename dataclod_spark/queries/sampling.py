@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataclod_spark.operators import sampling as SMP
+from dataclod_spark.queries.text import _NTOK  # shared DuckDB token-count macro
 from dataclod_spark.registry import load, query
 
 _H = "(doc_id * 2654435761) % 4294967296"
@@ -91,5 +92,53 @@ def sp3_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").cast("bigint").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "sp4_token_budget_mixture",
+    doc="token-budget mixture sampling: each language filled to its "
+    "token target (en 5000 / de 2000 / es 2000 / fr 1000, zh excluded) "
+    "by deterministic-hash greedy fill — the LM data-mixture op proper "
+    "(mixes are specified in tokens, not document counts)",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, CAST({_NTOK} AS BIGINT) AS tok, {_H} AS h FROM documents
+), ranked AS (
+  SELECT lang, doc_id, tok,
+         sum(tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) - tok AS strt
+  FROM toks
+), kept AS (
+  SELECT * FROM ranked
+  WHERE strt < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                         WHEN 'es' THEN 2000 WHEN 'fr' THEN 1000 ELSE 0 END
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY lang ORDER BY lang
+""",
+)
+def sp4_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.sampling.token_budget_sample: ONE window-cumsum shuffle
+    on the stratum key, greedy fill so the boundary doc is included and
+    no stratum is starved; the mixture spec is a closed list (zh is
+    deliberately absent — unspecified strata contribute nothing)."""
+    from dataclod_spark.functions import text as TX
+
+    d = load(spark, sf_dir, "documents")
+    s = SMP.token_budget_sample(
+        d, key="doc_id", stratum="lang",
+        token_col=TX.token_count(F.col("text")),
+        budgets={"en": 5000, "de": 2000, "es": 2000, "fr": 1000},
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count(F.col("text"))).alias("n_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+        )
         .orderBy("lang")
     )

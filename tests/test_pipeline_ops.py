@@ -669,3 +669,46 @@ def test_incremental_dedup_index_reuse_matches_adhoc(spark):
         for r in incremental_dedup(new, old, jaccard_threshold=0.5).collect()
     }
     assert via_index == adhoc == {10: "exact", 11: "near_dup", 12: None}
+
+
+def test_token_budget_sample_greedy_fill(spark):
+    """Greedy fill: boundary doc included, a first doc alone above budget
+    still kept (no starved stratum), unspecified strata contribute
+    nothing, 0-token docs inside the window survive."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.sampling import row_hash, token_budget_sample
+
+    rows = [
+        Row(doc_id=i, lang=lang, tok=tok)
+        for i, (lang, tok) in enumerate(
+            [("a", 40), ("a", 40), ("a", 40), ("a", 0),
+             ("b", 500), ("b", 10),
+             ("c", 5)]
+        )
+    ]
+    df = spark.createDataFrame(rows)
+    out = token_budget_sample(
+        df, key="doc_id", stratum="lang", token_col=F.col("tok"),
+        budgets={"a": 100, "b": 100},
+    )
+    got = {r.doc_id for r in out.collect()}
+    # reproduce the deterministic order python-side
+    import collections
+
+    order = collections.defaultdict(list)
+    for r in rows:
+        h = (r.doc_id * 2654435761) % 4294967296
+        order[r.lang].append((h, r.doc_id, r.tok))
+    want = set()
+    for lang, budget in (("a", 100), ("b", 100)):
+        before = 0
+        for _, doc_id, tok in sorted(order[lang]):
+            if before < budget:
+                want.add(doc_id)
+            before += tok
+    assert got == want
+    # every budgeted stratum contributes ≥1 doc even when doc 4 (500 tok)
+    # leads stratum b's order; stratum c (unspecified) contributes none
+    langs = {r.lang for r in out.collect()}
+    assert "c" not in langs and {"a", "b"} <= langs
