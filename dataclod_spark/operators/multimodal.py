@@ -168,3 +168,60 @@ def byte_histogram_features(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(fn, schema)
+
+
+def fit_box(w: int, h: int, target_w: int, target_h: int) -> tuple:
+    """Aspect-preserving fit of (w, h) into (target_w, target_h) — pure
+    integer arithmetic (floor division) so any engine reproduces it
+    exactly: the longer relative side lands ON the box edge."""
+    if w * target_h <= h * target_w:  # height is the binding side
+        return (w * target_h) // h, target_h
+    return target_w, (h * target_w) // w
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    content_col: str = "content",
+    decoder: Callable[[Optional[bytes]], dict] = fake_decode,
+) -> DataFrame:
+    """Resize plumbing: decode dims, aspect-fit into the target box, emit
+    the resized blob + output dims.  Like decode_media the codec is the
+    stub (resized blob = md5(content ‖ out dims) — deterministic,
+    byte-level); a real resizer slots in via ``decoder=`` + replacing the
+    blob line.  One vectorized mapInPandas pass, no shuffle: resize
+    parallelism = scan parallelism."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("out_width", T.IntegerType(), True),
+            T.StructField("out_height", T.IntegerType(), True),
+            T.StructField("resized_content", T.BinaryType(), True),
+        ]
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, blobs = [], [], []
+            for content in pdf[content_col].to_numpy(dtype=object):
+                d = decoder(content)
+                if content is None or d["width"] is None:
+                    widths.append(None); heights.append(None); blobs.append(None)
+                    continue
+                ow, oh = fit_box(d["width"], d["height"], target_w, target_h)
+                widths.append(ow)
+                heights.append(oh)
+                blobs.append(
+                    hashlib.md5(
+                        bytes(content)
+                        + ow.to_bytes(4, "little")
+                        + oh.to_bytes(4, "little")
+                    ).digest()
+                )
+            pdf["out_width"] = pd.Series(widths, dtype="Int32")
+            pdf["out_height"] = pd.Series(heights, dtype="Int32")
+            pdf["resized_content"] = pd.Series(blobs, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(resize_batches, out_schema)

@@ -194,6 +194,48 @@ def m3_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "m4_media_resize",
+    doc="multimodal resize plumbing: aspect-fit every media blob into a "
+    "64x48 box (integer-exact fit arithmetic, stub codec) via one "
+    "vectorized mapInPandas pass",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(32 + 16 * ({_HEXVAL.format(pos=2)}) AS INT) AS w,
+         CAST(32 + 16 * ({_HEXVAL.format(pos=4)}) AS INT) AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN w * 48 <= h * 64 THEN (w * 48) // h ELSE 64 END AS INT) AS out_width,
+       CAST(CASE WHEN w * 48 <= h * 64 THEN 48 ELSE (h * 64) // w END AS INT) AS out_height,
+       CAST(16 AS BIGINT) AS blob_len
+FROM dims
+ORDER BY doc_id
+""",
+)
+def m4_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dims go through operators.multimodal.fit_box (pure floor-division
+    integer arithmetic — the oracle spells the identical expressions);
+    the resized blob is the deterministic stub digest, whose 16-byte
+    length the oracle pins so the binary column is exercised, not just
+    the dims."""
+    from dataclod_spark.operators.multimodal import resize_media
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    resized = resize_media(media, target_w=64, target_h=48)
+    return resized.select(
+        F.col("media_id").alias("doc_id"),
+        "out_width",
+        "out_height",
+        F.octet_length("resized_content").cast("bigint").alias("blob_len"),
+    ).orderBy("doc_id")
+
+
 def _export_once(sf_dir: str, fmt: str) -> str:
     """Write the nation table to a temp CSV/JSON file (setup side of the
     external-format scan gates; ≈ the reference's CREATE EXTERNAL TABLE

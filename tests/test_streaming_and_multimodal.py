@@ -113,3 +113,35 @@ def test_scan_roundtrip_duckdb_sqlite(spark, tmp_path):
     scon.close()
     got = sorted((r.id, r.s) for r in scan_sqlite(spark, spath, "t").collect())
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_fit_box_and_resize_media(spark):
+    """fit_box: longer relative side lands on the box edge, never exceeds
+    it, pure floor arithmetic; resize_media: dims match fit_box and the
+    stub blob is the 16-byte digest of content+dims."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.multimodal import fake_decode, fit_box, resize_media
+
+    assert fit_box(100, 100, 64, 48) == (48, 48)      # square → height-bound
+    assert fit_box(200, 50, 64, 48) == (64, 16)       # wide → width-bound
+    assert fit_box(50, 200, 64, 48) == (12, 48)       # tall → height-bound
+    assert fit_box(32, 48, 64, 48) == (32, 48)        # exact fit (upscale h)
+    for w, h in [(100, 100), (200, 50), (50, 200), (33, 47)]:
+        ow, oh = fit_box(w, h, 64, 48)
+        assert ow <= 64 and oh <= 48 and ow > 0 and oh > 0
+
+    rows = [Row(media_id=1, content=bytearray(b"blob-a")),
+            Row(media_id=2, content=None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in resize_media(df, 64, 48).collect()}
+    d = fake_decode(b"blob-a")
+    ow, oh = fit_box(d["width"], d["height"], 64, 48)
+    assert (got[1].out_width, got[1].out_height) == (ow, oh)
+    want_blob = hashlib.md5(
+        b"blob-a" + ow.to_bytes(4, "little") + oh.to_bytes(4, "little")
+    ).digest()
+    assert bytes(got[1].resized_content) == want_blob
+    assert got[2].out_width is None and got[2].resized_content is None
