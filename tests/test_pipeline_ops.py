@@ -712,3 +712,23 @@ def test_token_budget_sample_greedy_fill(spark):
     # leads stratum b's order; stratum c (unspecified) contributes none
     langs = {r.lang for r in out.collect()}
     assert "c" not in langs and {"a", "b"} <= langs
+
+
+def test_incremental_dedup_null_text_kept(spark):
+    """Null-text rows: md5(NULL) is NULL, null fingerprints/bands never
+    equi-join — a null-text new doc is kept, a null-text old doc matches
+    nothing, and nothing crashes."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import incremental_dedup
+
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text="snapshot content here"), Row(doc_id=2, text=None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=10, text=None), Row(doc_id=11, text="snapshot content here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.drop_reason for r in incremental_dedup(new, old).collect()}
+    assert out == {10: None, 11: "exact"}
