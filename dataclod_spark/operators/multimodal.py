@@ -173,10 +173,17 @@ def byte_histogram_features(
 def fit_box(w: int, h: int, target_w: int, target_h: int) -> tuple:
     """Aspect-preserving fit of (w, h) into (target_w, target_h) — pure
     integer arithmetic (floor division) so any engine reproduces it
-    exactly: the longer relative side lands ON the box edge."""
+    exactly: the longer relative side lands ON the box edge, the other is
+    clamped to ≥ 1 px (an extreme aspect ratio like 1×1000 floors to 0
+    otherwise — no real resizer emits a zero dimension).
+
+    Dimensions must be positive — raises ValueError instead of letting a
+    corrupt decode hit ZeroDivisionError inside a Spark task."""
+    if w <= 0 or h <= 0 or target_w <= 0 or target_h <= 0:
+        raise ValueError(f"fit_box requires positive dims, got {w}x{h} -> {target_w}x{target_h}")
     if w * target_h <= h * target_w:  # height is the binding side
-        return (w * target_h) // h, target_h
-    return target_w, (h * target_w) // w
+        return max((w * target_h) // h, 1), target_h
+    return target_w, max((h * target_w) // w, 1)
 
 
 def resize_media(
@@ -206,7 +213,16 @@ def resize_media(
             widths, heights, blobs = [], [], []
             for content in pdf[content_col].to_numpy(dtype=object):
                 d = decoder(content)
-                if content is None or d["width"] is None:
+                # a real decoder can return None or non-positive dims for
+                # a corrupt blob — undecodable rows get NULL outputs
+                # instead of killing the task in fit_box
+                if (
+                    content is None
+                    or not d["width"]
+                    or not d["height"]
+                    or d["width"] < 0
+                    or d["height"] < 0
+                ):
                     widths.append(None); heights.append(None); blobs.append(None)
                     continue
                 ow, oh = fit_box(d["width"], d["height"], target_w, target_h)

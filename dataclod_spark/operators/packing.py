@@ -55,7 +55,15 @@ def pack_contiguous(
     out = df.withColumn("n_tok", F.coalesce(tok.cast("bigint"), F.lit(0))).withColumn(
         "shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
     )
-    w = Window.partitionBy(group_col, "shard").orderBy(id_col)
+    # ROWS frame pinned: Spark's default RANGE frame gives rows tied on
+    # id_col a SHARED inclusive sum (the oracle spells ROWS UNBOUNDED
+    # PRECEDING); ids are unique in practice, but the frames must agree
+    # by construction, not by data shape
+    w = (
+        Window.partitionBy(group_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum("n_tok").over(w)          # inclusive running token count
     out = out.withColumn("__start", cum - F.col("n_tok"))
     return (

@@ -110,6 +110,13 @@ def token_budget_sample(
     NOTHING (a mixture is a closed list; silently passing unknown strata
     through would change the mix).  Null/negative token counts count 0.
 
+    ``key`` must be unique per row (a doc id): the cumsum window is
+    pinned to a ROWS frame (Spark's default is RANGE, under which rows
+    tied on the sort key SHARE an inclusive sum — two same-key docs at
+    the budget edge would both see each other's tokens and both drop,
+    starving the stratum), and with a ROWS frame duplicate keys would
+    make the tie order, hence the sample, partition-dependent.
+
     Plan shape: ONE window shuffle on the stratum key (cumsum, same
     ranking window as the quota samplers), codegen arithmetic after it —
     no driver state, reproducible across engines and repartitionings.
@@ -121,7 +128,11 @@ def token_budget_sample(
             budget = F.when(F.col(stratum) == s, F.lit(int(b)).cast("bigint")).otherwise(budget)
     else:
         budget = F.lit(int(budgets)).cast("bigint")
-    w = Window.partitionBy(stratum).orderBy(row_hash(F.col(key)), F.col(key))
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(row_hash(F.col(key)), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     before = F.sum(tok).over(w) - tok
     return (
         df.withColumn("__before", before)

@@ -104,7 +104,10 @@ def sp3_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(mixes are specified in tokens, not document counts)",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, lang, CAST({_NTOK} AS BIGINT) AS tok, {_H} AS h FROM documents
+  SELECT doc_id, lang,
+         greatest(coalesce(CAST({_NTOK} AS BIGINT), 0), 0) AS tok,
+         {_H} AS h
+  FROM documents
 ), ranked AS (
   SELECT lang, doc_id, tok,
          sum(tok) OVER (PARTITION BY lang ORDER BY h, doc_id
@@ -133,11 +136,16 @@ def sp4_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_col=TX.token_count(F.col("text")),
         budgets={"en": 5000, "de": 2000, "es": 2000, "fr": 1000},
     )
+    # same null/negative clamp as the operator (token_count is -1 for
+    # NULL text) — the oracle's toks CTE mirrors it
+    tok = F.greatest(
+        F.coalesce(TX.token_count(F.col("text")).cast("bigint"), F.lit(0)), F.lit(0)
+    )
     return (
         s.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(TX.token_count(F.col("text"))).alias("n_tokens"),
+            F.sum(tok).alias("n_tokens"),
             F.sum("doc_id").alias("id_sum"),
         )
         .orderBy("lang")

@@ -207,9 +207,13 @@ WITH dims AS (
   FROM documents
 )
 SELECT doc_id,
-       CAST(CASE WHEN w * 48 <= h * 64 THEN (w * 48) // h ELSE 64 END AS INT) AS out_width,
-       CAST(CASE WHEN w * 48 <= h * 64 THEN 48 ELSE (h * 64) // w END AS INT) AS out_height,
-       CAST(16 AS BIGINT) AS blob_len
+       CAST(CASE WHEN w IS NULL THEN NULL
+                 WHEN w * 48 <= h * 64 THEN greatest((w * 48) // h, 1)
+                 ELSE 64 END AS INT) AS out_width,
+       CAST(CASE WHEN w IS NULL THEN NULL
+                 WHEN w * 48 <= h * 64 THEN 48
+                 ELSE greatest((h * 64) // w, 1) END AS INT) AS out_height,
+       CAST(CASE WHEN w IS NULL THEN NULL ELSE 16 END AS BIGINT) AS blob_len
 FROM dims
 ORDER BY doc_id
 """,

@@ -104,6 +104,12 @@ def test_blank_doc_corpus_parity(spark, tmp_path):
         )
         for i in range(80)
     ]
+    # NULL text rows: md5/split/concat all null-propagate — both engines
+    # must agree (the m4/sp4 oracles carry explicit NULL branches)
+    rows += [
+        Row(doc_id=100, text=None, lang="en", source="s0", n_chars=0),
+        Row(doc_id=101, text=None, lang="fr", source="s1", n_chars=0),
+    ]
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -122,6 +128,12 @@ def test_blank_doc_corpus_parity(spark, tmp_path):
         str(tmp_path / "documents.parquet"),
     )
     reg = load_all_queries()
-    for name in ("x8_langid_ngram", "x20_gopher_repetition", "x21_ngram_lm_score"):
+    for name in (
+        "x8_langid_ngram",
+        "x20_gopher_repetition",
+        "x21_ngram_lm_score",
+        "m4_media_resize",
+        "sp4_token_budget_mixture",
+    ):
         ok, detail = compare_query(spark, str(tmp_path), reg[name].fn, reg[name].oracle)
         assert ok, f"{name}: {detail}"

@@ -129,9 +129,15 @@ def test_fit_box_and_resize_media(spark):
     assert fit_box(200, 50, 64, 48) == (64, 16)       # wide → width-bound
     assert fit_box(50, 200, 64, 48) == (12, 48)       # tall → height-bound
     assert fit_box(32, 48, 64, 48) == (32, 48)        # exact fit (upscale h)
-    for w, h in [(100, 100), (200, 50), (50, 200), (33, 47)]:
+    assert fit_box(1, 1000, 64, 48) == (1, 48)        # extreme ratio clamps to ≥1 px
+    assert fit_box(1000, 1, 64, 48) == (64, 1)
+    for w, h in [(100, 100), (200, 50), (50, 200), (33, 47), (1, 1000)]:
         ow, oh = fit_box(w, h, 64, 48)
         assert ow <= 64 and oh <= 48 and ow > 0 and oh > 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        fit_box(0, 0, 64, 48)  # corrupt decode → clear error, not ZeroDivision
 
     rows = [Row(media_id=1, content=bytearray(b"blob-a")),
             Row(media_id=2, content=None)]
