@@ -65,10 +65,11 @@ _PRIORITY = [
     "q18_large_volume_customer", "a2_cube", "j2_brand_supplier_revenue",
     "w1_running_total", "e1_sessionization",
     # 51+: q1 = the driver entry() smoke check; x1 as above; the round-5
-    # additions x18/x19 (locally parity-proven at sf0.001+sf0.01, driver-
-    # gated in r6); then the queries touched by the round-5 connected-
-    # components rewrite (r3-green + locally parity-proven); then the
-    # r3-era set, first in line for round 6
+    # additions x18-x21, d12, st12, sp4, m4 (each locally parity-proven
+    # at sf0.001 + sf0.01 AND in a hostile session, driver-gated in r6);
+    # then the queries touched by the round-5 connected-components
+    # rewrite (r3-green + locally parity-proven); then the r3-era set,
+    # first in line for round 6
     "q1_pricing_summary", "x1_token_stats",
     "x18_pii_redaction", "x19_sequence_packing",
     "x20_gopher_repetition", "x21_ngram_lm_score", "d12_incremental_dedup",
