@@ -1017,3 +1017,137 @@ def x21_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("familiarity"), "doc_id")
         .limit(20)
     )
+
+
+_X22_SCORED = rf"""
+  SELECT doc_id, source,
+         {_NTOK} AS n_tokens,
+         {_QUALITY} AS quality,
+         md5({_NORM}) AS fp,
+         {_marker_count(TX.LANG_MARKERS['en'])} AS s_en,
+         {_marker_count(TX.LANG_MARKERS['de'])} AS s_de,
+         {_marker_count(TX.LANG_MARKERS['es'])} AS s_es,
+         {_marker_count(TX.LANG_MARKERS['fr'])} AS s_fr
+  FROM documents
+"""
+
+
+@query(
+    "x22_curation_funnel",
+    doc="end-to-end curation funnel per source: raw docs → x7's quality/"
+    "lang filter → global exact dedup (min-id winner per fingerprint) → "
+    "x19's per-shard ctx-64 sequence packing — the whole pipeline's "
+    "stage-by-stage accounting in one DAG",
+    oracle=rf"""
+WITH scored AS ({_X22_SCORED}
+), flg AS (
+  SELECT doc_id, source, n_tokens, fp,
+         (CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
+               WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
+               WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
+               WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
+               ELSE 'und' END) <> 'und'
+         AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 500 AS pass
+  FROM scored
+), raw AS (
+  SELECT source, count(*) AS n_raw,
+         CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+  FROM flg GROUP BY source
+), win AS (
+  SELECT * FROM (
+    SELECT source, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM flg WHERE pass
+  ) WHERE rn = 1
+), uniq AS (
+  SELECT source, count(*) AS n_unique,
+         CAST(sum(n_tokens) AS BIGINT) AS unique_tokens
+  FROM win GROUP BY source
+), shards AS (
+  SELECT source, doc_id % 8 AS shard, sum(n_tokens) AS toks
+  FROM win GROUP BY source, shard
+), packed AS (
+  SELECT source,
+         CAST(sum(CAST(floor((toks + 63) / 64.0) AS BIGINT)) AS BIGINT) AS n_sequences
+  FROM shards GROUP BY source
+)
+SELECT r.source, r.n_raw, r.n_quality,
+       CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(coalesce(u.unique_tokens, 0) AS BIGINT) AS unique_tokens,
+       CAST(coalesce(p.n_sequences, 0) AS BIGINT) AS n_sequences
+FROM raw r LEFT JOIN uniq u ON r.source = u.source
+           LEFT JOIN packed p ON r.source = p.source
+ORDER BY r.source
+""",
+)
+def x22_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stages a corpus actually flows through, composed in one DAG:
+    the scored projection (token count, quality, fingerprint, lang-ID —
+    all codegen) is localCheckpoint-ed so the funnel's two branches (raw
+    per-source counts; the dedup→pack chain) read ONE corpus scan
+    instead of re-scanning per branch (x11's discipline, SCALE.md
+    pitfall #6).  Downstream of the checkpoint: one fp shuffle for the
+    global min-id dedup, then per-(source, shard) partial aggregates —
+    the same shapes x7/d1/x19 carry individually, here chained.  Empty
+    sources coalesce to 0 rather than dropping out."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.langid(F.col("text")).alias("lang"),
+    ).localCheckpoint()
+    flg = scored.withColumn(
+        "pass",
+        (F.col("lang") != "und")
+        & (F.col("quality") >= 0.5)
+        & F.col("n_tokens").between(5, 500),
+    )
+    raw = flg.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).alias("n_quality"),
+    )
+    win = (
+        flg.filter(F.col("pass"))
+        .groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("source", "doc_id", "n_tokens"), F.col("doc_id")
+            ).alias("__w")
+        )
+        .select(
+            F.col("__w.source").alias("source"),
+            F.col("__w.doc_id").alias("doc_id"),
+            F.col("__w.n_tokens").alias("n_tokens"),
+        )
+    )
+    uniq = win.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_tokens").alias("unique_tokens"),
+    )
+    packed = (
+        win.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(8)))
+        .groupBy("source", "shard")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.floor((F.col("toks") + 63) / F.lit(64.0)).cast("bigint")).alias(
+                "n_sequences"
+            )
+        )
+    )
+    return (
+        raw.join(uniq, "source", "left")
+        .join(packed, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            "n_quality",
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("bigint").alias("n_unique"),
+            F.coalesce(F.col("unique_tokens"), F.lit(0)).cast("bigint").alias("unique_tokens"),
+            F.coalesce(F.col("n_sequences"), F.lit(0)).cast("bigint").alias("n_sequences"),
+        )
+        .orderBy("source")
+    )
