@@ -48,8 +48,11 @@ def test_ngram_repetition_hand_checked(spark):
 
 
 def test_ngram_repetition_matches_python_reference(spark):
+    # vocab includes multi-byte unicode and regex-special tokens: length()
+    # counts codepoints on both engines, and gram construction must treat
+    # tokens as opaque strings, never patterns
     rng = random.Random(11)
-    vocab = ["a", "bb", "ccc", "dd", "e"]
+    vocab = ["a", "bb", "ccc", "dd", "e", "über", "漢字", "a.b*", "x'y"]
     texts = [
         " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
         for _ in range(60)
