@@ -431,12 +431,44 @@ def ngram_repetition_from(grams: Column) -> Column:
 # ---------------------------------------------------------------------------
 # Patterns are kept to the regex subset with identical semantics in Java
 # (Spark codegen) and RE2 (DuckDB oracle): character classes, bounded
-# repetition, \b word boundaries — no backreferences or lookaround.
+# repetition, \b word boundaries, (?i) inline flags, non-capturing groups
+# — no backreferences or lookaround.
+#
+# email is (?i): regexp_replace is case-sensitive and a lowercase-only
+# scrub silently leaks 'John.Doe@Example.COM' (review find, round 5).
+# phone requires ≥ 9 digits with at most 2 separator chars between
+# consecutive digits: the old '[0-9() -]{7,}' run matched every ISO date
+# and page range (8 digits), corrupting them to <PHONE>; a single date is
+# now safe, at the cost of 7-digit local numbers — and two dates fused by
+# a single space still over-match, the inherent limit of a context-free
+# pattern (production validators use checksum/context passes on top).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("email", r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
+    ("phone", r"\+?[0-9](?:[() -]{0,2}[0-9]){8,}", "<PHONE>"),
 )
+
+_REGEX_META = set("\\.^$|?*+()[]{}")
+_WORD_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+
+
+def regex_quote(term: str) -> str:
+    """Escape regex metacharacters (Java ∩ RE2 portable — no \\Q..\\E)."""
+    return "".join("\\" + c if c in _REGEX_META else c for c in term)
+
+
+def denylist_pattern(term: str) -> str:
+    """Literal-term scrub pattern: metacharacters escaped, and a ``\\b``
+    anchor only at an end whose terminal char is a word char — ``\\b``
+    after a non-word char like '+' would require the NEXT char to be a
+    word char, so '\\bc\\+\\+\\b' never matches 'uses c++ here' (review
+    find, round 5: unescaped splicing turned denylist=('c++',) into a
+    possessive quantifier that redacted every bare 'c')."""
+    if not term:
+        raise ValueError("empty denylist term")
+    pre = r"\b" if term[0] in _WORD_CHARS else ""
+    post = r"\b" if term[-1] in _WORD_CHARS else ""
+    return f"{pre}{regex_quote(term)}{post}"
 
 
 def pii_count(col: Column, pattern: str) -> Column:
@@ -445,14 +477,15 @@ def pii_count(col: Column, pattern: str) -> Column:
 
 
 def scrub_text(col: Column, patterns=PII_PATTERNS, denylist: tuple[str, ...] = ()) -> Column:
-    """Redact every PII pattern (and optional ``\\b``-delimited denylist
-    terms) with its placeholder.  Chained ``regexp_replace`` — pure
-    whole-stage-codegen string work, no Python, order = declaration order
-    (email before phone so a digit-bearing local-part is consumed as the
-    email match, matching the oracle's identical chain)."""
+    """Redact every PII pattern (and optional denylist terms — escaped
+    literals, see :func:`denylist_pattern`) with its placeholder.
+    Chained ``regexp_replace`` — pure whole-stage-codegen string work, no
+    Python, order = declaration order (email before phone so a
+    digit-bearing local-part is consumed as the email match, matching the
+    oracle's identical chain)."""
     out = col
     for _, pat, repl in patterns:
         out = F.regexp_replace(out, pat, repl)
     for term in denylist:
-        out = F.regexp_replace(out, rf"\b{term}\b", "<TERM>")
+        out = F.regexp_replace(out, denylist_pattern(term), "<TERM>")
     return out

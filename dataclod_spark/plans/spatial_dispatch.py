@@ -332,24 +332,10 @@ def _has_top_level_setop(sql: str) -> bool:
     """True when a depth-0 UNION/INTERSECT/EXCEPT exists outside literals
     — each set-op arm has its own FROM, so single-relation rewrites must
     decline rather than attach the first arm's table metadata to every
-    arm's predicates."""
-    i, depth, n = 0, 0, len(sql)
-    while i < n:
-        kind, j = scan_noncode_span(sql, i)
-        if kind is not None:
-            i = j
-            continue
-        ch = sql[i]
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0 and ch in "UIEuie":
-            m = re.match(r"(UNION|INTERSECT|EXCEPT)\b", sql[i:], re.IGNORECASE)
-            if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
-                return True
-        i += 1
-    return False
+    arm's predicates.  One scanner: ``_setop_positions`` IS the
+    definition (a second hand-rolled copy of the scan drifted once —
+    review find, round 5)."""
+    return bool(_setop_positions(sql))
 
 
 def _cols_sql(alias: str, cols: list[str]) -> str:
@@ -359,6 +345,23 @@ def _cols_sql(alias: str, cols: list[str]) -> str:
 
 _SELECT_KW_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
 _ALIAS_STAR_RE = re.compile(r"^([A-Za-z_]\w*)\s*\.\s*\*$")
+_ALIAS_STAR_ANY_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*\*")
+_COUNT_STAR_RE = re.compile(r"\bcount\s*\(\s*\*\s*\)", re.IGNORECASE)
+_ARG_STAR_RE = re.compile(r"[(,]\s*\*\s*[),]")
+
+
+def _star_leaks_into_expression(code: str, expansions: dict[str, str]) -> bool:
+    """True when a select-list item that is NOT itself a star would still
+    expand one inside an expression — ``struct(a.*)`` / ``xxhash64(*)``:
+    after the FROM is replaced by the derived grid side, such stars
+    silently gain the rewrite's internal ``__cell``/``__bb*`` columns
+    (review find, round 5).  ``count(*)`` is exempt (it counts rows, no
+    schema).  ``a * b`` multiplication never sits in argument position
+    (``(``/``,`` before AND ``)``/``,`` after), so it never trips this."""
+    for am in _ALIAS_STAR_ANY_RE.finditer(code):
+        if am.group(1).lower() in expansions:
+            return True
+    return bool(_ARG_STAR_RE.search(_COUNT_STAR_RE.sub("count(1)", code)))
 
 
 def _expand_select_stars(
@@ -427,6 +430,8 @@ def _expand_select_stars(
             out_items.append(" " + expansions[am.group(1).lower()])
             changed = True
         else:
+            if _star_leaks_into_expression(s, expansions):
+                return None  # decline the dispatch — schema would change
             # byte-identical pass-through: stripping would detach a
             # trailing `-- comment` from its newline and comment out the
             # FROM clause the caller appends
@@ -1132,16 +1137,28 @@ def _map_outer_conjunct(
     if bad:
         return None
     mapped = "".join(out)
-    # validate the residue: strip literals/comments and the substituted
-    # backticked refs, then whitelist every remaining identifier
+    # validate the residue of the ORIGINAL conjunct: skip string literals
+    # and comments, skip the alias-qualified refs we substituted, then
+    # (a) DECLINE on any other backtick span — an unqualified backticked
+    # column (`flag` = 1) is an identifier, not a literal, and stripping
+    # it as a quote span let it bypass the whitelist entirely: a query
+    # Spark would reject as ambiguous got silently rewritten against the
+    # join output (review find, round 5) — and (b) whitelist every
+    # remaining bare identifier
     residue: list[str] = []
     i = 0
-    while i < len(mapped):
-        kind, j = scan_noncode_span(mapped, i)
+    while i < len(c):
+        mm = qual_re.match(c, i)
+        if mm:
+            i = mm.end()
+            continue
+        kind, j = scan_noncode_span(c, i)
         if kind is not None:
+            if c[i] == "`":
+                return None
             i = j
             continue
-        residue.append(mapped[i])
+        residue.append(c[i])
         i += 1
     for ident in _IDENT_RE.findall("".join(residue)):
         if ident.lower() not in _OUTER_CONJ_ALLOWED:
@@ -1228,22 +1245,6 @@ def try_outer_spatial_join(session, sql: str) -> Optional[str]:
         if (lmeta is not None and lmeta.exact and rmeta is not None and rmeta.exact)
         else "auto"
     )
-    joined = spatial_join(
-        ldf,
-        rdf,
-        predicate,
-        left_geom=lgeom,
-        right_geom=rgeom,
-        how=how,
-        distance=(expand if predicate == "dwithin" else None),
-        cell_target=getattr(session, "spatial_join_cells", None),
-        left_bbox=_meta_bbox(lmeta),
-        right_bbox=_meta_bbox(rmeta),
-        refine=refine,
-        extra_condition=extra_cond,
-    )
-    view = f"__spatial_outer_join_{next(_outer_view_counter)}"
-    joined.createOrReplaceTempView(view)
 
     lcols = set(ldf.columns)
 
@@ -1252,9 +1253,13 @@ def try_outer_spatial_join(session, sql: str) -> Optional[str]:
             return col
         return f"{col}_right" if col in lcols else col
 
-    # star discipline first: the view's overlap columns carry the _right
-    # suffix, so `b.*` (and b's slice of a bare `*`) must alias them BACK
-    # to the original names or the result schema silently changes.
+    # star discipline FIRST — before the eager join build: the view's
+    # overlap columns carry the _right suffix, so `b.*` (and b's slice of
+    # a bare `*`) must alias them BACK to the original names or the
+    # result schema silently changes; and when the expansion declines,
+    # declining HERE means no grid-sampling jobs ran and no temp view
+    # leaked for a query we then hand back to default planning (review
+    # find, round 5).
     star_l = ", ".join(f"`{c}`" for c in ldf.columns)
     star_r = ", ".join(
         f"`{m_}` AS `{c}`" if (m_ := _map_ref(ra, c)) != c else f"`{c}`"
@@ -1272,6 +1277,23 @@ def try_outer_spatial_join(session, sql: str) -> Optional[str]:
     )
     if prefix is None:
         return None
+
+    joined = spatial_join(
+        ldf,
+        rdf,
+        predicate,
+        left_geom=lgeom,
+        right_geom=rgeom,
+        how=how,
+        distance=(expand if predicate == "dwithin" else None),
+        cell_target=getattr(session, "spatial_join_cells", None),
+        left_bbox=_meta_bbox(lmeta),
+        right_bbox=_meta_bbox(rmeta),
+        refine=refine,
+        extra_condition=extra_cond,
+    )
+    view = f"__spatial_outer_join_{next(_outer_view_counter)}"
+    joined.createOrReplaceTempView(view)
     rest = prefix + f"FROM {view} " + sql[on_end:]
     # rewrite remaining alias-qualified references (a.x / b.`x` / a.* in
     # clauses outside the owning select list) against the view — but only

@@ -744,7 +744,7 @@ _SCRUBBED = "text"
 for _, _pat, _repl in TX.PII_PATTERNS:
     _SCRUBBED = f"regexp_replace({_SCRUBBED}, '{_pat}', '{_repl}', 'g')"
 for _term in _SCRUB_DENY:
-    _SCRUBBED = rf"regexp_replace({_SCRUBBED}, '\b{_term}\b', '<TERM>', 'g')"
+    _SCRUBBED = rf"regexp_replace({_SCRUBBED}, '{TX.denylist_pattern(_term)}', '<TERM>', 'g')"
 
 
 @query(
@@ -758,7 +758,7 @@ SELECT source,
        CAST(sum(len(regexp_extract_all(text, '{TX.PII_PATTERNS[0][1]}'))) AS BIGINT) AS n_email,
        CAST(sum(len(regexp_extract_all(text, '{TX.PII_PATTERNS[1][1]}'))) AS BIGINT) AS n_ipv4,
        CAST(sum(len(regexp_extract_all(text, '{TX.PII_PATTERNS[2][1]}'))) AS BIGINT) AS n_phone,
-       CAST(sum(len(regexp_extract_all(text, '\b{_SCRUB_DENY[0]}\b'))) AS BIGINT) AS n_term,
+       CAST(sum(len(regexp_extract_all(text, '{TX.denylist_pattern(_SCRUB_DENY[0])}'))) AS BIGINT) AS n_term,
        CAST(sum(len({_SCRUBBED})) AS BIGINT) AS scrubbed_chars
 FROM documents
 GROUP BY source
@@ -781,7 +781,7 @@ def x18_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(TX.pii_count(t, TX.PII_PATTERNS[0][1])).alias("n_email"),
             F.sum(TX.pii_count(t, TX.PII_PATTERNS[1][1])).alias("n_ipv4"),
             F.sum(TX.pii_count(t, TX.PII_PATTERNS[2][1])).alias("n_phone"),
-            F.sum(TX.pii_count(t, rf"\b{_SCRUB_DENY[0]}\b")).alias("n_term"),
+            F.sum(TX.pii_count(t, TX.denylist_pattern(_SCRUB_DENY[0]))).alias("n_term"),
             F.sum(F.length(TX.scrub_text(t, denylist=_SCRUB_DENY))).alias("scrubbed_chars"),
         )
         .orderBy("source")

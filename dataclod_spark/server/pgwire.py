@@ -723,7 +723,13 @@ class _Connection:
             if _statement_head(po.stmt.sql) == "explain":
                 self.p.send_row_description([("plan", _OID_TEXT)], po.column_formats(1))
                 return
-            df, _ = self._run_sql(po.stmt.sql, po.params or None)
+            # an already-planned frame answers repeated Describes without
+            # re-running _run_sql (a psycopg3/JDBC client Describes before
+            # every Execute and on suspended-portal fetch loops — re-
+            # planning re-pays spatial-dispatch sampling jobs each time)
+            df = po.df
+            if df is None:
+                df, _ = self._run_sql(po.stmt.sql, po.params or None)
             if df is None:
                 self.p.send(b"n")  # NoData
             else:

@@ -109,3 +109,61 @@ def test_scrub_patterns_match_duckdb_semantics(spark):
             for t in texts
         ]
         assert got == want, (name, got, want)
+
+
+def test_scrub_case_insensitive_email_and_escaped_denylist(spark):
+    """Round-5 review finds: uppercase emails leaked (case-sensitive
+    pattern), unescaped denylist terms became live regex ('c++' →
+    possessive quantifier redacting bare 'c'), and dates were eaten as
+    phone numbers."""
+    from dataclod_spark.functions.text import denylist_pattern
+
+    doc = (
+        "mail John.Doe@Example.COM and MIXED@case.Org; "
+        "uses c++ heavily; c is fine; a.b stays; "
+        "released 2023-01-01, call 9999999999"
+    )
+    df = spark.createDataFrame([Row(text=doc)])
+    row = df.select(
+        scrub_text(F.col("text"), denylist=("c++",)).alias("scrubbed")
+    ).collect()[0]
+    s = row.scrubbed
+    assert "Example.COM" not in s and "MIXED@case.Org" not in s   # (?i) email
+    assert s.count("<EMAIL>") == 2
+    assert "<TERM> heavily" in s and "c is fine" in s             # escaped c++
+    assert "a.b stays" in s
+    assert "2023-01-01" in s                                      # date survives
+    assert "9999999999" not in s and "<PHONE>" in s               # 10 digits redacted
+    # pattern helper semantics
+    assert denylist_pattern("customer") == r"\bcustomer\b"
+    assert denylist_pattern("c++") == r"\bc\+\+"
+    assert denylist_pattern("a.b") == r"\ba\.b\b"
+
+
+def test_scrub_new_patterns_match_duckdb(spark):
+    """Dialect agreement for the (?i) email and ≥9-digit phone patterns."""
+    import duckdb
+
+    from dataclod_spark.functions.text import PII_PATTERNS, pii_count
+
+    texts = [
+        "John.Doe@Example.COM x@Y.ZW lower@case.com",
+        "2023-01-01 and 2024-12-31",          # single dates: no phone
+        "+1 (555) 123-4567 or 020 7946 0958",  # real phone shapes
+        "12345678 123456789",                  # 8 digits no, 9 digits yes
+    ]
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    con = duckdb.connect()
+    for name, pat, _ in PII_PATTERNS:
+        got = [r[0] for r in df.select(pii_count(F.col("text"), pat)).collect()]
+        want = [
+            con.execute("SELECT len(regexp_extract_all(?, ?))", [t, pat]).fetchone()[0]
+            for t in texts
+        ]
+        assert got == want, f"{name}: spark={got} duckdb={want}"
+    # and the intended semantics, not just agreement
+    phone = PII_PATTERNS[2][1]
+    counts = [r[0] for r in df.select(pii_count(F.col("text"), phone)).collect()]
+    assert counts[1] == 0            # dates are not phones anymore
+    assert counts[2] == 2            # both phone shapes caught
+    assert counts[3] == 1            # 9-digit floor

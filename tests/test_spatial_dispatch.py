@@ -794,3 +794,53 @@ def test_outer_join_extra_conjunct_dispatch(engine, sdata):
         | {(None, bi) for bi, _ in boxes if bi not in mb2}
     )
     assert got2 == want2 and got2
+
+
+def test_outer_decline_leaks_no_view_or_work(engine, sdata):
+    """Round-5 review find: the outer dispatch used to build the eager
+    grid join AND register its temp view BEFORE the star-discipline
+    check could decline — every retry of an undispatchable query burned
+    sampling jobs and leaked one more __spatial_outer_join_N view."""
+    spark = engine.spark
+    before = {v.name for v in spark.catalog.listTables() if v.name.startswith("__spatial_outer_join")}
+    # bare * with a trailing join → _expand_select_stars declines
+    df = engine.sql(
+        "SELECT * FROM disp_pts p LEFT JOIN disp_boxes b "
+        "ON ST_Intersects(p.geom, b.geom) JOIN disp_boxes c ON b.bid = c.bid"
+    )
+    assert df.count() >= 0  # falls back to default planning and still runs
+    after = {v.name for v in spark.catalog.listTables() if v.name.startswith("__spatial_outer_join")}
+    assert after == before, f"leaked temp views: {after - before}"
+
+
+def test_outer_backticked_unqualified_conjunct_declines(engine, sdata):
+    """Round-5 review find: `ON ST_pred(..) AND \\`bid\\` = 1` — an
+    unqualified BACKTICKED identifier must not bypass the conservative
+    whitelist (it is an identifier, not a literal)."""
+    from dataclod_spark.plans.spatial_dispatch import _map_outer_conjunct
+
+    assert _map_outer_conjunct("`bid` = 1", "p", "b", {"pid"}, {"bid"}) is None
+    # the qualified forms still map
+    assert _map_outer_conjunct("b.`bid` = 1", "p", "b", {"pid"}, {"bid"}) == "`bid` = 1"
+    assert _map_outer_conjunct("b.bid = 1", "p", "b", {"pid"}, {"bid"}) == "`bid` = 1"
+
+
+def test_star_inside_expression_declines_dispatch(engine, sdata):
+    """Round-5 review find: struct(b.*) nested in an expression is not a
+    whole-item star — passing it through used to leak the grid rewrite's
+    internal __cell/__bb columns into the struct.  The dispatch must
+    decline (result computed by default planning stays correct)."""
+    from dataclod_spark.plans.spatial_dispatch import _expand_select_stars
+
+    exp = {"b": "`bid`"}
+    assert _expand_select_stars("SELECT struct(b.*) AS s ", exp, ["`x`"]) is None
+    assert _expand_select_stars("SELECT xxhash64(*) AS h ", exp, ["`x`"]) is None
+    # count(*) is exempt; multiplication is never argument-position
+    assert (
+        _expand_select_stars("SELECT count(*) AS n ", exp, ["`x`"])
+        == "SELECT count(*) AS n "
+    )
+    assert (
+        _expand_select_stars("SELECT (a * b) AS m ", exp, ["`x`"])
+        == "SELECT (a * b) AS m "
+    )
