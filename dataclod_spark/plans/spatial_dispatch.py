@@ -344,8 +344,10 @@ def _cols_sql(alias: str, cols: list[str]) -> str:
 
 
 _SELECT_KW_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
-_ALIAS_STAR_RE = re.compile(r"^([A-Za-z_]\w*)\s*\.\s*\*$")
-_ALIAS_STAR_ANY_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*\*")
+# aliases may be backtick-quoted (`b`.*) — \b can't sit before a backtick,
+# so the any-position form uses a lookbehind instead
+_ALIAS_STAR_RE = re.compile(r"^`?([A-Za-z_]\w*)`?\s*\.\s*\*$")
+_ALIAS_STAR_ANY_RE = re.compile(r"(?<![\w`])`?([A-Za-z_]\w*)`?\s*\.\s*\*")
 _COUNT_STAR_RE = re.compile(r"\bcount\s*\(\s*\*\s*\)", re.IGNORECASE)
 _ARG_STAR_RE = re.compile(r"[(,]\s*\*\s*[),]")
 
@@ -357,11 +359,28 @@ def _star_leaks_into_expression(code: str, expansions: dict[str, str]) -> bool:
     silently gain the rewrite's internal ``__cell``/``__bb*`` columns
     (review find, round 5).  ``count(*)`` is exempt (it counts rows, no
     schema).  ``a * b`` multiplication never sits in argument position
-    (``(``/``,`` before AND ``)``/``,`` after), so it never trips this."""
-    for am in _ALIAS_STAR_ANY_RE.finditer(code):
+    (``(``/``,`` before AND ``)``/``,`` after), so it never trips this.
+
+    String literals and comments are blinded first (a regex literal
+    ``'b.*'`` or ``'(*)'`` inside instr() is data, not a star — matching
+    it falsely declined the dispatch, which for OUTER spatial joins means
+    an unplannable fallback: second-pass review find, round 5); backtick
+    identifier spans stay visible so quoted alias stars are caught."""
+    out: list[str] = []
+    i, n = 0, len(code)
+    while i < n:
+        kind, j = scan_noncode_span(code, i)
+        if kind is not None:
+            out.append(code[i:j] if code[i] == "`" else " ")
+            i = j
+            continue
+        out.append(code[i])
+        i += 1
+    blinded = "".join(out)
+    for am in _ALIAS_STAR_ANY_RE.finditer(blinded):
         if am.group(1).lower() in expansions:
             return True
-    return bool(_ARG_STAR_RE.search(_COUNT_STAR_RE.sub("count(1)", code)))
+    return bool(_ARG_STAR_RE.search(_COUNT_STAR_RE.sub("count(1)", blinded)))
 
 
 def _expand_select_stars(

@@ -46,6 +46,21 @@ def _marker_count(markers: tuple[str, ...]) -> str:
     return rf"len(list_filter({_TOKS}, t -> t IN ({inlist})))"
 
 
+# ONE spelling of the marker-word lang-ID for every oracle (x3/x7/x17/x22
+# used to carry four hand-synced copies of the argmax CASE — the oracle-
+# side twin of TX.langid's tie-break, which must never drift per site)
+_LANG_SCORE_COLS = ",\n         ".join(
+    f"{_marker_count(TX.LANG_MARKERS[lang])} AS s_{lang}"
+    for lang in ("en", "de", "es", "fr")
+)
+_G4 = "greatest(s_en, s_de, s_es, s_fr)"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(f"WHEN s_{lang} = {_G4} AND {_G4} > 0 THEN '{lang}'" for lang in ("en", "de", "es", "fr"))
+    + " ELSE 'und' END"
+)
+
+
 @query(
     "x1_token_stats",
     bench=True,
@@ -105,18 +120,10 @@ def x2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
 WITH scored AS (
   SELECT doc_id,
-         {_marker_count(TX.LANG_MARKERS['en'])} AS s_en,
-         {_marker_count(TX.LANG_MARKERS['de'])} AS s_de,
-         {_marker_count(TX.LANG_MARKERS['es'])} AS s_es,
-         {_marker_count(TX.LANG_MARKERS['fr'])} AS s_fr
+         {_LANG_SCORE_COLS}
   FROM documents
 ), detected AS (
-  SELECT doc_id,
-         CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
-              WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
-              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
-              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
-              ELSE 'und' END AS lang_detected
+  SELECT doc_id, {_LANG_CASE} AS lang_detected
   FROM scored
 )
 SELECT lang_detected, count(*) AS n_docs
@@ -221,18 +228,10 @@ WITH scored AS (
          {_NTOK} AS n_tokens,
          {_QUALITY} AS quality,
          md5({_NORM}) AS fp,
-         {_marker_count(TX.LANG_MARKERS['en'])} AS s_en,
-         {_marker_count(TX.LANG_MARKERS['de'])} AS s_de,
-         {_marker_count(TX.LANG_MARKERS['es'])} AS s_es,
-         {_marker_count(TX.LANG_MARKERS['fr'])} AS s_fr
+         {_LANG_SCORE_COLS}
   FROM documents
 ), detected AS (
-  SELECT *,
-         CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
-              WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
-              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
-              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
-              ELSE 'und' END AS lang
+  SELECT *, {_LANG_CASE} AS lang
   FROM scored
 ), kept AS (
   SELECT * FROM detected
@@ -704,18 +703,10 @@ def x16_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
 WITH scored AS (
   SELECT lang AS declared,
-         {_marker_count(TX.LANG_MARKERS['en'])} AS s_en,
-         {_marker_count(TX.LANG_MARKERS['de'])} AS s_de,
-         {_marker_count(TX.LANG_MARKERS['es'])} AS s_es,
-         {_marker_count(TX.LANG_MARKERS['fr'])} AS s_fr
+         {_LANG_SCORE_COLS}
   FROM documents
 ), detected AS (
-  SELECT declared,
-         CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
-              WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
-              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
-              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
-              ELSE 'und' END AS detected
+  SELECT declared, {_LANG_CASE} AS detected
   FROM scored
 )
 SELECT declared, detected, count(*) AS n_docs
@@ -1024,10 +1015,7 @@ _X22_SCORED = rf"""
          {_NTOK} AS n_tokens,
          {_QUALITY} AS quality,
          md5({_NORM}) AS fp,
-         {_marker_count(TX.LANG_MARKERS['en'])} AS s_en,
-         {_marker_count(TX.LANG_MARKERS['de'])} AS s_de,
-         {_marker_count(TX.LANG_MARKERS['es'])} AS s_es,
-         {_marker_count(TX.LANG_MARKERS['fr'])} AS s_fr
+         {_LANG_SCORE_COLS}
   FROM documents
 """
 
@@ -1042,11 +1030,7 @@ _X22_SCORED = rf"""
 WITH scored AS ({_X22_SCORED}
 ), flg AS (
   SELECT doc_id, source, n_tokens, fp,
-         (CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
-               WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
-               WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
-               WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
-               ELSE 'und' END) <> 'und'
+         ({_LANG_CASE}) <> 'und'
          AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 500 AS pass
   FROM scored
 ), raw AS (

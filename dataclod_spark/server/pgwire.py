@@ -733,11 +733,13 @@ class _Connection:
             if df is None:
                 self.p.send(b"n")  # NoData
             else:
-                if po.iter is None and not po.done:
-                    # reuse the planned frame in Execute; a suspended or
-                    # completed portal resumes its iterator and would
-                    # never consume (only pin) the cached frame
-                    po.df = df
+                # cache unconditionally: the first Execute consumes the
+                # frame (iter None, not done); a suspended/completed
+                # portal resumes its iterator and only ever reads the
+                # cached frame's SCHEMA here — without the cache, every
+                # Describe of a suspended-portal fetch loop re-planned
+                # the statement (second-pass review find, round 5)
+                po.df = df
                 fields = [(f.name, _spark_type_oid(f.dataType)) for f in df.schema.fields]
                 self.p.send_row_description(fields, po.column_formats(len(fields)))
         except Exception as e:  # noqa: BLE001

@@ -844,3 +844,31 @@ def test_star_inside_expression_declines_dispatch(engine, sdata):
         _expand_select_stars("SELECT (a * b) AS m ", exp, ["`x`"])
         == "SELECT (a * b) AS m "
     )
+
+
+def test_backticked_alias_star_and_literal_blindness(engine, sdata):
+    """Second-pass review finds: `b`.* must expand/decline like b.* (the
+    quoted form used to bypass both star regexes), while a string
+    LITERAL containing '(*)' or 'b.*' is data and must NOT decline."""
+    from dataclod_spark.plans.spatial_dispatch import (
+        _expand_select_stars,
+        _star_leaks_into_expression,
+    )
+
+    exp = {"b": "`bid`"}
+    # quoted whole-item star expands
+    assert _expand_select_stars("SELECT `b`.* ", exp, ["`x`"]) == "SELECT `bid` "
+    # quoted star nested in an expression declines
+    assert _expand_select_stars("SELECT struct(`b`.*) AS s ", exp, ["`x`"]) is None
+    # literals are blind
+    assert not _star_leaks_into_expression("instr(p.name, '(*)')", exp)
+    assert not _star_leaks_into_expression("regexp_extract(p.name, 'b.*', 0)", exp)
+    assert _star_leaks_into_expression("struct(`b`.*)", exp)
+    # end-to-end: an outer spatial join with a '(*)' literal in the select
+    # list still dispatches (declining would make it unplannable)
+    df = engine.sql(
+        "SELECT p.pid, b.bid, instr('x(*)y', '(*)') AS k FROM disp_pts p "
+        "LEFT JOIN disp_boxes b ON ST_Intersects(p.geom, b.geom)"
+    )
+    assert df.count() > 0
+    assert "BroadcastNestedLoopJoin" not in _plan(df)
