@@ -348,3 +348,33 @@ def test_cdc_upsert_out_of_order_across_batches(spark, tmp_path_factory):
     # stale 99.0 ignored; user 3 deleted and NOT resurrected by the stale
     # post-delete change (tombstone sequence blocks it)
     assert got == {1: 5.0, 2: 7.0}
+
+
+def test_streaming_incremental_dedup_empty_delta(spark, tmp_path):
+    """An empty new-document stream (predicate matches nothing) must
+    drain cleanly and return an empty labeled frame with the right
+    schema — not crash in foreachBatch or the sink readback."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataclod_spark.streaming.run import (
+        read_documents_stream_multibatch,
+        streaming_incremental_dedup,
+    )
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["snapshot one", "snapshot two"]}),
+        str(src / "documents.parquet"),
+    )
+    old = spark.read.parquet(str(src / "documents.parquet"))
+    stage = str(tmp_path / "stage")
+    out = str(tmp_path / "out")
+    ds = read_documents_stream_multibatch(
+        spark, str(src), stage, n_files=2, pred_sql="doc_id < 0"
+    )
+    res = streaming_incremental_dedup(spark, ds, old, out, jaccard_threshold=0.5)
+    assert res.count() == 0
+    assert "drop_reason" in res.columns and "doc_id" in res.columns
