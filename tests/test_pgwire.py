@@ -1326,3 +1326,42 @@ def test_simple_copy_answers_copy_tag(client, tmp_path):
     dest = tmp_path / "copy_simple"
     cols, rows, tag = client.query(f"COPY (SELECT 1 AS x) TO '{dest}' (FORMAT parquet)")
     assert rows == [] and tag == "COPY 1", (cols, rows, tag)
+
+
+def test_extended_protocol_garbage_fuzz(server):
+    """Deterministic frame-level fuzz: random extended-protocol messages
+    with garbage payloads must never hang or kill the connection thread —
+    every round ends with Sync, the server answers ReadyForQuery, and a
+    clean query still works afterwards."""
+    import random
+
+    rng = random.Random(1234)
+    c = MiniPgClient(server.port)
+    assert c.login()[-1][0] == b"Z"
+    tags = [b"P", b"B", b"D", b"E", b"C", b"H", b"S"]
+    for round_no in range(30):
+        for _ in range(rng.randint(1, 6)):
+            tag = rng.choice(tags)
+            if tag == b"S":
+                continue  # sync sent explicitly below
+            kind = rng.random()
+            if kind < 0.4:
+                payload = bytes(rng.randrange(256) for _ in range(rng.randint(0, 40)))
+            elif kind < 0.7:
+                # plausible-looking null-terminated names + junk
+                payload = (
+                    rng.choice([b"", b"s1\x00", b"\x00", b"p\xff\x00"])
+                    + bytes(rng.randrange(256) for _ in range(rng.randint(0, 12)))
+                )
+            else:
+                payload = b"\x00" * rng.randint(0, 8)
+            c.send(tag, payload)
+        c.send(b"S")  # Sync: the server must discard and recover
+        # drain until ReadyForQuery — bounded by the socket timeout
+        while True:
+            t, _ = c.read_message()
+            if t == b"Z":
+                break
+    cols, rows, tag = c.query("SELECT 1 AS ok")
+    assert rows == [[b"1"]] and tag == "SELECT 1"
+    c.close()
