@@ -74,7 +74,7 @@ _PRIORITY = [
     "x18_pii_redaction", "x19_sequence_packing",
     "x20_gopher_repetition", "x21_ngram_lm_score", "d12_incremental_dedup",
     "st12_stream_incremental_dedup", "sp4_token_budget_mixture",
-    "m4_media_resize", "x22_curation_funnel",
+    "m4_media_resize", "x22_curation_funnel", "v9_embedding_dim_health",
     "d7_dedup_clusters", "g23_dbscan_clusters",
     "s4_setops_all", "b1_bucketed_join", "a6_percentiles",
     "w5_groups_frame", "w6_distribution_ranks",

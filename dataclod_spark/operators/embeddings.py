@@ -230,3 +230,56 @@ def kmeans_clusters(
         )
         .orderBy("cluster_id")
     )
+
+
+def dim_stats(df: DataFrame, vec: str, dim: int) -> DataFrame:
+    """Per-dimension health profile of an embedding corpus:
+    ``(dim, n, mean, std, min, max)`` — the collapsed/dead-dimension check
+    a vector store runs before trusting distances (a dimension with ~0
+    std contributes nothing; one with a huge range dominates L2).
+
+    Same discipline as :func:`label_centroids`: ``dim`` column aggregates
+    in ONE global partial+final pass (no explode — explode would multiply
+    the corpus ×dim before the shuffle), sums carried in exact DECIMAL so
+    the means/stds are order-independent, then the 1-row result pivots to
+    ``dim`` rows driver-free via posexplode of an inline struct array.
+    std uses the population form sqrt(E[x²] − E[x]²) computed in IEEE
+    doubles from the exact sums — deterministic across engines."""
+    x = lambda i: F.col(vec)[i].cast("double")
+    aggs = []
+    for i in range(dim):
+        aggs += [
+            F.sum(x(i).cast(_ACC)).alias(f"__s{i}"),
+            F.sum((x(i) * x(i)).cast(_ACC)).alias(f"__q{i}"),
+            F.min(x(i)).alias(f"__mn{i}"),
+            F.max(x(i)).alias(f"__mx{i}"),
+        ]
+    g = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    n = F.col("__n")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("dim"),
+                (F.col(f"__s{i}").cast("double") / n).alias("mean"),
+                F.sqrt(
+                    F.greatest(
+                        F.col(f"__q{i}").cast("double") / n
+                        - (F.col(f"__s{i}").cast("double") / n)
+                        * (F.col(f"__s{i}").cast("double") / n),
+                        F.lit(0.0),
+                    )
+                ).alias("std"),
+                F.col(f"__mn{i}").alias("mn"),
+                F.col(f"__mx{i}").alias("mx"),
+            )
+            for i in range(dim)
+        ]
+    )
+    return g.select(n.alias("__cnt"), F.explode(rows).alias("__r")).select(
+        F.col("__r.dim").alias("dim"),
+        F.col("__cnt").alias("n"),
+        F.round(F.col("__r.mean"), 8).alias("mean"),
+        F.round(F.col("__r.std"), 8).alias("std"),
+        F.round(F.col("__r.mn"), 8).alias("dim_min"),
+        F.round(F.col("__r.mx"), 8).alias("dim_max"),
+    )

@@ -535,3 +535,41 @@ def v8_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "v9_embedding_dim_health",
+    doc="per-dimension embedding health profile (mean/std/min/max per "
+    "dim, exact-DECIMAL sums): the collapsed/dead-dimension check a "
+    "vector store runs before trusting distances",
+    oracle="""
+WITH ux AS (
+  SELECT u.i AS dim, CAST(e.embedding[u.i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE embedding IS NOT NULL) u
+  JOIN embeddings e ON e.vec_id = u.vec_id
+)
+SELECT dim, count(*) AS n,
+       round(CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*), 8) AS mean,
+       round(sqrt(greatest(
+         CAST(sum(CAST(x * x AS DECIMAL(27,10))) AS DOUBLE) / count(*)
+         - (CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*))
+           * (CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*)),
+         0.0)), 8) AS std,
+       round(min(x), 8) AS dim_min,
+       round(max(x), 8) AS dim_max
+FROM ux
+GROUP BY dim
+ORDER BY dim
+""",
+)
+def v9_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.embeddings.dim_stats — dim column aggregates in ONE
+    global partial+final pass (no ×dim explode of the corpus; the oracle
+    spells the unnest formulation), exact-DECIMAL sums so the moments are
+    summation-order-independent, 1-row → dim-rows pivot via posexplode.
+    At 100 TB this is a single all-reduce of 4·dim accumulators."""
+    from dataclod_spark.operators.embeddings import dim_stats
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    return dim_stats(e, "embedding", _DIM).orderBy("dim")

@@ -138,3 +138,30 @@ def test_kmeans_deterministic_across_runs(spark):
     a = [tuple(r) for r in kmeans_clusters(df, "embedding", 4, k=3, iters=2).collect()]
     b = [tuple(r) for r in kmeans_clusters(df, "embedding", 4, k=3, iters=2).collect()]
     assert a == b and len(a) >= 2
+
+
+def test_dim_stats_matches_numpy(spark):
+    """dim_stats vs numpy on a planted matrix, including a collapsed
+    (constant) dimension — the health signal the operator exists for."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.embeddings import dim_stats
+
+    rng = np.random.default_rng(5)
+    m = rng.normal(0, 1, size=(60, 4)).astype(np.float32)
+    m[:, 2] = 0.25  # collapsed dim
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.dim: r for r in dim_stats(df, "embedding", 4).collect()}
+    md = m.astype(np.float64)
+    for d in range(4):
+        r = got[d + 1]
+        assert r.n == 60
+        assert abs(r.mean - md[:, d].mean()) < 1e-7
+        assert abs(r.std - md[:, d].std()) < 1e-6
+        assert abs(r.dim_min - md[:, d].min()) < 1e-7
+        assert abs(r.dim_max - md[:, d].max()) < 1e-7
+    assert got[3].std == 0.0  # collapsed dimension reads exactly 0
