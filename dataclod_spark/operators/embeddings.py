@@ -38,6 +38,7 @@ __all__ = [
     "cosine_to_centroid",
     "scalar_quantize",
     "kmeans_clusters",
+    "dim_stats",
 ]
 
 # exact accumulator type for cross-row sums of double-cast floats
@@ -249,23 +250,29 @@ def dim_stats(df: DataFrame, vec: str, dim: int) -> DataFrame:
     aggs = []
     for i in range(dim):
         aggs += [
+            # per-dim COUNT, not the row count: sum/min/max skip nulls, so
+            # dividing a null-skipping sum by the total row count would
+            # bias mean/std for short vectors or null elements (and
+            # diverge from the oracle's unnest formulation, which only
+            # sees present elements)
+            F.count(x(i)).alias(f"__n{i}"),
             F.sum(x(i).cast(_ACC)).alias(f"__s{i}"),
             F.sum((x(i) * x(i)).cast(_ACC)).alias(f"__q{i}"),
             F.min(x(i)).alias(f"__mn{i}"),
             F.max(x(i)).alias(f"__mx{i}"),
         ]
-    g = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
-    n = F.col("__n")
+    g = df.agg(*aggs)
     rows = F.array(
         *[
             F.struct(
                 F.lit(i + 1).alias("dim"),
-                (F.col(f"__s{i}").cast("double") / n).alias("mean"),
+                F.col(f"__n{i}").alias("n"),
+                (F.col(f"__s{i}").cast("double") / F.col(f"__n{i}")).alias("mean"),
                 F.sqrt(
                     F.greatest(
-                        F.col(f"__q{i}").cast("double") / n
-                        - (F.col(f"__s{i}").cast("double") / n)
-                        * (F.col(f"__s{i}").cast("double") / n),
+                        F.col(f"__q{i}").cast("double") / F.col(f"__n{i}")
+                        - (F.col(f"__s{i}").cast("double") / F.col(f"__n{i}"))
+                        * (F.col(f"__s{i}").cast("double") / F.col(f"__n{i}")),
                         F.lit(0.0),
                     )
                 ).alias("std"),
@@ -275,9 +282,9 @@ def dim_stats(df: DataFrame, vec: str, dim: int) -> DataFrame:
             for i in range(dim)
         ]
     )
-    return g.select(n.alias("__cnt"), F.explode(rows).alias("__r")).select(
+    return g.select(F.explode(rows).alias("__r")).select(
         F.col("__r.dim").alias("dim"),
-        F.col("__cnt").alias("n"),
+        F.col("__r.n").alias("n"),
         F.round(F.col("__r.mean"), 8).alias("mean"),
         F.round(F.col("__r.std"), 8).alias("std"),
         F.round(F.col("__r.mn"), 8).alias("dim_min"),

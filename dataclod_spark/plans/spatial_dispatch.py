@@ -371,7 +371,11 @@ def _star_leaks_into_expression(code: str, expansions: dict[str, str]) -> bool:
     while i < n:
         kind, j = scan_noncode_span(code, i)
         if kind is not None:
-            out.append(code[i:j] if code[i] == "`" else " ")
+            # blind literals to a LETTER, not a space: a space placeholder
+            # turned ('a' * 'b') into '(  *  )', which the argument-
+            # position star regex matched — a real multiplication of two
+            # literals falsely declined the dispatch (third-pass find)
+            out.append(code[i:j] if code[i] == "`" else "L")
             i = j
             continue
         out.append(code[i])

@@ -48,15 +48,17 @@ def _marker_count(markers: tuple[str, ...]) -> str:
 
 # ONE spelling of the marker-word lang-ID for every oracle (x3/x7/x17/x22
 # used to carry four hand-synced copies of the argmax CASE — the oracle-
-# side twin of TX.langid's tie-break, which must never drift per site)
+# side twin of TX.langid's tie-break, which must never drift per site).
+# Both the score columns and the WHEN order iterate TX.LANG_PRIORITY
+# itself, so reordering/extending the language set cannot desync them.
 _LANG_SCORE_COLS = ",\n         ".join(
     f"{_marker_count(TX.LANG_MARKERS[lang])} AS s_{lang}"
-    for lang in ("en", "de", "es", "fr")
+    for lang in TX.LANG_PRIORITY
 )
-_G4 = "greatest(s_en, s_de, s_es, s_fr)"
+_G4 = f"greatest({', '.join(f's_{lang}' for lang in TX.LANG_PRIORITY)})"
 _LANG_CASE = (
     "CASE "
-    + " ".join(f"WHEN s_{lang} = {_G4} AND {_G4} > 0 THEN '{lang}'" for lang in ("en", "de", "es", "fr"))
+    + " ".join(f"WHEN s_{lang} = {_G4} AND {_G4} > 0 THEN '{lang}'" for lang in TX.LANG_PRIORITY)
     + " ELSE 'und' END"
 )
 

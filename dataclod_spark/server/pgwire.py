@@ -771,8 +771,12 @@ class _Connection:
                 # suspend and resume (PG portal semantics)
                 if po.df is not None:
                     # Describe already planned this portal (lazily — the
-                    # row-returning path never executes at Describe time)
-                    df, po.df = po.df, None
+                    # row-returning path never executes at Describe time).
+                    # READ without consuming: nulling it made the first
+                    # Describe after a suspension re-plan the statement
+                    # (third-pass find); the frame is a plan object, so
+                    # pinning it on the portal costs nothing
+                    df = po.df
                 else:
                     df, tag = self._run_sql(po.stmt.sql, po.params or None)
                     if df is None:

@@ -863,6 +863,9 @@ def test_backticked_alias_star_and_literal_blindness(engine, sdata):
     # literals are blind
     assert not _star_leaks_into_expression("instr(p.name, '(*)')", exp)
     assert not _star_leaks_into_expression("regexp_extract(p.name, 'b.*', 0)", exp)
+    # third-pass find: a real multiplication of two LITERALS must not be
+    # bridged into an argument-position star by the blinding placeholder
+    assert not _star_leaks_into_expression("('2' * '3')", exp)
     assert _star_leaks_into_expression("struct(`b`.*)", exp)
     # end-to-end: an outer spatial join with a '(*)' literal in the select
     # list still dispatches (declining would make it unplannable)
