@@ -110,6 +110,7 @@ def _gen_queries(rnd: random.Random) -> tuple[str, str]:
             " AND (p.pid % 7 = 0 OR b.bid % 5 = 0)",
             " AND 'x(WHERE' = 'x(WHERE'",
             " AND b.bid > 2",
+            " AND b.`bid` >= 0",  # qualified backticked ref (round-5 guard)
         ])
     sel = rnd.choice([
         "p.pid, b.bid",
@@ -117,7 +118,10 @@ def _gen_queries(rnd: random.Random) -> tuple[str, str]:
         "*",
         "p.*, b.bid",
         "b.*",
+        "`b`.*",  # backticked alias star (round-5 guard)
         "p.pid + 1 AS inc, b.bid",
+        "p.pid * 2 AS dbl, b.bid",  # depth-0 multiplication star lookalike
+        "p.pid, instr('x(*)y', '(*)') AS k",  # '(*)' as string DATA
         "p.pid, b.bid -- trailing comment\n",
     ])
     tail = rnd.choice([
