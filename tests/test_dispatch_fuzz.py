@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 # ~18 s/case (dispatch sampling jobs dominate): 20 by default to keep the
 # suite's wall-clock in budget; raise for a deeper sweep, e.g.
 # SPARK_GRAFT_FUZZ_N=200 for a pre-round audit (0..39 verified green when
-# this landed)
+# this landed; 0..99 re-verified green at round-5 end AFTER the grammar
+# gained the backtick-star / literal-star / multiplication shapes)
 N_QUERIES = int(os.environ.get("SPARK_GRAFT_FUZZ_N", "20"))
 SEED = 20260815
 
