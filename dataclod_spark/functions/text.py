@@ -458,17 +458,33 @@ def regex_quote(term: str) -> str:
 
 
 def denylist_pattern(term: str) -> str:
-    """Literal-term scrub pattern: metacharacters escaped, and a ``\\b``
-    anchor only at an end whose terminal char is a word char — ``\\b``
-    after a non-word char like '+' would require the NEXT char to be a
-    word char, so '\\bc\\+\\+\\b' never matches 'uses c++ here' (review
-    find, round 5: unescaped splicing turned denylist=('c++',) into a
-    possessive quantifier that redacted every bare 'c')."""
+    """Literal-term scrub pattern: metacharacters escaped, ``\\b`` anchors
+    where the terminal char is a word char, and — because ``\\b`` after a
+    non-word char like '+' would require the NEXT char to be a word char
+    ('\\bc\\+\\+\\b' never matches 'uses c++ here'; review find, round 5:
+    unescaped splicing turned denylist=('c++',) into a possessive
+    quantifier that redacted every bare 'c') — a CAPTURING ``([^\\w]|$)``
+    boundary emulation at a non-word-char end (lookahead is outside the
+    Java∩RE2 portable subset, so the boundary char is consumed by the
+    match; 'c++x' is correctly NOT a hit).  Replacements must re-emit the
+    captured char: use :func:`denylist_replacement` for the
+    dialect-correct backreference instead of a bare literal."""
     if not term:
         raise ValueError("empty denylist term")
     pre = r"\b" if term[0] in _WORD_CHARS else ""
-    post = r"\b" if term[-1] in _WORD_CHARS else ""
-    return f"{pre}{regex_quote(term)}{post}"
+    if term[-1] in _WORD_CHARS:
+        return f"{pre}{regex_quote(term)}\\b"
+    return f"{pre}{regex_quote(term)}([^\\w]|$)"
+
+
+def denylist_replacement(term: str, repl: str = "<TERM>", dialect: str = "spark") -> str:
+    """Replacement string paired with :func:`denylist_pattern`: when the
+    pattern carries the capturing boundary group (non-word-char terminal),
+    the consumed boundary char is re-emitted via the dialect's
+    backreference (Java ``$1`` vs RE2/DuckDB ``\\1``)."""
+    if term and term[-1] in _WORD_CHARS:
+        return repl
+    return repl + ("$1" if dialect == "spark" else "\\1")
 
 
 def pii_count(col: Column, pattern: str) -> Column:
@@ -487,5 +503,5 @@ def scrub_text(col: Column, patterns=PII_PATTERNS, denylist: tuple[str, ...] = (
     for _, pat, repl in patterns:
         out = F.regexp_replace(out, pat, repl)
     for term in denylist:
-        out = F.regexp_replace(out, denylist_pattern(term), "<TERM>")
+        out = F.regexp_replace(out, denylist_pattern(term), denylist_replacement(term))
     return out

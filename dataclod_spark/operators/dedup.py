@@ -797,6 +797,11 @@ def build_dedup_index(
     (the streaming twin screens each micro-batch against the same index;
     rebuilding per delta would re-pay the corpus-sized md5 pass).
     """
+    if k // rows_per_band < 1:
+        raise ValueError(
+            f"build_dedup_index: k // rows_per_band must be >= 1 "
+            f"(k={k}, rows_per_band={rows_per_band} gives 0 bands)"
+        )
     from dataclod_spark.functions.text import fingerprint
 
     return {
@@ -858,6 +863,24 @@ def incremental_dedup(
         if old is None:
             raise ValueError("incremental_dedup: pass either old or index")
         index = build_dedup_index(old, id_col, text_col, k, rows_per_band, hash_fn)
+    else:
+        if old is not None:
+            raise ValueError(
+                "incremental_dedup: pass either old or index, not both "
+                "(the index already encodes the snapshot side)"
+            )
+        # a prebuilt index fixes the LSH scheme — explicit non-default
+        # arguments that contradict it would be silently ignored
+        for arg, val, default in (
+            ("k", k, MINHASH_K),
+            ("rows_per_band", rows_per_band, 2),
+            ("hash_fn", hash_fn, "md5"),
+        ):
+            if val != default and val != index[arg]:
+                raise ValueError(
+                    f"incremental_dedup: {arg}={val!r} conflicts with the "
+                    f"prebuilt index's {arg}={index[arg]!r}"
+                )
     k, rows_per_band, hash_fn = index["k"], index["rows_per_band"], index["hash_fn"]
     n_bands = k // rows_per_band
     cols = new.columns

@@ -245,8 +245,15 @@ def dim_stats(df: DataFrame, vec: str, dim: int) -> DataFrame:
     the means/stds are order-independent, then the 1-row result pivots to
     ``dim`` rows driver-free via posexplode of an inline struct array.
     std uses the population form sqrt(E[x²] − E[x]²) computed in IEEE
-    doubles from the exact sums — deterministic across engines."""
-    x = lambda i: F.col(vec)[i].cast("double")
+    doubles from the exact sums — deterministic across engines.
+
+    Ragged corpora are tolerated, not assumed away: element access is
+    ``F.get`` (NULL past the end — ``vec[i]`` raises INVALID_ARRAY_INDEX
+    under Spark 4's ANSI mode on any vector shorter than ``dim``), so a
+    short vector simply contributes nothing to the tail dims and a NULL
+    element at a valid position is skipped — the same semantics as the
+    oracle's position-bounded NULL-filtered unnest (ADVICE r5)."""
+    x = lambda i: F.get(F.col(vec), F.lit(i)).cast("double")
     aggs = []
     for i in range(dim):
         aggs += [

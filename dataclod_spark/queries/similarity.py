@@ -548,6 +548,12 @@ WITH ux AS (
   FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i
         FROM embeddings WHERE embedding IS NOT NULL) u
   JOIN embeddings e ON e.vec_id = u.vec_id
+  -- dim <= 64 and x IS NOT NULL mirror the Spark side by construction:
+  -- dim_stats aggregates positions 1..dim only, and its per-dim
+  -- count/sum/min/max skip NULL elements at valid positions (ADVICE r5:
+  -- count(*) over unnested positions would count in-vector NULLs and
+  -- ragged tails beyond dim)
+  WHERE u.i <= 64 AND e.embedding[u.i] IS NOT NULL
 )
 SELECT dim, count(*) AS n,
        round(CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*), 8) AS mean,

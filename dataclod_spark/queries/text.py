@@ -737,7 +737,10 @@ _SCRUBBED = "text"
 for _, _pat, _repl in TX.PII_PATTERNS:
     _SCRUBBED = f"regexp_replace({_SCRUBBED}, '{_pat}', '{_repl}', 'g')"
 for _term in _SCRUB_DENY:
-    _SCRUBBED = rf"regexp_replace({_SCRUBBED}, '{TX.denylist_pattern(_term)}', '<TERM>', 'g')"
+    _SCRUBBED = (
+        rf"regexp_replace({_SCRUBBED}, '{TX.denylist_pattern(_term)}', "
+        rf"'{TX.denylist_replacement(_term, dialect='duckdb')}', 'g')"
+    )
 
 
 @query(

@@ -1,0 +1,88 @@
+"""Auto-generated correctness-window rotation.
+
+The per-round driver samples the FIRST ~50 entries of
+``__spark_entry__._PRIORITY`` and records a row-count/schema/value-hash
+check for each (``CORRECTNESS_r{N}.json``).  With a 50-slot window over a
+150+-query registry, the best achievable freshness bar is ~3 rounds — so
+the ordering policy must be enforced by code, not a hand-maintained list:
+
+0. queries CHANGED this round (implementation or oracle values moved
+   since their latest driver row — hand-declared per round, because the
+   JSON history cannot know what the current tree changed);
+1. queries with NO driver row in any ``CORRECTNESS_r*.json`` (new);
+2. queries whose LATEST row is not fully green (red rows re-queue
+   immediately);
+3. everything else stalest-first (ascending latest-checked round).
+
+Ties break by registry order, so the result is deterministic for a given
+tree + history.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+_ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+
+
+def load_history(repo_dir: str) -> dict[str, tuple[int, bool]]:
+    """name -> (latest round with a driver row, was that row fully green).
+
+    A row is green only if rows/schema/hash all matched and no error was
+    recorded; a hash-less (rows-only) pass still counts as green — the
+    weaker check is all the driver runs for non-SQL-expressible queries.
+    Unreadable files are skipped (the rotation degrades to registry order
+    rather than crashing the driver's import of ``__spark_entry__``).
+    """
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
+        m = _ROUND_RE.search(path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            )
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, green)
+    return hist
+
+
+def rotation_order(
+    names: list[str],
+    history: dict[str, tuple[int, bool]],
+    changed: tuple[str, ...] = (),
+) -> list[str]:
+    """Order ``names`` (registry order) by the window policy above."""
+    changed_set = set(changed)
+
+    def key(item: tuple[int, str]) -> tuple[int, int, int]:
+        idx, name = item
+        if name in changed_set:
+            return (0, 0, idx)
+        row = history.get(name)
+        if row is None:
+            return (1, 0, idx)
+        rnd, green = row
+        if not green:
+            return (2, 0, idx)
+        return (3, rnd, idx)
+
+    return [name for _, name in sorted(enumerate(names), key=lambda t: key(t))]

@@ -165,3 +165,57 @@ def test_dim_stats_matches_numpy(spark):
         assert abs(r.dim_min - md[:, d].min()) < 1e-7
         assert abs(r.dim_max - md[:, d].max()) < 1e-7
     assert got[3].std == 0.0  # collapsed dimension reads exactly 0
+
+
+def test_dim_stats_null_elements_and_ragged_match_oracle(spark):
+    """ADVICE r5: the v9 oracle counted NULL elements at valid positions
+    and covered ragged tails beyond `dim`.  On a crafted corpus WITH both
+    hazards, dim_stats must agree with the FIXED oracle shape (positions
+    1..dim, NULL elements skipped) by construction."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.embeddings import dim_stats
+
+    vecs = [
+        [1.0, 2.0, 3.0, 4.0],
+        [5.0, None, 7.0, 8.0],       # NULL element at a valid position
+        [9.0, 10.0, 11.0, 12.0, 99.0, 98.0],  # ragged: longer than dim
+        [13.0, 14.0, 15.0],          # ragged: shorter than dim
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r.dim, r.n, r.mean, r.std, r.dim_min, r.dim_max)
+        for r in dim_stats(df, "embedding", 4).orderBy("dim").collect()
+    ]
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame({"vec_id": range(4), "embedding": vecs}))
+    want = [
+        tuple(r)
+        for r in con.execute("""
+WITH ux AS (
+  SELECT u.i AS dim, CAST(e.embedding[u.i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE embedding IS NOT NULL) u
+  JOIN embeddings e ON e.vec_id = u.vec_id
+  WHERE u.i <= 4 AND e.embedding[u.i] IS NOT NULL
+)
+SELECT dim, count(*) AS n,
+       round(CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*), 8) AS mean,
+       round(sqrt(greatest(
+         CAST(sum(CAST(x * x AS DECIMAL(27,10))) AS DOUBLE) / count(*)
+         - (CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*))
+           * (CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*)),
+         0.0)), 8) AS std,
+       round(min(x), 8) AS dim_min, round(max(x), 8) AS dim_max
+FROM ux GROUP BY dim ORDER BY dim
+""").fetchall()
+    ]
+    assert got == want
+    # the hazards are actually present: dim 2 skips the NULL element,
+    # dim 4 skips the short vector, positions 5-6 are out of scope
+    assert got[1][1] == 3 and got[3][1] == 3 and len(got) == 4

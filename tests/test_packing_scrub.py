@@ -136,8 +136,50 @@ def test_scrub_case_insensitive_email_and_escaped_denylist(spark):
     assert "9999999999" not in s and "<PHONE>" in s               # 10 digits redacted
     # pattern helper semantics
     assert denylist_pattern("customer") == r"\bcustomer\b"
-    assert denylist_pattern("c++") == r"\bc\+\+"
+    assert denylist_pattern("c++") == r"\bc\+\+([^\w]|$)"
     assert denylist_pattern("a.b") == r"\ba\.b\b"
+
+
+def test_denylist_nonword_end_boundary(spark):
+    """ADVICE r5: a non-word-char-terminal term used to prefix-match
+    inside unrelated tokens ('c++x' → '<TERM>x').  The capturing
+    ([^\\w]|$) boundary emulation fixes that — and the consumed boundary
+    char must be re-emitted via the dialect backreference."""
+    import duckdb
+
+    from dataclod_spark.functions.text import (
+        denylist_pattern,
+        denylist_replacement,
+        pii_count,
+    )
+
+    doc = "c++x stays; uses c++, often; ends with c++"
+    df = spark.createDataFrame([Row(text=doc)])
+    s = df.select(
+        scrub_text(F.col("text"), patterns=(), denylist=("c++",)).alias("s")
+    ).collect()[0].s
+    assert "c++x stays" in s                      # boundary respected
+    assert "<TERM>, often" in s                   # comma re-emitted
+    assert s.endswith("<TERM>")                   # end-of-string boundary
+    assert "c++," not in s and not s.endswith("c++")
+
+    # count parity + replacement parity with the DuckDB dialect
+    pat = denylist_pattern("c++")
+    got_n = df.select(pii_count(F.col("text"), pat)).collect()[0][0]
+    con = duckdb.connect()
+    want_n = con.execute(
+        "SELECT len(regexp_extract_all(?, ?))", [doc, pat]
+    ).fetchone()[0]
+    assert got_n == want_n == 2
+    want_s = con.execute(
+        "SELECT regexp_replace(?, ?, ?, 'g')",
+        [doc, pat, denylist_replacement("c++", dialect="duckdb")],
+    ).fetchone()[0]
+    assert s == want_s
+    # word-char-terminal terms keep the plain replacement (no backref)
+    assert denylist_replacement("customer") == "<TERM>"
+    assert denylist_replacement("c++") == "<TERM>$1"
+    assert denylist_replacement("c++", dialect="duckdb") == "<TERM>\\1"
 
 
 def test_scrub_new_patterns_match_duckdb(spark):

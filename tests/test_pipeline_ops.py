@@ -671,6 +671,35 @@ def test_incremental_dedup_index_reuse_matches_adhoc(spark):
     assert via_index == adhoc == {10: "exact", 11: "near_dup", 12: None}
 
 
+def test_incremental_dedup_argument_validation(spark):
+    """ADVICE r5: zero bands crashed with AttributeError deep in the band
+    loop, and index+old (or index + conflicting LSH params) silently
+    ignored the explicit arguments."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import build_dedup_index, incremental_dedup
+
+    old = spark.createDataFrame([Row(doc_id=1, text="snapshot doc")])
+    new = spark.createDataFrame([Row(doc_id=10, text="delta doc")])
+
+    with pytest.raises(ValueError, match="0 bands"):
+        incremental_dedup(new, old, k=4, rows_per_band=8)
+    with pytest.raises(ValueError, match="0 bands"):
+        build_dedup_index(old, rows_per_band=100)
+
+    idx = build_dedup_index(old)
+    with pytest.raises(ValueError, match="not both"):
+        incremental_dedup(new, old, index=idx)
+    with pytest.raises(ValueError, match="conflicts with the prebuilt index"):
+        incremental_dedup(new, index=idx, rows_per_band=4)
+    # explicitly passing the index's own values is fine
+    out = incremental_dedup(
+        new, index=idx, k=idx["k"], rows_per_band=idx["rows_per_band"]
+    )
+    assert out.count() == 1
+
+
 def test_token_budget_sample_greedy_fill(spark):
     """Greedy fill: boundary doc included, a first doc alone above budget
     still kept (no starved stratum), unspecified strata contribute
