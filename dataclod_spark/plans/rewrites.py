@@ -325,3 +325,386 @@ def rewrite_information_schema_refs(sql: str) -> str:
     return _INFO_SCHEMA_QUAL_RE.sub(
         lambda m: f"information_schema_{m.group(1).lower()}", sql
     )
+
+
+# --- GROUPS window frames -> dense_rank + RANGE emulation ------------------
+#
+# DataFusion's default SQL surface accepts GROUPS frames (reference
+# src/core/src/context.rs:49-52 enables the full sqlparser feature set);
+# Spark has ROWS and RANGE only.  A GROUPS offset counts *peer groups* of
+# the window ORDER BY key — and dense_rank() over the same
+# (PARTITION BY, ORDER BY) is consecutive per peer group, so a RANGE
+# offset of n over the rank spans exactly n peer groups (the w5 recipe,
+# COVERAGE §2.B).  This rewrite makes the SQL syntax itself work: a
+# statement whose window specs carry GROUPS frames is restructured to
+#
+#   SELECT <list with GROUPS specs rewritten to RANGE-over-__grpN>
+#   FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY p ORDER BY k) AS __grpN
+#         FROM <relation> [WHERE ...]) <alias>
+#   [ORDER BY ... / LIMIT ...]
+#
+# Scope (decline -> return None -> the statement reaches Spark unchanged,
+# i.e. today's parse error):
+#   * main query and/or simple WITH-prefix CTE bodies; per block:
+#   * SELECT <list> FROM <single relation [AS alias]> [WHERE ...]
+#     [ORDER BY ...] [LIMIT/OFFSET ...] — no top-level GROUP BY / HAVING /
+#     QUALIFY / DISTINCT / set ops / named WINDOW clause / join tails
+#     (the subquery wrap cannot preserve multiple relation aliases);
+#   * no bare `*` / `alias.*` at the top of the select list (the wrap
+#     would leak the helper rank columns through it);
+#   * integer-literal GROUPS bounds, no EXCLUDE clause.
+# Any GROUPS frame left unrewritten anywhere in the statement (nested
+# subquery, outer ORDER BY, unsupported shape) declines the WHOLE rewrite
+# — partial emulation would silently change semantics.
+
+_GROUPS_HINT_RE = re.compile(r"(?i)\bGROUPS\b")
+_GB = r"(?:UNBOUNDED\s+PRECEDING|UNBOUNDED\s+FOLLOWING|CURRENT\s+ROW|\d+\s+(?:PRECEDING|FOLLOWING))"
+_GROUPS_FRAME_RE = re.compile(
+    rf"(?is)\bGROUPS\s+(?:BETWEEN\s+(?P<lo>{_GB})\s+AND\s+(?P<hi>{_GB})|(?P<single>{_GB}))\s*$"
+)
+_WORD_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def _kw_at(sql: str, i: int, word: str) -> bool:
+    """True when ``sql[i:]`` starts keyword ``word`` at a word boundary."""
+    n = len(word)
+    if sql[i : i + n].upper() != word:
+        return False
+    if i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_"):
+        return False
+    j = i + n
+    return j >= len(sql) or not (sql[j].isalnum() or sql[j] == "_")
+
+
+def _scan_code(sql: str, i: int) -> int:
+    """Advance past a non-code span starting at ``i`` (or return ``i``)."""
+    kind, end = scan_noncode_span(sql, i)
+    return end if kind else i
+
+
+def _match_paren_span(sql: str, lp: int) -> int:
+    """Index one past the ')' matching ``sql[lp] == '('`` (noncode-aware);
+    ``len(sql)`` when unbalanced."""
+    depth, i, n = 0, lp, len(sql)
+    while i < n:
+        j = _scan_code(sql, i)
+        if j != i:
+            i = j
+            continue
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return n
+
+
+def _top_level_kw(sql: str, words: tuple[str, ...], start: int = 0, end: int | None = None):
+    """Yield (word, position) for each keyword hit at paren depth 0."""
+    n = len(sql) if end is None else end
+    depth, i = 0, start
+    while i < n:
+        j = _scan_code(sql, i)
+        if j != i:
+            i = j
+            continue
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            for w in words:
+                if _kw_at(sql, i, w):
+                    yield w, i
+                    i += len(w)
+                    break
+            else:
+                i += 1
+            continue
+        i += 1
+
+
+def _rewrite_window_body(body: str) -> tuple[str, str, str] | None:
+    """If ``body`` (an OVER-spec interior) ends in a GROUPS frame, return
+    (partition_clause_text_or_'', order_by_expr_text, new_body_template)
+    where new_body_template holds ``{grp}`` for the rank column name.
+    None when there is no GROUPS frame; raises _Decline on an
+    unsupported GROUPS shape."""
+    hits = {w: p for w, p in _top_level_kw(body, ("PARTITION", "ORDER", "GROUPS"))}
+    if "GROUPS" not in hits:
+        return None
+    if "ORDER" not in hits:
+        raise _Decline("GROUPS frame without ORDER BY")
+    gpos = hits["GROUPS"]
+    # the $ anchor requires the frame to END the spec — an EXCLUDE clause
+    # (or any other trailing syntax) declines
+    m = _GROUPS_FRAME_RE.match(body[gpos:])
+    if not m:
+        raise _Decline("unsupported GROUPS frame shape")
+    lo = m.group("lo") or m.group("single")
+    hi = m.group("hi") or "CURRENT ROW"
+    part = body[hits["PARTITION"] : hits["ORDER"]].strip() if "PARTITION" in hits else ""
+    order_expr = body[hits["ORDER"] : gpos].strip()
+    # strip the leading ORDER BY
+    ob = re.match(r"(?is)^ORDER\s+BY\s+(.*)$", order_expr)
+    if not ob:
+        raise _Decline("malformed window ORDER BY")
+    order_keys = ob.group(1).strip()
+    lo_n = re.sub(r"(?is)\s+", " ", lo).upper()
+    hi_n = re.sub(r"(?is)\s+", " ", hi).upper()
+    new_body = (
+        (part + " " if part else "")
+        + "ORDER BY {grp} RANGE BETWEEN "
+        + lo_n
+        + " AND "
+        + hi_n
+    )
+    return part, order_keys, new_body
+
+
+class _Decline(Exception):
+    """Internal: this statement shape is out of rewrite scope."""
+
+
+def _rewrite_block_groups(sql: str) -> str | None:
+    """Rewrite one SELECT block (no WITH prefix).  Returns the rewritten
+    text, or None when the block has no GROUPS frame.  Raises _Decline
+    when it HAS one that cannot be safely rewritten."""
+    if not _GROUPS_HINT_RE.search(sql):
+        return None
+
+    # ---- locate SELECT ... FROM ... at top level -----------------------
+    kws = list(
+        _top_level_kw(
+            sql,
+            (
+                "SELECT", "FROM", "GROUP", "HAVING", "QUALIFY", "WINDOW",
+                "UNION", "INTERSECT", "EXCEPT", "ORDER", "LIMIT", "OFFSET",
+                "DISTINCT",
+            ),
+        )
+    )
+    if not kws or kws[0][0] != "SELECT":
+        raise _Decline("not a plain SELECT block")
+    sel_pos = kws[0][1]
+    by_word: dict[str, int] = {}
+    for w, p in kws[1:]:
+        by_word.setdefault(w, p)
+    if {"GROUP", "HAVING", "QUALIFY", "WINDOW", "UNION", "INTERSECT", "EXCEPT"} & by_word.keys():
+        raise _Decline("top-level clause out of scope")
+    if "DISTINCT" in by_word and by_word["DISTINCT"] < by_word.get("FROM", len(sql)):
+        raise _Decline("SELECT DISTINCT out of scope")
+    if "FROM" not in by_word:
+        raise _Decline("no FROM clause")
+    from_pos = by_word["FROM"]
+    tail_cut = min(
+        (by_word[w] for w in ("ORDER", "LIMIT", "OFFSET") if w in by_word),
+        default=len(sql),
+    )
+    select_list = sql[sel_pos + len("SELECT") : from_pos]
+    inner_tail = sql[from_pos + len("FROM") : tail_cut]
+    outer_tail = sql[tail_cut:]
+
+    # ---- bare * / alias.* in the select list leaks rank columns --------
+    depth, i, n = 0, 0, len(select_list)
+    prev_code = ""
+    while i < n:
+        j = _scan_code(select_list, i)
+        if j != i:
+            i = j
+            continue
+        ch = select_list[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "*" and depth == 0 and prev_code in ("", ",", "."):
+            raise _Decline("top-level * in select list")
+        if not ch.isspace():
+            prev_code = ch
+        i += 1
+
+    # ---- rewrite each OVER (...) spec in the select list ---------------
+    ranks: dict[tuple[str, str], str] = {}
+    out: list[str] = []
+    i, n = 0, len(select_list)
+    changed = False
+    while i < n:
+        kind, end = scan_noncode_span(select_list, i)
+        if kind:
+            out.append(select_list[i:end])
+            i = end
+            continue
+        if select_list[i] == "(":
+            span_end = _match_paren_span(select_list, i)
+            inner = select_list[i + 1 : span_end - 1]
+            if re.match(r"(?is)^\s*SELECT\b", inner):
+                # nested scalar subquery: its window functions belong to
+                # its own block — any GROUPS frame inside is out of scope
+                if _GROUPS_HINT_RE.search(inner):
+                    for _, bl, br in _find_over_specs(inner):
+                        if _GROUPS_FRAME_RE.search(inner[bl + 1 : br - 1]):
+                            raise _Decline("GROUPS frame in nested subquery")
+                out.append(select_list[i:span_end])
+                i = span_end
+                continue
+        if _kw_at(select_list, i, "OVER"):
+            j = i + 4
+            while j < n:
+                k2 = _scan_code(select_list, j)
+                if k2 != j:
+                    j = k2
+                    continue
+                if select_list[j].isspace():
+                    j += 1
+                    continue
+                break
+            if j < n and select_list[j] == "(":
+                span_end = _match_paren_span(select_list, j)
+                body = select_list[j + 1 : span_end - 1]
+                res = _rewrite_window_body(body)
+                if res is None:
+                    out.append(select_list[i:span_end])
+                else:
+                    part, order_keys, new_body = res
+                    key = (
+                        re.sub(r"(?is)\s+", " ", part).strip().upper(),
+                        re.sub(r"(?is)\s+", " ", order_keys).strip().upper(),
+                    )
+                    if key not in ranks:
+                        ranks[key] = (f"__grp{len(ranks)}", part, order_keys)
+                    grp = ranks[key][0]
+                    out.append("OVER (" + new_body.format(grp=grp) + ")")
+                    changed = True
+                i = span_end
+                continue
+        out.append(select_list[i])
+        i += 1
+    if not changed:
+        # hint word was an identifier / in a string — nothing to do here,
+        # but a GROUPS frame elsewhere in the block (outer ORDER BY, FROM
+        # subquery) is out of scope
+        for _, bl, br in _find_over_specs(sql):
+            if _GROUPS_FRAME_RE.search(sql[bl + 1 : br - 1]):
+                raise _Decline("GROUPS frame outside the select list")
+        return None
+    new_select_list = "".join(out)
+
+    # a GROUPS frame must not survive anywhere else in the block
+    for seg in (inner_tail, outer_tail):
+        for _, bl, br in _find_over_specs(seg):
+            if _GROUPS_FRAME_RE.search(seg[bl + 1 : br - 1]):
+                raise _Decline("GROUPS frame outside the select list")
+
+    # ---- single-relation FROM tail (alias-preserving wrap) -------------
+    mrel = re.match(
+        r"(?is)^\s*(?P<rel>(?:[A-Za-z_]\w*|`[^`]+`)(?:\s*\.\s*(?:[A-Za-z_]\w*|`[^`]+`))*)"
+        r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b|ORDER\b|LIMIT\b|OFFSET\b|JOIN\b|ON\b|USING\b)"
+        r"(?:[A-Za-z_]\w*|`[^`]+`)))?"
+        r"(?P<rest>\s+WHERE\b.*)?\s*$",
+        inner_tail,
+    )
+    if not mrel:
+        raise _Decline("FROM tail is not a single relation [+ WHERE]")
+    rel = mrel.group("rel")
+    alias = mrel.group("alias")
+    where = mrel.group("rest") or ""
+    sub_alias = alias or rel.split(".")[-1].strip()
+    rank_exprs = ", ".join(
+        f"DENSE_RANK() OVER ({(part + ' ') if part else ''}ORDER BY {order_keys}) AS {name}"
+        for name, part, order_keys in ranks.values()
+    )
+    inner_sql = (
+        f"SELECT *, {rank_exprs} FROM {rel}"
+        + (f" AS {alias}" if alias else "")
+        + where
+    )
+    return (
+        sql[:sel_pos]
+        + "SELECT"
+        + new_select_list
+        + f"FROM ({inner_sql}) {sub_alias} "
+        + outer_tail
+    )
+
+
+def _find_over_specs(sql: str) -> list[tuple[int, int, int]]:
+    """Every ``OVER ( ... )`` span in code: (over_pos, lparen, end)."""
+    res: list[tuple[int, int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        j = _scan_code(sql, i)
+        if j != i:
+            i = j
+            continue
+        if _kw_at(sql, i, "OVER"):
+            j = i + 4
+            while j < n:
+                k2 = _scan_code(sql, j)
+                if k2 != j:
+                    j = k2
+                    continue
+                if sql[j].isspace():
+                    j += 1
+                    continue
+                break
+            if j < n and sql[j] == "(":
+                end = _match_paren_span(sql, j)
+                res.append((i, j, end))
+                i = end
+                continue
+        i += 1
+    return res
+
+
+def rewrite_groups_frames(sql: str) -> str | None:
+    """Statement-level GROUPS-frame rewrite: main block + simple WITH
+    prefix CTE bodies.  Returns the rewritten statement or None (leave
+    the statement untouched — either no GROUPS frame, or a shape out of
+    scope, in which case Spark's parse error stands and COVERAGE §2.B
+    documents the manual recipe)."""
+    if not _GROUPS_HINT_RE.search(sql):
+        return None
+    try:
+        # WITH prefix: rewrite each CTE body independently
+        m = re.match(r"(?is)^\s*WITH\s+", sql)
+        prefix_out = ""
+        rest = sql
+        if m:
+            pos = m.end()
+            pieces: list[str] = [sql[:pos]]
+            while True:
+                h = re.compile(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE).match(sql, pos)
+                if not h:
+                    return None  # recursive/exotic WITH: out of scope
+                body_start = h.end()  # one past '('
+                body_end = _match_paren_span(sql, body_start - 1)  # past ')'
+                body = sql[body_start : body_end - 1]
+                new_body = _rewrite_block_groups(body)
+                pieces.append(sql[pos : body_start])
+                pieces.append(new_body if new_body is not None else body)
+                pieces.append(")")
+                pos = body_end
+                mc = re.compile(r"\s*,").match(sql, pos)
+                if mc:
+                    pieces.append(sql[pos : mc.end()])
+                    pos = mc.end()
+                    continue
+                break
+            prefix_out = "".join(pieces)
+            rest = sql[pos:]
+        new_rest = _rewrite_block_groups(rest)
+        candidate = prefix_out + (new_rest if new_rest is not None else rest)
+        if candidate == sql:
+            return None
+        # belt-and-suspenders: no GROUPS frame may survive the rewrite
+        for _, bl, br in _find_over_specs(candidate):
+            if _GROUPS_FRAME_RE.search(candidate[bl + 1 : br - 1]):
+                return None
+        return candidate
+    except _Decline:
+        return None

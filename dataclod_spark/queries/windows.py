@@ -281,3 +281,51 @@ def w7_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "cum_users")
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "w8_groups_frame_sql",
+    doc="GROUPS window frame accepted as raw SQL SYNTAX: EngineSession "
+    "auto-rewrites it to the proven dense_rank+RANGE emulation (w5's "
+    "recipe) — closing the one §2.B surface delta vs DataFusion's "
+    "default SQL feature set; the oracle computes GROUPS semantics "
+    "independently (per-group sums + lag + join — the container's DuckDB "
+    "does not implement GROUPS mode, so a native-frame oracle is "
+    "unavailable), the same independent formulation w5 uses",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey, o_orderdate,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS gsum
+  FROM orders GROUP BY o_custkey, o_orderdate
+), gr AS (
+  SELECT o_custkey, o_orderdate, gsum,
+         lag(gsum) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev_gsum
+  FROM g
+)
+SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+       round(CAST(gr.gsum + coalesce(gr.prev_gsum, 0) AS DOUBLE), 2) AS grp_sum
+FROM orders o
+JOIN gr ON o.o_custkey = gr.o_custkey AND o.o_orderdate = gr.o_orderdate
+ORDER BY o.o_custkey, o.o_orderkey
+""",
+)
+def w8_groups_frame_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same workload as w5 but expressed as *SQL text with GROUPS syntax*
+    through EngineSession.sql (reference surface: DataFusion
+    ``with_default_features()``, src/core/src/context.rs:49-52 — GROUPS
+    frames parse out of the box there).  plans/rewrites.py::
+    rewrite_groups_frames restructures the statement to the RANGE-over-
+    dense_rank form; same shuffle as w5 (both windows share the
+    partitioning, Spark plans one sort)."""
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("w8_orders")
+    return sess.sql("""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS grp_sum
+FROM w8_orders
+ORDER BY o_custkey, o_orderkey
+""")

@@ -349,6 +349,7 @@ class EngineSession:
                 self._swallowed_sets[key] = value
             return self.spark.range(0).select()
         from dataclod_spark.plans.rewrites import (
+            rewrite_groups_frames,
             rewrite_information_schema_refs,
             rewrite_pg_catalog_refs,
             rewrite_values_tables,
@@ -362,6 +363,12 @@ class EngineSession:
         )
 
         query = rewrite_pg_catalog_refs(rewrite_values_tables(query))
+        # GROUPS window frames (DataFusion default surface; Spark lacks
+        # them) → the proven dense_rank+RANGE emulation (w5 recipe).  Out
+        # -of-scope shapes return None and keep today's parse error.
+        rewritten = rewrite_groups_frames(query)
+        if rewritten is not None:
+            query = rewritten
         if "information_schema" in query.lower():
             # refresh-on-use: snapshot views over the live catalog state
             from dataclod_spark.catalog.information_schema import (

@@ -1,0 +1,186 @@
+"""GROUPS window frames as SQL syntax (VERDICT r5 #4).
+
+The reference accepts ``GROUPS BETWEEN n PRECEDING AND m FOLLOWING``
+through DataFusion's default SQL surface (src/core/src/context.rs:49-52);
+Spark parse-errors.  ``plans/rewrites.rewrite_groups_frames`` rewrites
+in-scope statements to the proven dense_rank+RANGE emulation (the w5
+recipe); everything else declines to None so the statement reaches Spark
+untouched.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from dataclod_spark.plans.rewrites import rewrite_groups_frames as rw
+
+
+# ---------- pure-text scoping ------------------------------------------------
+
+
+def test_basic_rewrite_shape():
+    q = (
+        "SELECT k, sum(v) OVER (PARTITION BY p ORDER BY k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM t"
+    )
+    out = rw(q)
+    assert out is not None
+    assert "GROUPS" not in out.upper().replace("__GRP", "")
+    assert "DENSE_RANK() OVER (PARTITION BY p ORDER BY k) AS __grp0" in out
+    assert "ORDER BY __grp0 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW" in out
+    assert "FROM (SELECT *," in out and out.rstrip().endswith(") t")
+
+
+def test_short_form_and_alias_where_limit():
+    q = (
+        "SELECT k, sum(v) OVER (ORDER BY k GROUPS 2 PRECEDING) AS s "
+        "FROM t AS a WHERE k > 0 LIMIT 5"
+    )
+    out = rw(q)
+    assert "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW" in out
+    assert "FROM t AS a WHERE k > 0" in out  # WHERE inside the wrap
+    assert out.rstrip().endswith("LIMIT 5")  # LIMIT outside
+    assert ") a LIMIT" in out  # alias preserved for qualified refs
+
+
+def test_shared_and_distinct_rank_columns():
+    q = (
+        "SELECT sum(a) OVER (PARTITION BY p ORDER BY k GROUPS 1 PRECEDING) AS s1, "
+        "max(b) OVER (PARTITION BY p ORDER BY k GROUPS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS s2, "
+        "min(c) OVER (ORDER BY j GROUPS 1 PRECEDING) AS s3 FROM t"
+    )
+    out = rw(q)
+    assert out.count("DENSE_RANK()") == 2  # (p,k) shared; (∅,j) separate
+    assert "__grp0" in out and "__grp1" in out
+
+
+def test_cte_body_rewritten():
+    q = (
+        "WITH c AS (SELECT k, sum(v) OVER (PARTITION BY p ORDER BY k "
+        "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM t WHERE v > 0) "
+        "SELECT k, s FROM c ORDER BY k"
+    )
+    out = rw(q)
+    assert out is not None and "DENSE_RANK" in out
+    assert out.strip().endswith("SELECT k, s FROM c ORDER BY k")
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # bare * / alias.* would leak the helper rank columns
+        "SELECT *, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t",
+        "SELECT a.*, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t a",
+        # join tails cannot preserve both relation aliases
+        "SELECT t.x, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
+        # top-level clauses out of scope
+        "SELECT k, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t GROUP BY k",
+        "SELECT DISTINCT k, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t",
+        "SELECT k FROM t UNION SELECT sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM u",
+        # EXCLUDE clause / frame in outer ORDER BY / missing ORDER BY
+        "SELECT sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM t",
+        "SELECT k FROM t ORDER BY sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING)",
+        "SELECT sum(v) OVER (PARTITION BY p GROUPS 1 PRECEDING) FROM t",
+        # GROUPS frame belonging to a nested subquery block
+        "SELECT k, (SELECT max(s) FROM (SELECT sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) s FROM u) z) FROM t",
+    ],
+)
+def test_out_of_scope_declines(q):
+    assert rw(q) is None
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT groups FROM t",  # identifier, not a frame
+        "SELECT k FROM t",  # no GROUPS at all
+        "SELECT 'GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW' AS s FROM t",  # string literal
+        "SELECT k FROM t -- GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW",  # comment
+        "SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t",
+    ],
+)
+def test_non_frames_untouched(q):
+    assert rw(q) is None
+
+
+# ---------- execution semantics ---------------------------------------------
+
+
+def _groups_fixture(spark):
+    # peer groups matter: duplicate order keys make GROUPS differ from ROWS
+    rows = [
+        Row(p="a", k=1, v=10),
+        Row(p="a", k=1, v=20),   # peer of the first row
+        Row(p="a", k=2, v=1),
+        Row(p="a", k=3, v=5),
+        Row(p="a", k=3, v=7),    # peer group of two
+        Row(p="b", k=1, v=100),
+        Row(p="b", k=9, v=3),
+    ]
+    df = spark.createDataFrame(rows)
+    df.createOrReplaceTempView("groups_t")
+    return df
+
+
+def test_groups_sql_executes_with_peer_semantics(spark):
+    from dataclod_spark.session import EngineSession
+
+    _groups_fixture(spark)
+    sess = EngineSession(spark, register_catalog=False)
+    got = {
+        (r.p, r.k, r.v): r.s
+        for r in sess.sql(
+            "SELECT p, k, v, sum(v) OVER (PARTITION BY p ORDER BY k "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM groups_t"
+        ).collect()
+    }
+    # group sums: a: k=1 -> 30, k=2 -> 30+1, k=3 -> 1+12
+    want = {
+        ("a", 1, 10): 30,
+        ("a", 1, 20): 30,
+        ("a", 2, 1): 31,
+        ("a", 3, 5): 13,
+        ("a", 3, 7): 13,
+        ("b", 1, 100): 100,
+        ("b", 9, 3): 103,
+    }
+    assert got == want
+
+
+def test_groups_sql_unbounded_and_following(spark):
+    from dataclod_spark.session import EngineSession
+
+    _groups_fixture(spark)
+    sess = EngineSession(spark, register_catalog=False)
+    got = {
+        (r.p, r.k, r.v): (r.s1, r.s2)
+        for r in sess.sql(
+            "SELECT p, k, v, "
+            "sum(v) OVER (PARTITION BY p ORDER BY k GROUPS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS s1, "
+            "sum(v) OVER (PARTITION BY p ORDER BY k GROUPS BETWEEN CURRENT ROW "
+            "AND 1 FOLLOWING) AS s2 "
+            "FROM groups_t WHERE p = 'a'"
+        ).collect()
+    }
+    want = {
+        ("a", 1, 10): (30, 31),
+        ("a", 1, 20): (30, 31),
+        ("a", 2, 1): (31, 13),
+        ("a", 3, 5): (43, 12),
+        ("a", 3, 7): (43, 12),
+    }
+    assert got == want
+
+
+def test_out_of_scope_still_parse_errors(spark):
+    """Declined shapes keep today's behavior: Spark's own parse error."""
+    from dataclod_spark.session import EngineSession
+
+    _groups_fixture(spark)
+    sess = EngineSession(spark, register_catalog=False)
+    with pytest.raises(Exception, match="(?i)syntax|parse|GROUPS"):
+        sess.sql(
+            "SELECT groups_t.*, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) "
+            "FROM groups_t"
+        ).collect()
