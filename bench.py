@@ -10,6 +10,12 @@ measured too — ``count()`` lets Catalyst prune unreferenced projections
 (SCALE.md pitfall #5), under-measuring projection-shaped queries like w1
 and x1.  Set ``SPARK_GRAFT_BENCH_ACTION=count`` to reproduce the r1–r4
 action for cross-round comparability (same 15-query set since r1).
+
+Alongside the one-shot timings (which carry per-query codegen/JIT and are
+host-noise-sensitive — see the round-5 verdict), a second pass records
+WARMED BEST-OF-3 per-query steady-state numbers under ``"steady"``: the
+round-over-round comparison signal that host noise cannot mask a plan
+regression in.  Disable with ``SPARK_GRAFT_BENCH_STEADY=0``.
 """
 
 from __future__ import annotations
@@ -98,22 +104,45 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # warmed best-of-3 steady-state pass: every query has now run once in
+    # this session, so per-query codegen/JIT is paid — the minimum of 3
+    # further runs is the plan's own cost, comparable across rounds even
+    # when the host degrades (the one-shot numbers above keep measuring
+    # the cold path the driver actually experiences)
+    steady: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_STEADY", "1") != "0":
+        for name, qd in sorted(headline.items()):
+            best = -1.0
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                try:
+                    force(qd.fn(spark, sf_dir))
+                except Exception as exc:
+                    print(f"bench steady {name} failed: {exc}", file=sys.stderr)
+                    best = -1.0
+                    break
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            steady[name] = round(best, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if steady:
+        out["steady"] = steady
+        out["steady_total"] = round(sum(t for t in steady.values() if t >= 0), 3)
+    print(json.dumps(out))
     spark.stop()
 
 

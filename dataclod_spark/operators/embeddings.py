@@ -44,6 +44,32 @@ __all__ = [
 # exact accumulator type for cross-row sums of double-cast floats
 _ACC = "decimal(27,10)"
 
+# Above this dimensionality the dim-column-aggregate formulation (one agg
+# with O(dim) expressions) switches to a posexplode+groupBy(position)
+# formulation: at production dims (1536-3072) the former is 7k-15k
+# aggregate expressions in one operator — janino constant-pool /
+# compile-time territory (round-5 verdict) — while the exploded form has
+# a FIXED handful of expressions grouped by position.  The explode feeds
+# straight into a map-side partial aggregate (the shuffle carries
+# tasks×dim partial rows, never the exploded corpus), so it scales the
+# same; it just pays the Generate loop instead of unrolled column math.
+WIDE_DIM_THRESHOLD = 256
+
+
+def _exploded_positions(df: DataFrame, vec: str, dim: int, *keep: str) -> DataFrame:
+    """``(keep..., __pos int 0-based, __x double)`` — EXACTLY ``dim`` rows
+    per input row: vectors are NULL-padded/truncated to ``dim`` before the
+    posexplode, so every position group exists for every row (NULL where
+    the vector was short/NULL/empty — the same value ``F.get`` yields in
+    the narrow formulation), and a ``__pos == 0`` count equals the ROW
+    count exactly like ``F.count(F.lit(1))`` does there."""
+    x = F.transform(F.col(vec), lambda v: v.cast("double"))
+    pad = F.array_repeat(F.lit(None).cast("double"), dim)
+    padded = F.slice(
+        F.concat(F.coalesce(x, F.array().cast("array<double>")), pad), 1, dim
+    )
+    return df.select(*keep, F.posexplode(padded).alias("__pos", "__x"))
+
 
 def l2_normalize(vec: Column) -> Column:
     """Unit-normalize an ``array<float|double>`` column (NULL-safe; zero
@@ -60,9 +86,35 @@ def label_centroids(df: DataFrame, label: str, vec: str, dim: int) -> DataFrame:
 
     ``dim`` column aggregates (exact DECIMAL sums / count), reassembled
     into one array — a single partial+final hash aggregate, no explode
-    (explode would multiply the corpus ×dim before the shuffle)."""
+    (explode would multiply the corpus ×dim before the shuffle).  Above
+    ``WIDE_DIM_THRESHOLD`` the equivalent posexplode+groupBy(label, pos)
+    form runs instead (see the constant's comment); ``n_vectors`` counts
+    rows in both forms (the position-0 sentinel trick)."""
+    if dim > WIDE_DIM_THRESHOLD:
+        ux = _exploded_positions(
+            df.select(F.col(label).alias("__lbl"), vec), vec, dim, "__lbl"
+        )
+        g = ux.groupBy("__lbl", "__pos").agg(
+            F.sum(F.col("__x").cast(_ACC)).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        per_label = g.groupBy("__lbl").agg(
+            F.max(F.when(F.col("__pos") == 0, F.col("__n"))).alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__s"))
+            ).alias("__ss"),
+        )
+        centroid = F.transform(
+            F.col("__ss"), lambda p: p["__s"].cast("double") / F.col("n_vectors")
+        )
+        return per_label.select(
+            F.col("__lbl").alias(label), centroid.alias("centroid"), "n_vectors"
+        )
     aggs = [
-        F.sum(F.col(vec)[i].cast("double").cast(_ACC)).alias(f"__s{i}")
+        # F.get, not vec[i]: NULL past the end instead of an ANSI
+        # INVALID_ARRAY_INDEX crash on a ragged/empty vector (same
+        # tolerance as dim_stats and the wide form above)
+        F.sum(F.get(F.col(vec), F.lit(i)).cast("double").cast(_ACC)).alias(f"__s{i}")
         for i in range(dim)
     ]
     g = df.groupBy(F.col(label).alias("__lbl")).agg(
@@ -95,12 +147,34 @@ def scalar_quantize(df: DataFrame, vec: str, dim: int) -> DataFrame:
     Constant dimensions (max==min) encode as 0 with exact reconstruction.
     The min/max reduce is one 1-row aggregate broadcast to every task —
     the same two-pass shape FAISS trains its ScalarQuantizer with."""
-    mins = [F.min(F.col(vec)[i].cast("double")).alias(f"__mn{i}") for i in range(dim)]
-    maxs = [F.max(F.col(vec)[i].cast("double")).alias(f"__mx{i}") for i in range(dim)]
-    stats = df.agg(*mins, *maxs).select(
-        F.array(*[F.col(f"__mn{i}") for i in range(dim)]).alias("__mins"),
-        F.array(*[F.col(f"__mx{i}") for i in range(dim)]).alias("__maxs"),
-    )
+    if dim > WIDE_DIM_THRESHOLD:
+        # posexplode form of the same 1-row min/max train pass (see
+        # WIDE_DIM_THRESHOLD); collect_list here is dim structs — bounded
+        ux = _exploded_positions(df, vec, dim)
+        per_pos = ux.groupBy("__pos").agg(
+            F.min("__x").alias("__mn"), F.max("__x").alias("__mx")
+        )
+        stats = per_pos.agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__mn", "__mx"))
+            ).alias("__t")
+        ).select(
+            F.transform(F.col("__t"), lambda p: p["__mn"]).alias("__mins"),
+            F.transform(F.col("__t"), lambda p: p["__mx"]).alias("__maxs"),
+        )
+    else:
+        mins = [
+            F.min(F.get(F.col(vec), F.lit(i)).cast("double")).alias(f"__mn{i}")
+            for i in range(dim)
+        ]
+        maxs = [
+            F.max(F.get(F.col(vec), F.lit(i)).cast("double")).alias(f"__mx{i}")
+            for i in range(dim)
+        ]
+        stats = df.agg(*mins, *maxs).select(
+            F.array(*[F.col(f"__mn{i}") for i in range(dim)]).alias("__mins"),
+            F.array(*[F.col(f"__mx{i}") for i in range(dim)]).alias("__maxs"),
+        )
     j = df.crossJoin(F.broadcast(stats))
     scales = F.zip_with(
         F.col("__maxs"), F.col("__mins"), lambda mx, mn: (mx - mn) / F.lit(255.0)
@@ -153,7 +227,10 @@ def _argmin_cid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     literal-centroid mechanism as similarity.knn_ivf."""
     entries = []
     for cid, cvec in cents:
-        cv = F.array(*[F.lit(float(x)) for x in cvec])
+        # ONE array literal per centroid (not dim unrolled F.lit calls):
+        # the expression count stays O(k) at any dimensionality, so the
+        # assignment projection never hits janino limits at wide dims
+        cv = F.lit([float(x) for x in cvec])
         entries.append(F.struct(_sq_l2(vec, cv).alias("dist"), F.lit(cid).alias("cid")))
     return F.array_min(F.array(*entries))
 
@@ -204,21 +281,45 @@ def kmeans_clusters(
     ]
     for _ in range(iters - 1):
         assigned = base.withColumn("__a", _argmin_cid(F.col("__v"), cents))
-        sums = [
-            F.sum(F.col("__v")[i].cast(_ACC)).alias(f"__s{i}") for i in range(dim)
-        ]
-        rows = (
-            assigned.groupBy(F.col("__a.cid").alias("__cid"))
-            .agg(F.count(F.lit(1)).alias("__n"), *sums)
-            .collect()
-        )
-        cents = sorted(
-            (
-                int(r["__cid"]),
-                [float(r[f"__s{i}"]) / r["__n"] for i in range(dim)],
+        if dim > WIDE_DIM_THRESHOLD:
+            # posexplode update (see WIDE_DIM_THRESHOLD): k·dim partial
+            # rows shuffle and k·dim rows collect — bounded by construction
+            ex = assigned.select(
+                F.col("__a.cid").alias("__cid"),
+                F.posexplode(F.col("__v")).alias("__pos", "__x"),
             )
-            for r in rows
-        )
+            rows = (
+                ex.groupBy("__cid", "__pos")
+                .agg(
+                    F.sum(F.col("__x").cast(_ACC)).alias("__s"),
+                    F.count(F.lit(1)).alias("__n"),
+                )
+                .collect()
+            )
+            acc: dict[int, list] = {}
+            counts: dict[int, int] = {}
+            for r in rows:
+                acc.setdefault(int(r["__cid"]), [None] * dim)[int(r["__pos"])] = r["__s"]
+                counts[int(r["__cid"])] = r["__n"]  # fixed-width: same per pos
+            cents = sorted(
+                (cid, [float(s) / counts[cid] for s in acc[cid]]) for cid in acc
+            )
+        else:
+            sums = [
+                F.sum(F.col("__v")[i].cast(_ACC)).alias(f"__s{i}") for i in range(dim)
+            ]
+            rows = (
+                assigned.groupBy(F.col("__a.cid").alias("__cid"))
+                .agg(F.count(F.lit(1)).alias("__n"), *sums)
+                .collect()
+            )
+            cents = sorted(
+                (
+                    int(r["__cid"]),
+                    [float(r[f"__s{i}"]) / r["__n"] for i in range(dim)],
+                )
+                for r in rows
+            )
     final = base.withColumn("__a", _argmin_cid(F.col("__v"), cents))
     return (
         final.groupBy(F.col("__a.cid").cast("bigint").alias("cluster_id"))
@@ -252,7 +353,42 @@ def dim_stats(df: DataFrame, vec: str, dim: int) -> DataFrame:
     under Spark 4's ANSI mode on any vector shorter than ``dim``), so a
     short vector simply contributes nothing to the tail dims and a NULL
     element at a valid position is skipped — the same semantics as the
-    oracle's position-bounded NULL-filtered unnest (ADVICE r5)."""
+    oracle's position-bounded NULL-filtered unnest (ADVICE r5).
+
+    Above ``WIDE_DIM_THRESHOLD`` the posexplode+groupBy(position) form
+    runs instead (see the constant's comment); a left join against a
+    1..dim spine keeps zero-coverage dims present (n=0), matching the
+    narrow form's always-dim-rows output."""
+    if dim > WIDE_DIM_THRESHOLD:
+        ux = _exploded_positions(df, vec, dim).filter(F.col("__x").isNotNull())
+        g = ux.groupBy("__pos").agg(
+            F.count("__x").alias("__n"),
+            F.sum(F.col("__x").cast(_ACC)).alias("__s"),
+            F.sum((F.col("__x") * F.col("__x")).cast(_ACC)).alias("__q"),
+            F.min("__x").alias("__mn"),
+            F.max("__x").alias("__mx"),
+        )
+        spine = df.sparkSession.range(dim).select(
+            F.col("id").cast("int").alias("__pos")
+        )
+        g = spine.join(g, "__pos", "left")
+        mean = F.col("__s").cast("double") / F.col("__n")
+        return g.select(
+            (F.col("__pos") + 1).cast("int").alias("dim"),
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n"),
+            F.round(mean, 8).alias("mean"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("__q").cast("double") / F.col("__n") - mean * mean,
+                        F.lit(0.0),
+                    )
+                ),
+                8,
+            ).alias("std"),
+            F.round(F.col("__mn"), 8).alias("dim_min"),
+            F.round(F.col("__mx"), 8).alias("dim_max"),
+        )
     x = lambda i: F.get(F.col(vec), F.lit(i)).cast("double")
     aggs = []
     for i in range(dim):
