@@ -930,3 +930,94 @@ def incremental_dedup(
         .when(F.col("__near").isNotNull(), F.lit("near_dup"))
         .alias("drop_reason"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — cluster with k-means, compare
+    pairs WITHIN each cluster by cosine similarity, and keep one
+    representative per near-duplicate group.  This removes paraphrases /
+    re-renderings that exact and MinHash dedup (d1-d12) cannot see.
+
+    Returns one row per valid vector: ``(id_col, cell, component,
+    is_kept)`` — ``cell`` the k-means cluster id, ``component`` the
+    near-dup group label (min member id; singleton = own id), ``is_kept``
+    true for the group representative.
+
+    100 TB shape: the deterministic k-means fit is shared machinery
+    (:func:`~dataclod_spark.operators.embeddings.kmeans_fit` — one corpus
+    scan per round, k-row aggregates); the pair stage is the paper's own
+    design point — all-pairs only WITHIN a cell, so ``k`` is chosen to
+    keep |cell|² affordable (the paper uses k ≈ corpus/10k; the cell
+    equi-join here shuffles on the cell id, AQE splits skewed cells).
+    The assignment projection is localCheckpoint-ed before the self-join
+    so both pair sides and the final labeling read ONE assignment pass
+    (the x11 discipline; swap for persist on a real cluster) — and the
+    components step collapses transitive duplicate chains instead of
+    dropping both members of every pair independently.
+    """
+    from dataclod_spark.operators.embeddings import (
+        _argmin_cid,
+        _kmeans_base,
+        kmeans_fit,
+    )
+    from dataclod_spark.operators.similarity import dot, norm
+
+    cents = kmeans_fit(df, vec, dim, k, iters, id_col)
+    base = _kmeans_base(df, vec, dim, id_col)
+    assigned = (
+        base.select(
+            F.col("__id"),
+            F.col("__v"),
+            _argmin_cid(F.col("__v"), cents)["cid"].cast("bigint").alias("__cell"),
+        )
+        .withColumn("__n", norm(F.col("__v")))
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        F.col("__id").alias("__id1"),
+        F.col("__cell").alias("__cell1"),
+        F.col("__v").alias("__v1"),
+        F.col("__n").alias("__n1"),
+    )
+    b = assigned.select(
+        F.col("__id").alias("__id2"),
+        F.col("__cell").alias("__cell2"),
+        F.col("__v").alias("__v2"),
+        F.col("__n").alias("__n2"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("__cell1") == F.col("__cell2"))
+            & (F.col("__id1") < F.col("__id2")),
+        )
+        .filter(
+            F.round(
+                dot(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2")), 4
+            )
+            >= threshold
+        )
+        .select(F.col("__id1").alias("id_1"), F.col("__id2").alias("id_2"))
+    )
+    comp = connected_components(pairs)
+    out_id = F.col("__id").alias(id_col)
+    return (
+        assigned.join(comp, assigned["__id"] == comp["id"], "left")
+        .select(
+            out_id,
+            F.col("__cell").alias("cell"),
+            F.coalesce(F.col("component"), F.col("__id")).alias("component"),
+            (
+                F.col("component").isNull() | (F.col("component") == F.col("__id"))
+            ).alias("is_kept"),
+        )
+    )

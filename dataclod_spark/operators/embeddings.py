@@ -37,6 +37,7 @@ __all__ = [
     "label_centroids",
     "cosine_to_centroid",
     "scalar_quantize",
+    "kmeans_fit",
     "kmeans_clusters",
     "dim_stats",
 ]
@@ -235,46 +236,32 @@ def _argmin_cid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     return F.array_min(F.array(*entries))
 
 
-def kmeans_clusters(
+def _kmeans_base(df: DataFrame, vec: str, dim: int, id_col: str) -> DataFrame:
+    """``(__id, __v)`` — doubles, malformed rows dropped.  Null or
+    wrong-width vectors would crash seed collection / break the zip_with
+    length contract, and a cleaning pass owns deciding what to do with
+    malformed rows, not the clusterer."""
+    v = F.transform(F.col(vec), lambda x: x.cast("double"))
+    return df.filter(
+        F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
+    ).select(F.col(id_col).alias("__id"), v.alias("__v"))
+
+
+def kmeans_fit(
     df: DataFrame,
     vec: str = "embedding",
     dim: int = 64,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
-) -> DataFrame:
-    """Lloyd k-means over an embedding column with deterministic
-    initialization — the clustering primitive behind semantic dedup /
-    corpus bucketing (FAISS trains IVF coarse quantizers exactly this
-    way offline).
-
-    Init: the ``k`` lowest-``id_col`` vectors are the starting centroids
-    (deterministic, so the DuckDB differential oracle reproduces the run
-    bit-exactly).  Each Lloyd round is:
-
-    * **assign** — nearest-centroid id as a zero-Python projection
-      (centroids ride into the plan as literals; argmin via ``array_min``
-      over (dist, cid) structs, distances folded in index order);
-    * **update** — per-cluster per-dim mean via ``dim`` DECIMAL-exact
-      column aggregates (one partial+final hash aggregate, no explode),
-      collected to the driver (≤ k rows × dim — bounded by construction).
-
-    100 TB story: each round is one corpus scan + one k-row aggregate;
-    the corpus never shuffles (assignment is a projection, the update agg
-    is partial-aggregated to k rows).  Driver state is k×dim floats.
-    Empty clusters simply drop out of the update (their id disappears),
-    identically in both engines.
-
-    Returns one row per surviving cluster: ``cluster_id, n_members,
-    inertia`` (mean squared distance to the final centroid, DECIMAL-
-    accumulated, rounded to 6)."""
-    v = F.transform(F.col(vec), lambda x: x.cast("double"))
-    # null or wrong-width vectors would crash seed collection / break the
-    # zip_with length contract — drop them up front (a cleaning pass owns
-    # deciding what to do with malformed rows, not the clusterer)
-    base = df.filter(
-        F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
-    ).select(F.col(id_col).alias("__id"), v.alias("__v"))
+) -> list[tuple[int, list[float]]]:
+    """Train the Lloyd centroids and return them as driver-side
+    ``[(cid, centroid), ...]`` — the piece :func:`kmeans_clusters` and
+    ``operators.dedup.semantic_dedup`` share.  Deterministic lowest-id
+    init; ``iters - 1`` assign/update rounds (the final assignment is the
+    caller's).  Each round is one corpus scan + a k-row (narrow) or
+    k·dim-row (wide, see WIDE_DIM_THRESHOLD) DECIMAL-exact aggregate."""
+    base = _kmeans_base(df, vec, dim, id_col)
     cents = [
         (i, [float(x) for x in r["__v"]])
         for i, r in enumerate(base.orderBy("__id").limit(k).collect())
@@ -320,6 +307,44 @@ def kmeans_clusters(
                 )
                 for r in rows
             )
+    return cents
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    vec: str = "embedding",
+    dim: int = 64,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd k-means over an embedding column with deterministic
+    initialization — the clustering primitive behind semantic dedup /
+    corpus bucketing (FAISS trains IVF coarse quantizers exactly this
+    way offline).
+
+    Init: the ``k`` lowest-``id_col`` vectors are the starting centroids
+    (deterministic, so the DuckDB differential oracle reproduces the run
+    bit-exactly).  Each Lloyd round is:
+
+    * **assign** — nearest-centroid id as a zero-Python projection
+      (centroids ride into the plan as literals; argmin via ``array_min``
+      over (dist, cid) structs, distances folded in index order);
+    * **update** — per-cluster per-dim mean via ``dim`` DECIMAL-exact
+      column aggregates (one partial+final hash aggregate, no explode),
+      collected to the driver (≤ k rows × dim — bounded by construction).
+
+    100 TB story: each round is one corpus scan + one k-row aggregate;
+    the corpus never shuffles (assignment is a projection, the update agg
+    is partial-aggregated to k rows).  Driver state is k×dim floats.
+    Empty clusters simply drop out of the update (their id disappears),
+    identically in both engines.
+
+    Returns one row per surviving cluster: ``cluster_id, n_members,
+    inertia`` (mean squared distance to the final centroid, DECIMAL-
+    accumulated, rounded to 6)."""
+    base = _kmeans_base(df, vec, dim, id_col)
+    cents = kmeans_fit(df, vec, dim, k, iters, id_col)
     final = base.withColumn("__a", _argmin_cid(F.col("__v"), cents))
     return (
         final.groupBy(F.col("__a.cid").cast("bigint").alias("cluster_id"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataclod_spark.operators import dedup as DD
+from dataclod_spark.queries.similarity import LLOYD_K8_CTES
 from dataclod_spark.registry import load, query
 
 _NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
@@ -529,3 +530,61 @@ def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
     old = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
     return incremental_rollup(DD.incremental_dedup(new, old, jaccard_threshold=0.2))
+
+
+_SEMDEDUP_TAU = 0.35  # demo threshold: the synthetic embeddings are near-
+# orthogonal (within-cell cosine tops out ~0.47), so the paper's 0.95
+# would trivially keep everything; planted-blob unit tests exercise the
+# production threshold (tests/test_pipeline_ops.py::test_semantic_dedup*)
+
+
+@query(
+    "d13_semantic_dedup",
+    doc="SemDeDup (Abbas et al. 2023): k-means cells over the embedding "
+    "corpus, within-cell cosine>=tau near-dup groups via connected "
+    "components, keep the lowest-id representative per group — the "
+    "semantic-level dedup pass exact/MinHash dedup cannot see",
+    oracle=rf"""
+WITH RECURSIVE {LLOYD_K8_CTES},
+asg AS (
+  SELECT e.vec_id, CAST(a2.cid AS BIGINT) AS cell, e.v,
+         sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nr
+  FROM e JOIN a2 USING (vec_id)
+),
+prs AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+          i -> a.v[i] * b.v[i])) / (a.nr * b.nr), 4) >= {_SEMDEDUP_TAU}
+),
+edges AS (
+  SELECT id_1 AS ea, id_2 AS eb FROM prs
+  UNION SELECT id_2, id_1 FROM prs
+),
+walk(id, lbl) AS (
+  SELECT ea, ea FROM edges
+  UNION
+  SELECT g.eb, walk.lbl FROM walk JOIN edges g ON g.ea = walk.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+SELECT asg.vec_id,
+       asg.cell,
+       coalesce(comp.component, asg.vec_id) AS component,
+       (comp.component IS NULL OR comp.component = asg.vec_id) AS is_kept
+FROM asg LEFT JOIN comp ON asg.vec_id = comp.id
+ORDER BY asg.vec_id
+""",
+)
+def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.dedup.semantic_dedup — the kmeans_fit centroids ride into
+    the assignment projection as array literals (zero Python, zero corpus
+    shuffle), the pair join shuffles on the cell id only, and components
+    collapse transitive duplicate chains.  The oracle replays the same
+    deterministic Lloyd rounds (shared LLOYD_K8_CTES), the same
+    index-ordered cosine folds rounded to 4, and walks the pair graph
+    with a recursive CTE (d7's pattern)."""
+    e = load(spark, sf_dir, "embeddings")
+    return DD.semantic_dedup(
+        e, id_col="vec_id", vec="embedding", dim=64, k=8, iters=2,
+        threshold=_SEMDEDUP_TAU,
+    ).orderBy("vec_id")

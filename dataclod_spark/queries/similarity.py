@@ -378,15 +378,11 @@ def v6_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "v7_kmeans_clusters",
-    doc="Lloyd k-means (k=8, 2 rounds, deterministic lowest-id init) over "
-    "the embedding corpus — per-cluster size + inertia "
-    "(operators/embeddings.kmeans_clusters): assignment is a literal-"
-    "centroid codegen projection, the update is a k-row DECIMAL-exact "
-    "aggregate; the corpus never shuffles",
-    oracle="""
-WITH e AS (
+# Shared Lloyd CTE chain (k=8, dim=64, 2 rounds, lowest-id init) ending in
+# a2(vec_id, cid, dist) — the deterministic SQL replica of
+# operators.embeddings.kmeans_fit at the driver-data defaults; reused by
+# v7's cluster summary and d13's semantic-dedup oracle (queries/dedup.py)
+LLOYD_K8_CTES = """e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), c0 AS (
@@ -421,7 +417,18 @@ WITH e AS (
     SELECT vec_id, cid, dist,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
     FROM d2) WHERE rn = 1
-)
+)"""
+
+
+@query(
+    "v7_kmeans_clusters",
+    doc="Lloyd k-means (k=8, 2 rounds, deterministic lowest-id init) over "
+    "the embedding corpus — per-cluster size + inertia "
+    "(operators/embeddings.kmeans_clusters): assignment is a literal-"
+    "centroid codegen projection, the update is a k-row DECIMAL-exact "
+    "aggregate; the corpus never shuffles",
+    oracle=f"""
+WITH {LLOYD_K8_CTES}
 SELECT CAST(cid AS BIGINT) AS cluster_id,
        count(*) AS n_members,
        round(CAST(sum(CAST(dist AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)

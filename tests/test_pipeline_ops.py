@@ -761,3 +761,77 @@ def test_incremental_dedup_null_text_kept(spark):
     )
     out = {r.doc_id: r.drop_reason for r in incremental_dedup(new, old).collect()}
     assert out == {10: None, 11: "exact"}
+
+
+def test_semantic_dedup_planted_blobs(spark):
+    """SemDeDup semantics at the production threshold (0.95): three
+    well-separated blobs -> distinct cells; near-identical vectors within
+    a blob collapse to one kept representative (lowest id); distinct
+    directions within a cell survive; malformed vectors are dropped."""
+    import math
+
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import semantic_dedup
+
+    def v(base, eps):
+        return [b + eps for b in base]
+
+    rows = [
+        # blob A: 4 near-identical copies (ids 0-3)
+        Row(vec_id=0, embedding=v([10.0, 0.0, 0.0, 0.0], 0.00)),
+        Row(vec_id=1, embedding=v([10.0, 0.0, 0.0, 0.0], 0.01)),
+        Row(vec_id=2, embedding=v([10.0, 0.0, 0.0, 0.0], 0.02)),
+        Row(vec_id=3, embedding=v([10.0, 0.0, 0.0, 0.0], 0.03)),
+        # blob B: 2 near-dups + 1 orthogonal direction (ids 10-12)
+        Row(vec_id=10, embedding=[0.0, 10.0, 0.0, 0.0]),
+        Row(vec_id=11, embedding=[0.0, 10.0, 0.1, 0.0]),
+        Row(vec_id=12, embedding=[0.0, 0.2, 0.0, 10.0]),
+        # blob C: singleton (id 20)
+        Row(vec_id=20, embedding=[0.0, 0.0, -10.0, 0.0]),
+        # malformed: dropped before clustering
+        Row(vec_id=99, embedding=None),
+        Row(vec_id=98, embedding=[1.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, dim=4, k=3, iters=3, threshold=0.95
+    ).collect()}
+    assert set(out) == {0, 1, 2, 3, 10, 11, 12, 20}  # malformed dropped
+    # blob A collapses to one component with rep 0
+    assert {out[i].component for i in (0, 1, 2, 3)} == {0}
+    assert [out[i].is_kept for i in (0, 1, 2, 3)] == [True, False, False, False]
+    # blob B: 10/11 merge, 12 survives in the same-or-other cell
+    assert out[11].component == 10 and not out[11].is_kept
+    assert out[12].is_kept and out[12].component == 12
+    assert out[20].is_kept
+    # kept = one per component
+    comps = {}
+    for r in out.values():
+        comps.setdefault(r.component, []).append(r)
+    for comp, members in comps.items():
+        assert sum(m.is_kept for m in members) == 1
+        assert min(m.vec_id for m in members) == comp
+
+
+def test_semantic_dedup_transitive_chain(spark):
+    """A chain v1~v2~v3 where cos(v1,v3) < tau must still collapse to ONE
+    component (components, not per-pair dropping — the paper's grouping)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import semantic_dedup
+
+    def ray(deg):
+        a = math.radians(deg)
+        return [math.cos(a), math.sin(a), 0.0, 0.0]
+
+    rows = [Row(vec_id=i, embedding=ray(16 * i)) for i in range(3)]
+    # cos(16°)=0.961 >= 0.95, cos(32°)=0.848 < 0.95
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, dim=4, k=1, iters=1, threshold=0.95
+    ).collect()}
+    assert {out[i].component for i in range(3)} == {0}
+    assert [out[i].is_kept for i in range(3)] == [True, False, False]
