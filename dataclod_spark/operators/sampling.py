@@ -139,3 +139,64 @@ def token_budget_sample(
         .filter(F.col("__before") < budget)
         .drop("__before")
     )
+
+
+def temperature_budgets(
+    df: DataFrame,
+    stratum: str,
+    token_col: Column,
+    total_budget: int,
+    alpha: float = 0.5,
+) -> dict:
+    """Per-stratum token budgets under temperature-scaled (α-smoothed)
+    mixture weighting — the multilingual sampling scheme of mBERT/XLM-R
+    (Conneau et al. 2020 §3.1): w_i = n_i^α / Σ_j n_j^α over corpus token
+    counts, b_i = floor(B · w_i).  α=1 reproduces natural proportions;
+    α→0 flattens toward uniform, up-sampling low-resource strata.
+
+    The per-stratum totals aggregate is one partial+final pass and the
+    result is |strata| rows (sources/languages — bounded), so the weight
+    math runs driver-side in plain IEEE doubles with a DEFINED order
+    (strata sorted by name, left-to-right fold) — bit-reproducible in the
+    SQL oracle via ``list_sum(list(w ORDER BY stratum))``.  α=0.5 uses
+    ``math.sqrt`` (correctly rounded, engine-identical); other α use
+    ``pow`` (last-ulp identical on one host's libm, the usual caveat).
+    """
+    tok = F.greatest(F.coalesce(token_col.cast("bigint"), F.lit(0)), F.lit(0))
+    totals = {
+        r["__s"]: r["__n"]
+        for r in df.groupBy(F.col(stratum).alias("__s"))
+        .agg(F.sum(tok).alias("__n"))
+        .collect()
+    }
+    import math
+
+    weight = (
+        (lambda n: math.sqrt(float(n)))
+        if alpha == 0.5
+        else (lambda n: float(n) ** alpha)
+    )
+    den = 0.0
+    ws = {}
+    for s in sorted(totals):
+        ws[s] = weight(totals[s])
+        den += ws[s]
+    if den == 0.0:
+        return {s: 0 for s in totals}
+    return {s: math.floor(total_budget * ws[s] / den) for s in sorted(totals)}
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    token_col: Column,
+    total_budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: derive per-stratum token
+    budgets with :func:`temperature_budgets`, then greedy-fill each
+    stratum with :func:`token_budget_sample` (same one-window-shuffle
+    plan; the budget derivation adds one |strata|-row aggregate)."""
+    budgets = temperature_budgets(df, stratum, token_col, total_budget, alpha)
+    return token_budget_sample(df, key, stratum, token_col, budgets)

@@ -150,3 +150,85 @@ def sp4_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "sp5_temperature_mixture",
+    doc="temperature-scaled (alpha=0.5) mixture sampling: per-source "
+    "token budgets b_i = floor(B * sqrt(n_i) / sum_j sqrt(n_j)) derived "
+    "from corpus token counts, then greedy token fill — the multilingual "
+    "up-sampling scheme of mBERT/XLM-R (alpha-smoothing)",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         greatest(coalesce(CAST({_NTOK} AS BIGINT), 0), 0) AS tok,
+         {_H} AS h
+  FROM documents
+), tot AS (
+  SELECT source, sum(tok) AS n FROM tk GROUP BY source
+), aw AS (
+  SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM tot
+), den AS (
+  SELECT list_sum(list(w ORDER BY source)) AS d FROM aw
+), bud AS (
+  SELECT source, n, CAST(floor(50000 * w / d) AS BIGINT) AS budget
+  FROM aw, den
+), ranked AS (
+  SELECT t.source, t.doc_id, t.tok, b.n, b.budget,
+         sum(t.tok) OVER (PARTITION BY t.source ORDER BY t.h, t.doc_id
+                          ROWS UNBOUNDED PRECEDING) - t.tok AS strt
+  FROM tk t JOIN bud b USING (source)
+), kept AS (
+  SELECT * FROM ranked WHERE strt < budget
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS corpus_tokens,
+       CAST(max(budget) AS BIGINT) AS budget,
+       count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY source ORDER BY source
+""",
+)
+def sp5_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.sampling.temperature_mixture: the budget derivation is
+    one |strata|-row aggregate + driver-side IEEE math in a DEFINED order
+    (sorted strata, left fold — the oracle mirrors it with
+    list_sum(list(w ORDER BY source))); the fill itself is sp4's
+    one-window-cumsum plan.  alpha=0.5 up-samples small sources —
+    the report shows each source's corpus tokens vs its granted budget."""
+    from dataclod_spark.functions import text as TX
+
+    d = load(spark, sf_dir, "documents")
+    tokc = TX.token_count(F.col("text"))
+    budgets = SMP.temperature_budgets(
+        d, stratum="source", token_col=tokc, total_budget=50_000, alpha=0.5
+    )
+    s = SMP.temperature_mixture(
+        d, key="doc_id", stratum="source", token_col=tokc,
+        total_budget=50_000, alpha=0.5,
+    )
+    tok = F.greatest(F.coalesce(tokc.cast("bigint"), F.lit(0)), F.lit(0))
+    # per-source corpus totals (same clamp as the operator)
+    corpus = d.groupBy("source").agg(F.sum(tok).alias("corpus_tokens"))
+    bud = F.lit(0).cast("bigint")
+    for src, b in sorted(budgets.items()):
+        bud = F.when(F.col("source") == src, F.lit(int(b)).cast("bigint")).otherwise(bud)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok).alias("n_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .join(F.broadcast(corpus), "source")
+        .select(
+            "source",
+            "corpus_tokens",
+            bud.alias("budget"),
+            "n_docs",
+            "n_tokens",
+            "id_sum",
+        )
+        .orderBy("source")
+    )

@@ -969,15 +969,29 @@ def x21_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     back — at 100 TB the one corpus-sized shuffle is the partial-agged
     (doc, gram) count."""
     d = load(spark, sf_dir, "documents")
+    return (
+        _lm_familiarity(d)
+        .orderBy(F.asc("familiarity"), "doc_id")
+        .limit(20)
+    )
+
+
+def _lm_familiarity(d: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Per-doc corpus-trigram familiarity ``(doc_id, *extra, n_grams,
+    familiarity)`` — the shared scoring core of x21 (bottom-k report) and
+    x23 (CCNet head/middle/tail bucketing).  ``extra`` columns (doc-level
+    attributes like lang) ride through the (doc, gram) aggregate so no
+    second corpus join is needed."""
     padded = d.select(
         "doc_id",
+        *extra,
         F.concat(F.lit(" "), TX.normalize_text(F.col("text")), F.lit(" ")).alias("__p"),
     )
     tri = padded.select(
-        "doc_id", F.explode(TX._char_trigrams_from(F.col("__p"))).alias("g")
+        "doc_id", *extra, F.explode(TX._char_trigrams_from(F.col("__p"))).alias("g")
     )
     per = (
-        tri.groupBy("doc_id", "g")
+        tri.groupBy("doc_id", *extra, "g")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint()
     )
@@ -992,7 +1006,7 @@ def x21_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the end rounds the same exact integer on both engines.
     doc = (
         per.join(F.broadcast(vocab), "g")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *extra)
         .agg(
             F.sum("cnt").alias("n_grams"),
             F.sum(
@@ -1001,17 +1015,13 @@ def x21_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__fam"),
         )
     )
-    return (
-        doc.crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            "n_grams",
-            (F.col("__fam").cast("double") / F.col("n_grams") / F.col("total")).alias(
-                "familiarity"
-            ),
-        )
-        .orderBy(F.asc("familiarity"), "doc_id")
-        .limit(20)
+    return doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        *extra,
+        "n_grams",
+        (F.col("__fam").cast("double") / F.col("n_grams") / F.col("total")).alias(
+            "familiarity"
+        ),
     )
 
 
@@ -1139,4 +1149,86 @@ def x22_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_sequences"), F.lit(0)).cast("bigint").alias("n_sequences"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "x23_lm_quality_buckets",
+    doc="CCNet-style head/middle/tail quality bucketing: per-language "
+    "ntile(3) over the corpus-trigram LM familiarity score (head = most "
+    "corpus-typical) — the bucketing CCNet publishes its corpus in "
+    "(Wenzek et al. 2020 §4.3, perplexity terciles per language)",
+    oracle=rf"""
+WITH padded AS (
+  SELECT doc_id, lang, ' ' || {_NORM} || ' ' AS p FROM documents
+), tri AS (
+  SELECT doc_id, lang, unnest(list_transform(range(1, len(p) - 1),
+                                             i -> substr(p, i, 3))) AS g
+  FROM padded
+), per AS (
+  SELECT doc_id, lang, g, count(*) AS cnt FROM tri GROUP BY doc_id, lang, g
+), vocab AS (
+  SELECT g, CAST(sum(cnt) AS BIGINT) AS corpus_cnt FROM per GROUP BY g
+), tot AS (
+  SELECT CAST(sum(corpus_cnt) AS BIGINT) AS total FROM vocab
+), scored AS (
+  SELECT per.doc_id, per.lang,
+         CAST(sum(per.cnt) AS BIGINT) AS n_grams,
+         CAST(sum(CAST(per.cnt AS HUGEINT) * vocab.corpus_cnt) AS DOUBLE)
+           / CAST(sum(per.cnt) AS BIGINT) / tot.total AS familiarity
+  FROM per JOIN vocab USING (g) CROSS JOIN tot
+  GROUP BY per.doc_id, per.lang, tot.total
+), bucketed AS (
+  SELECT lang, n_grams, familiarity,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY familiarity DESC, doc_id) AS bkt
+  FROM scored
+)
+SELECT lang,
+       CASE bkt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+       round(CAST(sum(CAST(familiarity AS DECIMAL(18,12))) AS DOUBLE)
+             / count(*), 8) AS avg_familiarity
+FROM bucketed
+GROUP BY lang, bkt
+ORDER BY lang, bucket
+""",
+)
+def x23_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes x21's familiarity core (_lm_familiarity, lang carried
+    through the gram aggregate — no second corpus join) with a per-lang
+    ntile(3): the bit-identical doubles + doc_id tiebreak give ntile a
+    total order, so the tercile cut is engine-exact.  Per-bucket mean
+    familiarity goes through DECIMAL(18,12) accumulation (order-free);
+    one corpus gram shuffle + one lang window shuffle of doc-level rows."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    scored = _lm_familiarity(d, extra=("lang",))
+    w = W.partitionBy("lang").orderBy(F.desc("familiarity"), F.asc("doc_id"))
+    bucketed = scored.select(
+        "lang",
+        "n_grams",
+        "familiarity",
+        F.ntile(3).over(w).alias("bkt"),
+    )
+    return (
+        bucketed.groupBy(
+            "lang",
+            F.when(F.col("bkt") == 1, "head")
+            .when(F.col("bkt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("n_grams"),
+            F.round(
+                F.sum(F.col("familiarity").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            ).alias("avg_familiarity"),
+        )
+        .orderBy("lang", "bucket")
     )

@@ -835,3 +835,37 @@ def test_semantic_dedup_transitive_chain(spark):
     ).collect()}
     assert {out[i].component for i in range(3)} == {0}
     assert [out[i].is_kept for i in range(3)] == [True, False, False]
+
+
+def test_temperature_budgets_alpha_semantics(spark):
+    """alpha=1 reproduces natural proportions; alpha<1 up-samples the
+    small stratum; budgets never exceed the total and respect floor."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.sampling import (
+        temperature_budgets,
+        temperature_mixture,
+    )
+
+    rows = (
+        [Row(doc_id=i, src="big", tok=100) for i in range(90)]
+        + [Row(doc_id=100 + i, src="small", tok=100) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows)
+
+    nat = temperature_budgets(df, "src", F.col("tok"), 10_000, alpha=1.0)
+    assert nat == {"big": 9000, "small": 1000}
+
+    smooth = temperature_budgets(df, "src", F.col("tok"), 10_000, alpha=0.5)
+    assert smooth["small"] > 1000 and smooth["big"] < 9000  # up-sampled
+    assert sum(smooth.values()) <= 10_000
+
+    flat = temperature_budgets(df, "src", F.col("tok"), 10_000, alpha=0.0)
+    assert flat == {"big": 5000, "small": 5000}
+
+    # the fill respects the derived budgets (greedy: boundary doc included)
+    out = temperature_mixture(df, "doc_id", "src", F.col("tok"), 10_000, alpha=0.5)
+    got = {r.src: r.n for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    import math
+    for s in ("big", "small"):
+        assert got[s] == min(math.ceil(smooth[s] / 100), {"big": 90, "small": 10}[s])
