@@ -184,3 +184,73 @@ def test_out_of_scope_still_parse_errors(spark):
             "SELECT groups_t.*, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) "
             "FROM groups_t"
         ).collect()
+
+
+def test_groups_frames_match_python_reference(spark):
+    """Differential fuzz: random GROUPS frames (both bounds, all bound
+    kinds, heavy ties) through EngineSession.sql vs an independent Python
+    implementation of peer-group frame semantics."""
+    import random
+
+    from dataclod_spark.session import EngineSession
+
+    rnd = random.Random(20260815)
+    rows = [
+        (i, rnd.choice("ab"), rnd.randint(0, 4), rnd.randint(-5, 9))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, p string, k int, v int")
+    df.createOrReplaceTempView("groups_fuzz")
+    sess = EngineSession(spark, register_catalog=False)
+
+    data = rows
+
+    def py_groups(lo, hi, agg):
+        # peer-group frame reference: per partition, sorted distinct keys
+        out = {}
+        parts = {}
+        for (i, p, k, v) in data:
+            parts.setdefault(p, []).append((i, k, v))
+        for p, rs in parts.items():
+            keys = sorted({k for _, k, _ in rs})
+            gi = {k: n for n, k in enumerate(keys)}
+            for (i, k, v) in rs:
+                g = gi[k]
+                a = -10**9 if lo is None else g + lo
+                b = 10**9 if hi is None else g + hi
+                vals = [v2 for (_, k2, v2) in rs if a <= gi[k2] <= b]
+                if agg == "sum":
+                    out[i] = sum(vals) if vals else None
+                elif agg == "count":
+                    out[i] = len(vals)
+                else:
+                    out[i] = min(vals) if vals else None
+        return out
+
+    def bound_sql(n, side):
+        if n is None:
+            return f"UNBOUNDED {side}"
+        if n == 0:
+            return "CURRENT ROW"
+        return f"{abs(n)} {'PRECEDING' if n < 0 else 'FOLLOWING'}"
+
+    cases = 0
+    while cases < 12:
+        lo = rnd.choice([None, -3, -2, -1, 0, 1])
+        hi = rnd.choice([None, -1, 0, 1, 2, 3])
+        if lo is not None and hi is not None and lo > hi:
+            continue  # invalid frame; Spark/PG reject it at parse time
+        if lo is None and rnd.random() < 0.5:
+            lo = -1  # don't oversample unbounded
+        agg = rnd.choice(["sum", "count", "min"])
+        frame = f"GROUPS BETWEEN {bound_sql(lo, 'PRECEDING')} AND {bound_sql(hi, 'FOLLOWING')}"
+        got = {
+            r.id: r.s
+            for r in sess.sql(
+                f"SELECT id, {agg}(v) OVER (PARTITION BY p ORDER BY k {frame}) AS s "
+                "FROM groups_fuzz"
+            ).collect()
+        }
+        want = py_groups(lo, hi, agg)
+        assert got == want, (frame, agg)
+        cases += 1
