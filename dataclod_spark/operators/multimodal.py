@@ -241,3 +241,33 @@ def resize_media(
             yield pdf
 
     return df.mapInPandas(resize_batches, out_schema)
+
+
+def media_dedup(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Content-addressable exact dedup over binary media blobs: adds
+    ``digest`` (md5 of the raw bytes) and ``is_canonical`` (true for the
+    lowest-``id_col`` copy of each digest) — the binary twin of
+    ``exact_dedup``, and the cheapest multimodal pipeline win: identical
+    bytes decode identically, so dedup BEFORE decode skips the codec for
+    every duplicate copy (web-crawl media duplicates by whole files, so
+    byte identity is the high-recall first pass; perceptual near-dup runs
+    on the survivors).
+
+    One digest projection (pure codegen) + one digest-keyed window — the
+    single shuffle carries (id, digest) alongside the row, and the digest
+    key is uniform by construction (a cryptographic hash), so there is no
+    skew to mitigate.  NULL content rows keep digest NULL and are all
+    canonical (nothing to share bytes with)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("digest").orderBy(F.col(id_col))
+    return (
+        df.withColumn("digest", F.md5(F.col(content_col)))
+        .withColumn(
+            "is_canonical",
+            F.col("digest").isNull() | (F.row_number().over(w) == 1),
+        )
+    )

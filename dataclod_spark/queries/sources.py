@@ -357,3 +357,62 @@ def c5_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "m5_media_dedup",
+    doc="content-addressable media dedup: md5-of-bytes digest, lowest-id "
+    "canonical copy per digest, per-source storage accounting — the "
+    "dedup-before-decode pass of a multimodal ingest (identical bytes "
+    "decode identically; a deterministic 1-in-7 replica is planted so "
+    "the duplicate path is exercised at the gate, not just in unit tests)",
+    oracle="""
+WITH media AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, source, text FROM documents WHERE doc_id % 7 = 0
+), lab AS (
+  SELECT source, doc_id, md5(text) AS dg, octet_length(encode(text)) AS nb,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS canon
+  FROM media
+)
+SELECT source,
+       count(*) AS n_media,
+       CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       CAST(count(*) - sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS dup_copies,
+       CAST(sum(nb) AS BIGINT) AS bytes_total,
+       CAST(sum(CASE WHEN canon THEN nb ELSE 0 END) AS BIGINT) AS bytes_canonical
+FROM lab
+GROUP BY source
+ORDER BY source
+""",
+)
+def m5_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.multimodal.media_dedup: one codegen digest projection +
+    one digest-keyed window shuffle (uniform key — no skew by
+    construction); dedup runs BEFORE the codec so every duplicate copy
+    skips decode entirely at 100 TB."""
+    from dataclod_spark.operators.multimodal import media_dedup
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("text").cast("binary").alias("content")
+    )
+    dups = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    labeled = media_dedup(d.unionAll(dups), id_col="doc_id", content_col="content")
+    nb = F.length(F.col("content"))
+    canon = F.col("is_canonical").cast("int")
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(canon).alias("n_canonical"),
+            (F.count(F.lit(1)) - F.sum(canon)).alias("dup_copies"),
+            F.sum(nb).alias("bytes_total"),
+            F.sum(F.when(F.col("is_canonical"), nb).otherwise(F.lit(0))).alias(
+                "bytes_canonical"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -151,3 +151,26 @@ def test_fit_box_and_resize_media(spark):
     ).digest()
     assert bytes(got[1].resized_content) == want_blob
     assert got[2].out_width is None and got[2].resized_content is None
+
+
+def test_media_dedup_canonical_and_nulls(spark):
+    """Exact binary dedup: identical bytes share a digest and keep the
+    lowest id; NULL content rows are each their own canonical row."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.multimodal import media_dedup
+
+    rows = [
+        Row(media_id=5, content=b"AAA"),
+        Row(media_id=2, content=b"AAA"),   # same bytes, lower id -> canonical
+        Row(media_id=3, content=b"BBB"),
+        Row(media_id=4, content=None),
+        Row(media_id=7, content=None),     # NULLs never merge
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in media_dedup(df).collect()}
+    assert out[2].is_canonical and not out[5].is_canonical
+    assert out[2].digest == out[5].digest and out[2].digest is not None
+    assert out[3].is_canonical
+    assert out[4].is_canonical and out[7].is_canonical
+    assert out[4].digest is None and out[7].digest is None
