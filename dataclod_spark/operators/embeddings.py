@@ -54,7 +54,16 @@ _ACC = "decimal(27,10)"
 # straight into a map-side partial aggregate (the shuffle carries
 # tasks×dim partial rows, never the exploded corpus), so it scales the
 # same; it just pays the Generate loop instead of unrolled column math.
-WIDE_DIM_THRESHOLD = 256
+#
+# Measured at dim=64 / sf0.1 / local[32] (warmed best-of-2, round 6), the
+# exploded form already wins on every member — the O(dim) expression
+# forest costs more to codegen/evaluate per run than the Generate loop:
+# dim_stats 8.76→1.11 s, label_centroids 2.22→0.76 s, scalar_quantize
+# 2.33→1.12 s, kmeans 4.17→2.63 s.  The threshold therefore sits at 16:
+# only tiny vectors keep the unrolled form (compact plans, explode
+# overhead relatively largest); results are bit-identical either way
+# (tests/test_embeddings_ops.py::test_wide_paths_match_narrow).
+WIDE_DIM_THRESHOLD = 16
 
 
 def _exploded_positions(df: DataFrame, vec: str, dim: int, *keep: str) -> DataFrame:
