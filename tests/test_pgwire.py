@@ -1365,3 +1365,17 @@ def test_extended_protocol_garbage_fuzz(server):
     cols, rows, tag = c.query("SELECT 1 AS ok")
     assert rows == [[b"1"]] and tag == "SELECT 1"
     c.close()
+
+
+def test_groups_frame_through_wire(client):
+    """The GROUPS-frame SQL rewrite runs inside EngineSession.sql, so the
+    pg front door accepts the syntax too — peer semantics verified on an
+    inline VALUES relation (CTE body path of the rewrite)."""
+    cols, rows, _ = client.query(
+        "WITH t AS (SELECT * FROM VALUES (1, 10), (1, 20), (2, 5) AS v(k, x)) "
+        "SELECT k, sum(x) OVER (ORDER BY k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+        "FROM t ORDER BY k, s"
+    )
+    assert cols == ["k", "s"]
+    assert rows == [[b"1", b"30"], [b"1", b"30"], [b"2", b"35"]]
