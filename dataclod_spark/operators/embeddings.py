@@ -467,3 +467,64 @@ def dim_stats(df: DataFrame, vec: str, dim: int) -> DataFrame:
         F.round(F.col("__r.mn"), 8).alias("dim_min"),
         F.round(F.col("__r.mx"), 8).alias("dim_max"),
     )
+
+
+def matryoshka_energy(
+    df: DataFrame, vec: str, dim: int, prefixes: tuple = (8, 16, 32, 64)
+) -> DataFrame:
+    """Matryoshka truncation profile: for each prefix length p, the
+    distribution of "energy retained" ||v[:p]|| / ||v|| — which equals
+    the cosine between the full vector and its p-dim truncation, so it is
+    exactly the similarity error introduced by storing/searching only the
+    first p dims (the Matryoshka-representation-learning deployment
+    decision: how short can the index vectors be?).
+
+    Returns one row per prefix: ``(prefix, n, mean_energy, min_energy,
+    pct_ge_90)``.  Per-row energies are index-ordered folds over the
+    array (bit-identical cross-engine); cross-row means accumulate in
+    DECIMAL.  Zero-shuffle per-row math + one tiny global aggregate —
+    nothing here grows with corpus size except the scan.
+
+    Zero vectors (norm 0) are excluded: truncation quality is undefined
+    for them, identically in the SQL oracle (``WHERE full > 0``)."""
+    x = F.transform(F.col(vec), lambda v: v.cast("double"))
+    sq = lambda arr: F.aggregate(
+        arr, F.lit(0.0), lambda acc, e: acc + e * e
+    )
+    full = F.sqrt(sq(x))
+    base = df.select(
+        full.alias("__full"),
+        *[
+            (F.sqrt(sq(F.slice(x, 1, p))) ).alias(f"__e{p}")
+            for p in prefixes
+        ],
+    ).filter(F.col("__full") > 0)
+    aggs = []
+    for p in prefixes:
+        r = F.col(f"__e{p}") / F.col("__full")
+        aggs.append(
+            F.struct(
+                F.lit(p).alias("prefix"),
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(r.cast("decimal(18,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    8,
+                ).alias("mean_energy"),
+                F.round(F.min(r), 8).alias("min_energy"),
+                F.round(
+                    F.sum(F.when(r >= 0.9, 1).otherwise(0))
+                    / (F.count(F.lit(1)).cast("double") / 100.0),
+                    4,
+                ).alias("pct_ge_90"),
+            ).alias(f"__s{p}")
+        )
+    g = base.agg(*aggs)
+    rows = F.array(*[F.col(f"__s{p}") for p in prefixes])
+    return g.select(F.explode(rows).alias("__r")).select(
+        F.col("__r.prefix").alias("prefix"),
+        F.col("__r.n").alias("n"),
+        F.col("__r.mean_energy").alias("mean_energy"),
+        F.col("__r.min_energy").alias("min_energy"),
+        F.col("__r.pct_ge_90").alias("pct_ge_90"),
+    )

@@ -586,3 +586,55 @@ def v9_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     return dim_stats(e, "embedding", _DIM).orderBy("dim")
+
+
+_MRL_PREFIXES = (8, 16, 32, 64)
+_MRL_ARMS = "\nUNION ALL\n".join(
+    f"""SELECT {p} AS prefix, count(*) AS n,
+       round(CAST(sum(CAST(e{p} / nfull AS DECIMAL(18,12))) AS DOUBLE)
+             / count(*), 8) AS mean_energy,
+       round(min(e{p} / nfull), 8) AS min_energy,
+       round(sum(CASE WHEN e{p} / nfull >= 0.9 THEN 1 ELSE 0 END)
+             / (CAST(count(*) AS DOUBLE) / 100.0), 4) AS pct_ge_90
+FROM en"""
+    for p in _MRL_PREFIXES
+)
+_MRL_ENERGY_COLS = "\n".join(
+    f"         sqrt(list_sum(list_transform(v[1:{p}], x -> x * x))) AS e{p},"
+    for p in _MRL_PREFIXES
+)
+
+
+@query(
+    "v10_matryoshka_energy",
+    doc="Matryoshka truncation profile: per prefix length p, the "
+    "distribution of ||v[:p]||/||v|| (= cosine between the full vector "
+    "and its p-dim truncation) — the MRL deployment decision of how "
+    "short the index vectors can be",
+    oracle=f"""
+WITH e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+), en AS (
+  SELECT sqrt(list_sum(list_transform(v, x -> x * x))) AS nfull,
+{_MRL_ENERGY_COLS}
+         1 AS one
+  FROM e
+  WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0
+)
+SELECT * FROM (
+{_MRL_ARMS}
+)
+ORDER BY prefix
+""",
+)
+def v10_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.embeddings.matryoshka_energy: zero-shuffle per-row
+    index-ordered folds + one global aggregate pivoted to |prefixes|
+    rows; DECIMAL-accumulated means."""
+    from dataclod_spark.operators.embeddings import matryoshka_energy
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    return matryoshka_energy(e, "embedding", _DIM, prefixes=_MRL_PREFIXES).orderBy(
+        "prefix"
+    )

@@ -334,3 +334,30 @@ def test_dim_1024_all_four_operators(spark):
 
     km = kmeans_clusters(df, "embedding", dim, k=3, iters=2).collect()
     assert sum(r.n_members for r in km) == 60 and len(km) >= 1
+
+
+def test_matryoshka_energy_matches_numpy(spark):
+    """Energy retained per prefix vs numpy; zero vectors excluded."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.embeddings import matryoshka_energy
+
+    rng = np.random.default_rng(9)
+    m = rng.normal(0, 1, size=(50, 8)).astype(np.float64)
+    m[:, :4] *= 10  # front-loaded energy: prefix 4 should retain most
+    rows = [Row(vec_id=i, embedding=[float(v) for v in r]) for i, r in enumerate(m)]
+    rows.append(Row(vec_id=99, embedding=[0.0] * 8))  # zero vector: excluded
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.prefix: r
+        for r in matryoshka_energy(df, "embedding", 8, prefixes=(4, 8)).collect()
+    }
+    full = np.linalg.norm(m, axis=1)
+    e4 = np.linalg.norm(m[:, :4], axis=1) / full
+    assert got[4].n == 50 and got[8].n == 50
+    assert abs(got[4].mean_energy - e4.mean()) < 1e-6
+    assert abs(got[4].min_energy - e4.min()) < 1e-6
+    assert got[8].mean_energy == 1.0 and got[8].pct_ge_90 == 100.0
+    assert abs(got[4].pct_ge_90 - 100.0 * (e4 >= 0.9).mean()) < 1e-9
+    assert got[4].mean_energy > 0.9  # front-loaded by construction
