@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["apply_changes"]
+__all__ = ["apply_changes", "snapshot_diff"]
 
 
 def apply_changes(
@@ -78,3 +78,74 @@ def apply_changes(
     upserts = changes.filter(F.col(op_col).isin("I", "U")).select(*payload)
     survivors = base.join(changes.select(key), key, "left_anti")
     return survivors.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list,
+    compare_cols: list | None = None,
+) -> DataFrame:
+    """Diff two table snapshots by key: one row per difference with
+    ``change_type`` ('added' | 'removed' | 'changed') and ``changed_cols``
+    (comma-joined sorted column names whose values differ, NULL-safe) —
+    the regression-diff primitive between two pipeline runs / corpus
+    versions, and the audit view behind a CDC MERGE (u3 applies changes;
+    this derives them).
+
+    Unchanged rows are dropped, so the output is bounded by change
+    volume, not table size.  One full-outer equi-join on the keys (the
+    single shuffle; both sides partial-project to keys+compared columns
+    first, so wide snapshots don't move dead columns through the
+    shuffle).  Comparison is ``eqNullSafe`` per column — NULL→value and
+    value→NULL both count as changes, NULL→NULL does not.
+    """
+    from pyspark.sql import functions as F
+
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    missing = [c for c in compare_cols + keys if c not in old.columns]
+    if missing:
+        raise ValueError(f"snapshot_diff: columns missing from old: {missing}")
+
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    diffs = [
+        F.when(
+            ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+        )
+        for c in sorted(compare_cols)
+    ]
+    changed_cols = F.array_join(
+        F.filter(F.array(*diffs), lambda x: x.isNotNull()), ","
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.select(
+            *out_keys,
+            F.when(~in_old, F.lit("added"))
+            .when(~in_new, F.lit("removed"))
+            .when(changed_cols != "", F.lit("changed"))
+            .alias("change_type"),
+            F.when(in_old & in_new, changed_cols).otherwise(F.lit("")).alias(
+                "changed_cols"
+            ),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

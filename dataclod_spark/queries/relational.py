@@ -2057,3 +2057,67 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+@query(
+    "u4_snapshot_diff",
+    doc="snapshot diff by key (added/removed/changed + changed-column "
+    "list, NULL-safe): the regression-diff between two pipeline runs — "
+    "two deterministic snapshot variants of orders are compared so every "
+    "change class is exercised at the gate",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 7 != 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus
+  FROM orders WHERE o_orderkey % 5 != 0
+), j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         array_to_string(list_filter([
+           CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'o_totalprice' END
+         ], x -> x IS NOT NULL), ',') AS cc
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN cc != '' THEN 'changed' END AS change_type,
+       CASE WHEN in_old AND in_new THEN cc ELSE '' END AS changed_cols
+FROM j
+WHERE (NOT in_old) OR (NOT in_new) OR cc != ''
+ORDER BY o_orderkey
+""",
+)
+def u4_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.cdc.snapshot_diff: one full-outer key join of the two
+    partial projections; unchanged rows never leave the join, so output
+    is bounded by change volume.  The snapshots are derived
+    deterministically from orders (drop 1-in-7 vs 1-in-5; price doubled
+    1-in-11, status overwritten 1-in-13) so added/removed/changed and
+    multi-column changes all occur."""
+    from dataclod_spark.operators.cdc import snapshot_diff
+
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"]).orderBy("o_orderkey")

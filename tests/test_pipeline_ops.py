@@ -869,3 +869,43 @@ def test_temperature_budgets_alpha_semantics(spark):
     import math
     for s in ("big", "small"):
         assert got[s] == min(math.ceil(smooth[s] / 100), {"big": 90, "small": 10}[s])
+
+
+def test_snapshot_diff_semantics(spark):
+    """NULL-safe per-column diff: NULL->value and value->NULL are
+    changes, NULL->NULL is not; changed_cols lists names sorted; added/
+    removed classified by key presence; unchanged rows dropped."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=10),
+            Row(k=2, a=None, b=20),   # NULL -> value on a
+            Row(k=3, a="z", b=None),  # NULL -> NULL on b: unchanged
+            Row(k=4, a="w", b=40),    # removed
+            Row(k=6, a="u", b=60),    # both cols change
+        ],
+        "k long, a string, b int",
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=10),    # unchanged -> dropped
+            Row(k=2, a="q", b=20),
+            Row(k=3, a="z", b=None),
+            Row(k=5, a="n", b=50),    # added
+            Row(k=6, a="v", b=61),
+        ],
+        "k long, a string, b int",
+    )
+    out = {r.k: (r.change_type, r.changed_cols) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {
+        2: ("changed", "a"),
+        4: ("removed", ""),
+        5: ("added", ""),
+        6: ("changed", "a,b"),
+    }
+    with pytest.raises(ValueError, match="missing from old"):
+        snapshot_diff(old.drop("b"), new, ["k"])
