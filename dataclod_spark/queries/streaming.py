@@ -555,3 +555,77 @@ def st12_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "st13_stream_media_dedup",
+    doc="streaming media ingest dedup: 3 micro-batches of new blobs "
+    "screened against a static snapshot digest set (exact md5 identity), "
+    "idempotent per-batch sinks — the drained per-source rollup equals "
+    "the batch formulation (delta overlaps the snapshot 1-in-7, so the "
+    "duplicate path fires across batch boundaries)",
+    oracle="""
+WITH snap AS (
+  SELECT md5(text) AS dg FROM documents WHERE doc_id % 3 != 0
+), delta AS (
+  SELECT doc_id, source, md5(text) AS dg FROM documents
+  WHERE doc_id % 3 = 0 OR doc_id % 7 = 0
+), lab AS (
+  SELECT d.doc_id, d.source,
+         EXISTS (SELECT 1 FROM snap s WHERE s.dg = d.dg) AS is_dup
+  FROM delta d
+)
+SELECT source,
+       count(*) AS n_new,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN is_dup THEN doc_id ELSE 0 END) AS BIGINT) AS dup_id_sum
+FROM lab
+GROUP BY source
+ORDER BY source
+""",
+)
+def st13_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/run.streaming_media_dedup: digest set built once from
+    the static snapshot split (documents with doc_id %% 3 != 0), the
+    delta (%% 3 == 0 OR %% 7 == 0 — the %% 7 overlap rows ARE in the
+    snapshot, so real duplicates occur) hash-scattered across 3
+    maxFilesPerTrigger=1 micro-batches.  Labels are batching-invariant
+    (static digest set only), so the drained rollup equals the batch
+    EXISTS formulation the oracle spells."""
+    import shutil
+    import tempfile
+
+    from dataclod_spark.registry import load as _load
+    from dataclod_spark.streaming.run import (
+        read_documents_stream_multibatch,
+        streaming_media_dedup,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    snapshot = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0).select(
+        F.col("text").cast("binary").alias("content")
+    )
+    stage = tempfile.mkdtemp(prefix="dataclod_mediadedup_stage_")
+    out = tempfile.mkdtemp(prefix="dataclod_mediadedup_out_")
+    try:
+        ds = read_documents_stream_multibatch(
+            spark, sf_dir, stage, n_files=3,
+            pred_sql="doc_id % 3 = 0 OR doc_id % 7 = 0",
+        ).select("doc_id", "source", F.col("text").cast("binary").alias("content"))
+        res = streaming_media_dedup(spark, ds, snapshot, out)
+        dup = F.col("is_duplicate").cast("int")
+        return (
+            res.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_new"),
+                F.sum(dup).alias("n_dup"),
+                F.sum(F.when(F.col("is_duplicate"), F.col("doc_id")).otherwise(F.lit(0))).alias(
+                    "dup_id_sum"
+                ),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

@@ -704,3 +704,59 @@ def streaming_incremental_dedup(
     # batch_id is a partition-discovery column of the sink layout, not a
     # label — drop it
     return spark.read.parquet(res_dir).drop("batch_id")
+
+
+def streaming_media_dedup(
+    spark: SparkSession,
+    media_stream: DataFrame,
+    snapshot: DataFrame,
+    out_dir: str,
+    content_col: str = "content",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Screen a stream of new media blobs against a STATIC snapshot's
+    content digests — the streaming face of
+    :func:`operators.multimodal.media_dedup`'s cross-snapshot use
+    (ingest-time exact dedup BEFORE the codec): the snapshot digest set
+    is computed once (distinct md5, checkpointed), every micro-batch
+    joins its own digests against it via ``foreachBatch`` and writes an
+    idempotent ``batch_id=<n>`` partition (the st12 recovery contract).
+    Labels depend only on the batch's rows + the static digest set, so
+    the drained output is batching-invariant and equals the batch
+    formulation on the union of batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    digests = (
+        snapshot.select(F.md5(F.col(content_col)).alias("__dg"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    res_dir = os.path.join(out_dir, "labeled")
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("digest", F.md5(F.col(content_col)))
+            .join(digests, F.col("digest") == F.col("__dg"), "left")
+            .withColumn("is_duplicate", F.col("__hit").isNotNull())
+            .drop("__dg", "__hit")
+            .write.mode("overwrite")
+            .parquet(os.path.join(res_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        media_stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(f"streaming media dedup did not finish within {timeout_sec}s")
+    return spark.read.parquet(res_dir)
