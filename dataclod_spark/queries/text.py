@@ -1232,3 +1232,66 @@ def x23_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+_BPE_N = 8
+_BPE_MERGE = """CASE WHEN len(syms) <= 1 THEN syms ELSE
+      reduce(list_prepend([syms[1]], list_transform(syms[2:], s -> [s])),
+             (acc, x) -> CASE WHEN acc[len(acc)] = m.a AND x[1] = m.b
+                         THEN list_concat(acc[1:len(acc)-1], [m.a || m.b])
+                         ELSE list_concat(acc, x) END) END"""
+
+
+def _bpe_round_cte(r: int) -> str:
+    return f"""p{r} AS (
+  SELECT u.pr.a AS a, u.pr.b AS b, CAST(sum(freq) AS BIGINT) AS c
+  FROM (SELECT freq, unnest(CASE WHEN len(syms) >= 2
+          THEN list_transform(range(1, len(syms)), i -> {{'a': syms[i], 'b': syms[i+1]}})
+          ELSE [] END) AS pr FROM w{r}) u
+  GROUP BY u.pr.a, u.pr.b
+), m{r} AS (
+  SELECT a, b, c, {r + 1} AS merge_rank FROM p{r} ORDER BY c DESC, a, b LIMIT 1
+), w{r + 1} AS (
+  SELECT freq, {_BPE_MERGE} AS syms
+  FROM w{r}, m{r} m
+)"""
+
+
+_BPE_ORACLE = (
+    f"""
+WITH toks AS (
+  SELECT unnest(list_filter({_TOKS}, t -> t != '')) AS word
+  FROM documents
+), w0 AS (
+  SELECT list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms,
+         count(*) AS freq
+  FROM toks GROUP BY word
+), """
+    + ",\n".join(_bpe_round_cte(r) for r in range(_BPE_N))
+    + f"""
+SELECT merge_rank, a AS left_sym, b AS right_sym, c AS pair_freq
+FROM ({" UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(_BPE_N))})
+ORDER BY merge_rank
+"""
+)
+
+
+@query(
+    "x24_bpe_merges",
+    doc="BPE vocabulary induction (Sennrich et al. 2016): the first 8 "
+    "merges learned from the corpus — iterative argmax-pair merging over "
+    "the DISTINCT-WORD frequency table (one corpus shuffle up front, "
+    "then |vocab|-bounded rounds); the tokenizer-training stage of an "
+    "LLM data pipeline",
+    oracle=_BPE_ORACLE,
+)
+def x24_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.bpe.bpe_train: pair counts are one partial+final
+    aggregate per round over the word table, the merge rewrite is a pure
+    JVM array fold, ties break lexicographically so the merge sequence is
+    fully deterministic — the oracle replays all 8 rounds as chained CTEs
+    with DuckDB's reduce() spelling the identical greedy fold."""
+    from dataclod_spark.operators.bpe import bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_train(d, "text", n_merges=_BPE_N, min_freq=2).orderBy("merge_rank")

@@ -909,3 +909,93 @@ def test_snapshot_diff_semantics(spark):
     }
     with pytest.raises(ValueError, match="missing from old"):
         snapshot_diff(old.drop("b"), new, ["k"])
+
+
+def _bpe_python_reference(texts, n_merges, min_freq=2):
+    import collections
+    import re
+
+    words = collections.Counter()
+    for t in texts:
+        norm = re.sub(r"\s+", " ", t).strip().lower()
+        for w in norm.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    merges = []
+    for r in range(n_merges):
+        cnt = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += f
+        if not cnt:
+            break
+        (a, b), c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if c < min_freq:
+            break
+        merges.append((r + 1, a, b, c))
+        new = {}
+        for syms, f in vocab.items():
+            out = [syms[0]]
+            for s in syms[1:]:
+                if out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Random corpora: the distributed merge sequence equals the classic
+    per-word Python BPE, including tie-breaks and the greedy overlap rule
+    ('aaaa' merges to [aa, aa], never overlapping)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.bpe import bpe_train
+
+    rnd = random.Random(13)
+    vocab = ["banana", "bandana", "aaaa", "abab", "cab", "the", "thee"]
+    texts = [
+        " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 12)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_freq)
+        for r in bpe_train(df, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    assert got == _bpe_python_reference(texts, 6)
+
+
+def test_bpe_train_min_freq_stop_and_empty(spark):
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([Row(text="ab ab xy")])
+    out = [
+        (r.left_sym, r.right_sym, r.pair_freq)
+        for r in bpe_train(df, n_merges=5, min_freq=2).collect()
+    ]
+    # only ('a','b') reaches freq 2; ('x','y') = 1 < min_freq stops training
+    assert out == [("a", "b", 2)]
+    empty = spark.createDataFrame([Row(text="   ")])
+    assert bpe_train(empty, n_merges=3).count() == 0
+
+
+def test_bpe_merge_fold_greedy_overlap(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.bpe import merge_pair_fold
+
+    df = spark.createDataFrame(
+        [Row(syms=list("aaaa")), Row(syms=list("aba")), Row(syms=["a"]), Row(syms=[])],
+        "syms array<string>",
+    )
+    got = [r.m for r in df.select(merge_pair_fold(F.col("syms"), "a", "a").alias("m")).collect()]
+    assert got == [["aa", "aa"], ["a", "b", "a"], ["a"], []]
