@@ -638,3 +638,110 @@ def v10_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_energy(e, "embedding", _DIM, prefixes=_MRL_PREFIXES).orderBy(
         "prefix"
     )
+
+
+def _lloyd_ctes(p: str, lo: int, hi: int, k: int) -> str:
+    """Parameterized DuckDB Lloyd chain (2 rounds, lowest-id init) over
+    the vector slice [lo..hi], CTE names prefixed with ``p`` and ending
+    in ``{p}a2(vec_id, cid, dist)`` — the generator behind
+    LLOYD_K8_CTES's shape, reused per-subspace by the v11 product-
+    quantization oracle."""
+    span = hi - lo + 1
+    return f"""{p}e AS (
+  SELECT vec_id, list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), {p}c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+  FROM {p}e ORDER BY vec_id LIMIT {k}
+), {p}d1 AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, {span + 1}),
+           i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS dist
+  FROM {p}e e CROSS JOIN {p}c0 c
+), {p}a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM {p}d1) WHERE rn = 1
+), {p}ux AS (
+  SELECT vec_id, unnest(generate_series(1, {span})) AS i FROM {p}e
+), {p}c1d AS (
+  SELECT a.cid, u.i,
+         CAST(sum(CAST(e.v[u.i] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS cx
+  FROM {p}ux u JOIN {p}a1 a USING (vec_id) JOIN {p}e e USING (vec_id)
+  GROUP BY a.cid, u.i
+), {p}c1 AS (
+  SELECT cid, list(cx ORDER BY i) AS cvec FROM {p}c1d GROUP BY cid
+), {p}d2 AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, {span + 1}),
+           i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS dist
+  FROM {p}e e CROSS JOIN {p}c1 c
+), {p}a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM {p}d2) WHERE rn = 1
+)"""
+
+
+@query(
+    "v11_product_quantize",
+    doc="product quantization (FAISS PQ shape): the vector split into 2 "
+    "contiguous subspaces, an independent deterministic k=4 codebook "
+    "trained per subspace (Lloyd, 2 rounds, lowest-id init), per-vector "
+    "codes + total squared reconstruction error — the memory-bound ANN "
+    "compression step beyond v6's scalar quantization",
+    oracle=f"""
+WITH {_lloyd_ctes("s0", 1, 32, 4)},
+{_lloyd_ctes("s1", 33, 64, 4)}
+SELECT a0.vec_id,
+       CAST(a0.cid AS INT) AS code_0,
+       CAST(a1.cid AS INT) AS code_1,
+       round(a0.dist + a1.dist, 6) AS sq_err
+FROM s0a2 a0 JOIN s1a2 a1 USING (vec_id)
+ORDER BY a0.vec_id
+""",
+)
+def v11_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.embeddings.kmeans_fit per subspace (shared Lloyd
+    machinery; codebooks ride into the assignment as array literals),
+    then codes + error as ONE zero-shuffle projection over the corpus —
+    the m·k codebook rows are the only driver state.  The error sum is
+    spelled subspace-0-then-1 on both engines so the doubles are
+    bit-identical."""
+    from dataclod_spark.operators.embeddings import _argmin_cid, kmeans_fit
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    spans = [(1, 32), (33, 64)]
+    subs = []
+    for lo, hi in spans:
+        sliced = e.select(
+            "vec_id",
+            F.transform(
+                F.slice("embedding", lo, hi - lo + 1), lambda x: x.cast("double")
+            ).alias("__sub"),
+        )
+        subs.append(kmeans_fit(sliced, vec="__sub", dim=hi - lo + 1, k=4, iters=2))
+    a0 = _argmin_cid(
+        F.transform(F.slice("embedding", 1, 32), lambda x: x.cast("double")), subs[0]
+    )
+    a1 = _argmin_cid(
+        F.transform(F.slice("embedding", 33, 32), lambda x: x.cast("double")), subs[1]
+    )
+    return (
+        e.select(
+            "vec_id",
+            a0.alias("__a0"),
+            a1.alias("__a1"),
+        )
+        .select(
+            "vec_id",
+            F.col("__a0.cid").cast("int").alias("code_0"),
+            F.col("__a1.cid").cast("int").alias("code_1"),
+            F.round(F.col("__a0.dist") + F.col("__a1.dist"), 6).alias("sq_err"),
+        )
+        .orderBy("vec_id")
+    )

@@ -361,3 +361,44 @@ def test_matryoshka_energy_matches_numpy(spark):
     assert got[8].mean_energy == 1.0 and got[8].pct_ge_90 == 100.0
     assert abs(got[4].pct_ge_90 - 100.0 * (e4 >= 0.9).mean()) < 1e-9
     assert got[4].mean_energy > 0.9  # front-loaded by construction
+
+
+def test_product_quantize_planted_subspace_blobs(spark):
+    """PQ via per-subspace kmeans_fit: two tight blobs per subspace ->
+    codes separate them and reconstruction error stays near the blob
+    radius; subspaces are coded independently."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.embeddings import _argmin_cid, kmeans_fit
+
+    rows = []
+    for i in range(40):
+        left = [10.0, 10.0] if i % 2 == 0 else [-10.0, -10.0]
+        right = [5.0, -5.0] if i % 3 == 0 else [-5.0, 5.0]
+        eps = 0.01 * (i % 5)
+        rows.append(Row(vec_id=i, embedding=[v + eps for v in left + right]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    subs = []
+    for lo in (1, 3):
+        sliced = df.select(
+            "vec_id", F.slice("embedding", lo, 2).alias("__sub")
+        )
+        subs.append(kmeans_fit(sliced, vec="__sub", dim=2, k=2, iters=3))
+    out = df.select(
+        "vec_id",
+        _argmin_cid(F.slice("embedding", 1, 2), subs[0])["cid"].alias("c0"),
+        _argmin_cid(F.slice("embedding", 3, 2), subs[1])["cid"].alias("c1"),
+        (
+            _argmin_cid(F.slice("embedding", 1, 2), subs[0])["dist"]
+            + _argmin_cid(F.slice("embedding", 3, 2), subs[1])["dist"]
+        ).alias("err"),
+    ).collect()
+    by_left = {r.vec_id % 2: set() for r in out}
+    by_right = {r.vec_id % 3 == 0: set() for r in out}
+    for r in out:
+        by_left[r.vec_id % 2].add(r.c0)
+        by_right[r.vec_id % 3 == 0].add(r.c1)
+        assert r.err < 0.02  # tight blobs -> near-exact reconstruction
+    assert by_left[0].isdisjoint(by_left[1])      # left blobs got distinct codes
+    assert by_right[True].isdisjoint(by_right[False])
