@@ -999,3 +999,43 @@ def test_bpe_merge_fold_greedy_overlap(spark):
     )
     got = [r.m for r in df.select(merge_pair_fold(F.col("syms"), "a", "a").alias("m")).collect()]
     assert got == [["aa", "aa"], ["a", "b", "a"], ["a"], []]
+
+
+def test_bpe_merge_fold_property(spark):
+    """Property: the JVM fold equals the Python greedy left-to-right
+    merge on random symbol sequences over a tiny alphabet (maximizes
+    adjacent-pair and overlap collisions)."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.bpe import merge_pair_fold
+
+    rnd = random.Random(99)
+    cases = []
+    for _ in range(120):
+        syms = [rnd.choice("ab") for _ in range(rnd.randint(0, 9))]
+        cases.append(syms)
+    df = spark.createDataFrame(
+        [Row(i=i, syms=s) for i, s in enumerate(cases)], "i long, syms array<string>"
+    )
+
+    def py_merge(syms, a, b):
+        if len(syms) <= 1:
+            return syms
+        out = [syms[0]]
+        for s in syms[1:]:
+            if out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    for a, b in [("a", "b"), ("a", "a"), ("b", "a")]:
+        got = {
+            r.i: r.m
+            for r in df.select("i", merge_pair_fold(F.col("syms"), a, b).alias("m")).collect()
+        }
+        for i, syms in enumerate(cases):
+            assert got[i] == py_merge(syms, a, b), (a, b, syms)
