@@ -1021,3 +1021,68 @@ def semantic_dedup(
             ).alias("is_kept"),
         )
     )
+
+
+def line_dedup_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 10,
+) -> DataFrame:
+    """Line-level exact deduplication report — CCNet's first pipeline
+    stage (Wenzek et al. 2020 §3.1: hash every line, drop lines already
+    seen elsewhere in the corpus; boilerplate headers/footers dominate
+    web text).  A "line" here is a fixed run of ``line_tokens``
+    whitespace tokens (the driver corpus carries no newlines; real
+    corpora pass the natural line splitter by chunking on '\\n' instead —
+    the fingerprint/first-occurrence machinery is the operator).
+
+    A line is DUPLICATE unless it is the corpus-wide FIRST occurrence of
+    its fingerprint in (doc_id, line_idx) order.  Returns per document:
+    ``(id_col, n_lines, n_dup_lines, dup_ratio)``.
+
+    100 TB shape: one explode to (doc, idx, fp) — fp is an md5 hex, the
+    only wide-ish column — then ONE fp-keyed aggregate finds each
+    fingerprint's first occurrence (min struct, partial-aggregated), a
+    broadcast-free join back on fp marks duplicates, and a doc-keyed
+    aggregate rolls up.  Two shuffles total (fp, then doc), both on
+    uniform keys; no all-pairs anywhere."""
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
+    idx = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), n_lines - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    lines = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("line_idx"),
+            F.md5(
+                F.array_join(
+                    F.slice(toks, i * line_tokens + 1, line_tokens), " "
+                ).cast("binary")
+            ).alias("fp"),
+        ),
+    )
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(lines).alias("__l")).select(
+        "__id", F.col("__l.line_idx").alias("__idx"), F.col("__l.fp").alias("__fp")
+    )
+    first = ex.groupBy("__fp").agg(
+        F.min(F.struct(F.col("__id").alias("i"), F.col("__idx").alias("x"))).alias("__first")
+    )
+    marked = ex.join(first, "__fp").select(
+        "__id",
+        (
+            (F.col("__first.i") != F.col("__id"))
+            | (F.col("__first.x") != F.col("__idx"))
+        ).cast("int").alias("__dup"),
+    )
+    return (
+        marked.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("__dup").alias("n_dup_lines"),
+            F.round(F.sum("__dup") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+    )

@@ -588,3 +588,48 @@ def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, id_col="vec_id", vec="embedding", dim=64, k=8, iters=2,
         threshold=_SEMDEDUP_TAU,
     ).orderBy("vec_id")
+
+
+@query(
+    "d14_line_dedup",
+    doc="line-level exact dedup report (CCNet stage 1, Wenzek et al. 2020 "
+    "§3.1: hash every line, mark all but the corpus-wide first "
+    "occurrence): per-doc line counts and duplication ratio — lines are "
+    "10-token chunks here (the synthetic corpus has no newlines; the "
+    "fingerprint/first-occurrence machinery is the operator)",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), ix AS (
+  SELECT doc_id, ts,
+         unnest(CASE WHEN len(ts) > 0
+                THEN range(0, CAST(ceil(len(ts) / 10.0) AS INT))
+                ELSE [] END) AS i
+  FROM toks
+), ln AS (
+  SELECT doc_id, i AS line_idx,
+         md5(array_to_string(ts[(i * 10 + 1):(i * 10 + 10)], ' ')) AS fp
+  FROM ix
+), marked AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY fp
+                                      ORDER BY doc_id, line_idx) > 1
+              THEN 1 ELSE 0 END AS dup
+  FROM ln
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(dup) AS BIGINT) AS n_dup_lines,
+       round(sum(dup) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def d14_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.dedup.line_dedup_report: one explode to (doc, idx, fp),
+    one fp-keyed min-struct aggregate for first occurrences (the oracle
+    spells the equivalent window), join back on fp, doc rollup — two
+    uniform-key shuffles, no all-pairs."""
+    d = load(spark, sf_dir, "documents")
+    return DD.line_dedup_report(d, line_tokens=10).orderBy("doc_id")

@@ -1039,3 +1039,23 @@ def test_bpe_merge_fold_property(spark):
         }
         for i, syms in enumerate(cases):
             assert got[i] == py_merge(syms, a, b), (a, b, syms)
+
+
+def test_line_dedup_report_planted(spark):
+    """Planted shared chunk: the corpus-wide FIRST (doc, line_idx)
+    occurrence stays, every later copy (cross-doc and intra-doc) counts
+    duplicate; short tails hash as their own line."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import line_dedup_report
+
+    line = "a b c d e"  # 5 tokens = one line at line_tokens=5
+    rows = [
+        Row(doc_id=1, text=f"{line} unique tail words here"),      # line0=shared, line1 own
+        Row(doc_id=2, text=f"{line} other second chunk is this"),  # line0 dup of doc1
+        Row(doc_id=3, text=f"{line} {line}"),                      # both lines dup (2nd intra-doc)
+        Row(doc_id=4, text="totally different content entirely"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: (r.n_lines, r.n_dup_lines) for r in line_dedup_report(df, line_tokens=5).collect()}
+    assert out == {1: (2, 0), 2: (2, 1), 3: (2, 2), 4: (1, 0)}
