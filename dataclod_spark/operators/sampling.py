@@ -200,3 +200,37 @@ def temperature_mixture(
     plan; the budget derivation adds one |strata|-row aggregate)."""
     budgets = temperature_budgets(df, stratum, token_col, total_budget, alpha)
     return token_budget_sample(df, key, stratum, token_col, budgets)
+
+
+def hash_split(df: DataFrame, key: str, splits: dict) -> DataFrame:
+    """Deterministic disjoint dataset split — the train/val/test manifest:
+    ``splits`` maps split name → integer percent (in declaration order;
+    must sum to ≤ 100), and a row lands in the split whose cumulative
+    band contains ``hash(key) % 100``.  Adds a ``split`` column (NULL for
+    the remainder when the bands sum under 100 — a holdout you haven't
+    allocated yet).
+
+    Pure zero-shuffle projection on the same Knuth hash as
+    :func:`hash_sample`, so splits are reproducible across engines, runs
+    and repartitionings, disjoint by construction (bands cannot overlap),
+    and STABLE under corpus growth: a document's split never changes when
+    other documents are added/removed — the property that keeps val/test
+    uncontaminated across crawl refreshes.
+    """
+    total = 0
+    for name, pct in splits.items():
+        if pct < 0:
+            raise ValueError(f"hash_split: negative percent for {name!r}")
+        total += pct
+    if total > 100:
+        raise ValueError(f"hash_split: split percents sum to {total} > 100")
+    bucket = row_hash(F.col(key)) % 100
+    expr = F.lit(None).cast("string")
+    lo = 0
+    conds = []
+    for name, pct in splits.items():
+        conds.append((name, lo, lo + pct))
+        lo += pct
+    for name, a, b in reversed(conds):
+        expr = F.when((bucket >= a) & (bucket < b), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -232,3 +232,39 @@ def sp5_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sp6_hash_split",
+    doc="deterministic train/val/test split manifest (80/10/10 by Knuth "
+    "hash bands): disjoint by construction, reproducible across engines "
+    "and repartitionings, and stable under corpus growth — a document's "
+    "split never changes when others are added (the property that keeps "
+    "val/test uncontaminated across crawl refreshes)",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang, ({_H}) % 100 AS h FROM documents
+), lab AS (
+  SELECT doc_id, lang,
+         CASE WHEN h < 80 THEN 'train'
+              WHEN h < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM lab
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+)
+def sp6_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.sampling.hash_split: a zero-shuffle projection; the
+    report is one small groupBy.  Band order is the dict's declaration
+    order, mirrored by the oracle's CASE chain."""
+    d = load(spark, sf_dir, "documents")
+    s = SMP.hash_split(d, key="doc_id", splits={"train": 80, "val": 10, "test": 10})
+    return (
+        s.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("split", "lang")
+    )

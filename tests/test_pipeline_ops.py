@@ -1059,3 +1059,35 @@ def test_line_dedup_report_planted(spark):
     df = spark.createDataFrame(rows)
     out = {r.doc_id: (r.n_lines, r.n_dup_lines) for r in line_dedup_report(df, line_tokens=5).collect()}
     assert out == {1: (2, 0), 2: (2, 1), 3: (2, 2), 4: (1, 0)}
+
+
+def test_hash_split_disjoint_stable_and_validated(spark):
+    """Splits are disjoint+exhaustive for 100%-sum specs, NULL for the
+    unallocated remainder, STABLE under corpus growth (a row's split
+    never changes when other rows appear), and invalid specs raise."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    full = hash_split(df, "doc_id", {"train": 80, "val": 10, "test": 10})
+    counts = {r.split: r.n for r in full.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # no NULLs at 100%
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert sum(counts.values()) == 500
+
+    part = hash_split(df, "doc_id", {"train": 50})
+    got = {r.doc_id: r.split for r in part.collect()}
+    assert None in set(got.values())  # unallocated remainder
+
+    # stability: the same doc keeps its split in a larger corpus
+    big = spark.createDataFrame([Row(doc_id=i) for i in range(2000)])
+    full_big = {r.doc_id: r.split for r in hash_split(big, "doc_id", {"train": 80, "val": 10, "test": 10}).collect()}
+    full_small = {r.doc_id: r.split for r in full.collect()}
+    assert all(full_big[k] == v for k, v in full_small.items())
+
+    with pytest.raises(ValueError, match="sum to 110"):
+        hash_split(df, "doc_id", {"a": 60, "b": 50})
+    with pytest.raises(ValueError, match="negative"):
+        hash_split(df, "doc_id", {"a": -1})
