@@ -31,7 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # they jump to the very front of the correctness window.  Reset this
 # list at the start of each round; entries left over from a prior round
 # only waste window slots (never produce a wrong check).
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # round 7: batched BPE (values unchanged at batch_size=1 but the fold
+    # is new), SemDeDup auto-k default + zero-norm guard, media_dedup
+    # NULL-salted window key, snapshot_diff null-safe keys, hash_split
+    # pmod bucketing, GROUPS rewrite restructure (+ new join path)
+    "x24_bpe_merges",
+    "d13_semantic_dedup",
+    "m5_media_dedup",
+    "u4_snapshot_diff",
+    "sp6_hash_split",
+    "w8_groups_frame_sql",
+)
 
 # The driver samples a bounded window (50 in r2-r5) of the registry in
 # dict order.  The order is GENERATED from the CORRECTNESS_r*.json

@@ -10,17 +10,23 @@ scale).  Each round is:
 
 * **pair count** — explode adjacent symbol pairs per word, weighted by
   word frequency; one partial+final aggregate over the word table;
-* **argmax** — highest count, ties broken lexicographically on
-  (left, right) so the merge sequence is fully deterministic (the DuckDB
-  oracle and the Python reference reproduce it exactly);
+* **select** — rank pairs by (count desc, left, right) and take the
+  maximal rank-order PREFIX (≤ ``batch_size``) whose pairs are pairwise
+  symbol-disjoint — the distributed-BPE batching trick (a candidate that
+  shares a symbol with an earlier selection ends the round, because the
+  earlier merge may have changed its count);
 * **merge** — greedy left-to-right non-overlapping rewrite of every
-  word's symbol array as a pure JVM ``F.aggregate`` fold (no Python, no
-  shuffle; the fold's accumulator is the rebuilt array).
+  word's symbol array applying ALL selected pairs in one pure JVM
+  ``F.aggregate`` fold (no Python, no shuffle; a map literal keyed on
+  ``left || '\\x00' || right`` routes each adjacency to its merged
+  symbol).
 
-Driver state is one (left, right, freq) triple per round — bounded by
-``n_merges``.  The word table is localCheckpoint-ed per round (it is
-small; the checkpoint truncates the per-round lineage like the
-connected-components loop does).
+Driver state is ``batch_size`` (left, right, freq) triples per round, so
+the driver round-trip count is ~``n_merges / batch_size`` — one Spark
+job plus one word-table localCheckpoint per ROUND, not per merge, which
+is what lets training reach real tokenizer vocab sizes (30k–50k merges
+at batch 256 is ~150 rounds, vs 30k sequential jobs).  ``batch_size=1``
+is exactly classic sequential BPE.
 """
 
 from __future__ import annotations
@@ -30,28 +36,71 @@ from pyspark.sql import functions as F
 
 from dataclod_spark.functions.text import tokens
 
-__all__ = ["bpe_train", "merge_pair_fold"]
+__all__ = ["bpe_train", "merge_pair_fold", "merge_pairs_fold", "select_batch"]
+
+
+def merge_pairs_fold(syms: Column, pairs: list[tuple[str, str]]) -> Column:
+    """Greedy left-to-right merge of every adjacent occurrence of any
+    pair in ``pairs`` — the BPE merge step for a whole symbol-disjoint
+    batch as ONE index-ordered JVM fold.  Non-overlapping by
+    construction: a merged symbol never re-matches as the LEFT side
+    within the same round ('aaa' + (a,a) -> [aa, a]), and because batch
+    members share no symbols, the single combined pass produces exactly
+    the same arrays as applying each pair's own full greedy pass in rank
+    order.  The lookup key joins left/right with NUL, which cannot occur
+    in tokenized text."""
+    if not pairs:
+        return syms
+    lut = F.create_map(
+        *[
+            lit
+            for a, b in pairs
+            for lit in (F.lit(a + "\x00" + b), F.lit(a + b))
+        ]
+    )
+    rest = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+    init = F.slice(syms, 1, 1)
+
+    def step(acc: Column, s: Column) -> Column:
+        merged = F.element_at(
+            lut, F.concat(F.element_at(acc, -1), F.lit("\x00"), s)
+        )
+        return F.when(
+            merged.isNotNull(),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.when(F.size(syms) <= 1, syms).otherwise(
+        F.aggregate(rest, init, step)
+    )
 
 
 def merge_pair_fold(syms: Column, a: str, b: str) -> Column:
-    """Greedy left-to-right merge of every adjacent (a, b) occurrence in a
-    symbol array — the BPE merge step as one index-ordered JVM fold.
-    Non-overlapping by construction: a merged symbol never re-matches as
-    the LEFT side within the same round ('aaa' + (a,a) -> [aa, a])."""
-    rest = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
-    init = F.slice(syms, 1, 1)
-    return F.when(F.size(syms) <= 1, syms).otherwise(
-        F.aggregate(
-            rest,
-            init,
-            lambda acc, s: F.when(
-                (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-    )
+    """Single-pair greedy merge fold (the ``batch_size=1`` case)."""
+    return merge_pairs_fold(syms, [(a, b)])
+
+
+def select_batch(
+    candidates: list[tuple[str, str, int]], batch_size: int, min_freq: int
+) -> list[tuple[str, str, int]]:
+    """The round's merge selection: the maximal prefix (≤ ``batch_size``)
+    of the ranked candidate list that is pairwise symbol-disjoint and
+    above ``min_freq``.  Selection STOPS (rather than skips) at the first
+    conflicting candidate: a pair sharing a symbol — including the
+    just-created merged symbol — with an earlier selection may have had
+    its true count changed by that merge, so honoring its round-start
+    rank would diverge from sequential BPE.  Pure driver logic on a
+    ≤ batch_size list; exposed for the Python-reference property tests."""
+    selected: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for a, b, c in candidates[:batch_size]:
+        if c < min_freq:
+            break
+        if a in used or b in used or (a + b) in used:
+            break
+        selected.append((a, b, c))
+        used.update((a, b, a + b))
+    return selected
 
 
 def bpe_train(
@@ -59,12 +108,25 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 8,
     min_freq: int = 2,
+    batch_size: int = 1,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from a document corpus.
 
     Returns ``(merge_rank, left_sym, right_sym, pair_freq)`` — one row
     per executed merge, in training order; stops early when the best
-    remaining pair falls under ``min_freq`` (or no pairs remain)."""
+    remaining pair falls under ``min_freq`` (or no pairs remain).
+    ``pair_freq`` is the pair's count at its ROUND start.
+
+    ``batch_size=1`` (default) is classic sequential BPE: recount after
+    every merge, argmax with lexicographic tie-breaks — the DuckDB oracle
+    and the Python reference reproduce the sequence exactly.
+    ``batch_size=m`` applies up to m symbol-disjoint merges per recount
+    (see :func:`select_batch`); the result equals the sequential sequence
+    whenever no newly-created pair (one involving a just-merged symbol)
+    out-ranks a later batch member — newly-created pair counts are
+    bounded by the triggering merge's count, so well-separated (Zipf-ish)
+    pair distributions batch safely; the property tests pin both the
+    exact batched semantics and prefix-agreement with sequential."""
     spark = df.sparkSession
     w = F.col("__w")
     chars = F.transform(
@@ -79,7 +141,8 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
-    for r in range(n_merges):
+    while len(merges) < n_merges:
+        m = min(batch_size, n_merges - len(merges))
         idx = F.when(
             F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
         ).otherwise(F.array().cast("array<int>"))
@@ -95,15 +158,24 @@ def bpe_train(
             .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(m)
             .collect()
         )
-        if not top or top[0]["c"] < min_freq:
+        selected = select_batch(
+            [(r["a"], r["b"], int(r["c"])) for r in top], m, min_freq
+        )
+        if not selected:
+            # the first candidate can never conflict, so an empty
+            # selection means no pair remains at/above min_freq on a
+            # FRESH count — the sequential stopping condition
             break
-        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
-        merges.append((r + 1, a, b, c))
+        for a, b, c in selected:
+            merges.append((len(merges) + 1, a, b, c))
         cur = cur.select(
-            merge_pair_fold(F.col("syms"), a, b).alias("syms"), "freq"
+            merge_pairs_fold(F.col("syms"), [(a, b) for a, b, _ in selected]).alias(
+                "syms"
+            ),
+            "freq",
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_freq long"

@@ -108,22 +108,29 @@ def snapshot_diff(
     if missing:
         raise ValueError(f"snapshot_diff: columns missing from old: {missing}")
 
+    # side-marker literals, not key null-ness, decide row presence — and
+    # the join is null-SAFE on the keys — so NULL-key rows pair up like
+    # any other key value instead of an old-side NULL-key row being
+    # misreported as 'added' (the equi-join would never match it and its
+    # old-side key columns are indistinguishable from an absent row)
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
     )
     cond = None
     for k in keys:
-        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
 
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
     diffs = [
         F.when(
             ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)

@@ -937,9 +937,10 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec: str = "embedding",
     dim: int = 64,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.95,
+    cell_target: int = 10_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedding corpus — cluster with k-means, compare
@@ -955,9 +956,14 @@ def semantic_dedup(
     100 TB shape: the deterministic k-means fit is shared machinery
     (:func:`~dataclod_spark.operators.embeddings.kmeans_fit` — one corpus
     scan per round, k-row aggregates); the pair stage is the paper's own
-    design point — all-pairs only WITHIN a cell, so ``k`` is chosen to
-    keep |cell|² affordable (the paper uses k ≈ corpus/10k; the cell
-    equi-join here shuffles on the cell id, AQE splits skewed cells).
+    design point — all-pairs only WITHIN a cell, so ``k`` must grow with
+    the corpus to keep |cell|² affordable.  ``k=None`` (the default)
+    applies the paper's own contract — k ≈ corpus / ``cell_target``
+    (SemDeDup uses ~10k vectors per cell), floored at 8 — from one cheap
+    count job, so callers get the scale-safe shape without knowing the
+    paper; pass explicit ``k`` to override (the measured ×8-replication
+    wall ratio is ~3.3× under auto-k vs 6.7× fixed-k, SCALE.md).  The
+    cell equi-join shuffles on the cell id; AQE splits skewed cells.
     The assignment projection is localCheckpoint-ed before the self-join
     so both pair sides and the final labeling read ONE assignment pass
     (the x11 discipline; swap for persist on a real cluster) — and the
@@ -971,8 +977,11 @@ def semantic_dedup(
     )
     from dataclod_spark.operators.similarity import dot, norm
 
-    cents = kmeans_fit(df, vec, dim, k, iters, id_col)
     base = _kmeans_base(df, vec, dim, id_col)
+    if k is None:
+        n_valid = base.count()
+        k = max(8, -(-n_valid // cell_target))
+    cents = kmeans_fit(df, vec, dim, k, iters, id_col)
     assigned = (
         base.select(
             F.col("__id"),
@@ -982,13 +991,18 @@ def semantic_dedup(
         .withColumn("__n", norm(F.col("__v")))
         .localCheckpoint(eager=True)
     )
-    a = assigned.select(
+    # zero-norm vectors have undefined cosine (matryoshka_energy's rule):
+    # exclude them from BOTH pair sides — they stay in `assigned`, so each
+    # labels as its own kept singleton — and the filter keeps the cosine
+    # divisor non-zero (ANSI mode would otherwise abort on DIVIDE_BY_ZERO)
+    pairable = assigned.filter(F.col("__n") > 0)
+    a = pairable.select(
         F.col("__id").alias("__id1"),
         F.col("__cell").alias("__cell1"),
         F.col("__v").alias("__v1"),
         F.col("__n").alias("__n1"),
     )
-    b = assigned.select(
+    b = pairable.select(
         F.col("__id").alias("__id2"),
         F.col("__cell").alias("__cell2"),
         F.col("__v").alias("__v2"),

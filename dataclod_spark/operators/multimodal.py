@@ -255,19 +255,30 @@ def media_dedup(
     byte identity is the high-recall first pass; perceptual near-dup runs
     on the survivors).
 
-    One digest projection (pure codegen) + one digest-keyed window — the
-    single shuffle carries (id, digest) alongside the row, and the digest
-    key is uniform by construction (a cryptographic hash), so there is no
-    skew to mitigate.  NULL content rows keep digest NULL and are all
-    canonical (nothing to share bytes with)."""
+    One digest projection (pure codegen) + one window keyed on the digest
+    — the single shuffle carries (id, digest) alongside the row, and the
+    digest key is uniform by construction (a cryptographic hash), so
+    non-NULL keys have no skew to mitigate.  NULL content rows keep
+    digest NULL and are all canonical (nothing to share bytes with); the
+    window key salts them by id into per-row partitions, because a bare
+    ``partitionBy(digest)`` funnels EVERY such row into the single
+    digest-IS-NULL partition — one straggler task on a crawl where a
+    large fraction of media rows have absent blobs.  The ``'\\x00'``
+    salt prefix cannot collide with hex digests, and the salt column is
+    dropped before return."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    w = W.partitionBy("digest").orderBy(F.col(id_col))
+    w = W.partitionBy("__dedup_key").orderBy(F.col(id_col))
     return (
         df.withColumn("digest", F.md5(F.col(content_col)))
         .withColumn(
-            "is_canonical",
-            F.col("digest").isNull() | (F.row_number().over(w) == 1),
+            "__dedup_key",
+            F.coalesce(
+                F.col("digest"),
+                F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+            ),
         )
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .drop("__dedup_key")
     )

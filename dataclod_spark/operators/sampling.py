@@ -216,6 +216,13 @@ def hash_split(df: DataFrame, key: str, splits: dict) -> DataFrame:
     and STABLE under corpus growth: a document's split never changes when
     other documents are added/removed — the property that keeps val/test
     uncontaminated across crawl refreshes.
+
+    The bucket is ``pmod(hash, 100)`` (non-negative even for negative
+    keys) and the key column must be an integral type with no NULLs
+    (non-integral types raise here; a NULL key raises at execution) —
+    together these guarantee that when the bands sum to exactly 100 the
+    manifest is a DISJOINT FULL assignment: an unassigned (NULL-split)
+    row can only come from bands summing under 100.
     """
     total = 0
     for name, pct in splits.items():
@@ -224,7 +231,16 @@ def hash_split(df: DataFrame, key: str, splits: dict) -> DataFrame:
         total += pct
     if total > 100:
         raise ValueError(f"hash_split: split percents sum to {total} > 100")
-    bucket = row_hash(F.col(key)) % 100
+    ktype = dict(df.dtypes).get(key)
+    if ktype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"hash_split: key column {key!r} must be integral, got {ktype}"
+        )
+    bucket = F.pmod(row_hash(F.col(key)), F.lit(100))
+    bucket = F.when(
+        F.col(key).isNull(),
+        F.raise_error(F.lit(f"hash_split: NULL key in column {key!r}")),
+    ).otherwise(bucket)
     expr = F.lit(None).cast("string")
     lo = 0
     conds = []

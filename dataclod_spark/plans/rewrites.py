@@ -430,8 +430,11 @@ def _top_level_kw(sql: str, words: tuple[str, ...], start: int = 0, end: int | N
 
 def _rewrite_window_body(body: str) -> tuple[str, str, str] | None:
     """If ``body`` (an OVER-spec interior) ends in a GROUPS frame, return
-    (partition_clause_text_or_'', order_by_expr_text, new_body_template)
-    where new_body_template holds ``{grp}`` for the rank column name.
+    (partition_clause_text_or_'', order_by_expr_text, range_frame_text).
+    Callers splice the rank column name between the pieces with plain
+    concatenation — never ``str.format``, which would treat literal
+    braces in user SQL (e.g. the ``{2}`` in ``regexp_extract(k, 'a{2}',
+    0)`` inside PARTITION BY) as format fields and raise IndexError.
     None when there is no GROUPS frame; raises _Decline on an
     unsupported GROUPS shape."""
     hits = {w: p for w, p in _top_level_kw(body, ("PARTITION", "ORDER", "GROUPS"))}
@@ -456,18 +459,62 @@ def _rewrite_window_body(body: str) -> tuple[str, str, str] | None:
     order_keys = ob.group(1).strip()
     lo_n = re.sub(r"(?is)\s+", " ", lo).upper()
     hi_n = re.sub(r"(?is)\s+", " ", hi).upper()
-    new_body = (
-        (part + " " if part else "")
-        + "ORDER BY {grp} RANGE BETWEEN "
-        + lo_n
-        + " AND "
-        + hi_n
-    )
-    return part, order_keys, new_body
+    frame = "RANGE BETWEEN " + lo_n + " AND " + hi_n
+    return part, order_keys, frame
 
 
 class _Decline(Exception):
     """Internal: this statement shape is out of rewrite scope."""
+
+
+def _split_top_commas(text: str) -> list[str]:
+    """Split an expression list on top-level commas (code-span aware)."""
+    parts: list[str] = []
+    depth, i, last, n = 0, 0, 0, len(text)
+    while i < n:
+        j = _scan_code(text, i)
+        if j != i:
+            i = j
+            continue
+        ch = text[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[last:i].strip())
+            last = i + 1
+        i += 1
+    tail = text[last:].strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+_QUALREF_RE = re.compile(r"(?:[A-Za-z_]\w*|\x01)\s*\.\s*(?:[A-Za-z_]\w*|\x01)")
+
+
+def _has_qualified_ref(text: str) -> bool:
+    """True when a dotted identifier (``alias.col`` / ``a.b.c`` /
+    struct-field access, plain or backtick-quoted) appears in a CODE
+    position of ``text``.  Used to gate the join-tail GROUPS rewrite: the
+    join product is hidden behind one subquery alias, so any qualified
+    reference left OUTSIDE the subquery would stop resolving — those
+    statements decline instead.  Conservative by design (a dotted
+    function name also declines).  Works on a shadow copy where backtick
+    identifiers collapse to a ``\\x01`` marker and strings/comments to
+    spaces, so quoting cannot hide or fake a dot."""
+    shadow: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        kind, end = scan_noncode_span(text, i)
+        if kind:
+            shadow.append("\x01" if text[i] == "`" else " ")
+            i = end
+            continue
+        shadow.append(text[i])
+        i += 1
+    return _QUALREF_RE.search("".join(shadow)) is not None
 
 
 def _rewrite_block_groups(sql: str) -> str | None:
@@ -509,6 +556,25 @@ def _rewrite_block_groups(sql: str) -> str | None:
     inner_tail = sql[from_pos + len("FROM") : tail_cut]
     outer_tail = sql[tail_cut:]
 
+    # ---- classify the FROM tail up front --------------------------------
+    # Single relation [+ WHERE]: alias-preserving wrap (qualified refs in
+    # the outer select list keep resolving).  Anything else — joins, comma
+    # products, derived tables — is "join mode": the WHOLE tail goes inside
+    # the rank subquery verbatim (its own aliases stay in scope there for
+    # the DENSE_RANK keys and the ON/WHERE text), hidden behind one alias,
+    # and the rewrite declines below if the OUTER text still holds a
+    # qualified reference.
+    mrel = re.match(
+        r"(?is)^\s*(?P<rel>(?:[A-Za-z_]\w*|`[^`]+`)(?:\s*\.\s*(?:[A-Za-z_]\w*|`[^`]+`))*)"
+        r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b|ORDER\b|LIMIT\b|OFFSET\b|JOIN\b|ON\b|USING\b)"
+        r"(?:[A-Za-z_]\w*|`[^`]+`)))?"
+        r"(?P<rest>\s+WHERE\b.*)?\s*$",
+        inner_tail,
+    )
+    join_mode = mrel is None
+    if join_mode and not inner_tail.strip():
+        raise _Decline("no FROM relation")
+
     # ---- bare * / alias.* in the select list leaks rank columns --------
     depth, i, n = 0, 0, len(select_list)
     prev_code = ""
@@ -529,7 +595,9 @@ def _rewrite_block_groups(sql: str) -> str | None:
         i += 1
 
     # ---- rewrite each OVER (...) spec in the select list ---------------
-    ranks: dict[tuple[str, str], str] = {}
+    # key -> (rank_col_name, partition_clause_text, order_keys_text,
+    #         partition_key_expr_list)
+    ranks: dict[tuple[str, str], tuple[str, str, str, list[str]]] = {}
     out: list[str] = []
     i, n = 0, len(select_list)
     changed = False
@@ -570,15 +638,34 @@ def _rewrite_block_groups(sql: str) -> str | None:
                 if res is None:
                     out.append(select_list[i:span_end])
                 else:
-                    part, order_keys, new_body = res
+                    part, order_keys, frame = res
                     key = (
                         re.sub(r"(?is)\s+", " ", part).strip().upper(),
                         re.sub(r"(?is)\s+", " ", order_keys).strip().upper(),
                     )
                     if key not in ranks:
-                        ranks[key] = (f"__grp{len(ranks)}", part, order_keys)
-                    grp = ranks[key][0]
-                    out.append("OVER (" + new_body.format(grp=grp) + ")")
+                        mp = re.match(r"(?is)^PARTITION\s+BY\s+(.*)$", part)
+                        pks = _split_top_commas(mp.group(1)) if mp else []
+                        ranks[key] = (f"__grp{len(ranks)}", part, order_keys, pks)
+                    grp, part, _, pks = ranks[key]
+                    if join_mode:
+                        # partition keys were projected inside the subquery
+                        # as __gpk{N}_{j}; reference those, not the original
+                        # expressions (whose relation aliases are hidden)
+                        pclause = (
+                            "PARTITION BY "
+                            + ", ".join(
+                                f"__gpk{grp[5:]}_{j}" for j in range(len(pks))
+                            )
+                            + " "
+                            if pks
+                            else ""
+                        )
+                    else:
+                        pclause = (part + " ") if part else ""
+                    out.append(
+                        "OVER (" + pclause + "ORDER BY " + grp + " " + frame + ")"
+                    )
                     changed = True
                 i = span_end
                 continue
@@ -600,23 +687,41 @@ def _rewrite_block_groups(sql: str) -> str | None:
             if _GROUPS_FRAME_RE.search(seg[bl + 1 : br - 1]):
                 raise _Decline("GROUPS frame outside the select list")
 
+    if join_mode:
+        # ---- join / multi-relation FROM tail (verbatim wrap) ------------
+        # Qualified refs left in the OUTER text (select list after the
+        # OVER rewrite — i.e. window args and plain expressions — or the
+        # trailing ORDER BY/LIMIT) would no longer resolve behind the
+        # subquery alias: decline those statements (Spark's parse error
+        # stands), keeping the rewrite correct-by-construction.
+        if _has_qualified_ref(new_select_list) or _has_qualified_ref(outer_tail):
+            raise _Decline("qualified column reference outside the join wrap")
+        proj: list[str] = []
+        for name, part, order_keys, pks in ranks.values():
+            proj.extend(
+                f"{e} AS __gpk{name[5:]}_{j}" for j, e in enumerate(pks)
+            )
+            proj.append(
+                f"DENSE_RANK() OVER ({(part + ' ') if part else ''}"
+                f"ORDER BY {order_keys}) AS {name}"
+            )
+        inner_sql = f"SELECT *, {', '.join(proj)} FROM{inner_tail}"
+        return (
+            sql[:sel_pos]
+            + "SELECT"
+            + new_select_list
+            + f"FROM ({inner_sql}) __j "
+            + outer_tail
+        )
+
     # ---- single-relation FROM tail (alias-preserving wrap) -------------
-    mrel = re.match(
-        r"(?is)^\s*(?P<rel>(?:[A-Za-z_]\w*|`[^`]+`)(?:\s*\.\s*(?:[A-Za-z_]\w*|`[^`]+`))*)"
-        r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b|ORDER\b|LIMIT\b|OFFSET\b|JOIN\b|ON\b|USING\b)"
-        r"(?:[A-Za-z_]\w*|`[^`]+`)))?"
-        r"(?P<rest>\s+WHERE\b.*)?\s*$",
-        inner_tail,
-    )
-    if not mrel:
-        raise _Decline("FROM tail is not a single relation [+ WHERE]")
     rel = mrel.group("rel")
     alias = mrel.group("alias")
     where = mrel.group("rest") or ""
     sub_alias = alias or rel.split(".")[-1].strip()
     rank_exprs = ", ".join(
         f"DENSE_RANK() OVER ({(part + ' ') if part else ''}ORDER BY {order_keys}) AS {name}"
-        for name, part, order_keys in ranks.values()
+        for name, part, order_keys, _pks in ranks.values()
     )
     inner_sql = (
         f"SELECT *, {rank_exprs} FROM {rel}"

@@ -329,3 +329,54 @@ SELECT o_custkey, o_orderkey, o_orderdate,
 FROM w8_orders
 ORDER BY o_custkey, o_orderkey
 """)
+
+
+@query(
+    "w9_groups_frame_join_sql",
+    doc="GROUPS window frame over a JOIN accepted as raw SQL syntax: the "
+    "auto-rewrite wraps the whole join product in the dense_rank "
+    "subquery, projecting the partition keys as named columns so the "
+    "outer RANGE emulation never needs the hidden relation aliases "
+    "(qualified refs in the OUTER text still decline — correct-by-"
+    "construction scope); oracle is the same independent per-group-sum + "
+    "lag formulation w8 uses (DuckDB has no GROUPS mode either)",
+    oracle="""
+WITH j AS (
+  SELECT o_orderkey, c_mktsegment, o_orderdate, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), g AS (
+  SELECT c_mktsegment, o_orderdate,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS gsum
+  FROM j GROUP BY c_mktsegment, o_orderdate
+), gr AS (
+  SELECT c_mktsegment, o_orderdate, gsum,
+         lag(gsum) OVER (PARTITION BY c_mktsegment ORDER BY o_orderdate) AS prev
+  FROM g
+)
+SELECT j.o_orderkey, j.c_mktsegment, j.o_orderdate,
+       round(CAST(gr.gsum + coalesce(gr.prev, 0) AS DOUBLE), 2) AS seg_sum
+FROM j JOIN gr ON j.c_mktsegment = gr.c_mktsegment
+              AND j.o_orderdate = gr.o_orderdate
+ORDER BY j.o_orderkey
+""",
+)
+def w9_groups_frame_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS syntax over ``orders JOIN customer`` through
+    ``EngineSession.sql`` (reference surface: DataFusion parses GROUPS in
+    any SELECT, src/core/src/context.rs:49-52; round 6 covered the
+    single-relation shape, this is the join extension).  The rewrite
+    plans ONE shuffle for the join, then the shared (segment, date) sort
+    serves both the dense_rank and the RANGE emulation."""
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("w9_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("w9_customer")
+    return sess.sql("""
+SELECT o_orderkey, c_mktsegment, o_orderdate,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY c_mktsegment ORDER BY o_orderdate
+         GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS seg_sum
+FROM w9_orders JOIN w9_customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+""")

@@ -65,13 +65,29 @@ def test_cte_body_rewritten():
     assert out.strip().endswith("SELECT k, s FROM c ORDER BY k")
 
 
+def test_literal_braces_in_partition_by_survive():
+    """Regression (r6 ADVICE, medium): literal regex braces inside the
+    PARTITION BY text must not be treated as str.format fields — the
+    body is spliced by plain concatenation, so this rewrites cleanly
+    instead of raising IndexError out of EngineSession.sql."""
+    q = (
+        "SELECT k, sum(x) OVER (PARTITION BY regexp_extract(k, 'a{2}', 0) "
+        "ORDER BY d GROUPS 1 PRECEDING) AS s FROM t"
+    )
+    out = rw(q)
+    assert out is not None
+    assert "regexp_extract(k, 'a{2}', 0)" in out  # braces intact, twice
+    assert "DENSE_RANK() OVER (PARTITION BY regexp_extract(k, 'a{2}', 0)" in out
+    assert "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW" in out
+
+
 @pytest.mark.parametrize(
     "q",
     [
         # bare * / alias.* would leak the helper rank columns
         "SELECT *, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t",
         "SELECT a.*, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t a",
-        # join tails cannot preserve both relation aliases
+        # join wrap hides relation aliases: qualified OUTER refs decline
         "SELECT t.x, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
         # top-level clauses out of scope
         "SELECT k, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t GROUP BY k",
@@ -254,3 +270,85 @@ def test_groups_frames_match_python_reference(spark):
         want = py_groups(lo, hi, agg)
         assert got == want, (frame, agg)
         cases += 1
+
+
+# ---------- join-mode rewrite (round 7) ---------------------------------------
+
+
+def test_join_tail_rewrite_shape():
+    q = (
+        "SELECT x, sum(v) OVER (PARTITION BY p ORDER BY k "
+        "GROUPS 1 PRECEDING) AS s FROM t JOIN u ON t.id=u.id"
+    )
+    out = rw(q)
+    assert out is not None
+    assert "FROM (SELECT *, p AS __gpk0_0, DENSE_RANK()" in out
+    assert "FROM t JOIN u ON t.id=u.id) __j" in out
+    assert "OVER (PARTITION BY __gpk0_0 ORDER BY __grp0 RANGE BETWEEN" in out
+
+
+def test_join_tail_qualified_partition_keys_move_inside():
+    """Qualified refs INSIDE the window spec are fine — the dense_rank and
+    the projected partition-key columns are computed inside the wrap,
+    where the join's relation aliases still resolve."""
+    q = (
+        "SELECT x, sum(v) OVER (PARTITION BY t.p, u.q ORDER BY u.k "
+        "GROUPS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS s "
+        "FROM t LEFT JOIN u ON t.id=u.id WHERE v > 0 ORDER BY x LIMIT 5"
+    )
+    out = rw(q)
+    assert "t.p AS __gpk0_0, u.q AS __gpk0_1" in out
+    assert "DENSE_RANK() OVER (PARTITION BY t.p, u.q ORDER BY u.k)" in out
+    assert "OVER (PARTITION BY __gpk0_0, __gpk0_1 ORDER BY __grp0 RANGE" in out
+    assert "WHERE v > 0 ) __j ORDER BY x LIMIT 5" in out
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # qualified ref in the OUTER select list: hidden behind __j
+        "SELECT t.x, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
+        # qualified ref in a window ARGUMENT (stays in the outer list)
+        "SELECT x, sum(t.v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
+        # qualified ref in the outer ORDER BY tail
+        "SELECT x, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s FROM t JOIN u ON t.id=u.id ORDER BY t.x",
+        # backtick-quoted qualified ref must not slip through the guard
+        "SELECT `t`.`x`, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
+    ],
+)
+def test_join_tail_qualified_outer_refs_decline(q):
+    assert rw(q) is None
+
+
+def test_join_groups_sql_executes_with_peer_semantics(spark):
+    """End-to-end: GROUPS syntax over a JOIN through EngineSession.sql —
+    same peer-group expectations as the single-relation test, with the
+    order keys riding in from the joined side."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.session import EngineSession
+
+    _groups_fixture(spark)  # (p, k, v) rows as groups_t
+    dim = spark.createDataFrame(
+        [Row(p="a", seg="S1"), Row(p="b", seg="S2")]
+    )
+    dim.createOrReplaceTempView("groups_dim")
+    sess = EngineSession(spark, register_catalog=False)
+    got = {
+        (r.seg, r.k, r.v): r.s
+        for r in sess.sql(
+            "SELECT seg, k, v, sum(v) OVER (PARTITION BY seg ORDER BY k "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+            "FROM groups_t JOIN groups_dim ON groups_t.p = groups_dim.p"
+        ).collect()
+    }
+    want = {
+        ("S1", 1, 10): 30,
+        ("S1", 1, 20): 30,
+        ("S1", 2, 1): 31,
+        ("S1", 3, 5): 13,
+        ("S1", 3, 7): 13,
+        ("S2", 1, 100): 100,
+        ("S2", 9, 3): 103,
+    }
+    assert got == want

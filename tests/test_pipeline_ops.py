@@ -1091,3 +1091,263 @@ def test_hash_split_disjoint_stable_and_validated(spark):
         hash_split(df, "doc_id", {"a": 60, "b": 50})
     with pytest.raises(ValueError, match="negative"):
         hash_split(df, "doc_id", {"a": -1})
+
+
+# --- round 7: ADVICE fixes + batched BPE -----------------------------------
+
+
+def _bpe_python_batched(texts, n_merges, min_freq=2, batch_size=1):
+    """Per-word Python replay of the BATCHED training rule: rank pairs on
+    round-start counts, select via the operator's own select_batch, apply
+    the whole batch in one combined left-to-right pass."""
+    import collections
+    import re
+
+    from dataclod_spark.operators.bpe import select_batch
+
+    words = collections.Counter()
+    for t in texts:
+        norm = re.sub(r"\s+", " ", t).strip().lower()
+        for w in norm.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    merges = []
+    while len(merges) < n_merges:
+        m = min(batch_size, n_merges - len(merges))
+        cnt = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += f
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+        selected = select_batch([(a, b, c) for (a, b), c in ranked], m, min_freq)
+        if not selected:
+            break
+        for a, b, c in selected:
+            merges.append((len(merges) + 1, a, b, c))
+        lut = {(a, b): a + b for a, b, _ in selected}
+        new = {}
+        for syms, f in vocab.items():
+            out = [syms[0]]
+            for s in syms[1:]:
+                if (out[-1], s) in lut:
+                    out[-1] = lut[(out[-1], s)]
+                else:
+                    out.append(s)
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    return merges
+
+
+def test_bpe_batched_matches_python_batched(spark):
+    """Random corpora: the batched Spark path (batch_size=3) reproduces
+    the Python batched reference exactly — including round boundaries
+    (pair_freq is the ROUND-start count) and conflict-stop selection."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.bpe import bpe_train
+
+    rnd = random.Random(41)
+    vocab = ["banana", "bandana", "aaaa", "abab", "cab", "the", "thee", "abba"]
+    for seed in (1, 2, 3):
+        rnd = random.Random(seed)
+        texts = [
+            " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 10)))
+            for _ in range(30)
+        ]
+        df = spark.createDataFrame([Row(text=t) for t in texts])
+        got = [
+            (r.merge_rank, r.left_sym, r.right_sym, r.pair_freq)
+            for r in bpe_train(df, n_merges=7, batch_size=3)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == _bpe_python_batched(texts, 7, batch_size=3), seed
+
+
+def test_bpe_batched_equals_sequential_when_order_safe(spark):
+    """Symbol-disjoint, well-separated pair counts: one batched round of
+    3 merges equals 3 sequential rounds exactly (the order-safe case),
+    and batch_size=1 remains bit-identical to the classic reference."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.bpe import bpe_train
+
+    texts = ["ab"] * 100 + ["cd"] * 50 + ["ef"] * 25
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    want = [(1, "a", "b", 100), (2, "c", "d", 50), (3, "e", "f", 25)]
+    for bs in (1, 3):
+        got = [
+            (r.merge_rank, r.left_sym, r.right_sym, r.pair_freq)
+            for r in bpe_train(df, n_merges=3, batch_size=bs)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == want, bs
+    assert _bpe_python_reference(texts, 3) == want
+
+
+def test_bpe_select_batch_rules():
+    """Selection is a maximal disjoint PREFIX: conflicts (shared left,
+    right, or just-created merged symbol) STOP the round rather than
+    skipping; min_freq stops; cap at batch_size."""
+    from dataclod_spark.operators.bpe import select_batch
+
+    # merged symbol 'ab' conflicts with later ('ab' as left) candidate
+    cands = [("a", "b", 9), ("ab", "c", 8), ("x", "y", 7)]
+    assert select_batch(cands, 3, 2) == [("a", "b", 9)]
+    # shared right symbol stops
+    cands = [("a", "b", 9), ("c", "b", 8), ("x", "y", 7)]
+    assert select_batch(cands, 3, 2) == [("a", "b", 9)]
+    # disjoint prefix runs to batch_size cap
+    cands = [("a", "b", 9), ("c", "d", 8), ("e", "f", 7)]
+    assert select_batch(cands, 2, 2) == [("a", "b", 9), ("c", "d", 8)]
+    # min_freq cuts mid-list
+    cands = [("a", "b", 9), ("c", "d", 1)]
+    assert select_batch(cands, 3, 2) == [("a", "b", 9)]
+    assert select_batch([("a", "b", 1)], 3, 2) == []
+
+
+def test_bpe_merge_pairs_fold_combined_pass(spark):
+    """The one-pass multi-pair fold equals applying each disjoint pair's
+    own greedy pass in sequence, including the 'aaa' non-overlap rule."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.bpe import merge_pairs_fold
+
+    df = spark.createDataFrame(
+        [
+            Row(syms=list("abcdab")),
+            Row(syms=list("aaacd")),
+            Row(syms=["a"]),
+            Row(syms=[]),
+        ],
+        "syms array<string>",
+    )
+    got = [
+        r.m
+        for r in df.select(
+            merge_pairs_fold(F.col("syms"), [("a", "b"), ("c", "d")]).alias("m")
+        ).collect()
+    ]
+    assert got == [["ab", "cd", "ab"], ["a", "a", "a", "cd"], ["a"], []]
+
+
+def test_hash_split_negative_and_bad_keys(spark):
+    """pmod bucketing: negative integral keys land in a real split (no
+    silent NULL bucket); non-integral key types raise at plan time; a
+    NULL key raises at execution."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.sampling import hash_split
+
+    neg = spark.createDataFrame(
+        [Row(doc_id=i) for i in range(-250, 250)], "doc_id long"
+    )
+    full = hash_split(neg, "doc_id", {"train": 80, "val": 10, "test": 10})
+    got = {r.doc_id: r.split for r in full.collect()}
+    assert set(got.values()) <= {"train", "val", "test"}
+    assert None not in got.values()  # 100% bands => full disjoint assignment
+
+    with pytest.raises(ValueError, match="must be integral"):
+        hash_split(
+            spark.createDataFrame([Row(doc_id="x")]), "doc_id", {"train": 100}
+        )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    nulls = spark.createDataFrame([Row(doc_id=None)], "doc_id long")
+    with pytest.raises((Py4JJavaError, PySparkException), match="NULL key"):
+        hash_split(nulls, "doc_id", {"train": 100}).collect()
+
+
+def test_snapshot_diff_null_keys_pair_up(spark):
+    """NULL-key rows join null-safely: old-side NULL key + new-side NULL
+    key is ONE row ('changed'/unchanged by value), not a spurious
+    added+removed pair; presence comes from side markers, not key
+    null-ness."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=None, a="x"), Row(k=1, a="y")], "k long, a string"
+    )
+    new = spark.createDataFrame(
+        [Row(k=None, a="z"), Row(k=1, a="y")], "k long, a string"
+    )
+    out = [
+        (r.k, r.change_type, r.changed_cols)
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    ]
+    assert out == [(None, "changed", "a")]
+
+    # old-side-only NULL key must be 'removed', not 'added'
+    out2 = {
+        (r.k, r.change_type)
+        for r in snapshot_diff(
+            old, spark.createDataFrame([Row(k=1, a="y")], "k long, a string"), ["k"]
+        ).collect()
+    }
+    assert out2 == {(None, "removed")}
+
+
+def test_semantic_dedup_zero_norm_vector_is_kept_singleton(spark):
+    """An all-zero vector of the correct width must not abort the cosine
+    stage (ANSI DIVIDE_BY_ZERO) — it has undefined cosine, never pairs,
+    and labels as its own kept singleton."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[1.0, 1e-9, 0.0, 0.0]),  # near-dup of 1
+        Row(vec_id=3, embedding=[0.0, 0.0, 0.0, 0.0]),   # zero norm
+        Row(vec_id=4, embedding=[0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.component, r.is_kept)
+        for r in semantic_dedup(
+            df, dim=4, k=1, iters=1, threshold=0.95
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] == (3, True)          # zero vector: own singleton, kept
+    assert out[1] == (1, True) and out[2] == (1, False)  # planted pair
+
+
+def test_semantic_dedup_auto_k_tracks_corpus(spark):
+    """k=None applies the paper's k ≈ corpus/cell_target contract: the
+    expected cell size stays bounded as the corpus grows (distinct cell
+    count scales with n), with the floor of 8 for small corpora."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import semantic_dedup
+
+    rnd = random.Random(7)
+
+    def corpus(n):
+        return spark.createDataFrame(
+            [
+                Row(vec_id=i, embedding=[rnd.gauss(0, 1) for _ in range(4)])
+                for i in range(n)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    small = semantic_dedup(corpus(40), dim=4, iters=1, cell_target=10)
+    n_cells_small = small.select("cell").distinct().count()
+    assert n_cells_small <= 8  # floor k=8 (some cells may be empty)
+
+    big = semantic_dedup(corpus(320), dim=4, iters=1, cell_target=10)
+    n_cells_big = big.select("cell").distinct().count()
+    # ×8 corpus at cell_target=10 -> k=32: cells must actually multiply
+    assert n_cells_big > n_cells_small
+    assert n_cells_big > 8

@@ -174,3 +174,35 @@ def test_media_dedup_canonical_and_nulls(spark):
     assert out[3].is_canonical
     assert out[4].is_canonical and out[7].is_canonical
     assert out[4].digest is None and out[7].digest is None
+
+
+def test_media_dedup_null_rows_not_funneled_into_one_partition(spark):
+    """Round-7 skew fix: the window key salts NULL-content rows by id
+    into per-row partitions — a crawl where most media rows have absent
+    blobs must not funnel them all into the single digest-IS-NULL window
+    partition (one straggler task at scale).  Plan check: the window
+    partitions on the salted __dedup_key, never on the raw digest; value
+    check: a 90%-NULL corpus still labels every NULL row canonical and
+    dedups the non-NULL rows by bytes."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.multimodal import media_dedup
+
+    rows = [Row(media_id=i, content=None) for i in range(90)] + [
+        Row(media_id=100, content=b"X"),
+        Row(media_id=101, content=b"X"),
+        Row(media_id=102, content=b"Y"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = media_dedup(df, id_col="media_id")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__dedup_key" in plan  # window partitions on the salted key
+    import re
+
+    assert not re.search(r"windowspecdefinition\(digest#", plan), plan
+
+    got = {r.media_id: r.is_canonical for r in out.collect()}
+    assert all(got[i] for i in range(90))          # every NULL row canonical
+    assert got[100] and not got[101] and got[102]  # byte dedup intact
+    assert "__dedup_key" not in out.columns        # salt column dropped
