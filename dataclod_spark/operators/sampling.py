@@ -250,3 +250,122 @@ def hash_split(df: DataFrame, key: str, splits: dict) -> DataFrame:
     for name, a, b in reversed(conds):
         expr = F.when((bucket >= a) & (bucket < b), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    target: Column | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how much more likely its hashed-unigram
+    profile is under a TARGET distribution than under the raw corpus —
+    the data-selection step that reweights a web crawl toward a
+    high-quality / in-domain reference before sampling.
+
+    ``target`` is a boolean Column marking the target-domain rows (the
+    paper's reference corpus; here typically a language or quality
+    slice of the same table).  Returns ``(doc_id, n_tok, log_weight)``
+    where ``log_weight = Σ_tokens ln(p_target(bucket)/p_raw(bucket))``
+    under add-one smoothing over ``n_buckets`` hashed-token buckets.
+
+    Engine-parity note: Spark's and DuckDB's ``ln`` differ in the last
+    ulp on ~1% of inputs (measured), so the per-BUCKET weight is rounded
+    to 6 decimals and fixed as DECIMAL(18,6) before the per-document
+    sum — which is then integer-exact decimal arithmetic, immune to both
+    summation order and libm drift (the dsum discipline applied to log
+    space).
+
+    100 TB shape: two corpus-scan aggregates (token→bucket counts, then
+    doc×bucket counts — both uniform hash keys), one ``n_buckets``-row
+    weight table broadcast back, and a per-doc rollup.  Driver state is
+    zero; the bucket table is bounded by construction.  Mirrors the
+    paper's own scaling story (hashed n-grams exist precisely so the
+    profile is a fixed-width vector regardless of corpus size)."""
+    wtab = dsir_bucket_weights(df, text_col, target, n_buckets)
+    return dsir_score(df, wtab, text_col, n_buckets)
+
+
+def _dsir_bucket(tok: Column, n_buckets: int) -> Column:
+    """Hashed-token bucket: md5-hex-slice → BIGINT → mod (engine-portable
+    exact arithmetic, the d2/x-family hash discipline)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    )
+
+
+def _dsir_tokens(df: DataFrame, text_col: str, extra: list[Column]) -> DataFrame:
+    from dataclod_spark.functions.text import tokens
+
+    return df.select(
+        "doc_id", *extra, F.explode(tokens(F.col(text_col))).alias("__t")
+    ).filter(F.col("__t") != "")
+
+
+def dsir_bucket_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    target: Column | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Train the DSIR weight table: ``(__b, __w)`` with one row per hash
+    bucket, ``__w = round(ln(p_target(b)/p_raw(b)), 6)`` as
+    DECIMAL(18,6).  One corpus-scan aggregate + a 1-row totals
+    cross-join; the output is ``n_buckets`` rows — the fixed-width model
+    a streaming scorer holds static while micro-batches arrive."""
+    if target is None:
+        target = F.col("lang") == "en"
+    toks = _dsir_tokens(df, text_col, [target.alias("__is_t")])
+    tb = (
+        toks.select(_dsir_bucket(F.col("__t"), n_buckets).alias("__b"), "__is_t")
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("__n_r"),
+            F.count(F.when(F.col("__is_t"), F.lit(1))).alias("__n_t"),
+        )
+    )
+    tot = tb.agg(F.sum("__n_r").alias("__tr"), F.sum("__n_t").alias("__tt"))
+    ln = lambda c: F.log(c.cast("double"))  # noqa: E731
+    return tb.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        F.round(
+            ln(F.col("__n_t") + 1)
+            - ln(F.col("__tt") + n_buckets)
+            - ln(F.col("__n_r") + 1)
+            + ln(F.col("__tr") + n_buckets),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("__w"),
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    wtab: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score documents against a trained DSIR weight table:
+    ``(doc_id, n_tok, log_weight)``.  One doc×bucket aggregate + the
+    broadcast weight join + a decimal-exact doc rollup; a bucket absent
+    from ``wtab`` (possible when scoring NEW text against an old table)
+    contributes weight 0 — the smoothed prior's neutral element."""
+    toks = _dsir_tokens(df, text_col, [])
+    db = (
+        toks.select("doc_id", _dsir_bucket(F.col("__t"), n_buckets).alias("__b"))
+        .groupBy("doc_id", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = F.coalesce(F.col("__w"), F.lit(0).cast("decimal(18,6)"))
+    return (
+        db.join(F.broadcast(wtab), "__b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").alias("n_tok"),
+            F.sum(F.col("__c") * w).cast("double").alias("log_weight"),
+        )
+        .select("doc_id", "n_tok", "log_weight")
+    )

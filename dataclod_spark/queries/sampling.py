@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from dataclod_spark.operators import sampling as SMP
 from dataclod_spark.queries.text import _NTOK  # shared DuckDB token-count macro
+from dataclod_spark.queries.text import _TOKS as _TOKS_SP7  # shared tokenizer macro
 from dataclod_spark.registry import load, query
 
 _H = "(doc_id * 2654435761) % 4294967296"
@@ -268,3 +269,48 @@ def sp6_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "sp7_dsir_weights",
+    doc="DSIR importance weights (Xie et al. 2023): per-document "
+    "log-likelihood ratio of a hashed-unigram profile under the target "
+    "slice (lang='en') vs the raw corpus, add-one smoothed over 256 "
+    "buckets — the data-selection scorer that reweights a crawl toward "
+    "an in-domain reference before sampling; per-bucket weights are "
+    "fixed as DECIMAL(18,6) so the per-doc sum is order- and "
+    "libm-independent",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS b
+  FROM (SELECT doc_id, lang, unnest({_TOKS_SP7}) AS t FROM documents)
+  WHERE t <> ''
+), bt AS (
+  SELECT b, count(*) AS n_r, count(*) FILTER (WHERE is_t) AS n_t
+  FROM toks GROUP BY b
+), tot AS (
+  SELECT sum(n_r) AS tr, sum(n_t) AS tt FROM bt
+), w AS (
+  SELECT b, CAST(round(ln(CAST(n_t + 1 AS DOUBLE))
+                 - ln(CAST(tt + 256 AS DOUBLE))
+                 - ln(CAST(n_r + 1 AS DOUBLE))
+                 + ln(CAST(tr + 256 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS wgt
+  FROM bt CROSS JOIN tot
+), db AS (
+  SELECT doc_id, b, count(*) AS c FROM toks GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+       CAST(sum(c * wgt) AS DOUBLE) AS log_weight
+FROM db JOIN w USING (b)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def sp7_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.sampling.dsir_weights over documents with the English
+    slice as the target domain.  Plan: one explode feeding two uniform
+    hash-keyed aggregates (bucket profile, doc×bucket counts), the
+    256-row weight table broadcast back, decimal-exact doc rollup."""
+    d = load(spark, sf_dir, "documents")
+    return SMP.dsir_weights(d, target=F.col("lang") == "en").orderBy("doc_id")

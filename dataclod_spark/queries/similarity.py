@@ -745,3 +745,220 @@ def v11_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# Deterministic ADC probe vector: q[i] = ((i*37) % 101) / 101.0 on the
+# GLOBAL 1-based index — exact rational arithmetic, so Python, Spark and
+# DuckDB construct bit-identical doubles (no transcendental functions).
+def _adc_q(i: int) -> float:
+    return ((i * 37) % 101) / 101.0
+
+
+def _adc_lut_sql(p: str, lo: int, hi: int) -> str:
+    """DuckDB LUT CTE: squared L2 from the probe's [lo..hi] slice to each
+    of {p}c1's centroids (local index i-lo+1), same index-ordered
+    summation as the Spark-side fold."""
+    return (
+        f"{p}q AS (SELECT cid, list_sum(list_transform(range({lo}, {hi + 1}), "
+        f"i -> (CAST((i*37)%101 AS DOUBLE)/101.0 - cvec[i-{lo - 1}]) "
+        f"* (CAST((i*37)%101 AS DOUBLE)/101.0 - cvec[i-{lo - 1}]))) AS d "
+        f"FROM {p}c1)"
+    )
+
+
+@query(
+    "v12_pq_adc_topk",
+    doc="asymmetric-distance (ADC) top-k over PQ codes (FAISS IVFADC's "
+    "scan half, Jégou et al. 2011 §III): a probe vector is compared to "
+    "the m·k codebook centroids ONCE (the lookup table), then every "
+    "vector's distance is two table lookups keyed on its codes — the "
+    "step that makes compressed-domain search O(m) per vector instead "
+    "of O(dim)",
+    oracle=f"""
+WITH {_lloyd_ctes("s0", 1, 32, 4)},
+{_lloyd_ctes("s1", 33, 64, 4)},
+{_adc_lut_sql("s0", 1, 32)},
+{_adc_lut_sql("s1", 33, 64)}
+SELECT a0.vec_id,
+       CAST(a0.cid AS INT) AS code_0,
+       CAST(a1.cid AS INT) AS code_1,
+       round(q0.d + q1.d, 6) AS adc_dist
+FROM s0a2 a0
+JOIN s1a2 a1 USING (vec_id)
+JOIN s0q q0 ON q0.cid = a0.cid
+JOIN s1q q1 ON q1.cid = a1.cid
+ORDER BY q0.d + q1.d, a0.vec_id
+LIMIT 10
+""",
+)
+def v12_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v11's codebooks (shared kmeans_fit) + a driver-built when-chain
+    LUT: per subspace, the probe-to-centroid squared L2 is a CONSTANT
+    expression (two array literals through the same index-ordered
+    ``_sq_l2`` fold the oracle's list_sum mirrors), selected by the
+    assigned code — so the scan is one zero-shuffle projection and the
+    top-k is TakeOrderedAndProject, never a full sort.  100 TB shape:
+    the LUT is m·k constants in the plan (no join, no broadcast), the
+    corpus scan reads codes only."""
+    from dataclod_spark.operators.embeddings import _argmin_cid, _sq_l2, kmeans_fit
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    spans = [(1, 32), (33, 64)]
+    subs = []
+    for lo, hi in spans:
+        sliced = e.select(
+            "vec_id",
+            F.transform(
+                F.slice("embedding", lo, hi - lo + 1), lambda x: x.cast("double")
+            ).alias("__sub"),
+        )
+        subs.append(kmeans_fit(sliced, vec="__sub", dim=hi - lo + 1, k=4, iters=2))
+
+    def lut_dist(cid_col: F.Column, cents, lo: int, hi: int) -> F.Column:
+        qsub = F.lit([_adc_q(i) for i in range(lo, hi + 1)])
+        expr = F.lit(None).cast("double")
+        for cid, cvec in cents:
+            d = _sq_l2(qsub, F.lit([float(x) for x in cvec]))
+            expr = F.when(cid_col == F.lit(cid), d).otherwise(expr)
+        return expr
+
+    a0 = _argmin_cid(
+        F.transform(F.slice("embedding", 1, 32), lambda x: x.cast("double")), subs[0]
+    )
+    a1 = _argmin_cid(
+        F.transform(F.slice("embedding", 33, 32), lambda x: x.cast("double")), subs[1]
+    )
+    coded = e.select(
+        "vec_id",
+        a0.getField("cid").alias("__c0"),
+        a1.getField("cid").alias("__c1"),
+    )
+    d0 = lut_dist(F.col("__c0"), subs[0], 1, 32)
+    d1 = lut_dist(F.col("__c1"), subs[1], 33, 64)
+    return (
+        coded.select(
+            "vec_id",
+            F.col("__c0").cast("int").alias("code_0"),
+            F.col("__c1").cast("int").alias("code_1"),
+            (d0 + d1).alias("__adc"),
+        )
+        .orderBy("__adc", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id", "code_0", "code_1", F.round(F.col("__adc"), 6).alias("adc_dist")
+        )
+    )
+
+
+@query(
+    "v13_ivf_adc_search",
+    doc="IVF-ADC search (FAISS IVFADC end-to-end, Jégou et al. 2011 "
+    "§IV): a k=4 coarse quantizer routes the probe to its nprobe=2 "
+    "nearest cells, and only THOSE cells' vectors are scanned in the "
+    "compressed domain via the v12 lookup tables — the inverted-list "
+    "pruning that makes billion-vector search touch a fraction of the "
+    "corpus",
+    oracle=f"""
+WITH {_lloyd_ctes("cq", 1, 64, 4)},
+{_lloyd_ctes("s0", 1, 32, 4)},
+{_lloyd_ctes("s1", 33, 64, 4)},
+{_adc_lut_sql("s0", 1, 32)},
+{_adc_lut_sql("s1", 33, 64)},
+cqq AS (
+  SELECT cid, list_sum(list_transform(range(1, 65),
+    i -> (CAST((i*37)%101 AS DOUBLE)/101.0 - cvec[i])
+       * (CAST((i*37)%101 AS DOUBLE)/101.0 - cvec[i]))) AS d
+  FROM cqc1
+), probe AS (
+  SELECT cid FROM cqq ORDER BY d, cid LIMIT 2
+)
+SELECT a.vec_id,
+       CAST(a.cid AS INT) AS cell,
+       CAST(a0.cid AS INT) AS code_0,
+       CAST(a1.cid AS INT) AS code_1,
+       round(q0.d + q1.d, 6) AS adc_dist
+FROM cqa2 a
+JOIN probe p ON p.cid = a.cid
+JOIN s0a2 a0 USING (vec_id)
+JOIN s1a2 a1 USING (vec_id)
+JOIN s0q q0 ON q0.cid = a0.cid
+JOIN s1q q1 ON q1.cid = a1.cid
+ORDER BY q0.d + q1.d, a.vec_id
+LIMIT 5
+""",
+)
+def v13_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse route + compressed scan, all zero-shuffle: the probe's two
+    nearest coarse cells are picked DRIVER-side from the k-row coarse
+    codebook (same rational probe, same index-ordered fold as the SQL
+    twin, ties on cid), the cell filter prunes the corpus scan, and the
+    surviving rows pay two LUT lookups (v12's when-chains) — never a
+    full-dimension distance.  100 TB shape: the coarse cell is the
+    partition/cluster key of a real deployment, so the filter is
+    partition PRUNING, not a scan-and-drop; codes + cell ids are the
+    only columns read."""
+    from dataclod_spark.operators.embeddings import _argmin_cid, _sq_l2, kmeans_fit
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    coarse = kmeans_fit(e, vec="embedding", dim=64, k=4, iters=2)
+    qfull = [_adc_q(i) for i in range(1, 65)]
+    probe_cells = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qfull, cv)), cid)
+        for cid, cv in coarse
+    )[:2]
+    keep = [cid for _, cid in probe_cells]
+
+    spans = [(1, 32), (33, 64)]
+    subs = []
+    for lo, hi in spans:
+        sliced = e.select(
+            "vec_id",
+            F.transform(
+                F.slice("embedding", lo, hi - lo + 1), lambda x: x.cast("double")
+            ).alias("__sub"),
+        )
+        subs.append(kmeans_fit(sliced, vec="__sub", dim=hi - lo + 1, k=4, iters=2))
+
+    def lut_dist(cid_col, cents, lo: int, hi: int):
+        qsub = F.lit([_adc_q(i) for i in range(lo, hi + 1)])
+        expr = F.lit(None).cast("double")
+        for cid, cvec in cents:
+            d = _sq_l2(qsub, F.lit([float(x) for x in cvec]))
+            expr = F.when(cid_col == F.lit(cid), d).otherwise(expr)
+        return expr
+
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cell = _argmin_cid(dv, coarse).getField("cid")
+    a0 = _argmin_cid(
+        F.transform(F.slice("embedding", 1, 32), lambda x: x.cast("double")), subs[0]
+    )
+    a1 = _argmin_cid(
+        F.transform(F.slice("embedding", 33, 32), lambda x: x.cast("double")), subs[1]
+    )
+    coded = e.select(
+        "vec_id",
+        cell.alias("__cell"),
+        a0.getField("cid").alias("__c0"),
+        a1.getField("cid").alias("__c1"),
+    ).filter(F.col("__cell").isin(keep))
+    d0 = lut_dist(F.col("__c0"), subs[0], 1, 32)
+    d1 = lut_dist(F.col("__c1"), subs[1], 33, 64)
+    return (
+        coded.select(
+            "vec_id",
+            F.col("__cell").cast("int").alias("cell"),
+            F.col("__c0").cast("int").alias("code_0"),
+            F.col("__c1").cast("int").alias("code_1"),
+            (d0 + d1).alias("__adc"),
+        )
+        .orderBy("__adc", "vec_id")
+        .limit(5)
+        .select(
+            "vec_id", "cell", "code_0", "code_1",
+            F.round(F.col("__adc"), 6).alias("adc_dist"),
+        )
+    )

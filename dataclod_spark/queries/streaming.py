@@ -629,3 +629,71 @@ def st13_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "st14_stream_dsir_score",
+    doc="streaming DSIR data selection: the hashed-unigram weight table "
+    "is trained once on the corpus snapshot (target = lang 'en'), then 3 "
+    "micro-batches of newly-crawled documents are scored at ingest via "
+    "foreachBatch — scores depend only on the static table, so the "
+    "drained per-doc output equals the batch scorer (the sp7 "
+    "formulation) on the delta",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS b
+  FROM (SELECT doc_id, lang,
+               unnest(string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+), bt AS (
+  SELECT b, count(*) AS n_r, count(*) FILTER (WHERE is_t) AS n_t
+  FROM toks GROUP BY b
+), tot AS (
+  SELECT sum(n_r) AS tr, sum(n_t) AS tt FROM bt
+), w AS (
+  SELECT b, CAST(round(ln(CAST(n_t + 1 AS DOUBLE))
+                 - ln(CAST(tt + 256 AS DOUBLE))
+                 - ln(CAST(n_r + 1 AS DOUBLE))
+                 + ln(CAST(tr + 256 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS wgt
+  FROM bt CROSS JOIN tot
+), db AS (
+  SELECT doc_id, b, count(*) AS c FROM toks WHERE doc_id % 3 = 0
+  GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+       CAST(sum(c * wgt) AS DOUBLE) AS log_weight
+FROM db JOIN w USING (b)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def st14_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/run.streaming_dsir_score: weight table from the FULL
+    snapshot (every delta token bucket is therefore present — the oracle
+    needs no missing-bucket branch), delta = doc_id % 3 = 0 scattered
+    across 3 maxFilesPerTrigger=1 micro-batches."""
+    import shutil
+    import tempfile
+
+    from dataclod_spark.registry import load as _load
+    from dataclod_spark.streaming.run import (
+        read_documents_stream_multibatch,
+        streaming_dsir_score,
+    )
+
+    snapshot = _load(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="dataclod_dsir_stage_")
+    out = tempfile.mkdtemp(prefix="dataclod_dsir_out_")
+    try:
+        ds = read_documents_stream_multibatch(
+            spark, sf_dir, stage, n_files=3, pred_sql="doc_id % 3 = 0"
+        ).select("doc_id", "text")
+        res = streaming_dsir_score(spark, ds, snapshot, out)
+        return res.select("doc_id", "n_tok", "log_weight").orderBy(
+            "doc_id"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

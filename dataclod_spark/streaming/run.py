@@ -760,3 +760,55 @@ def streaming_media_dedup(
     if not finished:
         raise TimeoutError(f"streaming media dedup did not finish within {timeout_sec}s")
     return spark.read.parquet(res_dir)
+
+
+def streaming_dsir_score(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    snapshot: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Score a stream of new documents against a STATIC DSIR weight
+    table — the streaming face of
+    :func:`operators.sampling.dsir_weights`, and how data selection
+    actually deploys: the hashed-unigram weight table is trained ONCE on
+    the reference snapshot (one aggregate, ``n_buckets`` rows,
+    checkpointed), every ingest micro-batch scores its own rows against
+    it via ``foreachBatch`` and writes an idempotent
+    ``batch_id=<n>`` partition (the st12 recovery contract).  Scores
+    depend only on the batch's rows + the static table, so the drained
+    output is batching-invariant and equals the batch scorer on the
+    union of batches."""
+    import os
+
+    from dataclod_spark.operators.sampling import dsir_bucket_weights, dsir_score
+
+    wtab = dsir_bucket_weights(
+        snapshot, text_col=text_col, n_buckets=n_buckets
+    ).localCheckpoint(eager=True)
+    res_dir = os.path.join(out_dir, "scored")
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            dsir_score(batch_df, wtab, text_col=text_col, n_buckets=n_buckets)
+            .write.mode("overwrite")
+            .parquet(os.path.join(res_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(f"streaming DSIR scoring did not finish within {timeout_sec}s")
+    return spark.read.parquet(res_dir)

@@ -1351,3 +1351,64 @@ def test_semantic_dedup_auto_k_tracks_corpus(spark):
     # ×8 corpus at cell_target=10 -> k=32: cells must actually multiply
     assert n_cells_big > n_cells_small
     assert n_cells_big > 8
+
+
+def test_dsir_weights_direction_and_counts(spark):
+    """DSIR semantics: documents whose tokens concentrate in the target
+    slice's buckets score positive log-weights, off-target documents
+    negative; n_tok counts whitespace tokens exactly."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.sampling import dsir_weights
+
+    rows = (
+        [Row(doc_id=i, lang="en", text="alpha beta gamma delta") for i in range(10)]
+        + [Row(doc_id=100 + i, lang="de", text="zug bahn strasse welt") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in dsir_weights(df, target=F.col("lang") == "en").collect()}
+    assert len(out) == 20
+    assert all(out[i].n_tok == 4 for i in out)
+    # en-token buckets have p_target ≈ p_raw·2 (en is half the corpus but
+    # ALL of those buckets' mass); de-token buckets have p_target ≈ 0
+    assert all(out[i].log_weight > 0 for i in range(10))
+    assert all(out[100 + i].log_weight < 0 for i in range(10))
+    # the off-target doc's tokens hit add-one-smoothed near-zero target
+    # buckets, so its penalty magnitude exceeds the in-target doc's gain
+    # (ln(α/…) blows past ln(2): the DSIR shape, not a symmetry)
+    assert -out[100].log_weight > out[0].log_weight
+
+
+def test_pq_adc_codes_match_v11_and_distances_are_lut_exact(spark):
+    """v12's codes must equal v11's (same codebooks, same assignment) and
+    each adc_dist must equal the probe-to-assigned-centroid distance
+    recomputed in Python from the same kmeans_fit output."""
+    from dataclod_spark.operators.embeddings import kmeans_fit
+    from dataclod_spark.queries.similarity import _adc_q, v12_pq_adc_topk
+    from dataclod_spark.registry import load
+
+    sf = "/root/testdata/sf0.001"
+    got = v12_pq_adc_topk(spark, sf).collect()
+    assert len(got) == 10
+
+    e = load(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    luts = []
+    for lo, hi in ((1, 32), (33, 64)):
+        sliced = e.select(
+            "vec_id",
+            F.transform(
+                F.slice("embedding", lo, hi - lo + 1), lambda x: x.cast("double")
+            ).alias("__sub"),
+        )
+        cents = kmeans_fit(sliced, vec="__sub", dim=hi - lo + 1, k=4, iters=2)
+        q = [_adc_q(i) for i in range(lo, hi + 1)]
+        luts.append({cid: sum((a - b) * (a - b) for a, b in zip(q, cv)) for cid, cv in cents})
+    from dataclod_spark.queries.similarity import v11_product_quantize
+
+    v11 = {r.vec_id: (r.code_0, r.code_1) for r in v11_product_quantize(spark, sf).collect()}
+    for r in got:
+        assert (r.code_0, r.code_1) == v11[r.vec_id]
+        want = round(luts[0][r.code_0] + luts[1][r.code_1], 6)
+        assert abs(r.adc_dist - want) < 1e-9, (r.vec_id, r.adc_dist, want)
