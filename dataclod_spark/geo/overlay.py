@@ -289,8 +289,79 @@ def overlay(g1: Geometry, g2: Geometry, op: str) -> Optional[Geometry]:
             if count[k] == 1 and k not in emitted:
                 emitted.add(k)
                 boundary.append([a, b])
-    lines = Geometry(MULTILINESTRING, boundary, g1.srid)
-    result = build_area(lines)
-    if result is None:
+    # assemble directly from the DIRECTED boundary edges.  Each surviving
+    # edge was emitted as traversed by its (unique) kept cycle, and kept
+    # cycles — CW face outlines and CCW hole-side cycles alike — always
+    # carry the kept region on the traversal's RIGHT.  Tracing this
+    # directed graph with the leftmost-turn rule (first outgoing edge
+    # counterclockwise from the reversed incoming direction) therefore
+    # never crosses between two kept regions that merely touch at a
+    # vertex, and ring orientation alone classifies the result: CW ring
+    # (kept on the right = inside) → SHELL, CCW ring → HOLE of the
+    # smallest shell containing it.  (The previous even-odd
+    # re-polygonization — build_area — could not express a kept face
+    # inside another kept face's HOLE: a polygon lying in the hole of the
+    # other operand sits at even ring depth next to not-kept hole
+    # remnants, and parity fills the wrong faces.)
+    outs: dict[Coord, list[tuple[Coord, Coord]]] = {}
+    for a, b in ((seg[0], seg[1]) for seg in boundary):
+        outs.setdefault(a, []).append((a, b))
+    used: set[tuple[Coord, Coord]] = set()
+    shells: list[list[Coord]] = []
+    holes: list[list[Coord]] = []
+    for seg in boundary:
+        e0 = (seg[0], seg[1])
+        if e0 in used:
+            continue
+        ring = [e0[0]]
+        e = e0
+        while True:
+            used.add(e)
+            ring.append(e[1])
+            v = e[1]
+            rev = math.atan2(e[0][1] - v[1], e[0][0] - v[0])
+            nxt, best = None, math.inf
+            for cand in outs.get(v, ()):  # leftmost turn: min CCW angle
+                if cand in used and cand != e0:
+                    continue
+                ang = math.atan2(cand[1][1] - v[1], cand[1][0] - v[0])
+                d = (ang - rev) % (2 * math.pi)
+                if d == 0.0:
+                    d = 2 * math.pi  # U-turn only as a last resort
+                if d < best:
+                    best, nxt = d, cand
+            if nxt is None or nxt == e0:
+                break
+            e = nxt
+        if ring[0] != ring[-1] or _ring_area2(ring) == 0:
+            continue  # open walk (degenerate input) or zero area: drop
+        (shells if _ring_area2(ring) < 0 else holes).append(ring)
+    if not shells:
         return Geometry(POLYGON, [], g1.srid)
-    return result.with_srid(g1.srid)
+    owners: dict[int, int] = {}  # hole index -> shell index
+    for hi, h in enumerate(holes):
+        owner, owner_area = None, math.inf
+        hrep = _face_rep_point(h)
+        ha = abs(_ring_area2(h))
+        for si, s in enumerate(shells):
+            a = abs(_ring_area2(s))
+            if a >= owner_area or a <= ha:
+                continue
+            if _point_in_ring(hrep, s) == INTERIOR:
+                owner, owner_area = si, a
+        if owner is not None:
+            owners[hi] = owner
+    polys: list[list[list[Coord]]] = []
+    for si, shell in enumerate(shells):
+        shell_ccw = _ring_area2(shell) > 0
+        rings = [shell]
+        for hi, h in enumerate(holes):
+            if owners.get(hi) != si:
+                continue
+            if (_ring_area2(h) > 0) == shell_ccw:
+                h = list(reversed(h[:-1])) + [h[-2]]
+            rings.append(h)
+        polys.append(rings)
+    if len(polys) == 1:
+        return Geometry(POLYGON, polys[0], g1.srid).with_srid(g1.srid)
+    return Geometry(MULTIPOLYGON, polys, g1.srid).with_srid(g1.srid)

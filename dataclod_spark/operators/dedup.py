@@ -941,6 +941,7 @@ def semantic_dedup(
     iters: int = 2,
     threshold: float = 0.95,
     cell_target: int = 10_000,
+    assign: str = "exact",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedding corpus — cluster with k-means, compare
@@ -964,6 +965,14 @@ def semantic_dedup(
     paper; pass explicit ``k`` to override (the measured ×8-replication
     wall ratio is ~3.3× under auto-k vs 6.7× fixed-k, SCALE.md).  The
     cell equi-join shuffles on the cell id; AQE splits skewed cells.
+    With k ∝ n the per-row ASSIGNMENT cost (n·k distance folds) becomes
+    the dominant term (measured 33× wall at ×64 replication, SCALE.md) —
+    ``assign="routed"`` swaps both the fit's and the final assignment
+    for the √k-routed IVF approximation
+    (:func:`~dataclod_spark.operators.embeddings.routed_argmin_cid`,
+    ~√k + k/√k folds per row), trading exact cell boundaries for
+    linear-in-√k assignment exactly the way IVF search does; default
+    stays exact (the d13 oracle's contract).
     The assignment projection is localCheckpoint-ed before the self-join
     so both pair sides and the final labeling read ONE assignment pass
     (the x11 discipline; swap for persist on a real cluster) — and the
@@ -974,19 +983,23 @@ def semantic_dedup(
         _argmin_cid,
         _kmeans_base,
         kmeans_fit,
+        routed_argmin_cid,
     )
     from dataclod_spark.operators.similarity import dot, norm
 
+    if assign not in ("exact", "routed"):
+        raise ValueError(f"semantic_dedup: assign must be exact|routed, got {assign!r}")
+    assign_fn = routed_argmin_cid if assign == "routed" else _argmin_cid
     base = _kmeans_base(df, vec, dim, id_col)
     if k is None:
         n_valid = base.count()
         k = max(8, -(-n_valid // cell_target))
-    cents = kmeans_fit(df, vec, dim, k, iters, id_col)
+    cents = kmeans_fit(df, vec, dim, k, iters, id_col, routed=(assign == "routed"))
     assigned = (
         base.select(
             F.col("__id"),
             F.col("__v"),
-            _argmin_cid(F.col("__v"), cents)["cid"].cast("bigint").alias("__cell"),
+            assign_fn(F.col("__v"), cents)["cid"].cast("bigint").alias("__cell"),
         )
         .withColumn("__n", norm(F.col("__v")))
         .localCheckpoint(eager=True)

@@ -40,6 +40,8 @@ __all__ = [
     "kmeans_fit",
     "kmeans_clusters",
     "dim_stats",
+    "route_centroids",
+    "routed_argmin_cid",
 ]
 
 # exact accumulator type for cross-row sums of double-cast floats
@@ -245,6 +247,76 @@ def _argmin_cid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     return F.array_min(F.array(*entries))
 
 
+def route_centroids(
+    cents: list[tuple[int, list[float]]], n_groups: int | None = None
+) -> tuple[list[tuple[int, list[float]]], dict[int, list[tuple[int, list[float]]]]]:
+    """Driver-side grouping of the k centroids into ``n_groups`` routing
+    groups (default ⌈√k⌉) — a tiny numpy Lloyd over the k×dim centroid
+    matrix (deterministic lowest-cid init, 2 rounds, ties to the lowest
+    group id, empty groups keep their previous rep).  Returns
+    ``(reps, groups)``: the group-representative list in
+    :func:`_argmin_cid`'s (id, vec) shape, and each group's member
+    centroids.  k is bounded driver state by the callers' contract, so
+    this never sees corpus-scale data."""
+    import math
+
+    import numpy as np
+
+    if n_groups is None:
+        n_groups = max(1, math.isqrt(len(cents) - 1) + 1) if len(cents) > 1 else 1
+    n_groups = min(n_groups, len(cents))
+    mat = np.array([cv for _, cv in cents], dtype=np.float64)
+    reps = mat[:n_groups].copy()
+    for _ in range(2):
+        d = ((mat[:, None, :] - reps[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # ties -> lowest index
+        for g in range(n_groups):
+            members = mat[assign == g]
+            if len(members):
+                reps[g] = members.mean(axis=0)
+    d = ((mat[:, None, :] - reps[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    groups: dict[int, list[tuple[int, list[float]]]] = {}
+    for (cid, cvec), g in zip(cents, assign):
+        groups.setdefault(int(g), []).append((cid, cvec))
+    rep_list = [
+        (g, [float(x) for x in reps[g]]) for g in sorted(groups)
+    ]
+    return rep_list, groups
+
+
+def routed_argmin_cid(
+    vec: Column,
+    cents: list[tuple[int, list[float]]],
+    n_groups: int | None = None,
+) -> Column:
+    """IVF-routed approximate nearest centroid: argmin over ⌈√k⌉ group
+    representatives, then argmin within the winning group only — the
+    evaluated expression cost per row drops from k distance folds to
+    ~√k + k/√k, which is what keeps k ∝ corpus assignments affordable
+    (SemDeDup auto-k at 100 TB).  Same (dist, cid) struct contract as
+    :func:`_argmin_cid`; approximate exactly the way an IVF probe is
+    (a vector near a group boundary may assign to its group's best
+    rather than the global best).  ``n_groups=1`` is exact by
+    construction."""
+    reps, groups = route_centroids(cents, n_groups)
+    if len(groups) == 1:
+        return _argmin_cid(vec, cents)
+    gid = F.array_min(
+        F.array(
+            *[
+                F.struct(_sq_l2(vec, F.lit(rv)).alias("dist"), F.lit(g).alias("cid"))
+                for g, rv in reps
+            ]
+        )
+    ).getField("cid")
+    ordered = sorted(groups.items())
+    expr = _argmin_cid(vec, ordered[-1][1])
+    for g, members in reversed(ordered[:-1]):
+        expr = F.when(gid == F.lit(g), _argmin_cid(vec, members)).otherwise(expr)
+    return expr
+
+
 def _kmeans_base(df: DataFrame, vec: str, dim: int, id_col: str) -> DataFrame:
     """``(__id, __v)`` — doubles, malformed rows dropped.  Null or
     wrong-width vectors would crash seed collection / break the zip_with
@@ -263,20 +335,25 @@ def kmeans_fit(
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
+    routed: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Train the Lloyd centroids and return them as driver-side
     ``[(cid, centroid), ...]`` — the piece :func:`kmeans_clusters` and
     ``operators.dedup.semantic_dedup`` share.  Deterministic lowest-id
     init; ``iters - 1`` assign/update rounds (the final assignment is the
     caller's).  Each round is one corpus scan + a k-row (narrow) or
-    k·dim-row (wide, see WIDE_DIM_THRESHOLD) DECIMAL-exact aggregate."""
+    k·dim-row (wide, see WIDE_DIM_THRESHOLD) DECIMAL-exact aggregate.
+    ``routed=True`` swaps the per-round assignment for the √k-routed
+    approximation (:func:`routed_argmin_cid`) — the large-k scale path;
+    the update step is unchanged."""
+    assign_fn = routed_argmin_cid if routed else _argmin_cid
     base = _kmeans_base(df, vec, dim, id_col)
     cents = [
         (i, [float(x) for x in r["__v"]])
         for i, r in enumerate(base.orderBy("__id").limit(k).collect())
     ]
     for _ in range(iters - 1):
-        assigned = base.withColumn("__a", _argmin_cid(F.col("__v"), cents))
+        assigned = base.withColumn("__a", assign_fn(F.col("__v"), cents))
         if dim > WIDE_DIM_THRESHOLD:
             # posexplode update (see WIDE_DIM_THRESHOLD): k·dim partial
             # rows shuffle and k·dim rows collect — bounded by construction

@@ -402,3 +402,98 @@ def test_product_quantize_planted_subspace_blobs(spark):
         assert r.err < 0.02  # tight blobs -> near-exact reconstruction
     assert by_left[0].isdisjoint(by_left[1])      # left blobs got distinct codes
     assert by_right[True].isdisjoint(by_right[False])
+
+
+def test_routed_argmin_single_group_is_exact(spark):
+    """n_groups=1 routes everything into one group whose inner argmin is
+    the full exact argmin — bit-identical struct output."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.embeddings import (
+        _argmin_cid,
+        routed_argmin_cid,
+    )
+
+    rnd = random.Random(3)
+    cents = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(6)]
+    df = spark.createDataFrame(
+        [Row(v=[rnd.gauss(0, 1) for _ in range(8)]) for _ in range(50)],
+        "v array<double>",
+    )
+    got = df.select(
+        _argmin_cid(F.col("v"), cents).getField("cid").alias("e"),
+        routed_argmin_cid(F.col("v"), cents, n_groups=1).getField("cid").alias("r"),
+    ).collect()
+    assert all(r.e == r.r for r in got)
+
+
+def test_routed_argmin_high_agreement_and_determinism(spark):
+    """√k routing: assignments agree with exact argmin on the vast
+    majority of random vectors (IVF's boundary-only error), and the
+    routing is deterministic across invocations."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.embeddings import (
+        _argmin_cid,
+        route_centroids,
+        routed_argmin_cid,
+    )
+
+    rnd = random.Random(11)
+    # centroids with real cluster structure (the actual regime: Lloyd
+    # centroids are separated, and data sits near its own centroid —
+    # structureless gaussian centroids would be IVF's pathological case)
+    centers = [[rnd.gauss(0, 1) * 6 for _ in range(8)] for _ in range(32)]
+    cents = [(i, c) for i, c in enumerate(centers)]
+    reps1, groups1 = route_centroids(cents)
+    reps2, groups2 = route_centroids(cents)
+    assert reps1 == reps2 and groups1 == groups2  # deterministic
+    assert len(reps1) == 6  # ceil(sqrt(32))
+    assert sum(len(m) for m in groups1.values()) == 32  # partition
+
+    rows = []
+    for _ in range(400):
+        c = centers[rnd.randrange(32)]
+        rows.append(Row(v=[x + rnd.gauss(0, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, "v array<double>")
+    got = df.select(
+        _argmin_cid(F.col("v"), cents).getField("cid").alias("e"),
+        routed_argmin_cid(F.col("v"), cents).getField("cid").alias("r"),
+    ).collect()
+    agree = sum(1 for r in got if r.e == r.r) / len(got)
+    assert agree >= 0.95, agree
+
+
+def test_semantic_dedup_routed_assignment(spark):
+    """assign='routed' still collapses a planted near-dup pair (identical
+    inputs route identically) and labels every vector; bad mode raises."""
+    import random
+
+    import pytest
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import semantic_dedup
+
+    rnd = random.Random(5)
+    rows = [
+        Row(vec_id=i, embedding=[rnd.gauss(0, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    rows.append(Row(vec_id=1000, embedding=list(rows[7].embedding)))  # twin of 7
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, dim=8, k=16, iters=2, threshold=0.99, assign="routed"
+        ).collect()
+    }
+    assert len(out) == 61
+    assert out[7].component == out[1000].component == 7
+    assert out[7].is_kept and not out[1000].is_kept
+
+    with pytest.raises(ValueError, match="exact|routed"):
+        semantic_dedup(df, dim=8, k=4, assign="nearest")

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from dataclod_spark.geo.algos import area, difference, intersection, union
@@ -120,6 +120,15 @@ shape_h = st.one_of(shape, holey)
 
 @settings(max_examples=150, deadline=None)
 @given(shape_h, shape_h)
+@example(
+    a=Geometry(kind='Polygon',
+     data=[[(3, 0), (6, 0), (3, 1), (3, 0)]],
+     srid=0),
+    b=Geometry(kind='Polygon',
+     data=[[(0, -2), (8, -2), (8, 2), (0, 2), (0, -2)],
+      [(2, -1), (2, 1), (6, 1), (6, -1), (2, -1)]],
+     srid=0),
+).via('discovered failure')
 def test_inclusion_exclusion_with_holes(a, b):
     ai = area(intersection(a, b))
     au = area(union(a, b))
