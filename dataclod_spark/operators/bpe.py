@@ -36,7 +36,14 @@ from pyspark.sql import functions as F
 
 from dataclod_spark.functions.text import tokens
 
-__all__ = ["bpe_train", "merge_pair_fold", "merge_pairs_fold", "select_batch"]
+__all__ = [
+    "bpe_train",
+    "bpe_encode_stats",
+    "merge_pair_fold",
+    "merge_pairs_fold",
+    "select_batch",
+    "word_table",
+]
 
 
 def merge_pairs_fold(syms: Column, pairs: list[tuple[str, str]]) -> Column:
@@ -128,18 +135,7 @@ def bpe_train(
     pair distributions batch safely; the property tests pin both the
     exact batched semantics and prefix-agreement with sequential."""
     spark = df.sparkSession
-    w = F.col("__w")
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, F.lit(1))
-    )
-    cur = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
-        .filter(w != "")
-        .groupBy("__w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(chars.alias("syms"), "freq")
-        .localCheckpoint(eager=True)
-    )
+    cur = word_table(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < n_merges:
         m = min(batch_size, n_merges - len(merges))
@@ -179,4 +175,77 @@ def bpe_train(
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_freq long"
+    )
+
+
+def word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(syms, freq)`` distinct-word frequency table — ONE corpus
+    shuffle; every BPE round (train or encode) after this runs on the
+    vocabulary, whose size is bounded by language, not corpus bytes (the
+    GPT-2-style whitespace-pretokenized BPE contract that makes 100 TB
+    tokenizer work affordable)."""
+    w = F.col("__w")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, F.lit(1))
+    )
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        .filter(w != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(chars.alias("syms"), "freq")
+    )
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_freq: int = 2,
+) -> DataFrame:
+    """The ENCODE half of the tokenizer: apply the learned merge sequence
+    back to the vocabulary and report corpus tokenization stats — one row
+    ``(n_words, total_freq, total_tokens, total_chars, vocab_size,
+    compression)`` where ``total_tokens`` weights each word's final
+    symbol count by its corpus frequency and ``compression`` is
+    tokens/chars (the fertility a tokenizer-training loop watches).
+
+    Because whitespace-pretokenized BPE encodes each distinct WORD
+    independently, encoding the word table and weighting by ``freq`` is
+    exactly corpus-level encoding at |vocab| cost — the per-document
+    scan never re-runs the merge loop.  Each merge applies in training
+    rank order as the same greedy JVM fold the trainer used, so the
+    symbols are bit-identical to sequential BPE (and to the DuckDB
+    oracle's reduce() replay)."""
+    merges = sorted(
+        bpe_train(df, text_col, n_merges, min_freq).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    cur = word_table(df, text_col).localCheckpoint(eager=True)
+    for r in merges:
+        cur = cur.select(
+            merge_pair_fold(F.col("syms"), r.left_sym, r.right_sym).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    sym_len = F.aggregate(
+        F.col("syms"), F.lit(0), lambda acc, s: acc + F.length(s)
+    )
+    stats = cur.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("freq").alias("total_freq"),
+        F.sum(F.col("freq") * F.size("syms")).alias("total_tokens"),
+        F.sum(F.col("freq") * sym_len).alias("total_chars"),
+    )
+    vocab = cur.select(F.explode("syms").alias("__s")).agg(
+        F.countDistinct("__s").alias("vocab_size")
+    )
+    return stats.crossJoin(F.broadcast(vocab)).select(
+        "n_words",
+        "total_freq",
+        "total_tokens",
+        "total_chars",
+        "vocab_size",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("total_chars"), 6
+        ).alias("compression"),
     )

@@ -983,24 +983,29 @@ def semantic_dedup(
         _argmin_cid,
         _kmeans_base,
         kmeans_fit,
-        routed_argmin_cid,
+        routed_assign,
     )
     from dataclod_spark.operators.similarity import dot, norm
 
     if assign not in ("exact", "routed"):
         raise ValueError(f"semantic_dedup: assign must be exact|routed, got {assign!r}")
-    assign_fn = routed_argmin_cid if assign == "routed" else _argmin_cid
     base = _kmeans_base(df, vec, dim, id_col)
     if k is None:
         n_valid = base.count()
         k = max(8, -(-n_valid // cell_target))
     cents = kmeans_fit(df, vec, dim, k, iters, id_col, routed=(assign == "routed"))
-    assigned = (
-        base.select(
+    if assign == "routed":
+        labeled = routed_assign(base, cents, "__v", "__id").select(
+            "__id", "__v", F.col("__a")["cid"].cast("bigint").alias("__cell")
+        )
+    else:
+        labeled = base.select(
             F.col("__id"),
             F.col("__v"),
-            assign_fn(F.col("__v"), cents)["cid"].cast("bigint").alias("__cell"),
+            _argmin_cid(F.col("__v"), cents)["cid"].cast("bigint").alias("__cell"),
         )
+    assigned = (
+        labeled
         .withColumn("__n", norm(F.col("__v")))
         .localCheckpoint(eager=True)
     )

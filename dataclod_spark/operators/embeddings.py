@@ -42,6 +42,7 @@ __all__ = [
     "dim_stats",
     "route_centroids",
     "routed_argmin_cid",
+    "routed_assign",
 ]
 
 # exact accumulator type for cross-row sums of double-cast floats
@@ -290,15 +291,21 @@ def routed_argmin_cid(
     cents: list[tuple[int, list[float]]],
     n_groups: int | None = None,
 ) -> Column:
-    """IVF-routed approximate nearest centroid: argmin over ⌈√k⌉ group
-    representatives, then argmin within the winning group only — the
-    evaluated expression cost per row drops from k distance folds to
-    ~√k + k/√k, which is what keeps k ∝ corpus assignments affordable
-    (SemDeDup auto-k at 100 TB).  Same (dist, cid) struct contract as
-    :func:`_argmin_cid`; approximate exactly the way an IVF probe is
+    """IVF-routed approximate nearest centroid as a pure PROJECTION:
+    argmin over ⌈√k⌉ group representatives picks a routing group, then a
+    when-chain evaluates only that group's inner argmin — ~√k + k/√k
+    distance folds evaluated per row.  Same (dist, cid) struct contract
+    as :func:`_argmin_cid`; approximate exactly the way an IVF probe is
     (a vector near a group boundary may assign to its group's best
     rather than the global best).  ``n_groups=1`` is exact by
-    construction."""
+    construction.
+
+    Column-expression form for SMALL k only: the when-chain still
+    CONTAINS all k member folds, and past a few dozen groups the
+    generated code falls out of whole-stage codegen into interpreted
+    HOF evaluation (measured: k=512 never finished where the flat exact
+    argmin ran in minutes).  Large-k callers use :func:`routed_assign`,
+    the broadcast-join form."""
     reps, groups = route_centroids(cents, n_groups)
     if len(groups) == 1:
         return _argmin_cid(vec, cents)
@@ -315,6 +322,53 @@ def routed_argmin_cid(
     for g, members in reversed(ordered[:-1]):
         expr = F.when(gid == F.lit(g), _argmin_cid(vec, members)).otherwise(expr)
     return expr
+
+
+def routed_assign(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "__v",
+    id_col: str = "__id",
+    n_groups: int | None = None,
+) -> DataFrame:
+    """IVF-routed assignment in the shape that survives ANY k: a √k-fold
+    gid projection, a broadcast join to the winning routing group's
+    member centroids (k-row table — bounded driver/broadcast state), a
+    per-row ``min(struct(dist, cid))``.  The k/√k join fan-out collapses
+    in the map-side partial aggregate, so the shuffle carries one row
+    per input row; no expression in the plan holds more than √k folds,
+    keeping whole-stage codegen alive where the k-fold when-chain form
+    (:func:`routed_argmin_cid`) drops to interpreted evaluation.
+    Returns ``(id_col, vec_col, __a)`` with the same struct contract and
+    tie-break (lexicographic struct min → lowest cid) as
+    :func:`_argmin_cid`."""
+    reps, groups = route_centroids(cents, n_groups)
+    if len(groups) == 1:
+        return df.select(
+            id_col, vec_col, _argmin_cid(F.col(vec_col), cents).alias("__a")
+        )
+    spark = df.sparkSession
+    rows = [
+        (g, cid, [float(x) for x in cv])
+        for g, ms in sorted(groups.items())
+        for cid, cv in ms
+    ]
+    members = spark.createDataFrame(
+        rows, "__gid int, __mcid int, __cvec array<double>"
+    )
+    gid = _argmin_cid(F.col(vec_col), reps).getField("cid").cast("int")
+    tagged = df.select(id_col, vec_col, gid.alias("__gid"))
+    scored = tagged.join(F.broadcast(members), "__gid").select(
+        id_col,
+        vec_col,
+        F.struct(
+            _sq_l2(F.col(vec_col), F.col("__cvec")).alias("dist"),
+            F.col("__mcid").alias("cid"),
+        ).alias("__da"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col), F.min("__da").alias("__a")
+    )
 
 
 def _kmeans_base(df: DataFrame, vec: str, dim: int, id_col: str) -> DataFrame:
@@ -344,16 +398,19 @@ def kmeans_fit(
     caller's).  Each round is one corpus scan + a k-row (narrow) or
     k·dim-row (wide, see WIDE_DIM_THRESHOLD) DECIMAL-exact aggregate.
     ``routed=True`` swaps the per-round assignment for the √k-routed
-    approximation (:func:`routed_argmin_cid`) — the large-k scale path;
-    the update step is unchanged."""
-    assign_fn = routed_argmin_cid if routed else _argmin_cid
+    approximation (:func:`routed_assign`, the broadcast-join form that
+    survives any k) — the large-k scale path; the update step is
+    unchanged."""
     base = _kmeans_base(df, vec, dim, id_col)
     cents = [
         (i, [float(x) for x in r["__v"]])
         for i, r in enumerate(base.orderBy("__id").limit(k).collect())
     ]
     for _ in range(iters - 1):
-        assigned = base.withColumn("__a", assign_fn(F.col("__v"), cents))
+        if routed:
+            assigned = routed_assign(base, cents, "__v", "__id")
+        else:
+            assigned = base.withColumn("__a", _argmin_cid(F.col("__v"), cents))
         if dim > WIDE_DIM_THRESHOLD:
             # posexplode update (see WIDE_DIM_THRESHOLD): k·dim partial
             # rows shuffle and k·dim rows collect — bounded by construction

@@ -1295,3 +1295,54 @@ def x24_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return bpe_train(d, "text", n_merges=_BPE_N, min_freq=2).orderBy("merge_rank")
+
+
+_BPE_ENCODE_ORACLE = (
+    f"""
+WITH toks AS (
+  SELECT unnest(list_filter({_TOKS}, t -> t != '')) AS word
+  FROM documents
+), w0 AS (
+  SELECT list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms,
+         count(*) AS freq
+  FROM toks GROUP BY word
+), """
+    + ",\n".join(_bpe_round_cte(r) for r in range(_BPE_N))
+    # ONE reference to the final word table (multi-reference scalar
+    # subqueries re-expand the whole 8-round CTE chain per reference —
+    # measured exponential): unnest each word's symbols with a
+    # first-symbol flag so word-level and symbol-level aggregates come
+    # out of a single scan
+    + f"""
+SELECT CAST(count(*) FILTER (WHERE u.f) AS BIGINT) AS n_words,
+       CAST(sum(freq) FILTER (WHERE u.f) AS BIGINT) AS total_freq,
+       CAST(sum(freq) AS BIGINT) AS total_tokens,
+       CAST(sum(freq * len(u.s)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT u.s) AS BIGINT) AS vocab_size,
+       round(CAST(sum(freq) AS DOUBLE) / sum(freq * len(u.s)), 6) AS compression
+FROM (SELECT freq, unnest(list_transform(range(1, len(syms) + 1),
+        i -> {{'s': syms[i], 'f': i = 1}})) AS u FROM w{_BPE_N})
+"""
+)
+
+
+@query(
+    "x26_bpe_encode_stats",
+    doc="BPE ENCODE report: the learned 8-merge vocabulary applied back "
+    "to the corpus — frequency-weighted token count, character count, "
+    "resulting symbol vocabulary and tokens/chars compression (the "
+    "fertility number a tokenizer-training loop watches); encoding runs "
+    "on the distinct-word table, so corpus-level totals cost |vocab|, "
+    "not corpus bytes",
+    oracle=_BPE_ENCODE_ORACLE,
+)
+def x26_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.bpe.bpe_encode_stats — trains the same 8 merges as x24,
+    replays them in rank order over the word table with the same greedy
+    JVM fold, and rolls the weighted stats into one row; the oracle
+    extends x24's proven round-CTE chain with the stats select over the
+    final word table."""
+    from dataclod_spark.operators.bpe import bpe_encode_stats
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_encode_stats(d, "text", n_merges=_BPE_N, min_freq=2)

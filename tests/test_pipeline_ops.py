@@ -1412,3 +1412,23 @@ def test_pq_adc_codes_match_v11_and_distances_are_lut_exact(spark):
         assert (r.code_0, r.code_1) == v11[r.vec_id]
         want = round(luts[0][r.code_0] + luts[1][r.code_1], 6)
         assert abs(r.adc_dist - want) < 1e-9, (r.vec_id, r.adc_dist, want)
+
+
+def test_bpe_encode_stats_invariants(spark):
+    """Encode-side invariants: merging never changes the character mass
+    (total_chars equals the pre-merge weighted word length), tokens can
+    only shrink from chars (compression ≤ 1), and the merges actually
+    fired (compression < 1 on a merge-rich corpus)."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.bpe import bpe_encode_stats
+
+    texts = ["the cat sat", "the cat ran", "the the the"] * 20
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    r = bpe_encode_stats(df, n_merges=4, min_freq=2).collect()[0]
+    n_chars = sum(len(w) for t in texts for w in t.split())
+    assert r.total_chars == n_chars
+    assert r.total_tokens <= r.total_chars
+    assert r.compression < 1.0
+    assert r.n_words == 4  # the, cat, sat, ran
+    assert r.total_freq == len(texts) * 3
