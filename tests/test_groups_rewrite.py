@@ -352,3 +352,76 @@ def test_join_groups_sql_executes_with_peer_semantics(spark):
         ("S2", 9, 3): 103,
     }
     assert got == want
+
+
+def test_join_groups_frames_match_python_reference(spark):
+    """Differential fuzz over the JOIN path: random GROUPS frames where
+    the partition key arrives from the joined dimension side (exercising
+    the __gpk inner projection), vs the same independent Python
+    peer-group reference computed on the joined rows."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dataclod_spark.session import EngineSession
+
+    rnd = random.Random(7_2026)
+    rows = [
+        (i, rnd.randint(0, 3), rnd.randint(0, 4), rnd.randint(-5, 9))
+        for i in range(50)
+    ]
+    spark.createDataFrame(rows, "id long, grp_id int, k int, v int")\
+        .createOrReplaceTempView("jg_fact")
+    dim = [(g, f"seg{g % 2}") for g in range(4)]
+    spark.createDataFrame(dim, "grp_id int, seg string")\
+        .createOrReplaceTempView("jg_dim")
+    sess = EngineSession(spark, register_catalog=False)
+
+    joined = [(i, dict(dim)[g], k, v) for (i, g, k, v) in rows]
+
+    def py_groups(lo, hi, agg):
+        out, parts = {}, {}
+        for (i, p, k, v) in joined:
+            parts.setdefault(p, []).append((i, k, v))
+        for p, rs in parts.items():
+            keys = sorted({k for _, k, _ in rs})
+            gi = {k: n for n, k in enumerate(keys)}
+            for (i, k, v) in rs:
+                g = gi[k]
+                a = -10**9 if lo is None else g + lo
+                b = 10**9 if hi is None else g + hi
+                vals = [v2 for (_, k2, v2) in rs if a <= gi[k2] <= b]
+                out[i] = (
+                    (sum(vals) if vals else None) if agg == "sum"
+                    else len(vals) if agg == "count"
+                    else (min(vals) if vals else None)
+                )
+        return out
+
+    def bound_sql(n, side):
+        if n is None:
+            return f"UNBOUNDED {side}"
+        if n == 0:
+            return "CURRENT ROW"
+        return f"{abs(n)} {'PRECEDING' if n < 0 else 'FOLLOWING'}"
+
+    cases = 0
+    while cases < 6:
+        lo = rnd.choice([None, -3, -1, 0, 1])
+        hi = rnd.choice([None, -1, 0, 2])
+        if lo is not None and hi is not None and lo > hi:
+            continue
+        agg = rnd.choice(["sum", "count", "min"])
+        frame = (
+            f"GROUPS BETWEEN {bound_sql(lo, 'PRECEDING')} "
+            f"AND {bound_sql(hi, 'FOLLOWING')}"
+        )
+        got = {
+            r.id: r.s
+            for r in sess.sql(
+                f"SELECT id, {agg}(v) OVER (PARTITION BY seg ORDER BY k {frame}) AS s "
+                "FROM jg_fact JOIN jg_dim ON jg_fact.grp_id = jg_dim.grp_id"
+            ).collect()
+        }
+        assert got == py_groups(lo, hi, agg), (frame, agg)
+        cases += 1
