@@ -256,3 +256,51 @@ def test_p2_partition_pruning_in_scan(spark):
     )
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_v12_v13_adc_zero_shuffle_topk(spark):
+    """The compressed-domain searches must stay pure projections: zero
+    exchanges (the LUT is plan constants, never a join), zero Python,
+    and a TakeOrderedAndProject top-k (per-partition heap, no full
+    sort) — the properties that make ADC scanning viable over a
+    billion-code corpus."""
+    for name in ("v12_pq_adc_topk", "v13_ivf_adc_search"):
+        plan = _plan(spark, name, "simple")
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan and "ArrowEval" not in plan, name
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_sp7_dsir_broadcast_weight_joins(spark):
+    """DSIR's weight table must come back as a BROADCAST join (256
+    bounded rows) and every aggregate must have a map-side partial —
+    the corpus shuffles bucket counts, never token rows with weights
+    attached."""
+    plan = _plan(spark, "sp7_dsir_weights", "simple")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_routed_assign_broadcasts_members_no_wide_expressions(spark):
+    """routed_assign's plan: the member-centroid table rides a broadcast
+    join and the assignment finishes with a partial+final min(struct)
+    aggregate — no k-fold expression anywhere (the when-chain form falls
+    out of codegen at large k; see SCALE.md round-7 follow-up)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.embeddings import routed_assign
+
+    rnd = random.Random(2)
+    cents = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(64)]
+    df = spark.createDataFrame(
+        [Row(__id=i, __v=[rnd.gauss(0, 1) for _ in range(8)]) for i in range(50)],
+        "__id long, __v array<double>",
+    )
+    out = routed_assign(df, cents, "__v", "__id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_min" in plan or "partial_" in plan
+    assert "SortMergeJoin" not in plan
