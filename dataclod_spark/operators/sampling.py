@@ -369,3 +369,35 @@ def dsir_score(
         )
         .select("doc_id", "n_tok", "log_weight")
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    weights: DataFrame,
+    stratum: str = "lang",
+    top_pct: int = 25,
+) -> DataFrame:
+    """DSIR selection: keep the top ``top_pct`` percent of documents BY
+    importance weight WITHIN each stratum — the step after
+    :func:`dsir_weights` in the paper's pipeline, stratified so one
+    in-domain-looking slice cannot crowd out every other language/source
+    (the known failure mode of global top-N selection).
+
+    Deterministic: rank by ``(log_weight DESC, doc_id)`` inside each
+    stratum, keep ``ceil(top_pct% · n)`` (the stratified_sample quota
+    rule applied to a learned score instead of a hash).  One window
+    shuffle on the stratum key; skewed strata parallelize via AQE
+    skew-split, same as stratified_sample."""
+    if not (0 < top_pct <= 100):
+        raise ValueError(f"dsir_select: top_pct must be in (0, 100], got {top_pct}")
+    j = df.join(weights.select("doc_id", "log_weight"), "doc_id")
+    w = Window.partitionBy(stratum).orderBy(
+        F.col("log_weight").desc(), F.col("doc_id")
+    )
+    n = Window.partitionBy(stratum)
+    return (
+        j.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .filter(F.col("__rk") <= F.ceil(F.col("__n") * top_pct / 100))
+        .drop("__rk", "__n")
+    )

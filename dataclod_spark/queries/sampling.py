@@ -314,3 +314,58 @@ def sp7_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-row weight table broadcast back, decimal-exact doc rollup."""
     d = load(spark, sf_dir, "documents")
     return SMP.dsir_weights(d, target=F.col("lang") == "en").orderBy("doc_id")
+
+
+@query(
+    "sp8_dsir_select",
+    doc="DSIR selection: top 25% of documents by importance weight "
+    "WITHIN each language (stratified, so one in-domain-looking slice "
+    "cannot crowd out the rest — the known failure mode of global "
+    "top-N) — the select step between sp7's scorer and the sp4/sp5 "
+    "mixture builders",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS b
+  FROM (SELECT doc_id, lang, unnest({_TOKS_SP7}) AS t FROM documents)
+  WHERE t <> ''
+), bt AS (
+  SELECT b, count(*) AS n_r, count(*) FILTER (WHERE is_t) AS n_t
+  FROM toks GROUP BY b
+), tot AS (
+  SELECT sum(n_r) AS tr, sum(n_t) AS tt FROM bt
+), w AS (
+  SELECT b, CAST(round(ln(CAST(n_t + 1 AS DOUBLE))
+                 - ln(CAST(tt + 256 AS DOUBLE))
+                 - ln(CAST(n_r + 1 AS DOUBLE))
+                 + ln(CAST(tr + 256 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS wgt
+  FROM bt CROSS JOIN tot
+), db AS (
+  SELECT doc_id, b, count(*) AS c FROM toks GROUP BY doc_id, b
+), dw AS (
+  SELECT doc_id, CAST(sum(c * wgt) AS DOUBLE) AS log_weight
+  FROM db JOIN w USING (b) GROUP BY doc_id
+), sel AS (
+  SELECT d.doc_id, d.lang, dw.log_weight,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY dw.log_weight DESC, d.doc_id) AS rk,
+         count(*) OVER (PARTITION BY d.lang) AS n
+  FROM documents d JOIN dw USING (doc_id)
+)
+SELECT doc_id, lang, log_weight
+FROM sel
+WHERE rk <= ceil(n * 25 / 100)
+ORDER BY doc_id
+""",
+)
+def sp8_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.sampling.dsir_select over dsir_weights — the scorer's
+    aggregates plus ONE window shuffle on the language key; per-doc
+    output (no cross-doc double sums, which would be FP-order-dependent)."""
+    d = load(spark, sf_dir, "documents")
+    wts = SMP.dsir_weights(d, target=F.col("lang") == "en")
+    return (
+        SMP.dsir_select(d, wts, stratum="lang", top_pct=25)
+        .select("doc_id", "lang", "log_weight")
+        .orderBy("doc_id")
+    )

@@ -1432,3 +1432,31 @@ def test_bpe_encode_stats_invariants(spark):
     assert r.compression < 1.0
     assert r.n_words == 4  # the, cat, sat, ran
     assert r.total_freq == len(texts) * 3
+
+
+def test_dsir_select_stratified_quota(spark):
+    """Selection keeps ceil(top_pct%·n) PER stratum by (weight desc,
+    doc_id) — a high-scoring majority stratum cannot crowd out a small
+    one, and the boundary tie breaks on doc_id."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.sampling import dsir_select
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text="x") for i in range(8)]
+        + [Row(doc_id=100 + i, lang="de", text="x") for i in range(4)]
+    )
+    wts = spark.createDataFrame(
+        [Row(doc_id=i, log_weight=float(i)) for i in range(8)]
+        + [Row(doc_id=100 + i, log_weight=-5.0) for i in range(4)]  # all tie
+    )
+    got = sorted(
+        r.doc_id for r in dsir_select(docs, wts, stratum="lang", top_pct=50).collect()
+    )
+    # en: ceil(4) highest weights = 4,5,6,7; de: ceil(2) of the tie = lowest ids
+    assert got == [4, 5, 6, 7, 100, 101]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="top_pct"):
+        dsir_select(docs, wts, top_pct=0)
