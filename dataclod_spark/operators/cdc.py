@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["apply_changes", "snapshot_diff"]
+__all__ = ["apply_changes", "compact_changes", "snapshot_diff"]
 
 
 def apply_changes(
@@ -155,4 +155,62 @@ def snapshot_diff(
             ),
         )
         .filter(F.col("change_type").isNotNull())
+    )
+
+
+def compact_changes(
+    log: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Collapse a CDC change LOG to its net effect per key — the
+    compaction a MERGE target requires when one batch window carries
+    several changes for the same key (Delta CDF / Debezium "last change
+    wins, insert-then-delete cancels").
+
+    Per key: the highest-``seq_col`` row's payload survives, and the net
+    op derives from the (first, last) ops —
+
+    * last ``D``, first ``I`` → the key lived only inside the window:
+      NO output row (a MERGE must not see a delete for a row the target
+      never had);
+    * last ``D`` otherwise → net ``D``;
+    * first ``I`` → net ``I`` (whatever updates followed, the target
+      gains one new row with the final payload);
+    * else → net ``U``.
+
+    ``seq_col`` must be unique per key (a log sequence number) — the
+    same contract :func:`apply_changes` resolves its intra-batch ties
+    with.  ONE aggregate (``max_by``/``min_by`` carry the payload and
+    the boundary ops through a single partial+final pass — no window
+    sort, no self-join); the log shuffles once on the key."""
+    value_cols = [c for c in log.columns if c not in (*keys, seq_col)]
+    last = F.max_by(
+        F.struct(*[F.col(c) for c in value_cols]), F.col(seq_col)
+    )
+    g = log.groupBy(*[F.col(k) for k in keys]).agg(
+        last.alias("__last"),
+        F.min_by(F.col(op_col), F.col(seq_col)).alias("__first_op"),
+    )
+    last_op = F.col(f"__last.{op_col}")
+    first_op = F.col("__first_op")
+    net = (
+        F.when((last_op == "D") & (first_op == "I"), F.lit(None).cast("string"))
+        .when(last_op == "D", F.lit("D"))
+        .when(first_op == "I", F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    return (
+        g.withColumn("__net", net)
+        .filter(F.col("__net").isNotNull())
+        .select(
+            *keys,
+            *[
+                F.col(f"__last.{c}").alias(c)
+                for c in value_cols
+                if c != op_col
+            ],
+            F.col("__net").alias("net_op"),
+        )
     )

@@ -2121,3 +2121,77 @@ def u4_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_orderstatus"),
     )
     return snapshot_diff(old, new, keys=["o_orderkey"]).orderBy("o_orderkey")
+
+
+@query(
+    "u5_cdc_compact",
+    doc="CDC change-log compaction (Delta CDF / Debezium batch prep): a "
+    "multi-version change log — several ops per key in one batch window "
+    "— collapses to ONE net effect per key before the MERGE: last "
+    "payload wins, insert-then-delete cancels entirely, first-op I makes "
+    "the net an insert; the compaction every MERGE target requires "
+    "because its ON clause must match at most one source row per key",
+    oracle="""
+WITH log AS (
+  SELECT c_custkey, c_acctbal + 1 AS c_acctbal, 'U' AS op, 1 AS seq
+  FROM customer WHERE c_custkey % 4 = 1
+  UNION ALL SELECT c_custkey, c_acctbal + 2, 'U', 2 FROM customer WHERE c_custkey % 4 = 1
+  UNION ALL SELECT c_custkey, c_acctbal, 'I', 1 FROM customer WHERE c_custkey % 4 = 2
+  UNION ALL SELECT c_custkey, c_acctbal + 5, 'U', 2 FROM customer WHERE c_custkey % 4 = 2
+  UNION ALL SELECT c_custkey, c_acctbal, 'I', 1 FROM customer WHERE c_custkey % 4 = 3
+  UNION ALL SELECT c_custkey, CAST(NULL AS DOUBLE), 'D', 2 FROM customer WHERE c_custkey % 4 = 3
+  UNION ALL SELECT c_custkey, c_acctbal, 'U', 1 FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL SELECT c_custkey, CAST(NULL AS DOUBLE), 'D', 2 FROM customer WHERE c_custkey % 4 = 0
+), cmp AS (
+  -- payload rides in a struct: DuckDB's bare arg_max(value, seq) SKIPS
+  -- rows whose value is NULL (a D row's payload), which would silently
+  -- resurrect the pre-delete balance
+  SELECT c_custkey,
+         arg_max({'b': c_acctbal, 'o': op}, seq) AS last,
+         arg_min(op, seq) AS first_op
+  FROM log GROUP BY c_custkey
+)
+SELECT c_custkey, last.b AS c_acctbal,
+       CASE WHEN last.o = 'D' THEN 'D'
+            WHEN first_op = 'I' THEN 'I'
+            ELSE 'U' END AS net_op
+FROM cmp
+WHERE NOT (last.o = 'D' AND first_op = 'I')
+ORDER BY c_custkey
+""",
+)
+def u5_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.cdc.compact_changes over a synthesized 2-op-per-key log
+    covering all four net classes (U+U→U, I+U→I, I+D→cancel, U+D→D).
+    One max_by/min_by aggregate — the log shuffles once on the key; the
+    Spark struct payload and the oracle's arg_max struct carry the D
+    rows' NULL balance faithfully on both engines."""
+    from dataclod_spark.operators.cdc import compact_changes
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+
+    def part(mod, bal, op, seq):
+        return c.filter(F.col("c_custkey") % 4 == mod).select(
+            "c_custkey",
+            bal.alias("c_acctbal"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+
+    b = F.col("c_acctbal")
+    null_b = F.lit(None).cast("double")
+    log = (
+        part(1, b + 1, "U", 1)
+        .unionByName(part(1, b + 2, "U", 2))
+        .unionByName(part(2, b, "I", 1))
+        .unionByName(part(2, b + 5, "U", 2))
+        .unionByName(part(3, b, "I", 1))
+        .unionByName(part(3, null_b, "D", 2))
+        .unionByName(part(0, b, "U", 1))
+        .unionByName(part(0, null_b, "D", 2))
+    )
+    return compact_changes(
+        log, keys=["c_custkey"], seq_col="seq", op_col="op"
+    ).orderBy("c_custkey")

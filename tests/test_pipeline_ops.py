@@ -1460,3 +1460,35 @@ def test_dsir_select_stratified_quota(spark):
 
     with pytest.raises(ValueError, match="top_pct"):
         dsir_select(docs, wts, top_pct=0)
+
+
+def test_cdc_compact_changes_net_classes(spark):
+    """All net classes incl. single-op keys and a D→I re-insert (net U:
+    the target had the row at batch start and still has it, with new
+    payload); insert-then-delete cancels to NO row."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.cdc import compact_changes
+
+    rows = [
+        Row(k=1, v="a1", op="U", seq=1), Row(k=1, v="a2", op="U", seq=2),  # U
+        Row(k=2, v="b1", op="I", seq=1), Row(k=2, v="b2", op="U", seq=2),  # I
+        Row(k=3, v="c1", op="I", seq=1), Row(k=3, v=None, op="D", seq=2),  # cancel
+        Row(k=4, v="d1", op="U", seq=1), Row(k=4, v=None, op="D", seq=2),  # D
+        Row(k=5, v=None, op="D", seq=1), Row(k=5, v="e2", op="I", seq=2),  # re-insert -> U
+        Row(k=6, v="f1", op="I", seq=1),                                   # lone I
+        Row(k=7, v=None, op="D", seq=1),                                   # lone D
+        Row(k=8, v="h1", op="U", seq=1),                                   # lone U
+    ]
+    df = spark.createDataFrame(rows, "k long, v string, op string, seq int")
+    got = {r.k: (r.v, r.net_op) for r in compact_changes(df, keys=["k"]).collect()}
+    assert got == {
+        1: ("a2", "U"),
+        2: ("b2", "I"),
+        4: (None, "D"),
+        5: ("e2", "U"),
+        6: ("f1", "I"),
+        7: (None, "D"),
+        8: ("h1", "U"),
+    }
+    assert 3 not in got  # insert-then-delete cancels entirely
