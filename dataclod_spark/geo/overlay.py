@@ -353,13 +353,14 @@ def overlay(g1: Geometry, g2: Geometry, op: str) -> Optional[Geometry]:
             owners[hi] = owner
     polys: list[list[list[Coord]]] = []
     for si, shell in enumerate(shells):
-        shell_ccw = _ring_area2(shell) > 0
+        # orientation invariant by construction of the face walk: shells
+        # are CW (_ring_area2 < 0) and holes CCW (> 0) — see the
+        # shells/holes split above; downstream consumers (_poly_area,
+        # the predicates) are orientation-agnostic, so no re-orientation
         rings = [shell]
         for hi, h in enumerate(holes):
             if owners.get(hi) != si:
                 continue
-            if (_ring_area2(h) > 0) == shell_ccw:
-                h = list(reversed(h[:-1])) + [h[-2]]
             rings.append(h)
         polys.append(rings)
     if len(polys) == 1:

@@ -37,10 +37,12 @@ from pyspark.sql import functions as F
 from dataclod_spark.functions.text import tokens
 
 __all__ = [
+    "batch_merge_sequence",
     "bpe_train",
     "bpe_encode_stats",
     "merge_pair_fold",
     "merge_pairs_fold",
+    "replay_merges",
     "select_batch",
     "word_table",
 ]
@@ -54,15 +56,20 @@ def merge_pairs_fold(syms: Column, pairs: list[tuple[str, str]]) -> Column:
     within the same round ('aaa' + (a,a) -> [aa, a]), and because batch
     members share no symbols, the single combined pass produces exactly
     the same arrays as applying each pair's own full greedy pass in rank
-    order.  The lookup key joins left/right with NUL, which cannot occur
-    in tokenized text."""
+    order.  The lookup key is a (left, right) STRUCT — a delimited-string
+    key would collide on symbols containing the delimiter (tokens() only
+    collapses whitespace, so a literal NUL in input text survives into
+    symbols: ('a','\\x00b') vs ('a\\x00','b'))."""
     if not pairs:
         return syms
     lut = F.create_map(
         *[
             lit
             for a, b in pairs
-            for lit in (F.lit(a + "\x00" + b), F.lit(a + b))
+            for lit in (
+                F.struct(F.lit(a).alias("l"), F.lit(b).alias("r")),
+                F.lit(a + b),
+            )
         ]
     )
     rest = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
@@ -70,7 +77,7 @@ def merge_pairs_fold(syms: Column, pairs: list[tuple[str, str]]) -> Column:
 
     def step(acc: Column, s: Column) -> Column:
         merged = F.element_at(
-            lut, F.concat(F.element_at(acc, -1), F.lit("\x00"), s)
+            lut, F.struct(F.element_at(acc, -1).alias("l"), s.alias("r"))
         )
         return F.when(
             merged.isNotNull(),
@@ -197,11 +204,61 @@ def word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def batch_merge_sequence(
+    merges: list[tuple[str, str]], batch_size: int
+) -> list[list[tuple[str, str]]]:
+    """Greedily split a FIXED learned merge sequence into consecutive
+    symbol-disjoint batches (each ≤ ``batch_size``) — the encode-time
+    twin of :func:`select_batch`.  A batch closes at the first pair that
+    shares a symbol (including the merged product) with an earlier batch
+    member, so within every batch :func:`merge_pairs_fold`'s one combined
+    greedy pass equals applying each pair's own full greedy pass in
+    sequence order — the same disjointness argument the trainer makes,
+    minus the count-reordering concern (the sequence here is already
+    fixed).  Pure driver logic on the learned (bounded) merge list."""
+    batches: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for a, b in merges:
+        if cur and (
+            len(cur) >= batch_size or a in used or b in used or (a + b) in used
+        ):
+            batches.append(cur)
+            cur, used = [], set()
+        cur.append((a, b))
+        used.update((a, b, a + b))
+    if cur:
+        batches.append(cur)
+    return batches
+
+
+def replay_merges(
+    words: DataFrame, merges: list[tuple[str, str]], batch_size: int = 64
+) -> DataFrame:
+    """Apply a learned merge sequence to a ``(syms, freq)`` word table in
+    training order, batching symbol-disjoint consecutive prefixes through
+    :func:`merge_pairs_fold` — one Spark job + one localCheckpoint per
+    BATCH, not per merge (the same round-trip economics as the trainer;
+    replaying a production 30k-merge sequence is ~500 jobs at batch 64,
+    not 30k sequential ones).  ``batch_size=1`` is the per-merge replay;
+    the batched result is bit-identical because each batch is
+    symbol-disjoint by construction.  Columns other than ``syms`` pass
+    through unchanged."""
+    cur = words
+    others = [c for c in words.columns if c != "syms"]
+    for batch in batch_merge_sequence(merges, batch_size):
+        cur = cur.select(
+            merge_pairs_fold(F.col("syms"), batch).alias("syms"), *others
+        ).localCheckpoint(eager=True)
+    return cur
+
+
 def bpe_encode_stats(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
     min_freq: int = 2,
+    batch_size: int = 64,
 ) -> DataFrame:
     """The ENCODE half of the tokenizer: apply the learned merge sequence
     back to the vocabulary and report corpus tokenization stats — one row
@@ -213,20 +270,21 @@ def bpe_encode_stats(
     Because whitespace-pretokenized BPE encodes each distinct WORD
     independently, encoding the word table and weighting by ``freq`` is
     exactly corpus-level encoding at |vocab| cost — the per-document
-    scan never re-runs the merge loop.  Each merge applies in training
-    rank order as the same greedy JVM fold the trainer used, so the
-    symbols are bit-identical to sequential BPE (and to the DuckDB
-    oracle's reduce() replay)."""
+    scan never re-runs the merge loop.  The learned sequence replays in
+    training rank order through :func:`replay_merges` (symbol-disjoint
+    consecutive batches, one job + one checkpoint per BATCH — the
+    trainer's round-trip economics, not one job per merge), and the
+    greedy JVM fold keeps the symbols bit-identical to sequential BPE
+    (and to the DuckDB oracle's reduce() replay)."""
     merges = sorted(
         bpe_train(df, text_col, n_merges, min_freq).collect(),
         key=lambda r: r.merge_rank,
     )
-    cur = word_table(df, text_col).localCheckpoint(eager=True)
-    for r in merges:
-        cur = cur.select(
-            merge_pair_fold(F.col("syms"), r.left_sym, r.right_sym).alias("syms"),
-            "freq",
-        ).localCheckpoint(eager=True)
+    cur = replay_merges(
+        word_table(df, text_col).localCheckpoint(eager=True),
+        [(r.left_sym, r.right_sym) for r in merges],
+        batch_size,
+    )
     sym_len = F.aggregate(
         F.col("syms"), F.lit(0), lambda acc, s: acc + F.length(s)
     )

@@ -305,7 +305,7 @@ def routed_argmin_cid(
     generated code falls out of whole-stage codegen into interpreted
     HOF evaluation (measured: k=512 never finished where the flat exact
     argmin ran in minutes).  Large-k callers use :func:`routed_assign`,
-    the broadcast-join form."""
+    the zero-shuffle map-literal projection form."""
     reps, groups = route_centroids(cents, n_groups)
     if len(groups) == 1:
         return _argmin_cid(vec, cents)
@@ -331,14 +331,18 @@ def routed_assign(
     id_col: str = "__id",
     n_groups: int | None = None,
 ) -> DataFrame:
-    """IVF-routed assignment in the shape that survives ANY k: a √k-fold
-    gid projection, a broadcast join to the winning routing group's
-    member centroids (k-row table — bounded driver/broadcast state), a
-    per-row ``min(struct(dist, cid))``.  The k/√k join fan-out collapses
-    in the map-side partial aggregate, so the shuffle carries one row
-    per input row; no expression in the plan holds more than √k folds,
-    keeping whole-stage codegen alive where the k-fold when-chain form
-    (:func:`routed_argmin_cid`) drops to interpreted evaluation.
+    """IVF-routed assignment in the shape that survives ANY k, as a pure
+    ZERO-SHUFFLE projection: a √k-fold gid projection routes each row to
+    a group, two constant-folded MAP literals (gid → member-cid array,
+    gid → member-vec array-of-arrays — k entries total, driver-bounded)
+    select that group's members, and one ``zip_with`` + ``array_min``
+    evaluates only the ~k/√k member folds for the winning group.  No
+    expression holds more than √k inline folds (the k-fold when-chain
+    form, :func:`routed_argmin_cid`, drops out of codegen at large k),
+    and unlike the earlier broadcast-join + min(struct) form there is no
+    exchange at all — the r7 verdict flagged that form for carrying the
+    vector payload (≈12 KB/row at dim 1536) through the aggregate
+    shuffle; this form carries nothing anywhere.
     Returns ``(id_col, vec_col, __a)`` with the same struct contract and
     tie-break (lexicographic struct min → lowest cid) as
     :func:`_argmin_cid`."""
@@ -347,28 +351,32 @@ def routed_assign(
         return df.select(
             id_col, vec_col, _argmin_cid(F.col(vec_col), cents).alias("__a")
         )
-    spark = df.sparkSession
-    rows = [
-        (g, cid, [float(x) for x in cv])
-        for g, ms in sorted(groups.items())
-        for cid, cv in ms
-    ]
-    members = spark.createDataFrame(
-        rows, "__gid int, __mcid int, __cvec array<double>"
+    ordered = sorted(groups.items())
+    cid_map = F.create_map(
+        *[
+            x
+            for g, ms in ordered
+            for x in (F.lit(g), F.lit([cid for cid, _ in ms]))
+        ]
+    )
+    vec_map = F.create_map(
+        *[
+            x
+            for g, ms in ordered
+            for x in (F.lit(g), F.lit([[float(v) for v in cv] for _, cv in ms]))
+        ]
     )
     gid = _argmin_cid(F.col(vec_col), reps).getField("cid").cast("int")
-    tagged = df.select(id_col, vec_col, gid.alias("__gid"))
-    scored = tagged.join(F.broadcast(members), "__gid").select(
-        id_col,
-        vec_col,
-        F.struct(
-            _sq_l2(F.col(vec_col), F.col("__cvec")).alias("dist"),
-            F.col("__mcid").alias("cid"),
-        ).alias("__da"),
+    best = F.array_min(
+        F.zip_with(
+            F.element_at(vec_map, gid),
+            F.element_at(cid_map, gid),
+            lambda v, c: F.struct(
+                _sq_l2(F.col(vec_col), v).alias("dist"), c.alias("cid")
+            ),
+        )
     )
-    return scored.groupBy(id_col).agg(
-        F.first(vec_col).alias(vec_col), F.min("__da").alias("__a")
-    )
+    return df.select(id_col, vec_col, best.alias("__a"))
 
 
 def _kmeans_base(df: DataFrame, vec: str, dim: int, id_col: str) -> DataFrame:
@@ -398,7 +406,7 @@ def kmeans_fit(
     caller's).  Each round is one corpus scan + a k-row (narrow) or
     k·dim-row (wide, see WIDE_DIM_THRESHOLD) DECIMAL-exact aggregate.
     ``routed=True`` swaps the per-round assignment for the √k-routed
-    approximation (:func:`routed_assign`, the broadcast-join form that
+    approximation (:func:`routed_assign`, the map-literal projection that
     survives any k) — the large-k scale path; the update step is
     unchanged."""
     base = _kmeans_base(df, vec, dim, id_col)

@@ -264,8 +264,12 @@ def media_dedup(
     ``partitionBy(digest)`` funnels EVERY such row into the single
     digest-IS-NULL partition — one straggler task on a crawl where a
     large fraction of media rows have absent blobs.  The ``'\\x00'``
-    salt prefix cannot collide with hex digests, and the salt column is
-    dropped before return."""
+    salt prefix cannot collide with hex digests; rows where the ID is
+    ALSO null salt on ``'\\x01' || monotonically_increasing_id`` (unique
+    within the job, and a distinct prefix so it cannot collide with a
+    real id's salt), keeping the every-NULL-digest-row-is-canonical rule
+    instead of funnelling null-id rows into one NULL partition.  The
+    salt column is dropped before return."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -277,6 +281,10 @@ def media_dedup(
             F.coalesce(
                 F.col("digest"),
                 F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+                F.concat(
+                    F.lit("\x01"),
+                    F.monotonically_increasing_id().cast("string"),
+                ),
             ),
         )
         .withColumn("is_canonical", F.row_number().over(w) == 1)

@@ -768,6 +768,7 @@ def streaming_dsir_score(
     snapshot: DataFrame,
     out_dir: str,
     text_col: str = "text",
+    target=None,
     n_buckets: int = 256,
     timeout_sec: int = 300,
 ) -> DataFrame:
@@ -781,13 +782,19 @@ def streaming_dsir_score(
     ``batch_id=<n>`` partition (the st12 recovery contract).  Scores
     depend only on the batch's rows + the static table, so the drained
     output is batching-invariant and equals the batch scorer on the
-    union of batches."""
+    union of batches.
+
+    ``target`` is the boolean Column marking the target-domain snapshot
+    rows, passed through to the trainer (same contract and same
+    ``lang = 'en'`` default as the batch-side
+    :func:`~dataclod_spark.operators.sampling.dsir_weights` API —
+    callers whose snapshot has no ``lang`` column must supply one)."""
     import os
 
     from dataclod_spark.operators.sampling import dsir_bucket_weights, dsir_score
 
     wtab = dsir_bucket_weights(
-        snapshot, text_col=text_col, n_buckets=n_buckets
+        snapshot, text_col=text_col, target=target, n_buckets=n_buckets
     ).localCheckpoint(eager=True)
     res_dir = os.path.join(out_dir, "scored")
 

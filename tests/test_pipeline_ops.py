@@ -1235,6 +1235,76 @@ def test_bpe_merge_pairs_fold_combined_pass(spark):
     assert got == [["ab", "cd", "ab"], ["a", "a", "a", "cd"], ["a"], []]
 
 
+def test_bpe_batch_merge_sequence_rules():
+    """Encode-time batching: consecutive disjoint prefixes, split at any
+    shared symbol (incl. the merged product) or at batch_size."""
+    from dataclod_spark.operators.bpe import batch_merge_sequence
+
+    # 'th'+'e' shares the product of ('t','h') -> new batch
+    seq = [("t", "h"), ("th", "e"), ("a", "b")]
+    assert batch_merge_sequence(seq, 8) == [[("t", "h")], [("th", "e"), ("a", "b")]]
+    # disjoint run respects the size cap
+    seq = [("a", "b"), ("c", "d"), ("e", "f")]
+    assert batch_merge_sequence(seq, 2) == [[("a", "b"), ("c", "d")], [("e", "f")]]
+    # shared right symbol splits
+    seq = [("a", "b"), ("c", "b")]
+    assert batch_merge_sequence(seq, 8) == [[("a", "b")], [("c", "b")]]
+    assert batch_merge_sequence([], 8) == []
+
+
+def test_bpe_replay_batched_equals_sequential(spark):
+    """Property (the x26 scale fix): replaying a fixed merge sequence
+    with symbol-disjoint consecutive batching (batch_size=64) is
+    bit-identical to the per-merge replay (batch_size=1) AND to a Python
+    sequential greedy reference — on random vocabularies over a tiny
+    alphabet whose merge sequences overlap heavily (forcing batch
+    splits)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.bpe import replay_merges
+
+    def py_merge(syms, a, b):
+        if len(syms) <= 1:
+            return syms
+        out = [syms[0]]
+        for s in syms[1:]:
+            if out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    for seed in (7, 8, 9):
+        rnd = random.Random(seed)
+        words = [
+            "".join(rnd.choice("ab") for _ in range(rnd.randint(1, 8)))
+            for _ in range(25)
+        ]
+        # chain-heavy sequence: products feed later merges
+        merges = [("a", "b"), ("ab", "a"), ("b", "b"), ("aba", "bb"), ("a", "a")]
+        df = spark.createDataFrame(
+            [Row(i=i, syms=list(w), freq=1) for i, w in enumerate(words)],
+            "i long, syms array<string>, freq long",
+        )
+        expect = []
+        for w in words:
+            syms = list(w)
+            for a, b in merges:
+                syms = py_merge(syms, a, b)
+            expect.append(syms)
+        for bs in (1, 64):
+            got = {
+                r.i: r.syms
+                for r in replay_merges(df, merges, batch_size=bs)
+                .select("i", "syms")
+                .collect()
+            }
+            for i, w in enumerate(words):
+                assert got[i] == expect[i], (seed, bs, w)
+
+
 def test_hash_split_negative_and_bad_keys(spark):
     """pmod bucketing: negative integral keys land in a real split (no
     silent NULL bucket); non-integral key types raise at plan time; a

@@ -282,11 +282,14 @@ def test_sp7_dsir_broadcast_weight_joins(spark):
     assert "partial_" in plan
 
 
-def test_routed_assign_broadcasts_members_no_wide_expressions(spark):
-    """routed_assign's plan: the member-centroid table rides a broadcast
-    join and the assignment finishes with a partial+final min(struct)
-    aggregate — no k-fold expression anywhere (the when-chain form falls
-    out of codegen at large k; see SCALE.md round-7 follow-up)."""
+def test_routed_assign_zero_shuffle_projection(spark):
+    """routed_assign's plan: a pure projection — the member centroids
+    live in constant-folded map literals and the per-row argmin is a
+    zip_with fold, so there is NO exchange, join, or aggregate anywhere
+    (the r7 broadcast-join form shuffled the vector payload through its
+    final min(struct) aggregate; see SCALE.md round-8 note).  No k-fold
+    expression either (the when-chain form falls out of codegen at
+    large k)."""
     import random
 
     from pyspark.sql import Row
@@ -301,6 +304,6 @@ def test_routed_assign_broadcasts_members_no_wide_expressions(spark):
     )
     out = routed_assign(df, cents, "__v", "__id")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    assert "partial_min" in plan or "partial_" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
