@@ -32,16 +32,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # list at the start of each round; entries left over from a prior round
 # only waste window slots (never produce a wrong check).
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round 7: batched BPE (values unchanged at batch_size=1 but the fold
-    # is new), SemDeDup auto-k default + zero-norm guard, media_dedup
-    # NULL-salted window key, snapshot_diff null-safe keys, hash_split
-    # pmod bucketing, GROUPS rewrite restructure (+ new join path)
+    # round 8: the stratum-window family rebuilt on banded-boundary
+    # ranking (window sees only the verified band, full-window fallback
+    # per stratum) — sp1/sp3/sp4/sp5/sp8 + x23's tercile assembler; w9's
+    # join-mode GROUPS rewrite gained qualified-outer-ref projection
+    "sp1_stratified_sample",
+    "sp3_language_rebalance",
+    "sp4_token_budget_mixture",
+    "sp5_temperature_mixture",
+    "sp8_dsir_select",
+    "x23_lm_quality_buckets",
+    "w9_groups_frame_join_sql",
+    # late round-7 commits (after the r7 driver check): batched x26
+    # encode replay + struct-keyed BPE LUT, media_dedup null-id salt,
+    # streaming DSIR target param, routed-assign rework (d13 default
+    # path unchanged but shared module edited)
+    "x26_bpe_encode_stats",
     "x24_bpe_merges",
-    "d13_semantic_dedup",
     "m5_media_dedup",
-    "u4_snapshot_diff",
-    "sp6_hash_split",
-    "w8_groups_frame_sql",
+    "st14_stream_dsir_score",
+    "d13_semantic_dedup",
 )
 
 # The driver samples a bounded window (50 in r2-r5) of the registry in

@@ -2,8 +2,8 @@
 
 Training-data pipelines sample constantly — per-source quotas, stratified
 class balance, fixed-rate holdouts — and at 100 TB the sample must be (a)
-computable in one pass with no driver state and (b) reproducible across
-reruns and engines.  Both operators here key off a deterministic integer
+computable with no driver state and (b) reproducible across reruns and
+engines.  The quota/budget operators here key off a deterministic integer
 hash of a row key (Knuth multiplicative hash — engine-portable exact BIGINT
 arithmetic, standing in for ``xxhash64(seed, key)`` which DuckDB cannot
 mirror), so the "random" order is a pure projection:
@@ -11,10 +11,24 @@ mirror), so the "random" order is a pure projection:
 * :func:`hash_sample` — Bernoulli-style fixed-rate sample: keep rows whose
   hashed key lands in the accept window.  Zero shuffle, composes with any
   downstream plan, the sample is stable under repartitioning.
-* :func:`stratified_sample` — exact per-stratum quota (``ceil(rate·n)``):
-  rank rows within each stratum by hashed key and keep the first quota.
-  One shuffle (the window partition); at 100 TB the stratum key is the
-  partition key, so skewed strata parallelize via AQE skew-split.
+* :func:`stratified_sample` / :func:`rebalance_to_min` /
+  :func:`token_budget_sample` — exact per-stratum quota / budget fills.
+
+Scale note (the one that matters): a naive ``Window.partitionBy(stratum)``
+rank is a ONE-TASK sort of each stratum — Spark pins a window partition to
+a single task and AQE's skew mitigation splits only join/rebalance
+partitions, never window partitions, so on a real crawl the dominant
+language (~half the corpus) would serialize through one executor thread.
+The operators here never window a whole stratum.  Instead each stratum's
+selection boundary is bracketed by a narrow CANDIDATE BAND in hash (or
+score) space, derived from one bounded aggregate; rows below the band are
+kept by a pure filter, rows above are dropped by a pure filter, and only
+the ~O(sqrt(quota)) band rows go through the exact rank window.  A second
+bounded aggregate VERIFIES the band exactly (prefix counts/sums against
+the quota); any stratum whose band misses the boundary — possible only if
+the key hash is grossly non-uniform — falls back to the full-stratum
+window for that stratum alone, so results are exact by construction, never
+probabilistic.  See SCALE.md (round 8) for the measured skew fixture.
 
 Reference parity: the reference engine has no sampling surface beyond SQL
 ``USING SAMPLE`` delegation; these are extension operators (SURVEY §2
@@ -31,6 +45,19 @@ from pyspark.sql import functions as F
 _KNUTH = 2654435761
 _MOD = 4294967296
 
+# Candidate-band sizing: sigmas of binomial slack + an absolute row floor
+# (tiny strata band whole — the window there is trivially small anyway).
+# Exactness never depends on these: the band is verified with exact counts
+# and a failed verification falls back to the full-stratum window.
+_SLACK_SIGMA = 8.0
+_SLACK_ROWS = 64.0
+
+# percentile_approx accuracy for score-ranked boundaries: Greenwald-Khanna
+# guarantees rank error <= n/accuracy, so the value band around a requested
+# quantile +- _PCT_SLACK is wider than the sketch's error by construction.
+_PCT_ACC = 10000
+_PCT_SLACK = 4.0 / _PCT_ACC
+
 
 def row_hash(key: Column) -> Column:
     """Deterministic pseudo-random BIGINT in [0, 2^32) from an integer key."""
@@ -43,20 +70,110 @@ def hash_sample(df: DataFrame, key: str, rate_pct: int) -> DataFrame:
     return df.filter(row_hash(F.col(key)) % 100 < rate_pct)
 
 
+def _join_stratum(df: DataFrame, small: DataFrame, stratum: str) -> DataFrame:
+    """Broadcast-join per-stratum constants onto ``df``, null-safely (a
+    NULL stratum is one rank group, so it must be one join group too)."""
+    s2 = small.withColumnRenamed(stratum, "__stratum")
+    j = df.join(
+        F.broadcast(s2), F.col(stratum).eqNullSafe(F.col("__stratum")), "left"
+    )
+    return j.drop("__stratum")
+
+
+def _quota_thresholds(quotas: DataFrame, stratum: str) -> DataFrame:
+    """Per-stratum candidate band ``[__lo, __hi)`` in hash space around the
+    quota boundary.  ``quotas``: one row per stratum with ``__n`` (stratum
+    size) and ``__q`` (row quota).  The boundary hash of an exact
+    first-``__q`` take sits near ``(__q/__n)·2^32`` for a uniform hash;
+    the band widens it by ``_SLACK_SIGMA`` binomial sigmas plus an
+    absolute ``_SLACK_ROWS`` floor.  Exported for the scale tests."""
+    nd = F.col("__n").cast("double")
+    frac = F.least(F.col("__q").cast("double") / nd, F.lit(1.0))
+    delta = (
+        F.lit(_SLACK_SIGMA)
+        * F.sqrt(F.greatest(frac * (F.lit(1.0) - frac), F.lit(0.0)) / nd)
+        + F.lit(_SLACK_ROWS) / nd
+    )
+    lo = (
+        F.floor(F.greatest(frac - delta, F.lit(0.0)) * F.lit(float(_MOD)))
+        .cast("bigint")
+    )
+    # clamp the upper fraction BEFORE the bigint cast (ANSI overflow
+    # safety when delta blows up on degenerate strata; >=1 means "band
+    # reaches the top of hash space" anyway)
+    hi = F.least(
+        F.greatest(
+            F.ceil(F.least(frac + delta, F.lit(1.0)) * F.lit(float(_MOD))).cast(
+                "bigint"
+            ),
+            F.lit(0),
+        ),
+        F.lit(_MOD),
+    )
+    return quotas.select(stratum, "__q", lo.alias("__lo"), hi.alias("__hi"))
+
+
+def _take_first_by_hash(
+    df: DataFrame, key: str, stratum: str, quotas: DataFrame
+) -> DataFrame:
+    """Keep exactly the first ``__q`` rows of every stratum in
+    ``(row_hash(key), key)`` order WITHOUT sorting whole strata.
+
+    Plan shape: two bounded per-stratum aggregates (quota thresholds, then
+    exact prefix counts under them — both |strata|-row results, broadcast
+    back and lineage-truncated with a localCheckpoint), then a three-way
+    union of pure filters: rows under ``__lo`` keep (their rank is
+    provably <= quota), rows past ``__hi`` drop, and only the band rows in
+    between take the exact rank window — O(sigma·sqrt(q)) rows per
+    stratum.  Strata whose exact prefix counts show the band missed the
+    boundary (grossly non-uniform hash) fall back to the full window for
+    that stratum alone, so the result equals the full-sort semantics
+    bit-for-bit in every case."""
+    h = row_hash(F.col(key))
+    qt = _quota_thresholds(quotas, stratum).localCheckpoint(eager=True)
+    j = _join_stratum(df, qt, stratum)
+    chk = (
+        j.groupBy(stratum)
+        .agg(
+            F.count(F.when(h < F.col("__lo"), 1)).alias("__c_lo"),
+            F.count(F.when(h < F.col("__hi"), 1)).alias("__c_hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    j2 = _join_stratum(j, chk, stratum)
+    ok = (F.col("__c_lo") <= F.col("__q")) & (F.col("__c_hi") >= F.col("__q"))
+    helpers = ["__q", "__lo", "__hi", "__c_lo", "__c_hi"]
+    w = Window.partitionBy(stratum).orderBy(h, F.col(key))
+    pre = j2.filter(ok & (h < F.col("__lo"))).drop(*helpers)
+    band = (
+        j2.filter(ok & (h >= F.col("__lo")) & (h < F.col("__hi")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__c_lo") + F.col("__rn") <= F.col("__q"))
+        .drop("__rn", *helpers)
+    )
+    fb = (
+        j2.filter(~ok)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__q"))
+        .drop("__rn", *helpers)
+    )
+    return pre.unionByName(band).unionByName(fb)
+
+
 def stratified_sample(
     df: DataFrame, key: str, stratum: str, rate_pct: int
 ) -> DataFrame:
     """Exact per-stratum quota sample: within each ``stratum``, rank rows by
     ``hash(key)`` (ties broken by key — total order) and keep
-    ``ceil(rate_pct% · n_stratum)`` rows."""
-    w = Window.partitionBy(stratum).orderBy(row_hash(F.col(key)), F.col(key))
-    n = Window.partitionBy(stratum)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(n))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * rate_pct / 100))
-        .drop("__rn", "__n")
+    ``ceil(rate_pct% · n_stratum)`` rows.  The rank window sees only the
+    verified boundary band, never a whole stratum — see
+    :func:`_take_first_by_hash` for the plan shape."""
+    quotas = (
+        df.groupBy(stratum)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__q", F.ceil(F.col("__n") * rate_pct / 100).cast("bigint"))
     )
+    return _take_first_by_hash(df, key, stratum, quotas)
 
 
 def rebalance_to_min(df: DataFrame, key: str, stratum: str) -> DataFrame:
@@ -66,23 +183,30 @@ def rebalance_to_min(df: DataFrame, key: str, stratum: str) -> DataFrame:
     ``hash(key)`` (ties by key) and the first ``min_n`` survive, so the
     result is stable across engines and repartitionings.
 
-    Plan shape: ONE window shuffle on the stratum key for the ranking;
-    the global ``min_n`` comes from a separate count-only aggregate over
-    a column-pruned scan (not from the ranked branch — deriving it there
-    would re-run the window sort, SCALE.md pitfall #6) and folds in as a
-    1-row broadcast crossJoin, no driver action."""
-    w = Window.partitionBy(stratum).orderBy(row_hash(F.col(key)), F.col(key))
-    ranked = df.withColumn("__rn", F.row_number().over(w))
-    min_n = (
-        df.groupBy(stratum)
-        .agg(F.count(F.lit(1)).alias("__sn"))
-        .agg(F.min("__sn").alias("__min_n"))
-    )
-    return (
-        ranked.crossJoin(F.broadcast(min_n))
-        .filter(F.col("__rn") <= F.col("__min_n"))
-        .drop("__rn", "__min_n")
-    )
+    The global ``min_n`` comes from one count-only aggregate over a
+    column-pruned scan and folds into the per-stratum quota table; the
+    dominant stratum's boundary is then bracketed and windowed band-only
+    (:func:`_take_first_by_hash`) — the big stratum never sorts whole,
+    which matters most here because rebalance-to-min quotas make the
+    largest stratum's keep-fraction the SMALLEST."""
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("__q"))
+    quotas = counts.crossJoin(F.broadcast(min_n))
+    return _take_first_by_hash(df, key, stratum, quotas)
+
+
+def _budget_expr(stratum: str, budgets: int | dict) -> Column:
+    """Per-stratum token budget as a column over ``stratum``: a closed
+    ``{stratum: budget}`` mixture spec (unspecified strata get 0 — a
+    mixture is a closed list) or one integer for every stratum."""
+    if isinstance(budgets, dict):
+        budget = F.lit(0).cast("bigint")
+        for s, b in sorted(budgets.items()):
+            budget = F.when(
+                F.col(stratum) == s, F.lit(int(b)).cast("bigint")
+            ).otherwise(budget)
+        return budget
+    return F.lit(int(budgets)).cast("bigint")
 
 
 def token_budget_sample(
@@ -117,28 +241,95 @@ def token_budget_sample(
     starving the stratum), and with a ROWS frame duplicate keys would
     make the tie order, hence the sample, partition-dependent.
 
-    Plan shape: ONE window shuffle on the stratum key (cumsum, same
-    ranking window as the quota samplers), codegen arithmetic after it —
-    no driver state, reproducible across engines and repartitionings.
-    """
+    Plan shape: one per-stratum token-stats aggregate sizes a candidate
+    band around the budget boundary in hash space (the greedy-fill keep
+    set is a PREFIX of the hash order, so a band bracketing the prefix
+    end suffices); a second aggregate verifies it with exact prefix token
+    sums; rows under the band keep by pure filter (their running sum is
+    provably under budget), rows past it drop, and only band rows run the
+    exact cumsum window.  Understrata whose band misses the boundary fall
+    back to the full cumsum window for that stratum alone — exact in
+    every case, and the dominant stratum never single-task-sorts."""
     tok = F.greatest(F.coalesce(token_col.cast("bigint"), F.lit(0)), F.lit(0))
-    if isinstance(budgets, dict):
-        budget = F.lit(0).cast("bigint")
-        for s, b in sorted(budgets.items()):
-            budget = F.when(F.col(stratum) == s, F.lit(int(b)).cast("bigint")).otherwise(budget)
-    else:
-        budget = F.lit(int(budgets)).cast("bigint")
+    h = row_hash(F.col(key))
+    stats = (
+        df.groupBy(stratum)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(tok).alias("__s1"),
+            F.sum(tok.cast("double") * tok.cast("double")).alias("__s2"),
+            F.max(tok).alias("__mx"),
+        )
+        .withColumn("__b", _budget_expr(stratum, budgets))
+    )
+    s1d = F.col("__s1").cast("double")
+    frac = F.when(
+        F.col("__s1") <= 0,
+        F.when(F.col("__b") > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    ).otherwise(
+        F.greatest(F.least(F.col("__b").cast("double") / s1d, F.lit(1.0)), F.lit(0.0))
+    )
+    delta = F.when(F.col("__s1") <= 0, F.lit(0.0)).otherwise(
+        (
+            F.lit(_SLACK_SIGMA) * F.sqrt(F.greatest(frac * F.col("__s2"), F.lit(0.0)))
+            + F.lit(_SLACK_ROWS) * (F.col("__mx").cast("double") + F.lit(1.0))
+        )
+        / s1d
+    )
+    lo = (
+        F.floor(F.greatest(frac - delta, F.lit(0.0)) * F.lit(float(_MOD)))
+        .cast("bigint")
+    )
+    hi = F.least(
+        F.greatest(
+            F.ceil(F.least(frac + delta, F.lit(1.0)) * F.lit(float(_MOD))).cast(
+                "bigint"
+            ),
+            F.lit(0),
+        ),
+        F.lit(_MOD),
+    )
+    qt = stats.select(
+        stratum, "__n", "__b", lo.alias("__lo"), hi.alias("__hi")
+    ).localCheckpoint(eager=True)
+    j = _join_stratum(df, qt, stratum)
+    chk = (
+        j.groupBy(stratum)
+        .agg(
+            F.count(F.when(h < F.col("__lo"), 1)).alias("__c_lo"),
+            F.count(F.when(h < F.col("__hi"), 1)).alias("__c_hi"),
+            F.sum(F.when(h < F.col("__lo"), tok).otherwise(F.lit(0))).alias("__pt_lo"),
+            F.sum(F.when(h < F.col("__hi"), tok).otherwise(F.lit(0))).alias("__pt_hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    j2 = _join_stratum(j, chk, stratum)
+    # exact band verification: every prefix row's running sum stays under
+    # budget (strict — a zero-token row at the prefix edge must still be
+    # inside), and everything past the band is provably at/over budget
+    ok = ((F.col("__pt_lo") < F.col("__b")) | (F.col("__c_lo") == 0)) & (
+        (F.col("__pt_hi") >= F.col("__b")) | (F.col("__c_hi") == F.col("__n"))
+    )
+    helpers = ["__n", "__b", "__lo", "__hi", "__c_lo", "__c_hi", "__pt_lo", "__pt_hi"]
     w = (
         Window.partitionBy(stratum)
-        .orderBy(row_hash(F.col(key)), F.col(key))
+        .orderBy(h, F.col(key))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    before = F.sum(tok).over(w) - tok
-    return (
-        df.withColumn("__before", before)
-        .filter(F.col("__before") < budget)
-        .drop("__before")
+    pre = j2.filter(ok & (h < F.col("__lo"))).drop(*helpers)
+    band = (
+        j2.filter(ok & (h >= F.col("__lo")) & (h < F.col("__hi")))
+        .withColumn("__bef", F.col("__pt_lo") + F.sum(tok).over(w) - tok)
+        .filter(F.col("__bef") < F.col("__b"))
+        .drop("__bef", *helpers)
     )
+    fb = (
+        j2.filter(~ok)
+        .withColumn("__bef", F.sum(tok).over(w) - tok)
+        .filter(F.col("__bef") < F.col("__b"))
+        .drop("__bef", *helpers)
+    )
+    return pre.unionByName(band).unionByName(fb)
 
 
 def temperature_budgets(
@@ -196,8 +387,8 @@ def temperature_mixture(
 ) -> DataFrame:
     """Temperature-scaled mixture sampling: derive per-stratum token
     budgets with :func:`temperature_budgets`, then greedy-fill each
-    stratum with :func:`token_budget_sample` (same one-window-shuffle
-    plan; the budget derivation adds one |strata|-row aggregate)."""
+    stratum with :func:`token_budget_sample` (same band-bracketed plan;
+    the budget derivation adds one |strata|-row aggregate)."""
     budgets = temperature_budgets(df, stratum, token_col, total_budget, alpha)
     return token_budget_sample(df, key, stratum, token_col, budgets)
 
@@ -385,19 +576,64 @@ def dsir_select(
 
     Deterministic: rank by ``(log_weight DESC, doc_id)`` inside each
     stratum, keep ``ceil(top_pct% · n)`` (the stratified_sample quota
-    rule applied to a learned score instead of a hash).  One window
-    shuffle on the stratum key; skewed strata parallelize via AQE
-    skew-split, same as stratified_sample."""
+    rule applied to a learned score instead of a hash).
+
+    Plan shape: the quota boundary VALUE is bracketed per stratum with a
+    ``percentile_approx`` band (Greenwald-Khanna rank error ≤ n/accuracy,
+    band slack ``_PCT_SLACK`` > that), verified with exact conditional
+    counts; rows scoring above the band keep by pure filter, below it
+    drop, and only the band rows take the exact rank window — the
+    dominant stratum never single-task-sorts.  A stratum whose band
+    misses the boundary (including the degenerate case where the quota
+    reaches into NULL scores) falls back to its full window, so the
+    result is exact in every case.  Caveat: a massive tie mass AT the
+    boundary value widens the band to the tie group — any exact rank
+    must order those ties, there is no cheaper shape."""
     if not (0 < top_pct <= 100):
         raise ValueError(f"dsir_select: top_pct must be in (0, 100], got {top_pct}")
     j = df.join(weights.select("doc_id", "log_weight"), "doc_id")
-    w = Window.partitionBy(stratum).orderBy(
-        F.col("log_weight").desc(), F.col("doc_id")
+    p = 1.0 - top_pct / 100.0
+    plo = max(0.0, p - _PCT_SLACK)
+    phi = min(1.0, p + _PCT_SLACK)
+    stats = (
+        j.groupBy(stratum)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.percentile_approx("log_weight", [plo, phi], _PCT_ACC).alias("__pa"),
+        )
+        .select(
+            stratum,
+            F.ceil(F.col("__n") * top_pct / 100).cast("bigint").alias("__q"),
+            F.col("__pa")[0].alias("__vlo"),
+            F.col("__pa")[1].alias("__vhi"),
+        )
+        .localCheckpoint(eager=True)
     )
-    n = Window.partitionBy(stratum)
-    return (
-        j.withColumn("__rk", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(n))
-        .filter(F.col("__rk") <= F.ceil(F.col("__n") * top_pct / 100))
-        .drop("__rk", "__n")
+    jq = _join_stratum(j, stats, stratum)
+    lw = F.col("log_weight")
+    chk = (
+        jq.groupBy(stratum)
+        .agg(
+            F.count(F.when(lw > F.col("__vhi"), 1)).alias("__c_hi"),
+            F.count(F.when(lw >= F.col("__vlo"), 1)).alias("__c_lo"),
+        )
+        .localCheckpoint(eager=True)
     )
+    j2 = _join_stratum(jq, chk, stratum)
+    ok = (F.col("__c_hi") <= F.col("__q")) & (F.col("__c_lo") >= F.col("__q"))
+    helpers = ["__q", "__vlo", "__vhi", "__c_hi", "__c_lo"]
+    w = Window.partitionBy(stratum).orderBy(lw.desc(), F.col("doc_id"))
+    pre = j2.filter(ok & (lw > F.col("__vhi"))).drop(*helpers)
+    band = (
+        j2.filter(ok & (lw >= F.col("__vlo")) & (lw <= F.col("__vhi")))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__c_hi") + F.col("__rk") <= F.col("__q"))
+        .drop("__rk", *helpers)
+    )
+    fb = (
+        j2.filter(~ok)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__q"))
+        .drop("__rk", *helpers)
+    )
+    return pre.unionByName(band).unionByName(fb)

@@ -492,6 +492,88 @@ def _split_top_commas(text: str) -> list[str]:
 
 
 _QUALREF_RE = re.compile(r"(?:[A-Za-z_]\w*|\x01)\s*\.\s*(?:[A-Za-z_]\w*|\x01)")
+_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def _read_ident_end(text: str, i: int) -> int | None:
+    """One past the identifier at ``i`` (plain or backtick-quoted), else
+    None."""
+    if i < len(text) and text[i] == "`":
+        kind, end = scan_noncode_span(text, i)
+        return end if kind == "quote" else None
+    m = _IDENT_RE.match(text, i)
+    return m.end() if m else None
+
+
+def _inline_qualified_refs(
+    segments: list[str],
+) -> tuple[list[str], list[str]]:
+    """Rewrite every qualified column-reference chain (``a.col``,
+    ``a.b.c``, backtick parts included) in CODE positions of ``segments``
+    to a private projected alias, returning the rewritten segments plus
+    the projection list (``["a.col AS __gq0", ...]``) to add INSIDE the
+    join-wrap subquery — where the original relation aliases are still in
+    scope, so each chain resolves exactly as it did in the original
+    statement's outer scope.  Declines qualified FUNCTION calls (dotted
+    name followed by ``(``) and ``alias.*`` expansion — substituting
+    either would change meaning."""
+    subs: dict[str, str] = {}
+    proj: list[str] = []
+    out_segs: list[str] = []
+    for text in segments:
+        out: list[str] = []
+        i, n = 0, len(text)
+        while i < n:
+            # a backtick span can START a chain (`t`.`x`) — try the
+            # identifier reader first for backticks, the noncode scan for
+            # every other span kind
+            if text[i] != "`":
+                kind, end = scan_noncode_span(text, i)
+                if kind:
+                    out.append(text[i:end])
+                    i = end
+                    continue
+            end = _read_ident_end(text, i)
+            if end is None:
+                out.append(text[i])
+                i += 1
+                continue
+            j, chain_end, ndots = end, end, 0
+            while True:
+                k = j
+                while k < n and text[k].isspace():
+                    k += 1
+                if k < n and text[k] == ".":
+                    k += 1
+                    while k < n and text[k].isspace():
+                        k += 1
+                    if k < n and text[k] == "*":
+                        raise _Decline("alias.* expansion in join wrap")
+                    e2 = _read_ident_end(text, k)
+                    if e2 is None:
+                        break
+                    ndots += 1
+                    j = chain_end = e2
+                else:
+                    break
+            if ndots == 0:
+                out.append(text[i:end])
+                i = end
+                continue
+            k = chain_end
+            while k < n and text[k].isspace():
+                k += 1
+            if k < n and text[k] == "(":
+                raise _Decline("qualified function call in join wrap")
+            chain = text[i:chain_end]
+            key = re.sub(r"\s+", "", chain)
+            if key not in subs:
+                subs[key] = f"__gq{len(subs)}"
+                proj.append(f"{chain} AS {subs[key]}")
+            out.append(subs[key])
+            i = chain_end
+        out_segs.append("".join(out))
+    return out_segs, proj
 
 
 def _has_qualified_ref(text: str) -> bool:
@@ -689,11 +771,20 @@ def _rewrite_block_groups(sql: str) -> str | None:
 
     if join_mode:
         # ---- join / multi-relation FROM tail (verbatim wrap) ------------
-        # Qualified refs left in the OUTER text (select list after the
-        # OVER rewrite — i.e. window args and plain expressions — or the
-        # trailing ORDER BY/LIMIT) would no longer resolve behind the
-        # subquery alias: decline those statements (Spark's parse error
-        # stands), keeping the rewrite correct-by-construction.
+        # Qualified refs in the OUTER text (select list after the OVER
+        # rewrite — window args and plain expressions — or the trailing
+        # ORDER BY/LIMIT) would no longer resolve behind the subquery
+        # alias.  Each chain is therefore PROJECTED inside the wrap under
+        # a private alias (the subquery's FROM is the original join tail
+        # verbatim, so the chain resolves there exactly as it did in the
+        # original outer scope) and the outer occurrence replaced with
+        # that alias.  Shapes where substitution could change meaning —
+        # qualified function calls, alias.* — decline inside
+        # _inline_qualified_refs; anything its scanner cannot account for
+        # is caught by the shadow-scan belt below.
+        (new_select_list, outer_tail), qual_proj = _inline_qualified_refs(
+            [new_select_list, outer_tail]
+        )
         if _has_qualified_ref(new_select_list) or _has_qualified_ref(outer_tail):
             raise _Decline("qualified column reference outside the join wrap")
         proj: list[str] = []
@@ -705,6 +796,7 @@ def _rewrite_block_groups(sql: str) -> str | None:
                 f"DENSE_RANK() OVER ({(part + ' ') if part else ''}"
                 f"ORDER BY {order_keys}) AS {name}"
             )
+        proj.extend(qual_proj)
         inner_sql = f"SELECT *, {', '.join(proj)} FROM{inner_tail}"
         return (
             sql[:sel_pos]

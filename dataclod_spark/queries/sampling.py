@@ -16,8 +16,10 @@ _H = "(doc_id * 2654435761) % 4294967296"
 @query(
     "sp1_stratified_sample",
     doc="exact per-language quota sample (ceil(20%·n) per stratum) via "
-    "deterministic-hash ranking — one window shuffle, reproducible across "
-    "engines and repartitionings",
+    "deterministic-hash ranking — the rank window sees only a verified "
+    "boundary band (never a whole stratum: window partitions are "
+    "one-task sorts Spark/AQE cannot split); reproducible across engines "
+    "and repartitionings",
     oracle=f"""
 WITH ranked AS (
   SELECT doc_id, lang,
@@ -69,8 +71,8 @@ def sp2_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sp3_language_rebalance",
     doc="corpus rebalancing: every language downsampled to the smallest "
     "language's size by deterministic-hash ranking — the multilingual "
-    "training-mix equalizer (operators/sampling.rebalance_to_min); one "
-    "window shuffle, min size as a 1-row broadcast",
+    "training-mix equalizer (operators/sampling.rebalance_to_min); min "
+    "size as a 1-row broadcast, rank window over the boundary band only",
     oracle=f"""
 WITH ranked AS (
   SELECT doc_id, lang,
@@ -125,10 +127,12 @@ FROM kept GROUP BY lang ORDER BY lang
 """,
 )
 def sp4_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """operators.sampling.token_budget_sample: ONE window-cumsum shuffle
-    on the stratum key, greedy fill so the boundary doc is included and
-    no stratum is starved; the mixture spec is a closed list (zh is
-    deliberately absent — unspecified strata contribute nothing)."""
+    """operators.sampling.token_budget_sample: greedy fill so the
+    boundary doc is included and no stratum is starved; the cumsum
+    window runs over the verified budget-boundary band only (the keep
+    set is a prefix of the hash order, so the bulk is a pure filter);
+    the mixture spec is a closed list (zh is deliberately absent —
+    unspecified strata contribute nothing)."""
     from dataclod_spark.functions import text as TX
 
     d = load(spark, sf_dir, "documents")
@@ -196,7 +200,7 @@ def sp5_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     one |strata|-row aggregate + driver-side IEEE math in a DEFINED order
     (sorted strata, left fold — the oracle mirrors it with
     list_sum(list(w ORDER BY source))); the fill itself is sp4's
-    one-window-cumsum plan.  alpha=0.5 up-samples small sources —
+    band-bracketed cumsum plan.  alpha=0.5 up-samples small sources —
     the report shows each source's corpus tokens vs its granted budget."""
     from dataclod_spark.functions import text as TX
 
@@ -360,7 +364,8 @@ ORDER BY doc_id
 )
 def sp8_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators.sampling.dsir_select over dsir_weights — the scorer's
-    aggregates plus ONE window shuffle on the language key; per-doc
+    aggregates plus a percentile-banded exact rank (the window sees only
+    the verified score-boundary band, never a whole language); per-doc
     output (no cross-doc double sums, which would be FP-order-dependent)."""
     d = load(spark, sf_dir, "documents")
     wts = SMP.dsir_weights(d, target=F.col("lang") == "en")

@@ -8,7 +8,7 @@ expressions in DuckDB dialect (regexp_replace needs the 'g' flag there;
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataclod_spark.functions import text as TX
@@ -1197,37 +1197,211 @@ ORDER BY lang, bucket
 )
 def x23_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composes x21's familiarity core (_lm_familiarity, lang carried
-    through the gram aggregate — no second corpus join) with a per-lang
-    ntile(3): the bit-identical doubles + doc_id tiebreak give ntile a
-    total order, so the tercile cut is engine-exact.  Per-bucket mean
-    familiarity goes through DECIMAL(18,12) accumulation (order-free);
-    one corpus gram shuffle + one lang window shuffle of doc-level rows."""
-    from pyspark.sql import Window as W
-
+    through the gram aggregate — no second corpus join) with an exact
+    per-language tercile cut over (familiarity DESC, doc_id) — ntile(3)
+    semantics, but WITHOUT windowing whole strata: a window partition is
+    a one-task sort in Spark (AQE never splits window partitions), so on
+    a real crawl the dominant language would serialize through one
+    thread.  See :func:`_bucket_terciles` for the banded-boundary plan;
+    the bit-identical doubles + doc_id tiebreak keep the cut
+    engine-exact, and per-bucket mean familiarity still accumulates as
+    DECIMAL (order-free)."""
     d = load(spark, sf_dir, "documents")
-    scored = _lm_familiarity(d, extra=("lang",))
-    w = W.partitionBy("lang").orderBy(F.desc("familiarity"), F.asc("doc_id"))
-    bucketed = scored.select(
-        "lang",
-        "n_grams",
-        "familiarity",
-        F.ntile(3).over(w).alias("bkt"),
-    )
+    scored = _lm_familiarity(d, extra=("lang",)).localCheckpoint(eager=True)
+    return _bucket_terciles(scored)
+
+
+def _tercile_ok() -> Column:
+    """Per-stratum band verification: both approx value bands provably
+    bracket their exact tercile boundary rank (conditional counts are
+    exact, so this is a proof, not a probability)."""
     return (
-        bucketed.groupBy(
+        (F.col("__chi1") <= F.col("__r1"))
+        & (F.col("__clo1") >= F.col("__r1"))
+        & (F.col("__chi2") <= F.col("__r2"))
+        & (F.col("__clo2") >= F.col("__r2"))
+    )
+
+
+def _tercile_thresholds(scored: DataFrame) -> DataFrame:
+    """One row per lang: exact tercile boundary ranks ``__r1``/``__r2``
+    (ntile(3) bucket sizes from the stratum count), approx value bands
+    ``[__lo_i, __hi_i]`` around each boundary (percentile_approx with
+    slack wider than Greenwald-Khanna's n/accuracy rank error), exact
+    verification counts against them, and the conditional bucket sums
+    the assembler needs.  Two bounded aggregates over ``scored``; the
+    result is |langs| rows.  Exported for the scale tests."""
+    from dataclod_spark.operators import sampling as SMP
+
+    acc = SMP._PCT_ACC
+    s = 5.0 / acc
+    pct = F.percentile_approx(
+        "familiarity",
+        [
+            max(0.0, 1.0 / 3.0 - s),
+            min(1.0, 1.0 / 3.0 + s),
+            max(0.0, 2.0 / 3.0 - s),
+            min(1.0, 2.0 / 3.0 + s),
+        ],
+        acc,
+    )
+    st = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("__n"), pct.alias("__pa")
+    )
+    q3 = F.floor(F.col("__n") / 3).cast("bigint")
+    r3 = F.col("__n") % 3
+    st = st.select(
+        "lang",
+        "__n",
+        (q3 + (r3 >= 1).cast("bigint")).alias("__r1"),
+        (
+            q3 * 2 + (r3 >= 1).cast("bigint") + (r3 >= 2).cast("bigint")
+        ).alias("__r2"),
+        F.col("__pa")[2].alias("__lo1"),
+        F.col("__pa")[3].alias("__hi1"),
+        F.col("__pa")[0].alias("__lo2"),
+        F.col("__pa")[1].alias("__hi2"),
+    )
+    jt = SMP._join_stratum(scored, st, "lang")
+    fam = F.col("familiarity")
+    dec = fam.cast("decimal(18,12)")
+    z = F.lit(0).cast("decimal(18,12)")
+    chk = jt.groupBy("lang").agg(
+        F.count(F.when(fam > F.col("__hi1"), 1)).alias("__chi1"),
+        F.count(F.when(fam >= F.col("__lo1"), 1)).alias("__clo1"),
+        F.count(F.when(fam > F.col("__hi2"), 1)).alias("__chi2"),
+        F.count(F.when(fam >= F.col("__lo2"), 1)).alias("__clo2"),
+        F.sum(
+            F.when(fam > F.col("__hi1"), F.col("n_grams")).otherwise(F.lit(0))
+        ).alias("__ghi1"),
+        F.sum(F.when(fam > F.col("__hi1"), dec).otherwise(z)).alias("__fhi1"),
+        F.sum(
+            F.when(fam > F.col("__hi2"), F.col("n_grams")).otherwise(F.lit(0))
+        ).alias("__ghi2"),
+        F.sum(F.when(fam > F.col("__hi2"), dec).otherwise(z)).alias("__fhi2"),
+        F.count(F.lit(1)).alias("__cn"),
+        F.sum("n_grams").alias("__gall"),
+        F.sum(dec).alias("__fall"),
+    )
+    return SMP._join_stratum(st, chk, "lang")
+
+
+def _bucket_terciles(scored: DataFrame) -> DataFrame:
+    """Exact CCNet tercile bucketing of ``(doc_id, lang, n_grams,
+    familiarity)`` rows to ``(lang, bucket, n_docs, n_grams,
+    avg_familiarity)`` — identical to a per-lang ``ntile(3)`` over
+    (familiarity DESC, doc_id), but the only rank windows run over the
+    verified BOUNDARY BANDS (~2·n/accuracy rows per boundary), never a
+    whole stratum:
+
+    * head  = {fam > hi1} sums (plain conditional aggregate)
+              + band-1 rows whose exact rank lands ≤ R1;
+    * ranks-≤R2 analogously with band 2; middle/tail follow by exact
+      subtraction (counts and DECIMAL sums both distribute).
+
+    A stratum whose band verification fails (possible only if the GK
+    sketch bound were violated — belt and braces) falls back to the full
+    ntile window for that stratum alone.  Degenerate tie mass AT a
+    boundary value widens that band to the tie group — any exact rank
+    must order those ties.  ``scored`` should be checkpointed by the
+    caller (several bounded aggregates re-read it)."""
+    from dataclod_spark.operators import sampling as SMP
+
+    thr = _tercile_thresholds(scored).localCheckpoint(eager=True)
+    jt = SMP._join_stratum(scored, thr, "lang")
+    fam = F.col("familiarity")
+    dec = fam.cast("decimal(18,12)")
+    ok = _tercile_ok()
+    wdesc = Window.partitionBy("lang").orderBy(fam.desc(), F.col("doc_id"))
+
+    def _band(lo: str, hi: str, chi: str, r: str) -> DataFrame:
+        return (
+            jt.filter(ok & (fam >= F.col(lo)) & (fam <= F.col(hi)))
+            .withColumn("__rk", F.row_number().over(wdesc))
+            .filter(F.col(chi) + F.col("__rk") <= F.col(r))
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("__bn"),
+                F.sum("n_grams").alias("__bg"),
+                F.sum(dec).alias("__bf"),
+            )
+        )
+
+    band1 = _band("__lo1", "__hi1", "__chi1", "__r1").select(
+        "lang",
+        F.col("__bn").alias("__b1n"),
+        F.col("__bg").alias("__b1g"),
+        F.col("__bf").alias("__b1f"),
+    )
+    band2 = _band("__lo2", "__hi2", "__chi2", "__r2").select(
+        "lang",
+        F.col("__bn").alias("__b2n"),
+        F.col("__bg").alias("__b2g"),
+        F.col("__bf").alias("__b2f"),
+    )
+    per = SMP._join_stratum(SMP._join_stratum(thr, band1, "lang"), band2, "lang")
+    zn = F.lit(0).cast("bigint")
+    zf = F.lit(0).cast("decimal(38,12)")
+    f38 = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    u1n = F.col("__chi1") + F.coalesce(F.col("__b1n"), zn)
+    u1g = F.col("__ghi1") + F.coalesce(F.col("__b1g"), zn)
+    u1f = f38(F.col("__fhi1")) + F.coalesce(f38(F.col("__b1f")), zf)
+    u2n = F.col("__chi2") + F.coalesce(F.col("__b2n"), zn)
+    u2g = F.col("__ghi2") + F.coalesce(F.col("__b2g"), zn)
+    u2f = f38(F.col("__fhi2")) + F.coalesce(f38(F.col("__b2f")), zf)
+
+    def _row(name: str, n, g, f) -> Column:
+        return F.struct(
+            F.lit(name).alias("bucket"),
+            n.cast("bigint").alias("n_docs"),
+            g.cast("bigint").alias("n_grams"),
+            f.cast("decimal(38,12)").alias("__fsum"),
+        )
+
+    ok_rows = (
+        per.filter(ok)
+        .select(
             "lang",
-            F.when(F.col("bkt") == 1, "head")
-            .when(F.col("bkt") == 2, "middle")
+            F.explode(
+                F.array(
+                    _row("head", u1n, u1g, u1f),
+                    _row("middle", u2n - u1n, u2g - u1g, u2f - u1f),
+                    _row("tail", F.col("__cn") - u2n, F.col("__gall") - u2g,
+                         f38(F.col("__fall")) - u2f),
+                )
+            ).alias("__b"),
+        )
+        .select("lang", "__b.*")
+        .filter(F.col("n_docs") > 0)
+    )
+    fb = (
+        jt.filter(~ok)
+        .select(
+            "lang", "n_grams", dec.alias("__dec"),
+            F.ntile(3).over(wdesc).alias("__bkt"),
+        )
+        .groupBy(
+            "lang",
+            F.when(F.col("__bkt") == 1, "head")
+            .when(F.col("__bkt") == 2, "middle")
             .otherwise("tail")
             .alias("bucket"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_grams").alias("n_grams"),
+            F.sum("__dec").cast("decimal(38,12)").alias("__fsum"),
+        )
+    )
+    return (
+        ok_rows.unionByName(fb)
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
             F.round(
-                F.sum(F.col("familiarity").cast("decimal(18,12)")).cast("double")
-                / F.count(F.lit(1)),
-                8,
+                F.col("__fsum").cast("double") / F.col("n_docs"), 8
             ).alias("avg_familiarity"),
         )
         .orderBy("lang", "bucket")

@@ -337,8 +337,8 @@ ORDER BY o_custkey, o_orderkey
     "auto-rewrite wraps the whole join product in the dense_rank "
     "subquery, projecting the partition keys as named columns so the "
     "outer RANGE emulation never needs the hidden relation aliases "
-    "(qualified refs in the OUTER text still decline — correct-by-"
-    "construction scope); oracle is the same independent per-group-sum + "
+    "(qualified refs in the OUTER text project inside the wrap as of "
+    "round 8 — see w10); oracle is the same independent per-group-sum + "
     "lag formulation w8 uses (DuckDB has no GROUPS mode either)",
     oracle="""
 WITH j AS (
@@ -379,4 +379,56 @@ SELECT o_orderkey, c_mktsegment, o_orderdate,
          GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS seg_sum
 FROM w9_orders JOIN w9_customer ON o_custkey = c_custkey
 ORDER BY o_orderkey
+""")
+
+
+@query(
+    "w10_groups_frame_join_qualified_sql",
+    doc="GROUPS frame over a JOIN with alias-QUALIFIED references in the "
+    "outer select list and ORDER BY — the most natural way users write "
+    "joined window queries; the rewrite projects each outer chain inside "
+    "the join wrap under a private alias (where the relation aliases "
+    "still resolve) instead of declining (round-8 extension of w9)",
+    oracle="""
+WITH j AS (
+  SELECT o_orderkey, c_mktsegment, o_orderdate, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), g AS (
+  SELECT c_mktsegment, o_orderdate,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS gsum
+  FROM j GROUP BY c_mktsegment, o_orderdate
+), gr AS (
+  SELECT c_mktsegment, o_orderdate, gsum,
+         lag(gsum) OVER (PARTITION BY c_mktsegment ORDER BY o_orderdate) AS prev
+  FROM g
+)
+SELECT j.o_orderkey AS order_key, j.c_mktsegment AS segment,
+       j.o_orderdate AS order_date,
+       round(CAST(gr.gsum + coalesce(gr.prev, 0) AS DOUBLE), 2) AS seg_sum
+FROM j JOIN gr ON j.c_mktsegment = gr.c_mktsegment
+              AND j.o_orderdate = gr.o_orderdate
+ORDER BY order_key
+""",
+)
+def w10_groups_frame_join_qualified_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w9's workload written the way a user naturally would — with
+    alias-qualified outer references (``o.o_orderkey``, ``c.c_mktsegment``)
+    that round 7 declined.  plans/rewrites.py::_inline_qualified_refs now
+    projects each chain inside the join wrap as ``__gqN`` (the subquery's
+    FROM is the original join tail verbatim, so ``o``/``c`` still resolve
+    there) and substitutes the alias outside; same single join shuffle +
+    shared (segment, date) window sort as w9."""
+    from dataclod_spark.session import EngineSession
+
+    sess = EngineSession(spark, register_catalog=False)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("w10_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("w10_customer")
+    return sess.sql("""
+SELECT o.o_orderkey AS order_key, c.c_mktsegment AS segment,
+       o.o_orderdate AS order_date,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY c.c_mktsegment ORDER BY o.o_orderdate
+         GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS seg_sum
+FROM w10_orders o JOIN w10_customer c ON o.o_custkey = c.c_custkey
+ORDER BY order_key
 """)

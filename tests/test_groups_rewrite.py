@@ -87,8 +87,6 @@ def test_literal_braces_in_partition_by_survive():
         # bare * / alias.* would leak the helper rank columns
         "SELECT *, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t",
         "SELECT a.*, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t a",
-        # join wrap hides relation aliases: qualified OUTER refs decline
-        "SELECT t.x, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
         # top-level clauses out of scope
         "SELECT k, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t GROUP BY k",
         "SELECT DISTINCT k, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t",
@@ -304,19 +302,67 @@ def test_join_tail_qualified_partition_keys_move_inside():
 
 
 @pytest.mark.parametrize(
-    "q",
+    "q,frag",
     [
-        # qualified ref in the OUTER select list: hidden behind __j
-        "SELECT t.x, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
+        # qualified ref in the OUTER select list: projected inside as __gq0
+        (
+            "SELECT t.x, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
+            "t.x AS __gq0",
+        ),
         # qualified ref in a window ARGUMENT (stays in the outer list)
-        "SELECT x, sum(t.v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
+        (
+            "SELECT x, sum(t.v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
+            "t.v AS __gq0",
+        ),
         # qualified ref in the outer ORDER BY tail
-        "SELECT x, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s FROM t JOIN u ON t.id=u.id ORDER BY t.x",
-        # backtick-quoted qualified ref must not slip through the guard
-        "SELECT `t`.`x`, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
+        (
+            "SELECT x, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s FROM t JOIN u ON t.id=u.id ORDER BY t.x",
+            "t.x AS __gq0",
+        ),
+        # backtick-quoted qualified ref substitutes too
+        (
+            "SELECT `t`.`x`, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
+            "`t`.`x` AS __gq0",
+        ),
     ],
 )
-def test_join_tail_qualified_outer_refs_decline(q):
+def test_join_tail_qualified_outer_refs_projected(q, frag):
+    """Round 8: qualified refs in the OUTER text no longer decline — each
+    chain is projected inside the wrap (where the join aliases still
+    resolve) under a private __gqN alias and the outer occurrence
+    replaced, so the most natural way users write joined GROUPS queries
+    now rewrites."""
+    out = rw(q)
+    assert out is not None and frag in out
+    # the outer text references the projected alias, never the raw chain
+    tail = out.split(") __j")[-1]
+    head = out.split("FROM (")[0]
+    assert "__gq0" in head or "__gq0" in tail
+
+
+def test_join_tail_qualified_ref_dedup_and_multi():
+    """The same chain substitutes to ONE projected alias everywhere;
+    distinct chains get distinct aliases."""
+    q = (
+        "SELECT t.x, t.x + u.y AS z, sum(v) OVER (ORDER BY k GROUPS 1 "
+        "PRECEDING) FROM t JOIN u ON t.id=u.id ORDER BY t.x, u.y"
+    )
+    out = rw(q)
+    assert out.count("t.x AS __gq0") == 1
+    assert "u.y AS __gq1" in out
+    assert "ORDER BY __gq0, __gq1" in out
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # qualified FUNCTION call: substitution would change meaning
+        "SELECT s.f(x), sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
+        # alias.* expansion would leak the rank/projection columns
+        "SELECT count(t.*), sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t JOIN u ON t.id=u.id",
+    ],
+)
+def test_join_tail_qualified_out_of_scope_still_declines(q):
     assert rw(q) is None
 
 

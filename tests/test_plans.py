@@ -121,15 +121,16 @@ def test_sp2_hash_sample_is_zero_shuffle_filter(spark):
     assert "Python" not in plan
 
 
-def test_sp1_stratified_sample_single_stratum_shuffle(spark):
-    """Exact-quota stratified sampling costs one wide exchange (the window
-    partition on the stratum key); both windows share it."""
+def test_sp1_stratified_sample_stays_jvm_side(spark):
+    """Exact-quota stratified sampling: pure JVM plan (no Python), and
+    the rank windows appear only on the band/fallback branches — the
+    window-input boundedness itself is pinned by
+    tests/test_sampling_scale.py's skew fixture (a window partition is a
+    one-task sort; the band keeps it ≪ the stratum)."""
     plan = _plan(spark, "sp1_stratified_sample", "simple")
-    body = plan.split("AdaptiveSparkPlan")[-1]
-    # one hashpartitioning exchange for the window; the final orderBy adds a
-    # rangepartitioning exchange and the groupBy reuses the stratum hash
-    assert body.count("hashpartitioning(lang") <= 2
     assert "Python" not in plan
+    # two rank windows (band + fallback), never a third over the bulk
+    assert plan.count("row_number()") <= 2
 
 
 def test_sampling_stable_under_repartition(spark):

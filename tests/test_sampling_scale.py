@@ -1,0 +1,295 @@
+"""Scale-safety tests for the banded stratum samplers (round 8).
+
+A ``Window.partitionBy(stratum)`` rank is a ONE-TASK sort of each stratum
+(Spark pins window partitions to single tasks; AQE skew-split applies to
+joins/rebalance only, never windows), so the samplers bracket each
+stratum's selection boundary with a verified candidate band and window
+ONLY the band rows.  These tests pin:
+
+* exact equivalence with the full-sort semantics (randomized, incl. the
+  forced-fallback path when the band is degenerate);
+* boundedness: under a 90 %-one-stratum skew fixture the band — the only
+  window input — stays ≪ the dominant stratum's size;
+* the verification flags actually pass on realistic data (the fallback
+  is belt-and-braces, not the common path).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from dataclod_spark.operators import sampling as SMP
+
+_MOD = 2**32
+_K = 2654435761
+
+
+def _h(key: int) -> int:
+    return (key * _K) % _MOD
+
+
+def _mk_rows(seed: int, sizes: dict) -> list[Row]:
+    """Unique non-negative keys, random token counts, per-stratum sizes."""
+    rng = random.Random(seed)
+    keys = rng.sample(range(10_000_000), sum(sizes.values()))
+    rows, i = [], 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append(Row(doc_id=keys[i], lang=s, tok=rng.randrange(0, 200)))
+            i += 1
+    return rows
+
+
+def _ref_first_by_hash(rows, quota_of) -> set:
+    """Python full-sort reference: first quota rows per stratum in
+    (knuth_hash, key) order."""
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.lang].append(r)
+    keep = set()
+    for s, g in groups.items():
+        g.sort(key=lambda r: (_h(r.doc_id), r.doc_id))
+        keep |= {r.doc_id for r in g[: quota_of(s, len(g))]}
+    return keep
+
+
+def _ref_token_budget(rows, budgets) -> set:
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.lang].append(r)
+    keep = set()
+    for s, g in groups.items():
+        b = budgets.get(s, 0)
+        g.sort(key=lambda r: (_h(r.doc_id), r.doc_id))
+        before = 0
+        for r in g:
+            if before < b:
+                keep.add(r.doc_id)
+            before += max(r.tok, 0)
+    return keep
+
+
+@pytest.mark.parametrize("seed,rate", [(1, 20), (2, 1), (3, 50), (4, 100)])
+def test_stratified_band_matches_full_sort(spark, seed, rate):
+    rows = _mk_rows(seed, {"en": 700, "de": 60, "fr": 9, "zz": 1})
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id
+        for r in SMP.stratified_sample(df, "doc_id", "lang", rate)
+        .select("doc_id")
+        .collect()
+    }
+    want = _ref_first_by_hash(rows, lambda s, n: math.ceil(n * rate / 100))
+    assert got == want
+
+
+def test_rebalance_band_matches_full_sort(spark):
+    rows = _mk_rows(7, {"en": 900, "de": 80, "fr": 17})
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id
+        for r in SMP.rebalance_to_min(df, "doc_id", "lang").select("doc_id").collect()
+    }
+    want = _ref_first_by_hash(rows, lambda s, n: 17)
+    assert got == want
+    # every stratum exactly min_n
+    sizes = defaultdict(int)
+    by_lang = {r.doc_id: r.lang for r in rows}
+    for k in got:
+        sizes[by_lang[k]] += 1
+    assert sizes == {"en": 17, "de": 17, "fr": 17}
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_token_budget_band_matches_full_sort(spark, seed):
+    rows = _mk_rows(seed, {"en": 600, "de": 50, "fr": 3})
+    budgets = {"en": 5_000, "de": 900, "fr": 0}
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id
+        for r in SMP.token_budget_sample(
+            df, "doc_id", "lang", F.col("tok"), budgets
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got == _ref_token_budget(rows, budgets)
+
+
+def test_token_budget_band_zero_token_edge(spark):
+    """Zero-token rows at the prefix edge: the strict pt_lo < b check
+    keeps the 'running sum exactly at budget' row out, matching greedy."""
+    rows = [Row(doc_id=i, lang="a", tok=t) for i, t in enumerate([50, 50, 0, 7])]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id
+        for r in SMP.token_budget_sample(df, "doc_id", "lang", F.col("tok"), 100)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == _ref_token_budget(rows, {"a": 100})
+
+
+def test_dsir_select_band_matches_full_sort(spark):
+    rng = random.Random(5)
+    docs, wts = [], []
+    for i in range(800):
+        lang = "en" if i < 720 else "de"
+        docs.append(Row(doc_id=i, lang=lang, text="x"))
+        # duplicate weights on purpose: boundary ties break on doc_id
+        wts.append(Row(doc_id=i, log_weight=float(rng.randrange(0, 200)) / 10.0))
+    got = sorted(
+        r.doc_id
+        for r in SMP.dsir_select(
+            spark.createDataFrame(docs), spark.createDataFrame(wts),
+            stratum="lang", top_pct=25,
+        )
+        .select("doc_id")
+        .collect()
+    )
+    by_lang = defaultdict(list)
+    w_of = {w.doc_id: w.log_weight for w in wts}
+    for d in docs:
+        by_lang[d.lang].append(d.doc_id)
+    want = []
+    for s, ids in by_lang.items():
+        ids.sort(key=lambda i: (-w_of[i], i))
+        want += ids[: math.ceil(len(ids) * 25 / 100)]
+    assert got == sorted(want)
+
+
+def test_forced_fallback_still_exact(spark, monkeypatch):
+    """Degenerate band (zero slack) makes verification fail for most
+    strata — the per-stratum full-window fallback must keep results
+    exact, so correctness never rests on the hash being uniform."""
+    monkeypatch.setattr(SMP, "_SLACK_SIGMA", 0.0)
+    monkeypatch.setattr(SMP, "_SLACK_ROWS", 0.0)
+    rows = _mk_rows(21, {"en": 300, "de": 40})
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id
+        for r in SMP.stratified_sample(df, "doc_id", "lang", 20)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == _ref_first_by_hash(rows, lambda s, n: math.ceil(n * 20 / 100))
+    budgets = {"en": 2_000, "de": 700}
+    got_t = {
+        r.doc_id
+        for r in SMP.token_budget_sample(df, "doc_id", "lang", F.col("tok"), budgets)
+        .select("doc_id")
+        .collect()
+    }
+    assert got_t == _ref_token_budget(rows, budgets)
+
+
+def test_band_window_input_bounded_under_skew(spark):
+    """The 100 TB story: 90 % of rows in one stratum, and the only rows
+    a rank window ever sees (the band) stay a small fraction of that
+    stratum — bounded by sigma·sqrt(q), not by the stratum size."""
+    sizes = {"en": 18_000, "de": 1_000, "fr": 600, "es": 400}
+    rows = _mk_rows(33, sizes)
+    df = spark.createDataFrame(rows)
+    quotas = (
+        df.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__q", F.ceil(F.col("__n") * 20 / 100).cast("bigint"))
+    )
+    qt = SMP._quota_thresholds(quotas, "lang")
+    h = SMP.row_hash(F.col("doc_id"))
+    j = SMP._join_stratum(df, qt, "lang")
+    band_sizes = {
+        r.lang: r.n
+        for r in j.filter((h >= F.col("__lo")) & (h < F.col("__hi")))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # verification passes for every stratum (no fallback window anywhere)
+    chk = (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.when(h < F.col("__lo"), 1)).alias("c_lo"),
+            F.count(F.when(h < F.col("__hi"), 1)).alias("c_hi"),
+            F.first("__q").alias("q"),
+        )
+        .collect()
+    )
+    for r in chk:
+        assert r.c_lo <= r.q <= r.c_hi, f"band missed boundary for {r.lang}"
+    # dominant stratum: window input ≪ stratum size AND ≪ its own quota
+    assert band_sizes["en"] < 0.1 * sizes["en"], band_sizes
+    # and the result itself stays exact
+    got = {
+        r.doc_id
+        for r in SMP.stratified_sample(df, "doc_id", "lang", 20)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == _ref_first_by_hash(rows, lambda s, n: math.ceil(n * 20 / 100))
+
+
+def test_x23_terciles_band_bounded_and_exact(spark):
+    """The banded tercile assembler equals a literal per-lang ntile(3)
+    reference on a skewed frame (ties included), and its band — the only
+    window input — is ≪ the dominant stratum."""
+    from dataclod_spark.queries.text import _bucket_terciles, _tercile_thresholds
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(12_000):
+        lang = "en" if i < 10_800 else ("de" if i < 11_600 else "fr")
+        # coarse grid of doubles → plenty of exact ties at tercile cuts
+        fam = rng.randrange(0, 500) / 1000.0
+        rows.append(Row(doc_id=i, lang=lang, n_grams=rng.randrange(1, 50), familiarity=fam))
+    scored = spark.createDataFrame(rows).localCheckpoint(eager=True)
+
+    got = _bucket_terciles(scored)
+    w = Window.partitionBy("lang").orderBy(F.desc("familiarity"), F.asc("doc_id"))
+    ref = (
+        scored.select(
+            "lang", "n_grams", "familiarity", F.ntile(3).over(w).alias("bkt")
+        )
+        .groupBy(
+            "lang",
+            F.when(F.col("bkt") == 1, "head")
+            .when(F.col("bkt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.round(
+                F.sum(F.col("familiarity").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            ).alias("avg_familiarity"),
+        )
+        .orderBy("lang", "bucket")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in ref.collect()]
+
+    thr = _tercile_thresholds(scored)
+    jt = SMP._join_stratum(scored, thr, "lang")
+    fam = F.col("familiarity")
+    in_band = ((fam >= F.col("__lo1")) & (fam <= F.col("__hi1"))) | (
+        (fam >= F.col("__lo2")) & (fam <= F.col("__hi2"))
+    )
+    band_n = {
+        r.lang: r.n
+        for r in jt.filter(in_band).groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # the 500-value grid gives tie groups of ~n/500 ≈ 22 rows per value;
+    # two bands of a few values each must stay far under the stratum
+    assert band_n.get("en", 0) < 0.1 * 10_800, band_n
+    # and every stratum verified (no full-window fallback fired)
+    for r in thr.collect():
+        assert r["__chi1"] <= r["__r1"] <= r["__clo1"]
+        assert r["__chi2"] <= r["__r2"] <= r["__clo2"]
