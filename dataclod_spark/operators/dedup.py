@@ -585,6 +585,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    containment_threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs: ``(contained_id, container_id,
+    containment)`` where ``containment = |A∩B| / |A|`` for the contained
+    doc's distinct-gram set A (Broder's containment coefficient).
+
+    The asymmetric companion to :func:`ngram_jaccard_pairs` — a short
+    document quoted whole inside a long one has containment 1.0 but
+    Jaccard ≈ |A|/|B| ≈ 0, so resemblance dedup misses exactly the
+    quote/boilerplate-subset case this catches (the reason curation
+    pipelines run both; RefinedWeb's exact-substring stage plays the
+    same role at character level).
+
+    Same inverted-index plan shape as the Jaccard op (shared-gram
+    self-join bounded by posting lists + the ``max_doc_freq`` stop-gram
+    guard, never all-pairs); both directions of every sharing pair are
+    scored from ONE intersection count, and a doc pair can emit two rows
+    (each contained in the other ⟺ equal gram sets ⟺ both rows carry
+    containment 1.0).  Ties and rounding: containment is rounded to 6
+    decimals from an exact integer ratio — engine-portable."""
+    grams = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        .withColumn("__toks", _ngram_tokens(F.col(text_col)))
+        .withColumn("__grams", _word_ngrams_from(F.col("__toks"), n))
+        .withColumn("__n_grams", F.size("__grams"))
+    )
+    inv = grams.select("__id", "__n_grams", F.explode("__grams").alias("__g"))
+    if max_doc_freq is not None:
+        from pyspark.sql import Window as W
+
+        inv = inv.withColumn(
+            "__df", F.count(F.lit(1)).over(W.partitionBy("__g"))
+        ).filter(F.col("__df") <= max_doc_freq).drop("__df")
+    left = inv.select(
+        F.col("__id").alias("id_1"), F.col("__n_grams").alias("n_1"), "__g"
+    )
+    right = inv.select(
+        F.col("__id").alias("id_2"), F.col("__n_grams").alias("n_2"), "__g"
+    )
+    pairs = (
+        left.join(right, "__g")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2", "n_1", "n_2")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_1").alias("contained_id"),
+                    F.col("id_2").alias("container_id"),
+                    F.round(F.col("__inter") / F.col("n_1"), 6).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("id_2").alias("contained_id"),
+                    F.col("id_1").alias("container_id"),
+                    F.round(F.col("__inter") / F.col("n_2"), 6).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("__p")
+    ).select("__p.*")
+    return directed.filter(F.col("containment") >= containment_threshold)
+
+
 def dim_sign_signature(emb: Column, n_bits: int = 16) -> Column:
     """Axis-aligned sign-LSH code over the first ``n_bits`` embedding
     dimensions: bit i set iff emb[i] > 0 (random-hyperplane LSH with unit

@@ -1,0 +1,102 @@
+"""Exact per-group quantiles without sorting whole groups.
+
+``percentile_approx`` is approximate; the textbook exact alternative is a
+rank window over each group — a ONE-TASK sort of the group (Spark pins
+window partitions to single tasks; AQE never splits them), which at
+100 TB serializes the dominant group through one thread.  This module
+extracts exact discrete quantiles with the round-8 banded-boundary
+pattern instead (see ``operators/sampling.py``): a Greenwald-Khanna
+sketch brackets each quantile's VALUE with a band (GK's deterministic
+rank error ≤ n/accuracy, band slack wider), exact conditional counts
+verify the band, and only the band rows — ~2n/accuracy per quantile —
+are ranked.  Any group whose band misses its boundary falls back to the
+full rank for that group alone, so the result is exact in every case.
+
+The extracted value at ASC rank ``ceil(q·n)`` (the PostgreSQL
+``percentile_disc`` / SQL-standard discrete-quantile definition) is
+tie-independent: equal values sort adjacently, so the value AT a rank is
+unique no matter how ties order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataclod_spark.operators.sampling import _PCT_ACC, _join_stratum
+
+# band half-width in quantile units; wider than GK's 1/_PCT_ACC rank
+# error by construction.  Module-level so tests can degrade it to force
+# the per-group fallback path.
+_Q_SLACK = 4.0 / _PCT_ACC
+
+
+def group_quantiles_exact(
+    df: DataFrame, group: str, col: str, qs: list[float]
+) -> DataFrame:
+    """Exact discrete quantiles per group: one row ``(group, q, value)``
+    for each requested quantile, ``value`` = the group's ``col`` at ASC
+    rank ``ceil(q·n)`` (percentile_disc semantics; 0 < q ≤ 1).
+
+    Plan shape: ONE bounded per-group aggregate (count + a GK percentile
+    band per quantile), ONE exact verification aggregate (conditional
+    counts against every band), then per quantile a band-rows-only rank
+    window — never a whole group.  NULLs in ``col`` are excluded (the
+    percentile_disc contract).  Degenerate tie mass AT a boundary value
+    widens that band to the tie group, which any exact method must
+    order."""
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"group_quantiles_exact: q must be in (0, 1], got {q}")
+    slack = _Q_SLACK
+    pcts = []
+    for q in qs:
+        pcts += [max(0.0, q - slack), min(1.0, q + slack)]
+    c = F.col(col)
+    base = df.filter(c.isNotNull()).select(group, col)
+    stats = base.groupBy(group).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.percentile_approx(col, pcts, _PCT_ACC).alias("__pa"),
+    )
+    sel = [F.col(group), F.col("__n")]
+    for i, q in enumerate(qs):
+        sel.append(F.col("__pa")[2 * i].alias(f"__lo{i}"))
+        sel.append(F.col("__pa")[2 * i + 1].alias(f"__hi{i}"))
+        sel.append(
+            F.greatest(F.ceil(F.lit(q) * F.col("__n")).cast("bigint"), F.lit(1)).alias(
+                f"__r{i}"
+            )
+        )
+    thr = stats.select(*sel).localCheckpoint(eager=True)
+    j = _join_stratum(base, thr, group)
+    aggs = []
+    for i in range(len(qs)):
+        aggs.append(F.count(F.when(c < F.col(f"__lo{i}"), 1)).alias(f"__clt{i}"))
+        aggs.append(F.count(F.when(c <= F.col(f"__hi{i}"), 1)).alias(f"__cle{i}"))
+    chk = j.groupBy(group).agg(*aggs).localCheckpoint(eager=True)
+    j2 = _join_stratum(j, chk, group)
+    outs = []
+    for i, q in enumerate(qs):
+        lo, hi = F.col(f"__lo{i}"), F.col(f"__hi{i}")
+        clt, cle, r = F.col(f"__clt{i}"), F.col(f"__cle{i}"), F.col(f"__r{i}")
+        ok = (clt < r) & (cle >= r)
+        w = Window.partitionBy(group).orderBy(c)
+        band = (
+            j2.filter(ok & (c >= lo) & (c <= hi))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(clt + F.col("__rn") == r)
+        )
+        fb = (
+            j2.filter(~ok)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == r)
+        )
+        outs.append(
+            band.unionByName(fb).select(
+                F.col(group), F.lit(q).alias("q"), c.alias("value")
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

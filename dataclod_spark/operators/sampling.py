@@ -637,3 +637,35 @@ def dsir_select(
         .drop("__rk", *helpers)
     )
     return pre.unionByName(band).unionByName(fb)
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight_col: Column, k: int
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws a uniform ``u`` from the Knuth hash of
+    its key and competes with score ``u^(1/w)``; the ``k`` largest scores
+    win, which realizes exactly the sequential weighted draw (heavier
+    rows proportionally likelier, no duplicates).  The curation use is
+    "sample documents proportional to token/byte mass" — a uniform doc
+    sample under-represents long documents' share of the training mix.
+
+    Engine parity: ``u = (hash + 0.5) / 2^32`` is exact in binary64 on
+    any engine (half-integer over a power of two); the score compares in
+    log space as ``ln(u)/w`` rounded to 6 decimals and fixed as
+    DECIMAL(18,6) with the row key as tiebreak — the sp7 ln-ULP
+    discipline, so the selected set is reproducible across engines.
+
+    100 TB shape: a pure projection + global top-k
+    (TakeOrderedAndProject: per-partition heaps, driver merges
+    k·partitions rows) — ZERO shuffles, no window.  Rows with NULL or
+    non-positive weight never sample (E-S requires w > 0).  The score
+    column rides out as ``es_key`` for auditability."""
+    u = (row_hash(F.col(key)).cast("double") + F.lit(0.5)) / F.lit(float(_MOD))
+    es = F.round(F.log(u) / weight_col.cast("double"), 6).cast("decimal(18,6)")
+    return (
+        df.filter(weight_col.isNotNull() & (weight_col.cast("double") > 0))
+        .withColumn("es_key", es)
+        .orderBy(F.col("es_key").desc(), F.col(key))
+        .limit(k)
+    )

@@ -599,12 +599,60 @@ def _has_qualified_ref(text: str) -> bool:
     return _QUALREF_RE.search("".join(shadow)) is not None
 
 
+def _rewrite_nested_selects(sql: str) -> tuple[str, bool]:
+    """Pre-pass: rewrite GROUPS frames inside every parenthesized SELECT
+    body (derived tables, scalar subqueries) of ``sql``, recursively —
+    each nested block is its own window scope, so
+    :func:`_rewrite_block_groups` applies to it verbatim.  A nested
+    block that declines is left untouched (its surviving GROUPS frame
+    makes the OUTER block decline via the survival checks).  Returns the
+    spliced text and whether anything changed."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    changed = False
+    while i < n:
+        kind, end = scan_noncode_span(sql, i)
+        if kind:
+            out.append(sql[i:end])
+            i = end
+            continue
+        if sql[i] == "(":
+            span_end = _match_paren_span(sql, i)
+            inner = sql[i + 1 : span_end - 1]
+            if _GROUPS_HINT_RE.search(inner):
+                if re.match(r"(?is)^\s*SELECT\b", inner):
+                    try:
+                        nb = _rewrite_block_groups(inner)
+                    except _Decline:
+                        nb = None
+                else:
+                    nb, ch = _rewrite_nested_selects(inner)
+                    nb = nb if ch else None
+                if nb is not None:
+                    out.append("(" + nb + ")")
+                    i = span_end
+                    changed = True
+                    continue
+            out.append(sql[i:span_end])
+            i = span_end
+            continue
+        out.append(sql[i])
+        i += 1
+    return "".join(out), changed
+
+
 def _rewrite_block_groups(sql: str) -> str | None:
     """Rewrite one SELECT block (no WITH prefix).  Returns the rewritten
     text, or None when the block has no GROUPS frame.  Raises _Decline
     when it HAS one that cannot be safely rewritten."""
     if not _GROUPS_HINT_RE.search(sql):
         return None
+
+    # ---- nested blocks first (derived tables, scalar subqueries) ------
+    sql, pre_changed = _rewrite_nested_selects(sql)
+    if not _GROUPS_HINT_RE.search(sql):
+        # every frame lived in (successfully rewritten) nested blocks
+        return sql if pre_changed else None
 
     # ---- locate SELECT ... FROM ... at top level -----------------------
     kws = list(
@@ -625,8 +673,10 @@ def _rewrite_block_groups(sql: str) -> str | None:
         by_word.setdefault(w, p)
     if {"GROUP", "HAVING", "QUALIFY", "WINDOW", "UNION", "INTERSECT", "EXCEPT"} & by_word.keys():
         raise _Decline("top-level clause out of scope")
-    if "DISTINCT" in by_word and by_word["DISTINCT"] < by_word.get("FROM", len(sql)):
-        raise _Decline("SELECT DISTINCT out of scope")
+    # SELECT DISTINCT passes through: DISTINCT dedups the outer select
+    # list's VALUES, which the rewrite leaves identical (the rank columns
+    # live inside the wrap and are not selected), so it applies after the
+    # window exactly as the original statement intends
     if "FROM" not in by_word:
         raise _Decline("no FROM clause")
     from_pos = by_word["FROM"]
@@ -635,6 +685,13 @@ def _rewrite_block_groups(sql: str) -> str | None:
         default=len(sql),
     )
     select_list = sql[sel_pos + len("SELECT") : from_pos]
+    # peel a leading DISTINCT so the bare-* guard still sees the list
+    # head (SELECT DISTINCT * must decline like SELECT *)
+    mdist = re.match(r"(?is)^\s*DISTINCT\b", select_list)
+    distinct_kw = ""
+    if mdist:
+        distinct_kw = select_list[: mdist.end()]
+        select_list = select_list[mdist.end() :]
     inner_tail = sql[from_pos + len("FROM") : tail_cut]
     outer_tail = sql[tail_cut:]
 
@@ -755,13 +812,13 @@ def _rewrite_block_groups(sql: str) -> str | None:
         i += 1
     if not changed:
         # hint word was an identifier / in a string — nothing to do here,
-        # but a GROUPS frame elsewhere in the block (outer ORDER BY, FROM
-        # subquery) is out of scope
+        # but a GROUPS frame elsewhere in the block (outer ORDER BY, a
+        # declined FROM subquery) is out of scope
         for _, bl, br in _find_over_specs(sql):
             if _GROUPS_FRAME_RE.search(sql[bl + 1 : br - 1]):
                 raise _Decline("GROUPS frame outside the select list")
-        return None
-    new_select_list = "".join(out)
+        return sql if pre_changed else None
+    new_select_list = distinct_kw + "".join(out)
 
     # a GROUPS frame must not survive anywhere else in the block
     for seg in (inner_tail, outer_tail):

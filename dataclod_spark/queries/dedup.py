@@ -633,3 +633,50 @@ def d14_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform-key shuffles, no all-pairs."""
     d = load(spark, sf_dir, "documents")
     return DD.line_dedup_report(d, line_tokens=10).orderBy("doc_id")
+
+
+@query(
+    "d15_ngram_containment",
+    doc="directed n-gram CONTAINMENT near-dup pairs (Broder's containment "
+    "coefficient |A∩B|/|A|): the asymmetric companion to d6 — a short doc "
+    "quoted whole inside a long one has containment 1.0 but Jaccard ≈ 0, "
+    "so resemblance dedup misses exactly the quote/boilerplate-subset "
+    "case; same inverted-index join, never all-pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ts) - 2, 0)),
+           i -> array_to_string(ts[i:i+2], ' '))) AS gs
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         len(list_intersect(a.gs, b.gs)) AS inter,
+         len(a.gs) AS n1, len(b.gs) AS n2
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.gs, b.gs)) > 0
+), directed AS (
+  SELECT id_1 AS contained_id, id_2 AS container_id,
+         round(CAST(inter AS DOUBLE) / n1, 6) AS containment FROM pairs
+  UNION ALL
+  SELECT id_2, id_1, round(CAST(inter AS DOUBLE) / n2, 6) FROM pairs
+)
+SELECT contained_id, container_id, containment
+FROM directed WHERE containment >= 0.2
+ORDER BY contained_id, container_id
+""",
+)
+def d15_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.dedup.ngram_containment_pairs: d6's inverted-index plan
+    (posting-list-bounded shared-gram self-join, one intersection count
+    per pair) scoring BOTH directions of every sharing pair; the
+    max_doc_freq stop-gram guard applies unchanged in production (off
+    here so the oracle's all-pairs formulation matches exactly)."""
+    d = load(spark, sf_dir, "documents")
+    return DD.ngram_containment_pairs(d, containment_threshold=0.2).orderBy(
+        "contained_id", "container_id"
+    )

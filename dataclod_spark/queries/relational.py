@@ -2195,3 +2195,39 @@ def u5_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compact_changes(
         log, keys=["c_custkey"], seq_col="seq", op_col="op"
     ).orderBy("c_custkey")
+
+
+@query(
+    "a8_exact_group_quantiles",
+    doc="EXACT discrete quantiles (percentile_disc: value at ASC rank "
+    "ceil(q*n)) per group WITHOUT sorting whole groups: a GK sketch "
+    "brackets each quantile's value, exact counts verify the band, and "
+    "only the ~2n/accuracy band rows are ranked — the scale-safe exact "
+    "alternative to both percentile_approx (approximate) and Spark's "
+    "percentile aggregate (per-group in-memory collection); per-group "
+    "full-rank fallback keeps it exact in every case",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice AS x,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT l_returnflag, CAST(q AS DOUBLE) AS q, x AS value
+FROM r CROSS JOIN (VALUES (0.25), (0.5), (0.9), (0.99)) AS t(q)
+WHERE rn = greatest(CAST(ceil(q * n) AS BIGINT), 1)
+ORDER BY l_returnflag, q
+""",
+)
+def a8_exact_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.quantiles.group_quantiles_exact on lineitem prices per
+    return flag — the round-8 banded-boundary pattern applied to the
+    classic relational surface.  The extracted value at a rank is
+    tie-independent (equal values sort adjacently), so no tiebreak
+    column is needed and the oracle's arbitrary tie order is safe."""
+    from dataclod_spark.operators.quantiles import group_quantiles_exact
+
+    li = load(spark, sf_dir, "lineitem")
+    return group_quantiles_exact(
+        li, group="l_returnflag", col="l_extendedprice", qs=[0.25, 0.5, 0.9, 0.99]
+    ).orderBy("l_returnflag", "q")

@@ -374,3 +374,39 @@ def sp8_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "log_weight")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sp9_weighted_sample",
+    doc="deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis): sample 200 documents proportional to byte mass via "
+    "u^(1/w) scores from the Knuth hash — the 'sample docs by token "
+    "share' op a uniform doc sample gets wrong; pure projection + "
+    "global top-k (per-partition heaps), ZERO shuffles and no window",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(round(ln((({_H}) + 0.5) / 4294967296.0) / n_chars, 6)
+              AS DECIMAL(18,6)) AS es_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(es_key AS DOUBLE) AS es_key
+FROM w
+ORDER BY es_key DESC, doc_id
+LIMIT 200
+""",
+)
+def sp9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.sampling.weighted_sample with n_chars as the weight:
+    u = (hash+0.5)/2^32 is exact binary64 on both engines; the score
+    ranks as round(ln(u)/w, 6) DECIMAL(18,6) with doc_id tiebreak (the
+    sp7 ln-ULP discipline) so the selected set is engine-identical.
+    TakeOrderedAndProject plan — no shuffle, no window."""
+    d = load(spark, sf_dir, "documents")
+    s = SMP.weighted_sample(d, key="doc_id", weight_col=F.col("n_chars"), k=200)
+    return s.select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("es_key").cast("double").alias("es_key"),
+    ).orderBy(F.col("es_key").desc(), "doc_id")

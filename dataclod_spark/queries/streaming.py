@@ -697,3 +697,64 @@ def st14_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "st15_stream_weighted_topk",
+    doc="streaming weighted top-k candidate selection: the global "
+    "Efraimidis-Spirakis top-150 by byte mass maintained across 3 "
+    "micro-batches with k-row bounded state (top-k is an idempotent "
+    "merge: state_n = topk(state_{n-1} UNION topk(batch_n)), replay-"
+    "safe per-batch state dirs) — drained state equals the batch sp9 "
+    "operator on the union of the batches",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(round(ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+                       / 4294967296.0) / n_chars, 6)
+              AS DECIMAL(18,6)) AS es_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(es_key AS DOUBLE) AS es_key
+FROM w
+ORDER BY es_key DESC, doc_id
+LIMIT 150
+""",
+)
+def st15_stream_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/run.streaming_weighted_topk over the whole documents
+    table scattered across 3 maxFilesPerTrigger=1 micro-batches; the
+    deterministic E-S score makes the drained k-row state equal the
+    batch operator on the union regardless of the batching."""
+    import shutil
+    import tempfile
+
+    from dataclod_spark.streaming.run import (
+        read_documents_stream_multibatch,
+        streaming_weighted_topk,
+    )
+
+    stage = tempfile.mkdtemp(prefix="dataclod_wtopk_stage_")
+    out = tempfile.mkdtemp(prefix="dataclod_wtopk_out_")
+    try:
+        ds = read_documents_stream_multibatch(
+            spark, sf_dir, stage, n_files=3, pred_sql="doc_id >= 0"
+        ).select("doc_id", "lang", "n_chars")
+        res = streaming_weighted_topk(
+            spark, ds, out, key="doc_id", weight_col=F.col("n_chars"), k=150
+        )
+        return (
+            res.select(
+                "doc_id",
+                "lang",
+                F.col("n_chars").cast("bigint").alias("n_chars"),
+                F.col("es_key").cast("double").alias("es_key"),
+            )
+            .orderBy(F.col("es_key").desc(), "doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

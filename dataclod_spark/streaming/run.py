@@ -819,3 +819,64 @@ def streaming_dsir_score(
     if not finished:
         raise TimeoutError(f"streaming DSIR scoring did not finish within {timeout_sec}s")
     return spark.read.parquet(res_dir)
+
+
+def streaming_weighted_topk(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    out_dir: str,
+    key: str = "doc_id",
+    weight_col=None,
+    k: int = 100,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Maintain the global Efraimidis-Spirakis weighted top-k ACROSS
+    micro-batches — the streaming face of
+    :func:`operators.sampling.weighted_sample`, and how "keep the best k
+    sample candidates while the crawl is still arriving" actually runs.
+
+    Top-k under a deterministic total order is an idempotent merge:
+    ``topk(A ∪ B) = topk(topk(A) ∪ topk(B))``, so the state after batch
+    n is ``state_n = topk(state_{n-1} ∪ topk(batch_n))`` — bounded at k
+    rows forever, and REPLAY-SAFE: re-running batch n rebuilds state_n
+    byte-identically from state_{n-1} (each batch writes its own
+    ``b<n>`` state directory, never mutating its input — the st12
+    idempotent-partition contract applied to state instead of output).
+    Because the E-S score is a pure deterministic projection, the
+    drained state equals the batch operator on the union of all batches,
+    whatever the batching.  Assumes the dense 0..n batch ids of a
+    file/availableNow source (documented st12 caveat)."""
+    import os
+
+    from dataclod_spark.operators.sampling import weighted_sample
+
+    state_root = os.path.join(out_dir, "topk_state")
+    last = {"id": -1}
+
+    def upd(batch_df: DataFrame, batch_id: int) -> None:
+        cand = weighted_sample(batch_df, key, weight_col, k)
+        if batch_id > 0:
+            prev = spark.read.parquet(os.path.join(state_root, f"b{batch_id - 1}"))
+            cand = prev.unionByName(cand)
+        merged = cand.orderBy(F.col("es_key").desc(), F.col(key)).limit(k)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"b{batch_id}")
+        )
+        last["id"] = max(last["id"], batch_id)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(f"streaming weighted top-k did not finish within {timeout_sec}s")
+    if last["id"] < 0:
+        raise ValueError("streaming weighted top-k saw no micro-batches")
+    return spark.read.parquet(os.path.join(state_root, f"b{last['id']}"))

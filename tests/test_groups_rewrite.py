@@ -8,6 +8,8 @@ recipe); everything else declines to None so the statement reaches Spark
 untouched.
 """
 
+import re
+
 import pytest
 from pyspark.sql import Row
 
@@ -89,18 +91,54 @@ def test_literal_braces_in_partition_by_survive():
         "SELECT a.*, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t a",
         # top-level clauses out of scope
         "SELECT k, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t GROUP BY k",
-        "SELECT DISTINCT k, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t",
         "SELECT k FROM t UNION SELECT sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM u",
         # EXCLUDE clause / frame in outer ORDER BY / missing ORDER BY
         "SELECT sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM t",
         "SELECT k FROM t ORDER BY sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING)",
         "SELECT sum(v) OVER (PARTITION BY p GROUPS 1 PRECEDING) FROM t",
-        # GROUPS frame belonging to a nested subquery block
-        "SELECT k, (SELECT max(s) FROM (SELECT sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) s FROM u) z) FROM t",
+        # GROUPS frame in a nested block that itself declines (UNION body)
+        "SELECT k, (SELECT sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM u UNION SELECT 1) FROM t",
     ],
 )
 def test_out_of_scope_declines(q):
     assert rw(q) is None
+
+
+def test_select_distinct_passes_through():
+    """Round 8: DISTINCT dedups the outer select list's VALUES, which
+    the rewrite leaves identical — so it rides through the wrap."""
+    q = (
+        "SELECT DISTINCT k, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) "
+        "AS s FROM t"
+    )
+    out = rw(q)
+    assert out is not None
+    assert re.match(r"(?is)^SELECT\s+DISTINCT\s+k,", out)
+    assert "DENSE_RANK()" in out and "RANGE BETWEEN" in out
+    # still declines when DISTINCT would expand a bare *
+    assert rw("SELECT DISTINCT *, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) FROM t") is None
+
+
+def test_nested_derived_table_groups_rewritten():
+    """A GROUPS frame inside a derived table / scalar subquery is its own
+    window scope: the pre-pass rewrites the nested block in place."""
+    q = (
+        "SELECT z.s FROM (SELECT sum(v) OVER (ORDER BY k GROUPS 1 "
+        "PRECEDING) AS s FROM u) z WHERE z.s > 0"
+    )
+    out = rw(q)
+    assert out is not None
+    assert "GROUPS" not in out.upper().replace("__GROUPS", "")
+    assert "DENSE_RANK()" in out and "RANGE BETWEEN" in out
+    # outer block untouched (no frame of its own): original FROM shape kept
+    assert out.strip().startswith("SELECT z.s FROM (")
+
+    q2 = (
+        "SELECT k, (SELECT max(s) FROM (SELECT sum(v) OVER (ORDER BY k "
+        "GROUPS 1 PRECEDING) s FROM u) z) FROM t"
+    )
+    out2 = rw(q2)
+    assert out2 is not None and "RANGE BETWEEN" in out2
 
 
 @pytest.mark.parametrize(
@@ -471,3 +509,36 @@ def test_join_groups_frames_match_python_reference(spark):
         }
         assert got == py_groups(lo, hi, agg), (frame, agg)
         cases += 1
+
+
+def test_distinct_and_derived_groups_execute(spark):
+    """End-to-end through EngineSession.sql: SELECT DISTINCT dedups the
+    window output values (two peer rows share k and the peer-group sum),
+    and a GROUPS frame inside a derived table computes in its own scope."""
+    from dataclod_spark.session import EngineSession
+
+    _groups_fixture(spark)
+    sess = EngineSession(spark, register_catalog=False)
+    got = sorted(
+        tuple(r)
+        for r in sess.sql(
+            "SELECT DISTINCT p, k, sum(v) OVER (PARTITION BY p ORDER BY k "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM groups_t"
+        ).collect()
+    )
+    # ('a',1): peers 10+20=30 for both rows -> ONE distinct row
+    assert got == [
+        ("a", 1, 30),
+        ("a", 2, 31),
+        ("a", 3, 13),
+        ("b", 1, 100),
+        ("b", 9, 103),
+    ]
+    got2 = sorted(
+        r.s
+        for r in sess.sql(
+            "SELECT z.s FROM (SELECT sum(v) OVER (PARTITION BY p ORDER BY k "
+            "GROUPS 1 PRECEDING) AS s FROM groups_t) z WHERE z.s > 30"
+        ).collect()
+    )
+    assert got2 == [31, 100, 103]

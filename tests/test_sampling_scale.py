@@ -293,3 +293,127 @@ def test_x23_terciles_band_bounded_and_exact(spark):
     for r in thr.collect():
         assert r["__chi1"] <= r["__r1"] <= r["__clo1"]
         assert r["__chi2"] <= r["__r2"] <= r["__clo2"]
+
+
+def test_weighted_sample_matches_reference_and_props(spark):
+    """E-S weighted sampling: selected set equals the python reference
+    (same u, same rounded ln score, doc_id tiebreak), excludes
+    non-positive/NULL weights, and never returns duplicates."""
+    import math as _math
+
+    rows = [Row(doc_id=i, w=(i % 7) * 10 if i % 11 else 0) for i in range(500)]
+    df = spark.createDataFrame(rows)
+    got = [r.doc_id for r in SMP.weighted_sample(df, "doc_id", F.col("w"), 50).collect()]
+    assert len(got) == len(set(got)) == 50
+
+    def es_key(i, w):
+        u = (_h(i) + 0.5) / _MOD
+        # mirror round-half-up to 6 decimals on the ln score
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return Decimal(_math.log(u) / w).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    cand = [(es_key(r.doc_id, r.w), -r.doc_id, r.doc_id) for r in rows if r.w > 0]
+    cand.sort(reverse=True)
+    want = [i for _, _, i in cand[:50]]
+    assert got == want
+
+
+def test_weighted_sample_plan_no_shuffle(spark):
+    """Global top-k must plan as TakeOrderedAndProject — per-partition
+    heaps, zero exchanges before the take."""
+    rows = [Row(doc_id=i, w=i + 1) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    plan = (
+        SMP.weighted_sample(df, "doc_id", F.col("w"), 5)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_ngram_containment_directionality(spark):
+    """A short doc quoted inside a long one: containment 1.0 in the
+    contained->container direction, low the other way (the case Jaccard
+    misses); equal docs contain each other both ways at 1.0."""
+    from dataclod_spark.operators.dedup import ngram_containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        Row(doc_id=1, text=quote),
+        Row(
+            doc_id=2,
+            text="padding words one two three four five six seven eight "
+            + quote
+            + " nine ten eleven twelve thirteen fourteen fifteen sixteen",
+        ),
+        Row(doc_id=3, text=quote),
+        Row(doc_id=4, text="entirely unrelated content about databases"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.contained_id, r.container_id): r.containment
+        for r in ngram_containment_pairs(
+            df, containment_threshold=0.9
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0 and (2, 1) not in out
+    assert out[(3, 2)] == 1.0
+    assert out[(1, 3)] == 1.0 and out[(3, 1)] == 1.0
+    assert not any(4 in p for p in out)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_group_quantiles_exact_matches_reference(spark, seed):
+    """Banded exact quantiles equal the sorted-multiset definition
+    (value at ASC rank ceil(q*n)) on random data with heavy ties."""
+    from dataclod_spark.operators.quantiles import group_quantiles_exact
+
+    rng = random.Random(seed)
+    rows = []
+    for g, n in (("a", 3000), ("b", 200), ("c", 1), ("d", 2)):
+        for i in range(n):
+            # coarse value grid -> tie groups straddle quantile cuts
+            rows.append(Row(grp=g, x=float(rng.randrange(0, 50))))
+    rows.append(Row(grp="e", x=None))  # NULL-only group: excluded entirely
+    df = spark.createDataFrame(rows, "grp string, x double")
+    qs = [0.25, 0.5, 0.9, 1.0]
+    got = {
+        (r.grp, r.q): r.value
+        for r in group_quantiles_exact(df, "grp", "x", qs).collect()
+    }
+    by_g = defaultdict(list)
+    for r in rows:
+        if r.x is not None:
+            by_g[r.grp].append(r.x)
+    want = {}
+    for g, xs in by_g.items():
+        xs.sort()
+        for q in qs:
+            want[(g, q)] = xs[max(1, math.ceil(q * len(xs))) - 1]
+    assert got == want
+
+
+def test_group_quantiles_fallback_exact(spark, monkeypatch):
+    """Invert the band (negative slack → lo above hi, empty band, failed
+    verification) so the per-group full-rank fallback MUST fire — and
+    results stay exact."""
+    import dataclod_spark.operators.quantiles as QT
+
+    monkeypatch.setattr(QT, "_Q_SLACK", -0.2)
+    rng = random.Random(11)
+    rows = [Row(grp="a", x=float(rng.randrange(0, 5))) for _ in range(500)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.grp, r.q): r.value
+        for r in QT.group_quantiles_exact(df, "grp", "x", [0.5]).collect()
+    }
+    xs = sorted(r.x for r in rows)
+    assert got == {("a", 0.5): xs[math.ceil(0.5 * len(xs)) - 1]}
