@@ -1192,3 +1192,62 @@ def line_dedup_report(
             ),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    quality: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster-canonical selection: near-duplicate clusters keep their
+    HIGHEST-QUALITY member, not their first — the curation step after pair
+    generation in quality-aware pipelines (FineWeb/RefinedWeb keep one
+    document per duplicate cluster; keeping the best-scoring one instead
+    of the min-id one is what makes dedup quality-preserving rather than
+    quality-random).
+
+    ``quality`` is any non-NULL numeric scoring column over ``df`` (for
+    documents typically :func:`functions.text.quality_score`); ties break
+    to the smallest id, so the result is deterministic and
+    engine-reproducible.  Returns one row per cluster:
+    ``(cluster_rep, cluster_size, kept_doc_id, kept_quality)`` where
+    ``cluster_rep`` is the cluster's min id (singletons: the doc itself).
+
+    100 TB shape: pairs come from the banded inverted index
+    (:func:`lsh_candidate_pairs` — never all-pairs), components from the
+    O(log n) alternating-star loop, and the argmax is ONE hash aggregate —
+    ``max(struct(quality, -id))`` is a partial-aggregable lexicographic
+    max, so no per-cluster window and no cluster ever sorts whole.  The
+    left join of corpus←components broadcasts when the component table is
+    small (near-dup graphs usually are) and AQE handles the skewed-cluster
+    case for the join — valid here because this IS a join, not a window.
+    """
+    pairs = lsh_candidate_pairs(
+        df, id_col=id_col, text_col=text_col, jaccard_threshold=jaccard_threshold
+    )
+    comp = connected_components(pairs, "id_1", "id_2")
+    lab = (
+        df.select(F.col(id_col), quality.alias("__quality"))
+        .join(comp, F.col(id_col) == F.col("id"), "left")
+        .withColumn("__cluster", F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    return (
+        lab.groupBy("__cluster")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(
+                F.struct(
+                    F.col("__quality").alias("q"),
+                    (-F.col(id_col)).alias("negid"),
+                )
+            ).alias("__best"),
+        )
+        .select(
+            F.col("__cluster").alias("cluster_rep"),
+            "cluster_size",
+            (-F.col("__best.negid")).cast("bigint").alias("kept_doc_id"),
+            F.col("__best.q").alias("kept_quality"),
+        )
+    )

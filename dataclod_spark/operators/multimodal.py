@@ -290,3 +290,65 @@ def media_dedup(
         .withColumn("is_canonical", F.row_number().over(w) == 1)
         .drop("__dedup_key")
     )
+
+
+def media_near_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    quant: int = 16,
+) -> DataFrame:
+    """Near-duplicate media grouping by QUANTIZED byte-histogram signature —
+    the perceptual-bucket companion to :func:`media_dedup` (exact digest):
+    two blobs that differ in a few bytes share a digest never, but their
+    byte-class profiles quantize to the same cell, so re-encoded /
+    lightly-edited copies group together.
+
+    Signature: the four byte-class counts of
+    :func:`byte_histogram_features` (a REAL vectorized feature pass, no
+    codec needed) normalized to the blob length and quantized to a
+    ``quant``-level grid with pure integer arithmetic
+    (``(count · quant) div total`` — engine-exact, no FP boundary).
+    Empty/NULL blobs have no byte profile; they get the reserved (-1,..)
+    cell, i.e. all-empty blobs group together (they are byte-identical
+    anyway).  Returns every row with its cell (``q0..q3``), the cell's
+    canonical id (min id — deterministic) and ``is_kept``.
+
+    Honesty note: quantized-cell grouping is a RECALL-limited
+    approximation — two near-identical profiles astride a grid boundary
+    land in different cells (the classic LSH boundary miss; production
+    raises recall by also probing the ``quant``-adjacent cells, same
+    plan shape, ``3^4`` probe cells).  Precision is refined downstream:
+    cells are candidate groups, exactly like LSH bands.
+
+    100 TB shape: one mapInPandas feature pass (no shuffle), one hash
+    aggregate on the cell key for canonicals, one join back on the cell
+    key — both partial-aggregable/AQE-skew-splittable (joins, not
+    windows).  No all-pairs comparison anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    feats = byte_histogram_features(media, id_col, content_col)
+    total = F.col("b0") + F.col("b1") + F.col("b2") + F.col("b3")
+    qcols = []
+    for c in ("b0", "b1", "b2", "b3"):
+        qcols.append(
+            F.when(
+                total > 0, F.expr(f"({c} * {int(quant)}) div (b0 + b1 + b2 + b3)")
+            )
+            .otherwise(F.lit(-1))
+            .cast("int")
+            .alias("q" + c[1])
+        )
+    sig = feats.select(F.col(id_col), *qcols)
+    keys = ["q0", "q1", "q2", "q3"]
+    canon = sig.groupBy(*keys).agg(F.min(id_col).alias("canonical_id"))
+    return (
+        sig.join(canon, keys)
+        .select(
+            id_col,
+            *keys,
+            "canonical_id",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_kept"),
+        )
+    )

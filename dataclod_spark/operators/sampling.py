@@ -669,3 +669,69 @@ def weighted_sample(
         .orderBy(F.col("es_key").desc(), F.col(key))
         .limit(k)
     )
+
+
+def source_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-source distribution drift report: Jensen-Shannon divergence (in
+    nats) between each source's hashed-unigram bucket profile and the REST
+    of the corpus, add-one smoothed over ``n_buckets`` buckets — the
+    corpus-monitoring op a pipeline runs per crawl refresh to flag a feed
+    whose content distribution moved (spam influx, language flip, template
+    change) before it pollutes the training mix.  JS rather than KL: it is
+    symmetric, bounded by ln 2, and defined even where one side has zero
+    mass (smoothing makes both sides strictly positive anyway).
+
+    Engine parity: bucket profiles use the sp7 md5 bucket; counts-to-
+    probability divisions are single correctly-rounded double ops
+    (identical on any IEEE engine); the only libm call is ``ln``, so each
+    bucket's JS term is rounded to 6 decimals and fixed as DECIMAL(18,6)
+    before the per-source sum — order- and libm-independent (the sp7
+    discipline).
+
+    100 TB shape: ONE corpus scan feeding a (source × bucket)-keyed
+    aggregate — uniform keys, partial-aggregable, output bounded by
+    |sources|·n_buckets regardless of corpus size.  Everything after runs
+    on that bounded table (two tiny rollups broadcast back onto the
+    grid); no window, no driver state beyond plan constants.
+    """
+    from dataclod_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).filter(F.col("__t") != "")
+    gb = (
+        toks.select("__g", _dsir_bucket(F.col("__t"), n_buckets).alias("__b"))
+        .groupBy("__g", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot_b = gb.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    tot_g = gb.groupBy("__g").agg(F.sum("__c").alias("__cg"))
+    total = gb.agg(F.sum("__c").alias("__ct"))
+    grid = tot_g.crossJoin(F.broadcast(tot_b)).crossJoin(F.broadcast(total))
+    full = grid.join(gb, ["__g", "__b"], "left").withColumn(
+        "__c", F.coalesce(F.col("__c"), F.lit(0))
+    )
+    kb = F.lit(n_buckets)
+    p = (F.col("__c") + 1).cast("double") / (F.col("__cg") + kb).cast("double")
+    q = (F.col("__cb") - F.col("__c") + 1).cast("double") / (
+        F.col("__ct") - F.col("__cg") + kb
+    ).cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.round((p * F.log(p / m) + q * F.log(q / m)) / F.lit(2.0), 6)
+        .cast("decimal(18,6)")
+    )
+    return (
+        full.groupBy("__g")
+        .agg(
+            F.max("__cg").cast("bigint").alias("n_tok"),
+            F.sum(term).cast("double").alias("js_divergence"),
+        )
+        .select(F.col("__g").alias(group_col), "n_tok", "js_divergence")
+    )

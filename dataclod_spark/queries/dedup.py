@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from dataclod_spark.operators import dedup as DD
 from dataclod_spark.queries.similarity import LLOYD_K8_CTES
+from dataclod_spark.queries.text import _QUALITY
 from dataclod_spark.registry import load, query
 
 _NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
@@ -680,3 +681,75 @@ def d15_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_containment_pairs(d, containment_threshold=0.2).orderBy(
         "contained_id", "container_id"
     )
+
+
+@query(
+    "d16_dedup_keep_best",
+    doc="quality-aware cluster-canonical selection: near-dup clusters "
+    "(LSH pairs -> connected components) keep their HIGHEST-quality "
+    "member (ties to min id) instead of their first — the "
+    "FineWeb/RefinedWeb-style step that makes dedup quality-preserving; "
+    "argmax is one partial-aggregable max(struct), never a per-cluster "
+    "window",
+    oracle=rf"""
+WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+sig AS (
+  SELECT doc_id, s,
+         md5({_mh(0)} || {_mh(1)}) AS band_0,
+         md5({_mh(2)} || {_mh(3)}) AS band_1
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.s AS sh_1, b.s AS sh_2
+  FROM sig a JOIN sig b ON a.band_0 = b.band_0 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.s, b.s
+  FROM sig a JOIN sig b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_1, id_2 FROM cand
+  WHERE round(CAST(len(list_distinct(list_intersect(sh_1, sh_2))) AS DOUBLE)
+              / len(list_distinct(list_concat(sh_1, sh_2))), 4) >= 0.2
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION SELECT id_2, id_1 FROM pairs
+),
+walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, walk.lbl FROM walk JOIN edges e ON e.a = walk.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+lab AS (
+  SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS cluster,
+         {_QUALITY} AS quality
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+),
+sel AS (
+  SELECT cluster, doc_id, quality,
+         count(*) OVER (PARTITION BY cluster) AS cluster_size,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM lab
+)
+SELECT cluster AS cluster_rep,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       doc_id AS kept_doc_id,
+       quality AS kept_quality
+FROM sel WHERE rn = 1
+ORDER BY cluster_rep
+""",
+)
+def d16_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.dedup.dedup_keep_best — d7's pair/component machinery,
+    then ONE max(struct(quality, -id)) hash aggregate per cluster (the
+    oracle spells the equivalent window).  quality_score doubles are
+    bit-identical across engines (x2's property), so the argmax is
+    engine-deterministic."""
+    from dataclod_spark.functions.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    return DD.dedup_keep_best(
+        d, quality_score(F.col("text")), jaccard_threshold=0.2
+    ).orderBy("cluster_rep")

@@ -410,3 +410,56 @@ def sp9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("es_key").cast("double").alias("es_key"),
     ).orderBy(F.col("es_key").desc(), "doc_id")
+
+
+@query(
+    "x27_source_drift",
+    doc="per-source distribution drift: Jensen-Shannon divergence (nats, "
+    "add-one smoothed, 64 md5 buckets) between each source's hashed-"
+    "unigram profile and the rest of the corpus — the crawl-refresh "
+    "monitor that flags a feed whose content distribution moved; one "
+    "corpus scan into a (source x bucket)-bounded aggregate, JS terms "
+    "fixed as DECIMAL(18,6) before summing (the sp7 ln-ULP discipline)",
+    oracle=f"""
+WITH toks AS (
+  SELECT source AS g,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS b
+  FROM (SELECT source, unnest({_TOKS_SP7}) AS t FROM documents)
+  WHERE t <> ''
+), gb AS (
+  SELECT g, b, count(*) AS c FROM toks GROUP BY g, b
+), tb AS (SELECT b, sum(c) AS cb FROM gb GROUP BY b),
+tg AS (SELECT g, sum(c) AS cg FROM gb GROUP BY g),
+tt AS (SELECT sum(c) AS ct FROM gb),
+grid AS (SELECT g, cg, b, cb, ct FROM tg CROSS JOIN tb CROSS JOIN tt),
+filled AS (
+  SELECT grid.g, grid.cg, grid.cb, grid.ct, coalesce(gb.c, 0) AS c
+  FROM grid LEFT JOIN gb ON grid.g = gb.g AND grid.b = gb.b
+), pq AS (
+  SELECT g, cg,
+         CAST(c + 1 AS DOUBLE) / CAST(cg + 64 AS DOUBLE) AS p,
+         CAST(cb - c + 1 AS DOUBLE) / CAST(ct - cg + 64 AS DOUBLE) AS q
+  FROM filled
+), terms AS (
+  SELECT g, cg,
+         CAST(round((p * ln(p / ((p + q) / 2))
+                     + q * ln(q / ((p + q) / 2))) / 2, 6)
+              AS DECIMAL(18,6)) AS term
+  FROM pq
+)
+SELECT g AS source, CAST(max(cg) AS BIGINT) AS n_tok,
+       CAST(sum(term) AS DOUBLE) AS js_divergence
+FROM terms GROUP BY g
+ORDER BY source
+""",
+)
+def x27_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.sampling.source_drift over documents grouped by source.
+    Plan: one explode into a (source, bucket)-keyed count — uniform keys,
+    partial-aggregable, output bounded at |sources|*64 rows no matter the
+    corpus size — then tiny broadcast rollups onto the grid and a
+    decimal-exact per-source sum.  No window, no driver state."""
+    from dataclod_spark.operators.sampling import source_drift
+
+    d = load(spark, sf_dir, "documents")
+    return source_drift(d).orderBy("source")

@@ -416,3 +416,62 @@ def m5_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "m6_media_near_dedup",
+    doc="media NEAR-duplicate grouping by quantized byte-histogram "
+    "signature (the perceptual-bucket companion to m5's exact digest): "
+    "integer-exact 16-level quantization of the 4 byte-class ratios, "
+    "cell canonical = min id — one feature pass + one hash agg + one "
+    "cell-keyed join, never all-pairs",
+    oracle="""
+WITH ascii_docs AS (
+  SELECT doc_id, text FROM documents WHERE strlen(text) = len(text)
+), codes AS (
+  SELECT doc_id,
+         list_transform(range(1, len(text) + 1), i -> ascii(substr(text, i, 1))) AS cs
+  FROM ascii_docs
+), hist AS (
+  SELECT doc_id,
+         len(list_filter(cs, c -> c < 32)) AS b0,
+         len(list_filter(cs, c -> c >= 32 AND c < 64)) AS b1,
+         len(list_filter(cs, c -> c >= 64 AND c < 96)) AS b2,
+         len(list_filter(cs, c -> c >= 96)) AS b3
+  FROM codes
+), sig AS (
+  SELECT doc_id,
+         CAST(CASE WHEN b0+b1+b2+b3 > 0 THEN (b0 * 16) // (b0+b1+b2+b3) ELSE -1 END AS INT) AS q0,
+         CAST(CASE WHEN b0+b1+b2+b3 > 0 THEN (b1 * 16) // (b0+b1+b2+b3) ELSE -1 END AS INT) AS q1,
+         CAST(CASE WHEN b0+b1+b2+b3 > 0 THEN (b2 * 16) // (b0+b1+b2+b3) ELSE -1 END AS INT) AS q2,
+         CAST(CASE WHEN b0+b1+b2+b3 > 0 THEN (b3 * 16) // (b0+b1+b2+b3) ELSE -1 END AS INT) AS q3
+  FROM hist
+)
+SELECT doc_id, q0, q1, q2, q3,
+       min(doc_id) OVER (PARTITION BY q0, q1, q2, q3) AS canonical_id,
+       doc_id = min(doc_id) OVER (PARTITION BY q0, q1, q2, q3) AS is_kept
+FROM sig
+ORDER BY doc_id
+""",
+)
+def m6_media_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.multimodal.media_near_dedup over documents-as-media (the
+    m3 ASCII filter keeps the byte-level Spark view and the
+    codepoint-level oracle identical).  Quantization is pure integer
+    ``div`` — no FP cell boundary; the oracle's window is the hash-agg +
+    join-back equivalent (windows don't scale, joins AQE-split)."""
+    from dataclod_spark.operators.multimodal import media_near_dedup
+
+    d = load(spark, sf_dir, "documents")
+    media = d.filter(F.octet_length("text") == F.char_length("text")).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return (
+        media_near_dedup(media)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "q0", "q1", "q2", "q3", "canonical_id", "is_kept",
+        )
+        .orderBy("doc_id")
+    )

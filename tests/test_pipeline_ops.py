@@ -1562,3 +1562,95 @@ def test_cdc_compact_changes_net_classes(spark):
         8: ("h1", "U"),
     }
     assert 3 not in got  # insert-then-delete cancels entirely
+
+
+def test_dedup_keep_best_keeps_highest_quality(spark):
+    """The planted near-dup pair must keep the HIGHER-quality member even
+    though it has the larger id (keep-first would pick id 1)."""
+    from dataclod_spark.functions.text import quality_score
+    from dataclod_spark.operators.dedup import dedup_keep_best
+
+    # NEAR is one token longer than BASE -> strictly higher length
+    # component of quality_score at this size
+    df = _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER)])
+    q = {r.doc_id: r.q for r in df.select(
+        "doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    rows = {
+        r.cluster_rep: r
+        for r in dedup_keep_best(
+            df, quality_score(F.col("text")), jaccard_threshold=0.5
+        ).collect()
+    }
+    assert set(rows) == {1, 3}
+    best = max((1, 2), key=lambda i: (q[i], -i))
+    assert rows[1].kept_doc_id == best
+    assert rows[1].cluster_size == 2
+    assert rows[1].kept_quality == q[best]
+    assert rows[3].kept_doc_id == 3 and rows[3].cluster_size == 1
+
+
+def test_dedup_keep_best_tie_breaks_to_min_id(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from dataclod_spark.operators.dedup import dedup_keep_best
+
+    # identical text -> identical quality -> tie must break to min id
+    df = _docs(spark, [(7, BASE), (9, BASE)])
+    rows = dedup_keep_best(df, F.lit(0.5), jaccard_threshold=0.5).collect()
+    assert len(rows) == 1
+    assert rows[0].cluster_rep == 7 and rows[0].kept_doc_id == 7
+    assert rows[0].cluster_size == 2
+
+
+def test_media_near_dedup_groups_profile_twins(spark):
+    """Different bytes, same quantized byte-class profile -> one cell;
+    empty and NULL blobs share the reserved (-1) cell."""
+    from pyspark.sql import types as T  # noqa: F811
+    from dataclod_spark.operators.multimodal import media_near_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    rows = [
+        (1, bytearray(b"AAAAaaaa")),   # 4 bytes in [64,96), 4 in >=96
+        (2, bytearray(b"BBBBbbbb")),   # same class profile, different bytes
+        (3, bytearray(b"    \x01\x01\x01\x01")),  # different profile
+        (4, bytearray(b"")),
+        (5, None),
+    ]
+    out = {r.media_id: r for r in media_near_dedup(
+        spark.createDataFrame(rows, schema)).collect()}
+    sig = lambda r: (r.q0, r.q1, r.q2, r.q3)  # noqa: E731
+    assert sig(out[1]) == sig(out[2])
+    assert out[1].canonical_id == 1 and out[2].canonical_id == 1
+    assert out[1].is_kept and not out[2].is_kept
+    assert sig(out[3]) != sig(out[1])
+    assert sig(out[4]) == (-1, -1, -1, -1) == sig(out[5])
+    assert out[4].canonical_id == 4 and out[5].canonical_id == 4
+
+
+def test_source_drift_flags_divergent_source(spark):
+    """A source that clones the corpus distribution scores ~0; a source
+    with disjoint vocabulary scores strictly higher."""
+    from pyspark.sql import types as T  # noqa: F811
+    from dataclod_spark.operators.sampling import source_drift
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, "clone_a" if i % 2 else "clone_b", common) for i in range(40)]
+    rows += [(100 + i, "weird", "zzz qqq xxx jjj www vvv kkk yyy") for i in range(20)]
+    out = {r.source: r for r in source_drift(
+        spark.createDataFrame(rows, schema)).collect()}
+    assert set(out) == {"clone_a", "clone_b", "weird"}
+    assert out["weird"].js_divergence > out["clone_a"].js_divergence
+    assert out["weird"].js_divergence > out["clone_b"].js_divergence
+    assert abs(out["clone_a"].js_divergence - out["clone_b"].js_divergence) < 1e-6
+    assert out["clone_a"].n_tok == 8 * 20
