@@ -698,18 +698,51 @@ def source_drift(
     |sources|·n_buckets regardless of corpus size.  Everything after runs
     on that bounded table (two tiny rollups broadcast back onto the
     grid); no window, no driver state beyond plan constants.
+
+    Split into :func:`source_bucket_counts` (the additive bounded state —
+    counts merge by summation, which is what the streaming monitor
+    accumulates across micro-batches) and :func:`drift_from_counts`
+    (the pure finalizer over that bounded table).
     """
+    return drift_from_counts(
+        source_bucket_counts(df, text_col, group_col, n_buckets),
+        group_col=group_col,
+        n_buckets=n_buckets,
+    )
+
+
+def source_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The (``__g``, ``__b``, ``__c``) hashed-unigram bucket profile —
+    one (source × bucket)-keyed count over a single corpus scan; the
+    output is bounded at |sources|·n_buckets rows and ADDITIVE (profiles
+    of disjoint corpus slices merge by summing ``__c``), which makes it
+    the streaming monitor's bounded state."""
     from dataclod_spark.functions.text import tokens
 
     toks = df.select(
         F.col(group_col).alias("__g"),
         F.explode(tokens(F.col(text_col))).alias("__t"),
     ).filter(F.col("__t") != "")
-    gb = (
+    return (
         toks.select("__g", _dsir_bucket(F.col("__t"), n_buckets).alias("__b"))
         .groupBy("__g", "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+
+
+def drift_from_counts(
+    gb: DataFrame,
+    group_col: str = "source",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Finalize :func:`source_bucket_counts` state into the per-source JS
+    report — pure arithmetic over the bounded profile table (see
+    :func:`source_drift` for the parity discipline)."""
     tot_b = gb.groupBy("__b").agg(F.sum("__c").alias("__cb"))
     tot_g = gb.groupBy("__g").agg(F.sum("__c").alias("__cg"))
     total = gb.agg(F.sum("__c").alias("__ct"))

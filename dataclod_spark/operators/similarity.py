@@ -316,3 +316,41 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "bucket", "cosine_sim", "rank")
     )
+
+
+def recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Recall@k evaluation of an ANN result against the exact result — the
+    honesty meter every approximate index needs: IVF/LSH probe counts are
+    tuned BY this number (raise n_probe until recall clears the target),
+    so the evaluator belongs in the engine next to the indexes it grades.
+
+    Both inputs are (query_id, neighbor_id, ...) result sets already
+    limited to their top-k (the shapes :func:`knn_bruteforce` /
+    :func:`knn_ann` / :func:`knn_ivf` return).  Returns per query:
+    ``(query_id, n_exact, n_hit, recall)`` with recall = |approx ∩
+    exact| / |exact|.
+
+    Scale: both inputs are (n_queries · k)-bounded result relations —
+    tiny next to the corpus that produced them — so the hit join and the
+    rollups cost nothing at any corpus size; evaluation adds zero
+    corpus-scale stages beyond the two searches it compares."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

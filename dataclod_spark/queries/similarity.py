@@ -962,3 +962,83 @@ def v13_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__adc"), 6).alias("adc_dist"),
         )
     )
+
+
+@query(
+    "v14_ann_recall",
+    doc="ANN recall@3 evaluation: IVF (16 cells, 2-probe) top-3 graded "
+    "against exact brute-force top-3 per query — the honesty meter that "
+    "tunes probe counts; evaluation joins run on (queries x k)-bounded "
+    "result relations, adding zero corpus-scale stages",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_DOT_QC} / ({_NORM_Q} * {_NORM_C}), 6) AS cosine_sim
+  FROM q CROSS JOIN embeddings c
+  WHERE c.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM sims) r
+  WHERE rank <= 3
+),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+), assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, cid AS bucket
+  FROM (
+    SELECT c.vec_id, c.embedding, ct.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_cos_sql('c.embedding', 'ct.cvec')} DESC, ct.cid) AS rn
+    FROM embeddings c CROSS JOIN cents ct) t
+  WHERE rn = 1
+), probes AS (
+  SELECT query_id, q_vec, cid AS bucket
+  FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_vec, ct.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_sql('q.embedding', 'ct.cvec')} DESC, ct.cid) AS rn
+    FROM embeddings q CROSS JOIN cents ct
+    WHERE q.vec_id < 10) t
+  WHERE rn <= 2
+), cand AS (
+  SELECT p.query_id, a.neighbor_id,
+         round({_cos_sql('p.q_vec', 'a.c_vec')}, 6) AS cosine_sim
+  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+  WHERE a.neighbor_id <> p.query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM cand) r
+  WHERE rank <= 3
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+),
+base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT b.query_id,
+       CAST(b.n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.n_hit, 0) / CAST(b.n_exact AS DOUBLE), 6) AS recall
+FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
+ORDER BY b.query_id
+""",
+)
+def v14_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.similarity.recall_report grading v4's IVF path against
+    v1's exact path at k=3 — both searches are the already-gated
+    operators; the grader itself is two rollups + one hit join over
+    (queries x k)-row relations."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") < 10)
+    exact = SIM.knn_bruteforce(e, qv, k=3)
+    approx = SIM.knn_ivf(e, qv, k=3, n_centroids=16, n_probe=2)
+    return SIM.recall_report(exact, approx).orderBy("query_id")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataclod_spark.queries.text import _TOKS as _TOKS_ST16  # shared tokenizer
 from dataclod_spark.registry import query
 
 
@@ -755,6 +756,73 @@ def st15_stream_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("es_key").desc(), "doc_id")
             .localCheckpoint()
         )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "st16_stream_source_drift",
+    doc="streaming per-source drift monitor: the bounded (source x 64-"
+    "bucket) hashed-unigram profile accumulated across 3 micro-batches "
+    "(exact additive merge, replay-safe per-batch state dirs), JS "
+    "divergence finalized over the drained state — equals the batch x27 "
+    "operator on the union of the batches",
+    oracle=f"""
+WITH toks AS (
+  SELECT source AS g,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS b
+  FROM (SELECT source, unnest({_TOKS_ST16}) AS t FROM documents)
+  WHERE t <> ''
+), gb AS (
+  SELECT g, b, count(*) AS c FROM toks GROUP BY g, b
+), tb AS (SELECT b, sum(c) AS cb FROM gb GROUP BY b),
+tg AS (SELECT g, sum(c) AS cg FROM gb GROUP BY g),
+tt AS (SELECT sum(c) AS ct FROM gb),
+grid AS (SELECT g, cg, b, cb, ct FROM tg CROSS JOIN tb CROSS JOIN tt),
+filled AS (
+  SELECT grid.g, grid.cg, grid.cb, grid.ct, coalesce(gb.c, 0) AS c
+  FROM grid LEFT JOIN gb ON grid.g = gb.g AND grid.b = gb.b
+), pq AS (
+  SELECT g, cg,
+         CAST(c + 1 AS DOUBLE) / CAST(cg + 64 AS DOUBLE) AS p,
+         CAST(cb - c + 1 AS DOUBLE) / CAST(ct - cg + 64 AS DOUBLE) AS q
+  FROM filled
+), terms AS (
+  SELECT g, cg,
+         CAST(round((p * ln(p / ((p + q) / 2))
+                     + q * ln(q / ((p + q) / 2))) / 2, 6)
+              AS DECIMAL(18,6)) AS term
+  FROM pq
+)
+SELECT g AS source, CAST(max(cg) AS BIGINT) AS n_tok,
+       CAST(sum(term) AS DOUBLE) AS js_divergence
+FROM terms GROUP BY g
+ORDER BY source
+""",
+)
+def st16_stream_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/run.streaming_source_drift over the whole documents
+    table scattered across 3 maxFilesPerTrigger=1 micro-batches; the
+    profile merge is exact addition, so the drained report equals the
+    batch operator (and x27's oracle) on the union regardless of the
+    batching."""
+    import shutil
+    import tempfile
+
+    from dataclod_spark.streaming.run import (
+        read_documents_stream_multibatch,
+        streaming_source_drift,
+    )
+
+    stage = tempfile.mkdtemp(prefix="dataclod_drift_stage_")
+    out = tempfile.mkdtemp(prefix="dataclod_drift_out_")
+    try:
+        ds = read_documents_stream_multibatch(
+            spark, sf_dir, stage, n_files=3, pred_sql="doc_id >= 0"
+        ).select("source", "text")
+        res = streaming_source_drift(spark, ds, out)
+        return res.orderBy("source").localCheckpoint()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)

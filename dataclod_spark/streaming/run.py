@@ -880,3 +880,73 @@ def streaming_weighted_topk(
     if last["id"] < 0:
         raise ValueError("streaming weighted top-k saw no micro-batches")
     return spark.read.parquet(os.path.join(state_root, f"b{last['id']}"))
+
+
+def streaming_source_drift(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_buckets: int = 64,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Maintain the per-source drift monitor ACROSS micro-batches — the
+    streaming face of :func:`operators.sampling.source_drift`, and how a
+    crawl-ingest pipeline actually watches its feeds: the bounded
+    (source × bucket) profile state accumulates while batches arrive,
+    and the JS report is a pure finalizer over it at any point.
+
+    The profile is ADDITIVE (counts of disjoint slices merge by
+    summation — an associative, commutative merge), so the state after
+    batch n is ``state_n = sum_merge(state_{n-1}, profile(batch_n))`` —
+    bounded at |sources|·n_buckets rows forever, and REPLAY-SAFE: each
+    batch writes its own ``b<n>`` state directory from its predecessor's
+    (the st12 idempotent-partition contract applied to state), so
+    re-running batch n rebuilds state_n byte-identically.  Because the
+    merge is exact (no sketch), the drained report equals the batch
+    operator on the union of all batches, whatever the batching.
+    Assumes the dense 0..n batch ids of a file/availableNow source
+    (documented st12 caveat)."""
+    import os
+
+    from dataclod_spark.operators.sampling import (
+        drift_from_counts,
+        source_bucket_counts,
+    )
+
+    state_root = os.path.join(out_dir, "drift_state")
+    last = {"id": -1}
+
+    def upd(batch_df: DataFrame, batch_id: int) -> None:
+        prof = source_bucket_counts(
+            batch_df, text_col=text_col, group_col=group_col, n_buckets=n_buckets
+        )
+        if batch_id > 0:
+            prev = spark.read.parquet(os.path.join(state_root, f"b{batch_id - 1}"))
+            prof = prev.unionByName(prof)
+        merged = prof.groupBy("__g", "__b").agg(F.sum("__c").alias("__c"))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"b{batch_id}")
+        )
+        last["id"] = max(last["id"], batch_id)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming source drift did not finish within {timeout_sec}s"
+        )
+    if last["id"] < 0:
+        raise ValueError("streaming source drift saw no micro-batches")
+    state = spark.read.parquet(os.path.join(state_root, f"b{last['id']}"))
+    return drift_from_counts(state, group_col=group_col, n_buckets=n_buckets)

@@ -64,3 +64,31 @@ def test_ivf_recall(spark, truth):
     r4 = _recall(SIM.knn_ivf(e, q, k=K, n_centroids=16, n_probe=4), pairs)
     assert r2 >= 0.75
     assert r4 >= r2
+
+
+def test_recall_report_math(spark):
+    """The evaluator itself: hit/miss arithmetic, zero-hit queries, and
+    agreement with the python-set recall on a real IVF run."""
+    rows_e = [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)]
+    rows_a = [(1, 10), (1, 11), (1, 99), (2, 77), (2, 88), (2, 99)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "query_id long, neighbor_id long"
+    )
+    out = {r.query_id: r for r in SIM.recall_report(mk(rows_e), mk(rows_a)).collect()}
+    assert out[1].n_exact == 3 and out[1].n_hit == 2
+    assert abs(out[1].recall - 2 / 3) < 1e-6
+    assert out[2].n_exact == 3 and out[2].n_hit == 0 and out[2].recall == 0.0
+
+
+def test_recall_report_matches_set_recall(spark, truth):
+    e, q, pairs = truth
+    exact = SIM.knn_bruteforce(e, q, k=K)
+    approx = SIM.knn_ivf(e, q, k=K, n_centroids=8, n_probe=3)
+    got = {
+        r.query_id: r.recall
+        for r in SIM.recall_report(exact, approx).collect()
+    }
+    appr = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    for qid in got:
+        want = len({p for p in pairs if p[0] == qid} & appr) / K
+        assert abs(got[qid] - want) < 1e-6

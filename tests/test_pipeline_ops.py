@@ -1654,3 +1654,34 @@ def test_source_drift_flags_divergent_source(spark):
     assert out["weird"].js_divergence > out["clone_b"].js_divergence
     assert abs(out["clone_a"].js_divergence - out["clone_b"].js_divergence) < 1e-6
     assert out["clone_a"].n_tok == 8 * 20
+
+
+def test_source_bucket_counts_additive(spark):
+    """The drift profile is the streaming monitor's state: counts of
+    disjoint slices must merge by summation to the whole-corpus profile
+    (what makes the drained streaming report equal the batch one)."""
+    from pyspark.sql import types as T  # noqa: F811
+    from dataclod_spark.operators.sampling import source_bucket_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+    rows = [
+        (i, f"s{i % 3}", f"tok{i % 7} tok{i % 5} shared words here")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    whole = {
+        (r["__g"], r["__b"]): r["__c"]
+        for r in source_bucket_counts(df).collect()
+    }
+    merged: dict = {}
+    for part in (df.filter(F.col("doc_id") < 11), df.filter(F.col("doc_id") >= 11)):
+        for r in source_bucket_counts(part).collect():
+            key = (r["__g"], r["__b"])
+            merged[key] = merged.get(key, 0) + r["__c"]
+    assert merged == whole

@@ -308,3 +308,30 @@ def test_routed_assign_zero_shuffle_projection(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Aggregate" not in plan
+
+
+def test_round8_new_ops_no_window(spark):
+    """The round-8 curation ops must hold the no-per-group-window rule
+    (a window partition is a one-task sort AQE cannot split): d16's
+    cluster argmax is a hash aggregate, m6's canonical is a hash agg +
+    join-back, x27 is aggregates over a bounded profile table.  All
+    three plans must be window-free and every aggregate map-side
+    partial."""
+    for name in ("m6_media_near_dedup", "x27_source_drift"):
+        plan = _plan(spark, name, "simple")
+        assert "Window" not in plan, name
+        assert "partial_" in plan, name
+    # d16 runs connected_components eagerly (localCheckpoint inside), so
+    # pin the operator's own aggregate stage instead of the full query
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.functions.text import quality_score
+    from dataclod_spark.operators.dedup import dedup_keep_best
+    from dataclod_spark.registry import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    df = dedup_keep_best(d, quality_score(F.col("text")), jaccard_threshold=0.2)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "Window" not in plan
+    assert "partial_" in plan
