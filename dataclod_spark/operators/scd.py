@@ -57,3 +57,44 @@ def scd2_apply(
     if version != "valid_from":
         out = out.drop(version)
     return out
+
+
+def scd2_enrich(
+    facts: DataFrame,
+    hist: DataFrame,
+    fact_key: str,
+    fact_ts: str,
+    hist_key: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time fact enrichment: join every fact row to the dimension
+    VERSION that was valid at the fact's OWN timestamp — the per-row
+    as-of read (u2 is the global AS-OF snapshot; this is what a fact
+    pipeline actually runs: each order sees the customer as they were on
+    the order date).  A fact before the key's first version (or with no
+    dimension key at all) keeps NULL attributes under the default left
+    join.
+
+    Join predicate: equi on the key plus interval membership
+    ``valid_from <= ts < valid_to`` (NULL ``valid_to`` = still current).
+    Because SCD2 history is gap-free and non-overlapping per key, at most
+    one version matches — the join is 1:≤1 by construction, no dedup
+    needed.
+
+    Scale: Catalyst plans the EQUI key as the join key (broadcast when
+    the history is small, sort-merge otherwise) with the interval as a
+    post-join filter; the per-key fan-out before filtering is bounded by
+    the key's VERSION COUNT, not its fact count, so this never degrades
+    into a true range-join blowup.  Both join strategies AQE-skew-split —
+    valid for joins."""
+    cond = (
+        (facts[fact_key] == hist[hist_key])
+        & (facts[fact_ts] >= hist[valid_from])
+        & (hist[valid_to].isNull() | (facts[fact_ts] < hist[valid_to]))
+    )
+    return facts.join(hist, cond, how)
+
+
+__all__.append("scd2_enrich")

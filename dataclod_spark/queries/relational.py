@@ -2231,3 +2231,84 @@ def a8_exact_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_quantiles_exact(
         li, group="l_returnflag", col="l_extendedprice", qs=[0.25, 0.5, 0.9, 0.99]
     ).orderBy("l_returnflag", "q")
+
+
+@query(
+    "u6_scd2_enrich",
+    doc="point-in-time fact enrichment: every order joined to the "
+    "customer-segment VERSION valid on its order date (per-row as-of "
+    "over SCD2 validity intervals — u2 is the global snapshot; this is "
+    "the fact-pipeline read); orders before the first version keep NULL "
+    "segment; 1:<=1 by the SCD2 no-gap/no-overlap invariant",
+    oracle="""
+WITH v AS (
+  SELECT c_custkey, c_mktsegment, DATE '1993-06-01' AS vf FROM customer
+  UNION ALL
+  SELECT c_custkey, 'PROMOTED', DATE '1995-01-01' FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, 'CHURNED', DATE '1997-01-01' FROM customer WHERE c_custkey % 13 = 0
+), hist AS (
+  SELECT c_custkey, c_mktsegment, vf AS valid_from,
+         lead(vf) OVER (PARTITION BY c_custkey ORDER BY vf) AS valid_to
+  FROM v
+)
+SELECT h.c_mktsegment AS segment_at_order,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS total_price
+FROM orders o
+LEFT JOIN hist h
+  ON o.o_custkey = h.c_custkey
+ AND o.o_orderdate >= h.valid_from
+ AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+GROUP BY h.c_mktsegment
+ORDER BY segment_at_order NULLS FIRST
+""",
+)
+def u6_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.scd.scd2_enrich: equi-key join (broadcast/sort-merge,
+    AQE-skew-splittable) with the validity interval as a post-filter —
+    per-key fan-out bounded by version count, never a range-join blowup.
+    The synthetic history stamps three dated versions (base 1993-06-01,
+    PROMOTED 1995-01-01 for custkey%7, CHURNED 1997-01-01 for
+    custkey%13); orders before the base date exercise the NULL path."""
+    from dataclod_spark.operators.scd import scd2_enrich
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v = (
+        c.withColumn("vf", F.lit("1993-06-01").cast("date"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 0)
+            .withColumn("c_mktsegment", F.lit("PROMOTED"))
+            .withColumn("vf", F.lit("1995-01-01").cast("date"))
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0)
+            .withColumn("c_mktsegment", F.lit("CHURNED"))
+            .withColumn("vf", F.lit("1997-01-01").cast("date"))
+        )
+    )
+    from pyspark.sql import Window as W
+
+    hist = v.select(
+        F.col("c_custkey").alias("__k"),
+        "c_mktsegment",
+        F.col("vf").alias("valid_from"),
+        F.lead("vf").over(
+            W.partitionBy("c_custkey").orderBy("vf")
+        ).alias("valid_to"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    j = scd2_enrich(o, hist, "o_custkey", "o_orderdate", "__k")
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment_at_order"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .orderBy(F.col("segment_at_order").asc_nulls_first())
+    )

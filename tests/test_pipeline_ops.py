@@ -1685,3 +1685,45 @@ def test_source_bucket_counts_additive(spark):
             key = (r["__g"], r["__b"])
             merged[key] = merged.get(key, 0) + r["__c"]
     assert merged == whole
+
+
+def test_scd2_enrich_boundary_semantics(spark):
+    """Interval membership is [valid_from, valid_to): a fact stamped
+    exactly at a version boundary sees the NEW version; before the first
+    version -> NULL attributes; open (NULL valid_to) rows match forever."""
+    from pyspark.sql import types as T  # noqa: F811
+    from dataclod_spark.operators.scd import scd2_enrich
+
+    hist = spark.createDataFrame(
+        [
+            (1, "old", 10, 20),
+            (1, "new", 20, None),
+            (2, "only", 5, None),
+        ],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("attr", T.StringType(), False),
+                T.StructField("valid_from", T.LongType(), False),
+                T.StructField("valid_to", T.LongType(), True),
+            ]
+        ),
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 9), (101, 1, 10), (102, 1, 19), (103, 1, 20),
+         (104, 1, 999), (105, 2, 5), (106, 3, 50)],
+        "fid long, fk long, ts long",
+    )
+    out = {
+        r.fid: r.attr
+        for r in scd2_enrich(facts, hist, "fk", "ts", "k").collect()
+    }
+    assert out[100] is None          # before first version
+    assert out[101] == "old"         # inclusive valid_from
+    assert out[102] == "old"
+    assert out[103] == "new"         # boundary ts sees the NEW version
+    assert out[104] == "new"         # open row matches forever
+    assert out[105] == "only"
+    assert out[106] is None          # unknown key
+    # 1:<=1 — no fact row duplicated by the join
+    assert scd2_enrich(facts, hist, "fk", "ts", "k").count() == 7
