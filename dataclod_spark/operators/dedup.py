@@ -1251,3 +1251,59 @@ def dedup_keep_best(
             F.col("__best.q").alias("kept_quality"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's distinct
+    word n-grams that appear in NO other document — the boilerplate /
+    template / memorized-text detector (a page whose trigrams all exist
+    elsewhere is navigation chrome or a mirror, novelty ≈ 0; unique prose
+    scores ≈ 1).  Curation pipelines threshold on this where pairwise
+    dedup is too blunt: novelty grades each document against the WHOLE
+    corpus at once, not against its best single match.
+
+    Returns ``(id, n_grams, n_shared, novelty)`` with
+    ``novelty = 1 - n_shared/n_grams`` (NULL for documents with fewer
+    than ``n`` tokens — no gram evidence either way).
+
+    100 TB shape: NO pair join anywhere — gram document-frequency is one
+    gram-keyed count (uniform keys, partial-aggregable; counts only,
+    never posting lists), joined back onto the exploded grams (a JOIN,
+    AQE-skew-splittable — stop grams are high-df keys but the join is
+    1:1 per gram occurrence), then a per-doc rollup.  Three bounded
+    shuffles total, each linear in the gram count."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
+    )
+    gdf = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        grams.join(gdf, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("__df") >= 2, 1)).alias("n_shared"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("__id"))
+    return (
+        base.join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_shared") / F.col("n_grams").cast("double"),
+                    6,
+                ),
+            ).alias("novelty"),
+        )
+    )

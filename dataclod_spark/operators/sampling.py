@@ -768,3 +768,48 @@ def drift_from_counts(
         )
         .select(F.col("__g").alias(group_col), "n_tok", "js_divergence")
     )
+
+
+def mixture_epochs(
+    df: DataFrame,
+    stratum: str,
+    token_col: Column,
+    budgets: int | dict,
+) -> DataFrame:
+    """Data-constrained mixture planning (Muennighoff et al. 2023,
+    arXiv:2305.16264): when a stratum's requested token budget exceeds
+    its AVAILABLE unique tokens, the trainer repeats data — this report
+    says how much.  Per stratum: available tokens, requested budget,
+    ``epochs = ceil(budget/available)`` (how many passes over the
+    stratum the budget implies) and ``repeated_tokens = max(budget −
+    available, 0)`` (the mass trained on more than once — the paper's
+    diminishing-returns axis).
+
+    Engine parity: ``ceil(b/a)`` is computed as the INTEGER
+    ``(b + a − 1) div a`` — no FP division, no boundary risk at exact
+    multiples.  A stratum with zero available tokens gets NULL epochs
+    (no number of passes reaches a positive budget).
+
+    100 TB shape: one |strata|-row token aggregate over a column-pruned
+    scan; everything else is arithmetic on that bounded table."""
+    tok = F.greatest(F.coalesce(token_col.cast("bigint"), F.lit(0)), F.lit(0))
+    avail = df.groupBy(stratum).agg(F.sum(tok).alias("available_tokens"))
+    a = F.col("available_tokens")
+    return (
+        avail.withColumn("budget", _budget_expr(stratum, budgets))
+        .select(
+            stratum,
+            "available_tokens",
+            "budget",
+            F.when(F.col("budget") <= 0, F.lit(0))
+            .when(
+                a > 0,
+                F.expr("(budget + available_tokens - 1) div available_tokens"),
+            )
+            .cast("bigint")
+            .alias("epochs"),
+            F.greatest(F.col("budget") - a, F.lit(0))
+            .cast("bigint")
+            .alias("repeated_tokens"),
+        )
+    )

@@ -753,3 +753,51 @@ def d16_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_keep_best(
         d, quality_score(F.col("text")), jaccard_threshold=0.2
     ).orderBy("cluster_rep")
+
+
+@query(
+    "x28_ngram_novelty",
+    doc="per-document n-gram novelty: fraction of a doc's distinct word "
+    "3-grams that appear in NO other document — the boilerplate/template/"
+    "memorized-text detector that grades each doc against the WHOLE "
+    "corpus at once (novelty ~0 = mirror or chrome); gram document-"
+    "frequency counts only, NO pair join anywhere",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ts) >= 3
+                THEN list_distinct(list_transform(
+                       generate_series(1, len(ts) - 2),
+                       i -> array_to_string(ts[i:i+2], ' ')))
+                ELSE [] END) AS g
+  FROM toks
+), gdf AS (
+  SELECT g, count(*) AS d FROM grams GROUP BY g
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_grams,
+         count(*) FILTER (WHERE d >= 2) AS n_shared
+  FROM grams JOIN gdf USING (g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN round(1 - p.n_shared / CAST(p.n_grams AS DOUBLE), 6)
+       END AS novelty
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+""",
+)
+def x28_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.dedup.ngram_novelty: gram document frequency is one
+    gram-keyed count (uniform keys, map-side partial, counts only —
+    never posting lists), joined back onto the exploded grams (a join,
+    AQE-skew-splittable) and rolled up per doc.  Three linear shuffles,
+    no all-pairs stage."""
+    d = load(spark, sf_dir, "documents")
+    return DD.ngram_novelty(d).orderBy("doc_id")

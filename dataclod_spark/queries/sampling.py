@@ -463,3 +463,48 @@ def x27_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return source_drift(d).orderBy("source")
+
+
+@query(
+    "sp10_mixture_epochs",
+    doc="data-constrained mixture planning (Muennighoff et al. 2023): "
+    "per-language available tokens vs requested budget -> epochs = "
+    "ceil(budget/available) as the INTEGER (b+a-1) div a (no FP "
+    "boundary) and repeated_tokens = max(budget-available, 0) — how "
+    "much the trainer would repeat each stratum; one bounded aggregate",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, greatest(coalesce(CAST({_NTOK} AS BIGINT), 0), 0) AS tok
+  FROM documents
+), avail AS (
+  SELECT lang, CAST(sum(tok) AS BIGINT) AS available_tokens
+  FROM toks GROUP BY lang
+), plan AS (
+  SELECT lang, available_tokens,
+         CAST(CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 30000
+                        WHEN 'es' THEN 9000 WHEN 'fr' THEN 120000
+                        ELSE 0 END AS BIGINT) AS budget
+  FROM avail
+)
+SELECT lang, available_tokens, budget,
+       CAST(CASE WHEN budget <= 0 THEN 0
+                 WHEN available_tokens > 0
+                 THEN (budget + available_tokens - 1) // available_tokens
+            END AS BIGINT) AS epochs,
+       CAST(greatest(budget - available_tokens, 0) AS BIGINT) AS repeated_tokens
+FROM plan
+ORDER BY lang
+""",
+)
+def sp10_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.sampling.mixture_epochs over per-language token counts
+    with a mixture spec that exercises all regimes: under-subscribed
+    (en fits in one pass), oversubscribed (de/es/fr repeat), and an
+    excluded stratum (zh, budget 0 — the closed-list rule)."""
+    from dataclod_spark.functions import text as TX
+
+    d = load(spark, sf_dir, "documents")
+    return SMP.mixture_epochs(
+        d, "lang", TX.token_count(F.col("text")),
+        {"en": 8000, "de": 30000, "es": 9000, "fr": 120000},
+    ).orderBy("lang")

@@ -1727,3 +1727,51 @@ def test_scd2_enrich_boundary_semantics(spark):
     assert out[106] is None          # unknown key
     # 1:<=1 — no fact row duplicated by the join
     assert scd2_enrich(facts, hist, "fk", "ts", "k").count() == 7
+
+
+def test_ngram_novelty_semantics(spark):
+    """A mirrored doc drags BOTH copies to novelty 0 (corpus-wide df, not
+    pairwise best-match); unique prose scores 1; short docs are NULL."""
+    from dataclod_spark.operators.dedup import ngram_novelty
+
+    df = _docs(
+        spark,
+        [
+            (1, BASE),          # mirrored by 2 -> all grams shared
+            (2, BASE),
+            (3, OTHER),         # unique -> novelty 1
+            (4, "two words"),   # < 3 tokens -> no grams -> NULL
+        ],
+    )
+    out = {r.doc_id: r for r in ngram_novelty(df).collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0 and out[3].n_shared == 0
+    assert out[4].n_grams == 0 and out[4].novelty is None
+
+
+def test_mixture_epochs_regimes(spark):
+    """Exact integer epoch math: fits-in-one-pass, exact multiple,
+    oversubscribed, excluded (budget 0), and zero-available strata."""
+    from pyspark.sql import types as T  # noqa: F811
+    from dataclod_spark.operators.sampling import mixture_epochs
+
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType(), False),
+            T.StructField("tok", T.LongType(), True),
+        ]
+    )
+    rows = [("a", 100), ("a", 100), ("b", 50), ("c", 10), ("d", None), ("d", 0)]
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r.lang: r
+        for r in mixture_epochs(
+            df, "lang", F.col("tok"),
+            {"a": 150, "b": 100, "c": 0, "d": 7},
+        ).collect()
+    }
+    assert out["a"].epochs == 1 and out["a"].repeated_tokens == 0
+    assert out["b"].epochs == 2 and out["b"].repeated_tokens == 50
+    assert out["c"].epochs == 0 and out["c"].repeated_tokens == 0
+    assert out["d"].available_tokens == 0
+    assert out["d"].epochs is None and out["d"].repeated_tokens == 7
