@@ -1775,3 +1775,19 @@ def test_mixture_epochs_regimes(spark):
     assert out["c"].epochs == 0 and out["c"].repeated_tokens == 0
     assert out["d"].available_tokens == 0
     assert out["d"].epochs is None and out["d"].repeated_tokens == 7
+
+
+def test_ngram_novelty_mirror_property(spark):
+    """Mirroring the corpus (every doc duplicated under a new id) forces
+    novelty to exactly 0 for every doc with gram evidence — the invariant
+    a mirror-site crawl would trigger."""
+    from dataclod_spark.operators.dedup import ngram_novelty
+
+    base = _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER)])
+    mirrored = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 1000)
+    )
+    out = ngram_novelty(mirrored).collect()
+    assert len(out) == 6
+    assert all(r.novelty == 0.0 for r in out)
+    assert all(r.n_shared == r.n_grams for r in out)

@@ -335,3 +335,21 @@ def test_round8_new_ops_no_window(spark):
     plan = df._jdf.queryExecution().explainString(jmode)
     assert "Window" not in plan
     assert "partial_" in plan
+
+
+def test_round8_late_ops_plan_shapes(spark):
+    """x28: window-free (gram-df is a hash agg, the join back is a join);
+    u6: the SCD2 history comes back as a BROADCAST hash join (never a
+    nested-loop over the interval predicate) with map-side partials;
+    v14: the recall grader adds no Python and no extra corpus scans
+    beyond its two searches (both sides broadcast the 10-query side)."""
+    plan = _plan(spark, "x28_ngram_novelty", "simple")
+    assert "Window" not in plan
+    assert "partial_" in plan
+    plan = _plan(spark, "u6_scd2_enrich", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+    plan = _plan(spark, "v14_ann_recall", "simple")
+    assert "Python" not in plan and "ArrowEval" not in plan
