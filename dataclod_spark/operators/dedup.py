@@ -1307,3 +1307,77 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    sample_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Recall estimation for the MinHash-LSH index — the dedup-side
+    honesty meter (similarity's twin is :func:`similarity.recall_report`):
+    LSH bands can MISS true near-duplicate pairs (a pair whose minhashes
+    collide in no band), and the miss rate is what band/row parameters
+    are tuned against.  Exact recall needs all-pairs ground truth (O(n²)
+    — impossible at corpus scale), so this does what production eval
+    does: SAMPLE query documents (``sample_pred`` marks them), compute
+    their TRUE neighbor sets exactly by broadcasting the k sampled
+    shingle sets against one corpus scan (k·n work — linear in the
+    corpus for a fixed sample), and grade the index's pairs against that
+    truth.  Precision needs no estimate: :func:`lsh_candidate_pairs`
+    verifies exact Jaccard on every candidate, so found ⊆ true by
+    construction and the one number that can fall short is recall.
+
+    Returns per sampled doc: ``(id, n_true, n_found, recall)``; recall
+    is NULL when the doc has no true neighbor (nothing to find)."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, out="__sh").select(
+        F.col(id_col).alias("__cid"), "__sh"
+    ).localCheckpoint(eager=True)
+    ids = df.select(F.col(id_col), sample_pred.alias("__is_q"))
+    q = (
+        sh.join(ids.filter(F.col("__is_q")).select(id_col), sh["__cid"] == F.col(id_col))
+        .select(F.col("__cid").alias("__qid"), F.col("__sh").alias("__qsh"))
+    )
+    inter = F.size(F.array_intersect(F.col("__qsh"), F.col("__sh")))
+    union = F.size(F.array_union(F.col("__qsh"), F.col("__sh")))
+    truth = (
+        sh.crossJoin(F.broadcast(q))
+        .filter(F.col("__cid") != F.col("__qid"))
+        .withColumn("__jac", F.round(inter.cast("double") / union, 4))
+        .filter(F.col("__jac") >= jaccard_threshold)
+        .select("__qid", F.col("__cid").alias("__oid"))
+    )
+    pairs = lsh_candidate_pairs(
+        df, id_col=id_col, text_col=text_col, jaccard_threshold=jaccard_threshold
+    )
+    found = (
+        pairs.select(F.col("id_1").alias("__qid"), F.col("id_2").alias("__oid"))
+        .unionByName(
+            pairs.select(F.col("id_2").alias("__qid"), F.col("id_1").alias("__oid"))
+        )
+        .join(q.select("__qid"), "__qid")
+    )
+    hit = truth.join(found, ["__qid", "__oid"]).groupBy("__qid").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    base = truth.groupBy("__qid").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        q.select("__qid")
+        .join(base, "__qid", "left")
+        .join(hit, "__qid", "left")
+        .select(
+            F.col("__qid").alias(id_col),
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce(F.col("n_found"), F.lit(0)).cast("bigint").alias("n_found"),
+            F.when(
+                F.coalesce(F.col("n_true"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col("n_found"), F.lit(0))
+                    / F.col("n_true").cast("double"),
+                    6,
+                ),
+            ).alias("recall"),
+        )
+    )

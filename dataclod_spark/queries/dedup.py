@@ -801,3 +801,71 @@ def x28_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     no all-pairs stage."""
     d = load(spark, sf_dir, "documents")
     return DD.ngram_novelty(d).orderBy("doc_id")
+
+
+@query(
+    "d17_lsh_recall",
+    doc="LSH index recall estimation (the dedup-side twin of v14): TRUE "
+    "neighbor sets for 50 sampled docs computed exactly by broadcasting "
+    "their shingle sets against one corpus scan (k*n — linear for a "
+    "fixed sample, never all-pairs), the banded index's pairs graded "
+    "against them; precision is 1 by construction (candidates are "
+    "exact-Jaccard-verified), recall is the number bands can lose",
+    oracle=rf"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+truth AS (
+  SELECT q.doc_id AS qid, c.doc_id AS oid
+  FROM sh q JOIN sh c ON q.doc_id < 50 AND c.doc_id <> q.doc_id
+  WHERE round(CAST(len(list_distinct(list_intersect(q.s, c.s))) AS DOUBLE)
+              / len(list_distinct(list_concat(q.s, c.s))), 4) >= 0.2
+),
+sig AS (
+  SELECT doc_id, s,
+         md5({_mh(0)} || {_mh(1)}) AS band_0,
+         md5({_mh(2)} || {_mh(3)}) AS band_1
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.s AS sh_1, b.s AS sh_2
+  FROM sig a JOIN sig b ON a.band_0 = b.band_0 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.s, b.s
+  FROM sig a JOIN sig b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_1, id_2 FROM cand
+  WHERE round(CAST(len(list_distinct(list_intersect(sh_1, sh_2))) AS DOUBLE)
+              / len(list_distinct(list_concat(sh_1, sh_2))), 4) >= 0.2
+),
+found AS (
+  SELECT id_1 AS qid, id_2 AS oid FROM pairs WHERE id_1 < 50
+  UNION
+  SELECT id_2, id_1 FROM pairs WHERE id_2 < 50
+),
+base AS (SELECT qid, count(*) AS n_true FROM truth GROUP BY qid),
+hit AS (
+  SELECT t.qid, count(*) AS n_found
+  FROM truth t JOIN found f ON t.qid = f.qid AND t.oid = f.oid
+  GROUP BY t.qid
+)
+SELECT d.doc_id,
+       CAST(coalesce(b.n_true, 0) AS BIGINT) AS n_true,
+       CAST(coalesce(h.n_found, 0) AS BIGINT) AS n_found,
+       CASE WHEN coalesce(b.n_true, 0) > 0
+            THEN round(coalesce(h.n_found, 0) / CAST(b.n_true AS DOUBLE), 6)
+       END AS recall
+FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+LEFT JOIN base b ON d.doc_id = b.qid
+LEFT JOIN hit h ON d.doc_id = h.qid
+ORDER BY d.doc_id
+""",
+)
+def d17_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.dedup.lsh_recall_report with doc_id < 50 as the sample:
+    the truth pass broadcasts 50 shingle sets against one corpus scan,
+    the index pass is d3's banded machinery, the grade is two rollups —
+    no stage is all-pairs."""
+    d = load(spark, sf_dir, "documents")
+    return DD.lsh_recall_report(
+        d, F.col("doc_id") < 50, jaccard_threshold=0.2
+    ).orderBy("doc_id")

@@ -1791,3 +1791,22 @@ def test_ngram_novelty_mirror_property(spark):
     assert len(out) == 6
     assert all(r.novelty == 0.0 for r in out)
     assert all(r.n_shared == r.n_grams for r in out)
+
+
+def test_lsh_recall_report_semantics(spark):
+    """Planted near-dup -> found and graded 1.0; isolated doc -> NULL
+    recall; and found <= true always (candidates are exact-verified, so
+    the index can only LOSE pairs, never invent them)."""
+    from dataclod_spark.operators.dedup import lsh_recall_report
+
+    df = _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER)])
+    out = {
+        r.doc_id: r
+        for r in lsh_recall_report(
+            df, F.col("doc_id") <= 3, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert out[1].n_true == 1 and out[1].n_found == 1 and out[1].recall == 1.0
+    assert out[2].n_true == 1 and out[2].recall == 1.0
+    assert out[3].n_true == 0 and out[3].recall is None
+    assert all(r.n_found <= r.n_true for r in out.values())
