@@ -1275,8 +1275,9 @@ def ngram_novelty(
     gram-keyed count (uniform keys, partial-aggregable; counts only,
     never posting lists), joined back onto the exploded grams (a JOIN,
     AQE-skew-splittable — stop grams are high-df keys but the join is
-    1:1 per gram occurrence), then a per-doc rollup.  Three bounded
-    shuffles total, each linear in the gram count."""
+    1:1 per gram occurrence), then a per-doc rollup and a doc-keyed join
+    back onto the corpus ids.  Four shuffles total (two gram-keyed, two
+    doc-keyed), each linear in its input — no stage is all-pairs."""
     grams = df.select(
         F.col(id_col).alias("__id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),

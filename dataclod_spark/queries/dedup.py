@@ -797,8 +797,8 @@ def x28_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators.dedup.ngram_novelty: gram document frequency is one
     gram-keyed count (uniform keys, map-side partial, counts only —
     never posting lists), joined back onto the exploded grams (a join,
-    AQE-skew-splittable) and rolled up per doc.  Three linear shuffles,
-    no all-pairs stage."""
+    AQE-skew-splittable), rolled up per doc and joined back onto the
+    corpus ids.  Four linear shuffles, no all-pairs stage."""
     d = load(spark, sf_dir, "documents")
     return DD.ngram_novelty(d).orderBy("doc_id")
 
