@@ -826,3 +826,67 @@ def st16_stream_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "st17_stream_contamination",
+    doc="decontamination at ingest: the doc_id%97==0 benchmark gram set "
+    "trained once from the static snapshot, 3 arriving micro-batches of "
+    "training docs scored against the broadcast set (idempotent batch "
+    "partitions) — drained output equals the batch x16 operator on the "
+    "union of batches",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, greatest(len(ts) - 2, 0)),
+      i -> array_to_string(ts[i:i+2], ' '))) AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0
+), ex AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0
+), hits AS (
+  SELECT ex.doc_id, count(*) AS n_grams, count(b.g) AS n_hits
+  FROM ex LEFT JOIN bench b ON ex.g = b.g
+  GROUP BY ex.doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS contamination
+FROM hits
+WHERE CAST(n_hits AS DOUBLE) / n_grams >= 0.05
+ORDER BY doc_id
+""",
+)
+def st17_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/run.streaming_contamination: the benchmark slice comes
+    from the STATIC snapshot (trained once), the non-benchmark docs
+    arrive across 3 maxFilesPerTrigger=1 micro-batches; scoring is
+    per-row against the static set, so the drained result equals batch
+    x16 regardless of the batching."""
+    import shutil
+    import tempfile
+
+    from dataclod_spark.registry import load
+    from dataclod_spark.streaming.run import (
+        read_documents_stream_multibatch,
+        streaming_contamination,
+    )
+
+    bench = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    stage = tempfile.mkdtemp(prefix="dataclod_contam_stage_")
+    out = tempfile.mkdtemp(prefix="dataclod_contam_out_")
+    try:
+        ds = read_documents_stream_multibatch(
+            spark, sf_dir, stage, n_files=3, pred_sql="doc_id % 97 <> 0"
+        ).select("doc_id", "text")
+        res = streaming_contamination(spark, ds, bench, out)
+        return res.select(
+            "doc_id", "n_grams", "n_hits", "contamination"
+        ).orderBy("doc_id").localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

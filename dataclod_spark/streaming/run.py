@@ -950,3 +950,84 @@ def streaming_source_drift(
         raise ValueError("streaming source drift saw no micro-batches")
     state = spark.read.parquet(os.path.join(state_root, f"b{last['id']}"))
     return drift_from_counts(state, group_col=group_col, n_buckets=n_buckets)
+
+
+def streaming_contamination(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.05,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Decontamination AT INGEST — the streaming face of
+    :func:`operators.dedup.contamination_check`, and where
+    decontamination actually runs in production: the benchmark gram set
+    is trained ONCE from the static ``benchmark`` snapshot (one distinct
+    aggregate, checkpointed — a benchmark is small by definition; the
+    batch operator's guarded shuffle fallback covers the degenerate
+    case), and every arriving micro-batch scores its own rows against
+    the broadcast set via ``foreachBatch``, writing an idempotent
+    ``batch_id=<n>`` partition (the st12 recovery contract).  Scores
+    depend only on the batch's rows + the static set, so the drained
+    output is batching-invariant and equals the batch operator on the
+    union of batches.
+
+    Returns flagged rows: ``(id, n_grams, n_hits, contamination)`` at or
+    above ``threshold`` (hits/distinct-grams as exact int-over-int)."""
+    import os
+
+    from dataclod_spark.operators.dedup import word_ngrams
+
+    bg = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+        )
+        .distinct()
+        .withColumn("__b", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    res_dir = os.path.join(out_dir, "flagged")
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        ex = batch_df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
+        )
+        out = (
+            ex.join(F.broadcast(bg), "__g", "left")
+            .groupBy("__id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.count("__b").alias("n_hits"),
+            )
+            .withColumn(
+                "contamination",
+                F.round(F.col("n_hits") / F.col("n_grams").cast("double"), 6),
+            )
+            .filter(F.col("n_hits") / F.col("n_grams").cast("double") >= threshold)
+            .select(F.col("__id").alias(id_col), "n_grams", "n_hits", "contamination")
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(res_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming contamination did not finish within {timeout_sec}s"
+        )
+    return spark.read.parquet(res_dir)
