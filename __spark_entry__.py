@@ -32,26 +32,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # list at the start of each round; entries left over from a prior round
 # only waste window slots (never produce a wrong check).
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round 8: the stratum-window family rebuilt on banded-boundary
-    # ranking (window sees only the verified band, full-window fallback
-    # per stratum) — sp1/sp3/sp4/sp5/sp8 + x23's tercile assembler; w9's
-    # join-mode GROUPS rewrite gained qualified-outer-ref projection
+    # round 9: the d6/d15 stop-gram guard rebuilt groupBy+join (gate
+    # defaults run guard-off, but the shared functions changed); the
+    # GROUPS join-wrap inliner gained bare-item re-aliasing (w9/w10 ride
+    # through the same code path); the banded samplers gained the
+    # NULL-hash fallback check (sp1/sp3 use _take_first_by_hash, sp4/sp5
+    # the token-budget band); m6 refactored onto the shared _quant_cells
+    # helper; st15's weighted-topk entry gained the weight_col guard
+    "d6_ngram_jaccard",
+    "d15_ngram_containment",
+    "w9_groups_frame_join_sql",
+    "w10_groups_frame_join_qualified_sql",
     "sp1_stratified_sample",
     "sp3_language_rebalance",
     "sp4_token_budget_mixture",
     "sp5_temperature_mixture",
-    "sp8_dsir_select",
-    "x23_lm_quality_buckets",
-    "w9_groups_frame_join_sql",
-    # late round-7 commits (after the r7 driver check): batched x26
-    # encode replay + struct-keyed BPE LUT, media_dedup null-id salt,
-    # streaming DSIR target param, routed-assign rework (d13 default
-    # path unchanged but shared module edited)
-    "x26_bpe_encode_stats",
-    "x24_bpe_merges",
-    "m5_media_dedup",
-    "st14_stream_dsir_score",
-    "d13_semantic_dedup",
+    "m6_media_near_dedup",
+    "st15_stream_weighted_topk",
 )
 
 # The driver samples a bounded window (50 in r2-r5) of the registry in

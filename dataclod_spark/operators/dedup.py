@@ -529,6 +529,32 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     return _word_ngrams_from(_ngram_tokens(col), n)
 
 
+def _stop_gram_filter(inv: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop grams occurring in more than ``max_doc_freq`` documents from an
+    inverted index — the stop-gram / skew guard — WITHOUT a per-gram
+    window.  Gram document frequency is a partial-aggregable
+    ``groupBy(gram).count()`` (map-side combined; COUNTS only, never
+    posting lists — the same shape :func:`ngram_novelty` uses), and the
+    kept-gram key set joins back onto the index.  The join's key domain is
+    the KEPT grams only (df ≤ ``max_doc_freq`` by construction), so the
+    most skewed keys in the corpus — the stop grams the guard exists for —
+    are eliminated in the aggregate and never reach the join at all.
+
+    A ``count().over(Window.partitionBy(gram))`` here would pin every
+    gram's full posting list to ONE task on exactly the highest-df keys:
+    at 100 TB a boilerplate trigram in 10 % of documents funnels billions
+    of rows through a single task *before* the filter drops them (Spark
+    never splits window partitions; AQE skew mitigation applies only to
+    joins/rebalance)."""
+    kept = (
+        inv.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("__g")
+    )
+    return inv.join(kept, "__g")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -560,11 +586,7 @@ def ngram_jaccard_pairs(
     )
     inv = grams.select("__id", "__n_grams", F.explode("__grams").alias("__g"))
     if max_doc_freq is not None:
-        from pyspark.sql import Window as W
-
-        inv = inv.withColumn(
-            "__df", F.count(F.lit(1)).over(W.partitionBy("__g"))
-        ).filter(F.col("__df") <= max_doc_freq).drop("__df")
+        inv = _stop_gram_filter(inv, max_doc_freq)
     left = inv.select(
         F.col("__id").alias("id_1"), F.col("__n_grams").alias("n_1"), "__g"
     )
@@ -610,7 +632,16 @@ def ngram_containment_pairs(
     scored from ONE intersection count, and a doc pair can emit two rows
     (each contained in the other ⟺ equal gram sets ⟺ both rows carry
     containment 1.0).  Ties and rounding: containment is rounded to 6
-    decimals from an exact integer ratio — engine-portable."""
+    decimals from an exact integer ratio — engine-portable.
+
+    Under the guard the intersection counts KEPT grams only while the
+    denominator stays the full distinct-gram count — a documented lower
+    bound (conservative: guard-on never inflates containment).  So that
+    downstream thresholding can tell a true 0.6 from a truncated one,
+    guard-on output carries an extra ``n_kept_grams`` column: the
+    contained doc's surviving gram count (``n_kept_grams`` < the doc's
+    gram total ⟹ the score was truncated by stop-gram exclusion).
+    Guard-off output keeps the original 3-column schema."""
     grams = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col))
         .withColumn("__toks", _ngram_tokens(F.col(text_col)))
@@ -618,41 +649,43 @@ def ngram_containment_pairs(
         .withColumn("__n_grams", F.size("__grams"))
     )
     inv = grams.select("__id", "__n_grams", F.explode("__grams").alias("__g"))
-    if max_doc_freq is not None:
-        from pyspark.sql import Window as W
-
-        inv = inv.withColumn(
-            "__df", F.count(F.lit(1)).over(W.partitionBy("__g"))
-        ).filter(F.col("__df") <= max_doc_freq).drop("__df")
+    guarded = max_doc_freq is not None
+    if guarded:
+        inv = _stop_gram_filter(inv, max_doc_freq)
+        # per-doc surviving gram count — the truncation marker (doc-keyed
+        # count + join-back: uniform keys, linear, no window)
+        kept_n = inv.groupBy("__id").agg(F.count(F.lit(1)).alias("__n_kept"))
+        inv = inv.join(kept_n, "__id")
+    kept1 = [F.col("__n_kept").alias("k_1")] if guarded else []
+    kept2 = [F.col("__n_kept").alias("k_2")] if guarded else []
     left = inv.select(
-        F.col("__id").alias("id_1"), F.col("__n_grams").alias("n_1"), "__g"
+        F.col("__id").alias("id_1"), F.col("__n_grams").alias("n_1"), *kept1, "__g"
     )
     right = inv.select(
-        F.col("__id").alias("id_2"), F.col("__n_grams").alias("n_2"), "__g"
+        F.col("__id").alias("id_2"), F.col("__n_grams").alias("n_2"), *kept2, "__g"
     )
     pairs = (
         left.join(right, "__g")
         .filter(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2", "n_1", "n_2")
+        .groupBy("id_1", "id_2", "n_1", "n_2", *(["k_1", "k_2"] if guarded else []))
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
+
+    def _direction(cid: str, oid: str, denom: str, kept: str):
+        fields = [
+            F.col(cid).alias("contained_id"),
+            F.col(oid).alias("container_id"),
+            F.round(F.col("__inter") / F.col(denom), 6).alias("containment"),
+        ]
+        if guarded:
+            fields.append(F.col(kept).cast("bigint").alias("n_kept_grams"))
+        return F.struct(*fields)
+
     directed = pairs.select(
         F.explode(
             F.array(
-                F.struct(
-                    F.col("id_1").alias("contained_id"),
-                    F.col("id_2").alias("container_id"),
-                    F.round(F.col("__inter") / F.col("n_1"), 6).alias(
-                        "containment"
-                    ),
-                ),
-                F.struct(
-                    F.col("id_2").alias("contained_id"),
-                    F.col("id_1").alias("container_id"),
-                    F.round(F.col("__inter") / F.col("n_2"), 6).alias(
-                        "containment"
-                    ),
-                ),
+                _direction("id_1", "id_2", "n_1", "k_1"),
+                _direction("id_2", "id_1", "n_2", "k_2"),
             )
         ).alias("__p")
     ).select("__p.*")

@@ -132,17 +132,27 @@ def _take_first_by_hash(
     h = row_hash(F.col(key))
     qt = _quota_thresholds(quotas, stratum).localCheckpoint(eager=True)
     j = _join_stratum(df, qt, stratum)
+    # __c_null: a NULL key hashes to NULL, which satisfies NEITHER band
+    # predicate (h < lo and h >= lo are both NULL → filtered out), so a
+    # stratum containing any NULL-hash row must take the fallback window
+    # (which ranks NULLs first, per the full-sort contract) — otherwise
+    # those rows would silently land in no branch at all.
     chk = (
         j.groupBy(stratum)
         .agg(
             F.count(F.when(h < F.col("__lo"), 1)).alias("__c_lo"),
             F.count(F.when(h < F.col("__hi"), 1)).alias("__c_hi"),
+            F.count(F.when(h.isNull(), 1)).alias("__c_null"),
         )
         .localCheckpoint(eager=True)
     )
     j2 = _join_stratum(j, chk, stratum)
-    ok = (F.col("__c_lo") <= F.col("__q")) & (F.col("__c_hi") >= F.col("__q"))
-    helpers = ["__q", "__lo", "__hi", "__c_lo", "__c_hi"]
+    ok = (
+        (F.col("__c_lo") <= F.col("__q"))
+        & (F.col("__c_hi") >= F.col("__q"))
+        & (F.col("__c_null") == 0)
+    )
+    helpers = ["__q", "__lo", "__hi", "__c_lo", "__c_hi", "__c_null"]
     w = Window.partitionBy(stratum).orderBy(h, F.col(key))
     pre = j2.filter(ok & (h < F.col("__lo"))).drop(*helpers)
     band = (
@@ -300,17 +310,26 @@ def token_budget_sample(
             F.count(F.when(h < F.col("__hi"), 1)).alias("__c_hi"),
             F.sum(F.when(h < F.col("__lo"), tok).otherwise(F.lit(0))).alias("__pt_lo"),
             F.sum(F.when(h < F.col("__hi"), tok).otherwise(F.lit(0))).alias("__pt_hi"),
+            F.count(F.when(h.isNull(), 1)).alias("__c_null"),
         )
         .localCheckpoint(eager=True)
     )
     j2 = _join_stratum(j, chk, stratum)
     # exact band verification: every prefix row's running sum stays under
     # budget (strict — a zero-token row at the prefix edge must still be
-    # inside), and everything past the band is provably at/over budget
-    ok = ((F.col("__pt_lo") < F.col("__b")) | (F.col("__c_lo") == 0)) & (
-        (F.col("__pt_hi") >= F.col("__b")) | (F.col("__c_hi") == F.col("__n"))
+    # inside), and everything past the band is provably at/over budget.
+    # A NULL key hashes to NULL, satisfying neither band predicate, so a
+    # stratum with any NULL-hash row forces the fallback cumsum window
+    # (NULLs rank first there, per the full-sort contract).
+    ok = (
+        ((F.col("__pt_lo") < F.col("__b")) | (F.col("__c_lo") == 0))
+        & ((F.col("__pt_hi") >= F.col("__b")) | (F.col("__c_hi") == F.col("__n")))
+        & (F.col("__c_null") == 0)
     )
-    helpers = ["__n", "__b", "__lo", "__hi", "__c_lo", "__c_hi", "__pt_lo", "__pt_hi"]
+    helpers = [
+        "__n", "__b", "__lo", "__hi", "__c_lo", "__c_hi",
+        "__pt_lo", "__pt_hi", "__c_null",
+    ]
     w = (
         Window.partitionBy(stratum)
         .orderBy(h, F.col(key))

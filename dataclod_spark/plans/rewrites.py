@@ -507,17 +507,22 @@ def _read_ident_end(text: str, i: int) -> int | None:
 
 def _inline_qualified_refs(
     segments: list[str],
-) -> tuple[list[str], list[str]]:
+) -> tuple[list[str], list[str], dict[str, str]]:
     """Rewrite every qualified column-reference chain (``a.col``,
     ``a.b.c``, backtick parts included) in CODE positions of ``segments``
-    to a private projected alias, returning the rewritten segments plus
-    the projection list (``["a.col AS __gq0", ...]``) to add INSIDE the
+    to a private projected alias, returning the rewritten segments, the
+    projection list (``["a.col AS __gq0", ...]``) to add INSIDE the
     join-wrap subquery — where the original relation aliases are still in
     scope, so each chain resolves exactly as it did in the original
-    statement's outer scope.  Declines qualified FUNCTION calls (dotted
-    name followed by ``(``) and ``alias.*`` expansion — substituting
-    either would change meaning."""
+    statement's outer scope — and a ``{__gqN: terminal_part}`` map (the
+    chain's LAST identifier, backticks preserved) so the caller can
+    restore the user-visible column name where a chain was a whole
+    unaliased select item (``SELECT t.x`` names its column ``x``, not
+    ``__gq0``).  Declines qualified FUNCTION calls (dotted name followed
+    by ``(``) and ``alias.*`` expansion — substituting either would
+    change meaning."""
     subs: dict[str, str] = {}
+    terminals: dict[str, str] = {}
     proj: list[str] = []
     out_segs: list[str] = []
     for text in segments:
@@ -538,7 +543,7 @@ def _inline_qualified_refs(
                 out.append(text[i])
                 i += 1
                 continue
-            j, chain_end, ndots = end, end, 0
+            j, chain_end, ndots, term_start = end, end, 0, i
             while True:
                 k = j
                 while k < n and text[k].isspace():
@@ -554,6 +559,7 @@ def _inline_qualified_refs(
                         break
                     ndots += 1
                     j = chain_end = e2
+                    term_start = k
                 else:
                     break
             if ndots == 0:
@@ -570,10 +576,34 @@ def _inline_qualified_refs(
             if key not in subs:
                 subs[key] = f"__gq{len(subs)}"
                 proj.append(f"{chain} AS {subs[key]}")
+                terminals[subs[key]] = text[term_start:chain_end]
             out.append(subs[key])
             i = chain_end
         out_segs.append("".join(out))
-    return out_segs, proj
+    return out_segs, proj, terminals
+
+
+def _alias_bare_gq_items(select_list: str, terminals: dict[str, str]) -> str:
+    """Restore user-visible column names after :func:`_inline_qualified_refs`:
+    a select-list item that is EXACTLY a substituted chain with no AS alias
+    (``SELECT t.x, ...`` → ``SELECT __gq0, ...``) would surface as column
+    ``__gq0``, but the reference engine names it after the chain's terminal
+    part (``x``).  Re-emit such items as ``__gqN AS <terminal>``.  Items
+    where the alias is embedded in a larger expression (or already carries
+    an AS) are left alone — their output name is unaffected by the
+    substitution."""
+    items = _split_top_commas(select_list)
+    fixed: list[str] = []
+    for idx, item in enumerate(items):
+        prefix, body = "", item
+        if idx == 0:
+            m = re.match(r"(?is)^\s*DISTINCT\b", body)
+            if m:
+                prefix, body = body[: m.end()] + " ", body[m.end() :].strip()
+        if body in terminals:
+            body = f"{body} AS {terminals[body]}"
+        fixed.append(prefix + body)
+    return " " + ", ".join(fixed) + " "
 
 
 def _has_qualified_ref(text: str) -> bool:
@@ -839,9 +869,13 @@ def _rewrite_block_groups(sql: str) -> str | None:
         # qualified function calls, alias.* — decline inside
         # _inline_qualified_refs; anything its scanner cannot account for
         # is caught by the shadow-scan belt below.
-        (new_select_list, outer_tail), qual_proj = _inline_qualified_refs(
+        (new_select_list, outer_tail), qual_proj, terminals = _inline_qualified_refs(
             [new_select_list, outer_tail]
         )
+        if terminals:
+            # a whole unaliased select item `t.x` must still surface as
+            # column `x`, not as the private alias
+            new_select_list = _alias_bare_gq_items(new_select_list, terminals)
         if _has_qualified_ref(new_select_list) or _has_qualified_ref(outer_tail):
             raise _Decline("qualified column reference outside the join wrap")
         proj: list[str] = []

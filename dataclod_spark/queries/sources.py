@@ -475,3 +475,143 @@ def m6_media_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_M_HIST_CTE = """
+WITH ascii_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE strlen(text) = len(text) AND strlen(text) > 0
+), hist AS (
+  SELECT doc_id,
+         len(list_filter(cs, c -> c < 32)) AS b0,
+         len(list_filter(cs, c -> c >= 32 AND c < 64)) AS b1,
+         len(list_filter(cs, c -> c >= 64 AND c < 96)) AS b2,
+         len(list_filter(cs, c -> c >= 96)) AS b3
+  FROM (SELECT doc_id,
+               list_transform(range(1, len(text) + 1),
+                              i -> ascii(substr(text, i, 1))) AS cs
+        FROM ascii_docs)
+)"""
+
+
+@query(
+    "m7_media_probe_pairs",
+    doc="media near-dup candidate PAIRS with adjacent-cell multi-probing "
+    "(the r8 verdict's documented-but-unimplemented recall knob): each "
+    "blob probes its 3^4 quant-adjacent byte-histogram cells, so every "
+    "pair within Chebyshev distance 1 in cell space — in particular "
+    "every pair whose exact profiles differ by under one cell width — "
+    "is found; bounded x81 probe explosion + ONE cell-keyed equi-join, "
+    "never all-pairs (the oracle's all-pairs form is gate-scale only)",
+    oracle=_M_HIST_CTE
+    + """, sig AS (
+  SELECT doc_id,
+         CAST((b0 * 2048) // (b0+b1+b2+b3) AS INT) AS q0,
+         CAST((b1 * 2048) // (b0+b1+b2+b3) AS INT) AS q1,
+         CAST((b2 * 2048) // (b0+b1+b2+b3) AS INT) AS q2,
+         CAST((b3 * 2048) // (b0+b1+b2+b3) AS INT) AS q3
+  FROM hist WHERE b0+b1+b2+b3 > 0
+)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST(greatest(abs(a.q0-b.q0), abs(a.q1-b.q1),
+                     abs(a.q2-b.q2), abs(a.q3-b.q3)) AS INT) AS cell_dist
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE abs(a.q0-b.q0) <= 1 AND abs(a.q1-b.q1) <= 1
+  AND abs(a.q2-b.q2) <= 1 AND abs(a.q3-b.q3) <= 1
+ORDER BY id_1, id_2
+""",
+)
+def m7_media_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.multimodal.media_near_dup_pairs(probe_adjacent=True):
+    the m6 grid's boundary-miss fix.  quant=2048 — the synthetic docs'
+    byte profiles are near-identical, so the gate uses a grid fine
+    enough that cells separate (cell membership is still decided by
+    exact integer div)."""
+    from dataclod_spark.operators.multimodal import media_near_dup_pairs
+
+    d = load(spark, sf_dir, "documents")
+    media = d.filter(
+        (F.octet_length("text") == F.char_length("text"))
+        & (F.char_length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return media_near_dup_pairs(
+        media, quant=2048, probe_adjacent=True
+    ).orderBy("id_1", "id_2")
+
+
+@query(
+    "m8_media_recall",
+    doc="sampled recall meter for the quantized-cell media index (the "
+    "d17/v14-style honesty meter the r8 verdict asked to pair with the "
+    "probe knob): truth = byte-class ratios within half a cell width, "
+    "decided in exact integer cross-multiplication; found = the probed "
+    "index's candidates; with probing recall is 1.0 BY CONSTRUCTION — "
+    "the meter exists to measure how far same-cell grouping falls short "
+    "and to re-grade after retuning",
+    oracle=_M_HIST_CTE
+    + """, prof AS (
+  SELECT doc_id, b0, b1, b2, b3, b0+b1+b2+b3 AS t
+  FROM hist WHERE b0+b1+b2+b3 > 0
+), sig AS (
+  SELECT doc_id,
+         CAST((b0 * 2048) // t AS INT) AS q0,
+         CAST((b1 * 2048) // t AS INT) AS q1,
+         CAST((b2 * 2048) // t AS INT) AS q2,
+         CAST((b3 * 2048) // t AS INT) AS q3
+  FROM prof
+), q AS (SELECT * FROM prof WHERE doc_id % 50 = 0),
+truth AS (
+  SELECT q.doc_id AS qid, p.doc_id AS oid
+  FROM q JOIN prof p ON p.doc_id <> q.doc_id
+  WHERE abs(q.b0*p.t - p.b0*q.t) * 4096 <= q.t*p.t
+    AND abs(q.b1*p.t - p.b1*q.t) * 4096 <= q.t*p.t
+    AND abs(q.b2*p.t - p.b2*q.t) * 4096 <= q.t*p.t
+    AND abs(q.b3*p.t - p.b3*q.t) * 4096 <= q.t*p.t
+), found AS (
+  SELECT truth.qid, truth.oid
+  FROM truth
+  JOIN sig sa ON sa.doc_id = truth.qid
+  JOIN sig sb ON sb.doc_id = truth.oid
+  WHERE abs(sa.q0-sb.q0) <= 1 AND abs(sa.q1-sb.q1) <= 1
+    AND abs(sa.q2-sb.q2) <= 1 AND abs(sa.q3-sb.q3) <= 1
+)
+SELECT q.doc_id,
+       CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+       CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+       CASE WHEN coalesce(t.n_true, 0) > 0
+            THEN round(coalesce(f.n_found, 0) / CAST(t.n_true AS DOUBLE), 6)
+       END AS recall
+FROM q
+LEFT JOIN (SELECT qid, count(*) AS n_true FROM truth GROUP BY qid) t
+  ON t.qid = q.doc_id
+LEFT JOIN (SELECT qid, count(*) AS n_found FROM found GROUP BY qid) f
+  ON f.qid = q.doc_id
+ORDER BY doc_id
+""",
+)
+def m8_media_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.multimodal.media_recall_report with the probed index at
+    quant=2048 and the default half-cell tolerance: k·n broadcast truth
+    pass (linear for a fixed sample), candidates from
+    media_near_dup_pairs(probe_adjacent=True)."""
+    from dataclod_spark.operators.multimodal import media_recall_report
+
+    d = load(spark, sf_dir, "documents")
+    media = d.filter(
+        (F.octet_length("text") == F.char_length("text"))
+        & (F.char_length("text") > 0)
+    ).select(
+        F.col("doc_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return media_recall_report(
+        media,
+        F.col("doc_id") % 50 == 0,
+        id_col="doc_id",
+        content_col="content",
+        quant=2048,
+        probe_adjacent=True,
+    ).orderBy("doc_id")

@@ -86,3 +86,76 @@ def rotation_order(
         return (3, rnd, idx)
 
     return [name for _, name in sorted(enumerate(names), key=lambda t: key(t))]
+
+
+def window_report(
+    names: list[str],
+    history: dict[str, tuple[int, bool]],
+    changed: tuple[str, ...] = (),
+    window: int = 50,
+) -> dict:
+    """The actual window math, computed — not estimated by hand (the r8
+    COVERAGE note miscounted the carry by prose arithmetic; VERDICT r8
+    asked for the generator to print the real list).  Returns the
+    in-window names, the queries that MISS the window despite being
+    stale/new/changed (the carry), and the post-window freshness floor
+    (the oldest latest-checked round among in-window 'stale' entries —
+    i.e. what the bar becomes after the driver runs this window)."""
+    order = rotation_order(names, history, changed)
+    in_window = order[:window]
+    carried = order[window:]
+    changed_set = set(changed)
+
+    def cls(name: str) -> str:
+        if name in changed_set:
+            return "changed"
+        row = history.get(name)
+        if row is None:
+            return "new"
+        return "green" if row[1] else "red"
+
+    stale_after = [
+        history[n][0] for n in carried if cls(n) == "green"
+    ]
+    return {
+        "window": window,
+        "in_window": in_window,
+        "carried": carried,
+        "carried_detail": [
+            (n, cls(n), history.get(n, (None,))[0]) for n in carried
+        ],
+        "freshness_floor_after": min(stale_after) if stale_after else None,
+    }
+
+
+def _main() -> None:  # pragma: no cover - CLI convenience
+    """``python -m dataclod_spark.rotation [window]``: print the window
+    cut for the CURRENT tree (registry + _CHANGED_THIS_ROUND from
+    __spark_entry__) so the COVERAGE ledger can paste facts."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __spark_entry__ as entry_mod
+
+    from dataclod_spark.registry import load_all_queries
+
+    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    rep = window_report(
+        list(load_all_queries()),
+        load_history(entry_mod._REPO_DIR),
+        entry_mod._CHANGED_THIS_ROUND,
+        window,
+    )
+    print(f"window={rep['window']}  in={len(rep['in_window'])}  "
+          f"carried={len(rep['carried'])}")
+    print("first in window:", ", ".join(rep["in_window"][:20]), "...")
+    if rep["carried_detail"]:
+        print("carried (name, class, latest_round):")
+        for n, c, r in rep["carried_detail"]:
+            print(f"  {n}  {c}  r{r}")
+    print("freshness floor after this window:",
+          f"r{rep['freshness_floor_after']}" if rep["freshness_floor_after"] else "none")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _main()

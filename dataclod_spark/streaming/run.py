@@ -826,7 +826,7 @@ def streaming_weighted_topk(
     docs_stream: DataFrame,
     out_dir: str,
     key: str = "doc_id",
-    weight_col=None,
+    weight_col: str | None = None,
     k: int = 100,
     timeout_sec: int = 300,
 ) -> DataFrame:
@@ -850,6 +850,14 @@ def streaming_weighted_topk(
 
     from dataclod_spark.operators.sampling import weighted_sample
 
+    if weight_col is None:
+        # keyword-only in spirit: a None weight column would raise an
+        # opaque AttributeError deep inside weighted_sample's first batch
+        raise ValueError(
+            "streaming_weighted_topk: weight_col is required (the "
+            "Efraimidis-Spirakis key is weight-derived; there is no "
+            "unweighted default)"
+        )
     state_root = os.path.join(out_dir, "topk_state")
     last = {"id": -1}
 

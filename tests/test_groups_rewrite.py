@@ -391,6 +391,52 @@ def test_join_tail_qualified_ref_dedup_and_multi():
     assert "ORDER BY __gq0, __gq1" in out
 
 
+def test_join_tail_bare_qualified_item_keeps_column_name():
+    """ADVICE r8 (medium): a whole UNALIASED qualified select item
+    (``SELECT t.x, ...``) must surface as column ``x`` — the reference
+    names it after the terminal part — not as the private ``__gq0``
+    alias.  The rewrite re-aliases exactly the bare-item occurrence."""
+    q = (
+        "SELECT t.x, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s "
+        "FROM t JOIN u ON t.id=u.id"
+    )
+    out = rw(q)
+    assert "t.x AS __gq0" in out  # projected inside the wrap
+    assert re.search(r"SELECT\s+__gq0 AS x\s*,", out)
+    # backtick terminal parts keep their quoting
+    qb = (
+        "SELECT `t`.`x`, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s "
+        "FROM t JOIN u ON t.id=u.id"
+    )
+    assert "__gq0 AS `x`" in rw(qb)
+    # an EMBEDDED occurrence (larger expression) is not re-aliased — its
+    # output name never depended on the chain
+    q2 = (
+        "SELECT t.x + 1 AS y, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s "
+        "FROM t JOIN u ON t.id=u.id"
+    )
+    assert "AS x" not in rw(q2)
+
+
+def test_join_groups_bare_qualified_item_output_schema(spark):
+    """End-to-end: the joined GROUPS query with a bare qualified select
+    item produces the reference's column names, not __gq aliases."""
+    from dataclod_spark.session import EngineSession
+
+    _groups_fixture(spark)
+    spark.createDataFrame(
+        [Row(p="a", seg="S1"), Row(p="b", seg="S2")]
+    ).createOrReplaceTempView("groups_dim")
+    sess = EngineSession(spark, register_catalog=False)
+    df = sess.sql(
+        "SELECT groups_dim.seg, k, sum(v) OVER (PARTITION BY groups_dim.seg "
+        "ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+        "FROM groups_t JOIN groups_dim ON groups_t.p = groups_dim.p"
+    )
+    assert df.columns == ["seg", "k", "s"]
+    assert df.count() == 7
+
+
 @pytest.mark.parametrize(
     "q",
     [

@@ -353,3 +353,26 @@ def test_round8_late_ops_plan_shapes(spark):
     assert "partial_" in plan
     plan = _plan(spark, "v14_ann_recall", "simple")
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_round9_stop_gram_guard_window_free(spark):
+    """VERDICT r8 #1: the max_doc_freq stop-gram guard must NOT be a
+    per-gram window (a window partition pins each gram's full posting
+    list to ONE task on exactly the highest-df keys).  Guard-ON plans
+    for both n-gram pair ops must be window-free, with the gram-df
+    count map-side partial-aggregated."""
+    from dataclod_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from dataclod_spark.registry import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    for fn in (ngram_jaccard_pairs, ngram_containment_pairs):
+        df = fn(d, max_doc_freq=50)
+        plan = df._jdf.queryExecution().explainString(jmode)
+        assert "Window" not in plan, fn.__name__
+        assert "partial_count" in plan, fn.__name__

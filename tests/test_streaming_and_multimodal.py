@@ -206,3 +206,68 @@ def test_media_dedup_null_rows_not_funneled_into_one_partition(spark):
     assert all(got[i] for i in range(90))          # every NULL row canonical
     assert got[100] and not got[101] and got[102]  # byte dedup intact
     assert "__dedup_key" not in out.columns        # salt column dropped
+
+
+def test_media_probe_pairs_boundary_fixture(spark):
+    """Planted boundary pair (VERDICT r8 missing #4): two blobs whose
+    byte-class profiles differ by ~1.5% but quantize astride a cell
+    boundary — same-cell grouping misses them, adjacent-cell probing
+    finds them at cell_dist 1.  Empty blobs pair only with each other;
+    a far blob pairs with nothing."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.multimodal import media_near_dup_pairs
+
+    rows = [
+        # A: ratios (0, .5, 0, .5) -> cell (0, 8, 0, 8) at quant=16
+        Row(media_id=1, content=b" " * 8 + b"a" * 8),
+        # B: ratios (0, 17/33, 0, 16/33) -> cell (0, 8, 0, 7): q3 boundary
+        Row(media_id=2, content=b" " * 17 + b"a" * 16),
+        # C: all control bytes -> cell (16, 0, 0, 0): far from everything
+        Row(media_id=3, content=b"\x01" * 16),
+        Row(media_id=4, content=b""),
+        Row(media_id=5, content=None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    off = {
+        (r.id_1, r.id_2): r.cell_dist
+        for r in media_near_dup_pairs(df, quant=16).collect()
+    }
+    on = {
+        (r.id_1, r.id_2): r.cell_dist
+        for r in media_near_dup_pairs(df, quant=16, probe_adjacent=True).collect()
+    }
+    assert (1, 2) not in off          # the boundary miss
+    assert on[(1, 2)] == 1            # probing recovers it
+    assert off[(4, 5)] == 0 and on[(4, 5)] == 0  # empty blobs group
+    assert not any(3 in p for p in on)           # far blob pairs with nothing
+    # probing strictly extends the same-cell candidate set
+    assert set(off) <= set(on)
+
+
+def test_media_recall_report_shows_probe_gain(spark):
+    """The recall meter grades the knob: on the planted fixture the
+    same-cell index scores recall 0 for the boundary query, the probed
+    index scores 1.0 (guaranteed by construction for tolerances up to
+    one cell width)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.multimodal import media_recall_report
+
+    rows = [
+        Row(media_id=1, content=b" " * 8 + b"a" * 8),
+        Row(media_id=2, content=b" " * 17 + b"a" * 16),
+        Row(media_id=3, content=b"\x01" * 16),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    kw = dict(quant=16, tol_den=16)  # full-cell tolerance: A-B is true
+    probed = media_recall_report(
+        df, F.col("media_id") == 1, probe_adjacent=True, **kw
+    ).collect()
+    plain = media_recall_report(
+        df, F.col("media_id") == 1, probe_adjacent=False, **kw
+    ).collect()
+    (rp,), (rn,) = probed, plain
+    assert rp.n_true == 1 and rp.n_found == 1 and rp.recall == 1.0
+    assert rn.n_true == 1 and rn.n_found == 0 and rn.recall == 0.0
