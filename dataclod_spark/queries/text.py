@@ -1520,3 +1520,51 @@ def x26_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return bpe_encode_stats(d, "text", n_merges=_BPE_N, min_freq=2)
+
+
+@query(
+    "x29_source_calibration",
+    doc="per-source percentile calibration of quality scores (the "
+    "cross-source normalization before mixed-corpus thresholding: raw "
+    "scores are not comparable across sources) — each doc's score maps "
+    "to its position in its OWN source's exact quantile grid; bounded "
+    "|sources|x20 grid broadcast + per-row array filter, never a "
+    "per-row percent_rank window",
+    oracle=rf"""
+WITH scored AS (
+  SELECT doc_id, source, {_QUALITY} AS quality FROM documents
+), r AS (
+  SELECT source, quality AS x,
+         row_number() OVER (PARTITION BY source ORDER BY quality) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored WHERE quality IS NOT NULL
+), grid AS (
+  SELECT source, x AS v
+  FROM r CROSS JOIN (SELECT unnest(range(1, 21)) AS i) t
+  WHERE rn = greatest(CAST(ceil((i / 20.0) * n) AS BIGINT), 1)
+)
+SELECT s.doc_id, s.source, s.quality,
+       CASE WHEN s.quality IS NULL THEN NULL
+            ELSE CAST(sum(CASE WHEN g.v <= s.quality THEN 1 ELSE 0 END) AS INT)
+       END AS cal_bucket,
+       CASE WHEN s.quality IS NULL THEN NULL
+            ELSE round(sum(CASE WHEN g.v <= s.quality THEN 1 ELSE 0 END) / 20.0, 6)
+       END AS calibrated
+FROM scored s LEFT JOIN grid g USING (source)
+GROUP BY s.doc_id, s.source, s.quality
+ORDER BY s.doc_id
+""",
+)
+def x29_source_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.quantiles.percentile_calibrate(group=source) over x2's
+    bit-identical integer-ratio quality score; grid ranks use the same
+    double ``ceil(q*n)`` on both engines (q = i/20 as an IEEE double)."""
+    from dataclod_spark.operators.quantiles import percentile_calibrate
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return percentile_calibrate(scored, "source", "quality", n_buckets=20).orderBy(
+        "doc_id"
+    )

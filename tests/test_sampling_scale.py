@@ -558,3 +558,61 @@ def test_token_budget_sample_null_keys_take_fallback(spark):
     # greedy fill: rows while tokens-before < 100 -> 20 docs of 5 tokens
     assert len(got) == 20
     assert any(r.doc_id is None for r in got)  # the NULL-hash row is first
+
+
+# ---------- round 9: per-group percentile calibration ------------------------
+
+
+def test_percentile_calibrate_matches_reference(spark):
+    """cal_bucket = #{exact grid values <= score}: randomized check vs a
+    Python reference over skewed groups with ties; NULL scores and
+    all-NULL groups calibrate to NULL."""
+    from dataclod_spark.operators.quantiles import percentile_calibrate
+
+    rng = random.Random(9)
+    rows = []
+    for g, n in (("a", 997), ("b", 40), ("c", 1)):
+        for i in range(n):
+            rows.append(Row(grp=g, sc=float(rng.randrange(0, 25))))
+    rows.append(Row(grp="a", sc=None))
+    rows.append(Row(grp="z", sc=None))  # all-NULL group
+    df = spark.createDataFrame(rows, "grp string, sc double")
+    nb = 20
+    got = percentile_calibrate(df, "grp", "sc", n_buckets=nb).collect()
+
+    grids = {}
+    by_g = defaultdict(list)
+    for r in rows:
+        if r.sc is not None:
+            by_g[r.grp].append(r.sc)
+    for g, xs in by_g.items():
+        xs.sort()
+        grids[g] = [xs[max(1, math.ceil((i / nb) * len(xs))) - 1] for i in range(1, nb + 1)]
+    for r in got:
+        if r.sc is None:
+            assert r.cal_bucket is None and r.calibrated is None
+        else:
+            want = sum(1 for v in grids[r.grp] if v <= r.sc)
+            assert r.cal_bucket == want, (r.grp, r.sc)
+            assert r.calibrated == round(want / nb, 6)
+    # monotone within group, max score hits 1.0
+    amax = max(by_g["a"])
+    assert all(r.calibrated == 1.0 for r in got if r.grp == "a" and r.sc == amax)
+
+
+def test_percentile_calibrate_plan_broadcasts_grid(spark):
+    """Assignment is a BROADCAST join of the bounded grid + array filter
+    — never a per-row percent_rank window over the group (the grid
+    computation's own band windows are bounded by construction)."""
+    from dataclod_spark.operators.quantiles import percentile_calibrate
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 97).cast("double").alias("sc"),
+    )
+    out = percentile_calibrate(df, "grp", "sc", n_buckets=10)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "percent_rank" not in plan
