@@ -890,3 +890,73 @@ def st17_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+from dataclod_spark.queries.text import _QUALITY as _QUALITY_ST18  # noqa: E402
+
+
+@query(
+    "st18_stream_calibration",
+    doc="per-source quality calibration at ingest: the exact quantile "
+    "grid fit ONCE from the static doc_id%3==0 snapshot (|sources|x20 "
+    "rows, checkpointed), 3 arriving micro-batches mapped onto the "
+    "frozen grid (broadcast join + array filter, idempotent batch "
+    "partitions) — drained output equals the batch assignment against "
+    "the same snapshot, whatever the batching",
+    oracle=rf"""
+WITH scored AS (
+  SELECT doc_id, source, {_QUALITY_ST18} AS quality FROM documents
+), snap AS (
+  SELECT * FROM scored WHERE doc_id % 3 = 0
+), r AS (
+  SELECT source, quality AS x,
+         row_number() OVER (PARTITION BY source ORDER BY quality) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM snap WHERE quality IS NOT NULL
+), grid AS (
+  SELECT source, x AS v
+  FROM r CROSS JOIN (SELECT unnest(range(1, 21)) AS i) t
+  WHERE rn = greatest(CAST(ceil((i / 20.0) * n) AS BIGINT), 1)
+), stream AS (
+  SELECT * FROM scored WHERE doc_id % 3 <> 0
+)
+SELECT s.doc_id, s.source, s.quality,
+       CASE WHEN s.quality IS NULL OR count(g.v) = 0 THEN NULL
+            ELSE CAST(sum(CASE WHEN g.v <= s.quality THEN 1 ELSE 0 END) AS INT)
+       END AS cal_bucket,
+       CASE WHEN s.quality IS NULL OR count(g.v) = 0 THEN NULL
+            ELSE round(sum(CASE WHEN g.v <= s.quality THEN 1 ELSE 0 END) / 20.0, 6)
+       END AS calibrated
+FROM stream s LEFT JOIN grid g USING (source)
+GROUP BY s.doc_id, s.source, s.quality
+ORDER BY s.doc_id
+""",
+)
+def st18_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/run.streaming_calibration: grid trained on the static
+    snapshot slice, the complementary docs arrive across 3
+    maxFilesPerTrigger=1 micro-batches; assignment is per-row vs the
+    frozen grid, so the drained result is batching-invariant."""
+    import shutil
+    import tempfile
+
+    from dataclod_spark.registry import load
+    from dataclod_spark.streaming.run import (
+        read_documents_stream_multibatch,
+        streaming_calibration,
+    )
+
+    snap = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    stage = tempfile.mkdtemp(prefix="dataclod_calib_stage_")
+    out = tempfile.mkdtemp(prefix="dataclod_calib_out_")
+    try:
+        ds = read_documents_stream_multibatch(
+            spark, sf_dir, stage, n_files=3, pred_sql="doc_id % 3 <> 0"
+        ).select("doc_id", "source", "text")
+        res = streaming_calibration(spark, ds, snap, out)
+        return res.select(
+            "doc_id", "source", "quality", "cal_bucket", "calibrated"
+        ).orderBy("doc_id").localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

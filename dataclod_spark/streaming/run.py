@@ -1039,3 +1039,87 @@ def streaming_contamination(
             f"streaming contamination did not finish within {timeout_sec}s"
         )
     return spark.read.parquet(res_dir)
+
+
+def streaming_calibration(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    snapshot: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    group: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 20,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Per-source percentile calibration AT INGEST — the streaming face
+    of :func:`operators.quantiles.percentile_calibrate`, and how score
+    normalization actually runs in production: the per-group EXACT
+    quantile grid is fit ONCE from the static ``snapshot`` (the
+    reference corpus; refit per crawl refresh), collapsed to
+    |groups|×n_buckets rows and checkpointed, and every arriving
+    micro-batch maps its quality scores onto the FROZEN grid via
+    ``foreachBatch`` (broadcast join + per-row array filter — the batch
+    operator's exact assignment shape), writing an idempotent
+    ``batch_id=<n>`` partition (the st12 recovery contract).  Scoring
+    depends only on the batch's rows + the static grid, so the drained
+    output is batching-invariant and equals the batch operator's
+    assignment against the same snapshot.
+
+    Rows whose ``group`` value the snapshot never saw calibrate to NULL
+    (an unseen source has no reference distribution — surfacing that is
+    the correct behavior; production alerts on it and refits).
+
+    Returns ``(id, group, quality, cal_bucket, calibrated)``."""
+    import os
+
+    from dataclod_spark.functions.text import quality_score
+    from dataclod_spark.operators.quantiles import group_quantiles_exact
+
+    qs = [i / n_buckets for i in range(1, n_buckets + 1)]
+    snap_scored = snapshot.select(
+        F.col(group), quality_score(F.col(text_col)).alias("__sc")
+    )
+    garr = (
+        group_quantiles_exact(snap_scored, group, "__sc", qs)
+        .groupBy(group)
+        .agg(F.sort_array(F.collect_list("value")).alias("__grid"))
+        .localCheckpoint(eager=True)
+    )
+    res_dir = os.path.join(out_dir, "calibrated")
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.withColumn("quality", quality_score(F.col(text_col)))
+        j = b.join(F.broadcast(garr), group, "left")
+        x = F.col("quality")
+        bucket = F.when(
+            x.isNotNull() & F.col("__grid").isNotNull(),
+            F.size(F.filter(F.col("__grid"), lambda v: v <= x)),
+        ).cast("int")
+        out = j.select(
+            F.col(id_col),
+            F.col(group),
+            "quality",
+            bucket.alias("cal_bucket"),
+            F.round(bucket / F.lit(float(n_buckets)), 6).alias("calibrated"),
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(res_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming calibration did not finish within {timeout_sec}s"
+        )
+    return spark.read.parquet(res_dir)

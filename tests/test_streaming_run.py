@@ -378,3 +378,55 @@ def test_streaming_incremental_dedup_empty_delta(spark, tmp_path):
     res = streaming_incremental_dedup(spark, ds, old, out, jaccard_threshold=0.5)
     assert res.count() == 0
     assert "drop_reason" in res.columns and "doc_id" in res.columns
+
+
+def test_streaming_calibration_unseen_source_is_null(spark, tmp_path):
+    """Round 9: a stream row whose source the snapshot never saw has no
+    reference distribution — it must calibrate to NULL (not 0), and
+    snapshot-known sources must match the batch operator's assignment."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.functions.text import quality_score
+    from dataclod_spark.streaming.run import streaming_calibration
+
+    snap = spark.createDataFrame(
+        [(i, "web", "alpha beta gamma " * (1 + i % 7)) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    stream_rows = [
+        (100, "web", "alpha beta gamma " * 3),
+        (101, "web", "alpha beta gamma " * 6),
+        (102, "books", "totally new source text here"),  # unseen source
+    ]
+    d = tmp_path / "in"
+    spark.createDataFrame(
+        stream_rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(str(d))
+    ds = spark.readStream.schema("doc_id long, source string, text string").parquet(
+        str(d)
+    )
+    out = streaming_calibration(
+        spark, ds, snap, str(tmp_path / "out"), timeout_sec=120
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[102].cal_bucket is None and got[102].calibrated is None
+    # web rows equal the batch operator calibrated against the snapshot
+    scored = spark.createDataFrame(
+        stream_rows[:2], "doc_id long, source string, text string"
+    ).select("doc_id", "source", quality_score(F.col("text")).alias("quality"))
+    snap_scored = snap.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    # recompute expected buckets directly from the snapshot quantile grid
+    import math as _math
+
+    vals = sorted(
+        r.quality for r in snap_scored.filter(F.col("quality").isNotNull()).collect()
+    )
+    grid = [vals[max(1, _math.ceil((i / 20) * len(vals))) - 1] for i in range(1, 21)]
+    for r in scored.collect():
+        want = sum(1 for v in grid if v <= r.quality)
+        assert got[r.doc_id].cal_bucket == want
+        assert got[r.doc_id].calibrated == round(want / 20, 6)
