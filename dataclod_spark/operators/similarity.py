@@ -354,3 +354,47 @@ def recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def cosine_profile(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 2,
+) -> DataFrame:
+    """Sampled pairwise cosine-similarity HISTOGRAM — the threshold
+    calibration meter for the embedding-space knobs (semantic dedup's
+    eps, ANN's candidate cut): before picking a threshold you look at
+    the similarity DISTRIBUTION, and all-pairs is impossible at corpus
+    scale, so this does what production eval does — broadcast the k
+    sampled query vectors against ONE corpus scan (k·n, linear for a
+    fixed sample) and bucket each pair's cosine at ``decimals``.
+
+    Returns ``(bucket, n_pairs)`` — ≤ 2·10^decimals + 1 rows.  Norms are
+    staged per row before the join (one fold per pair, the
+    knn_bruteforce shape); rounding uses the proven round-to-6-style
+    half-even double path, so the bucket edges are engine-exact.
+
+    100 TB shape: one broadcast nested-loop over streamed rows (k·n
+    pairs never materialize — they flow straight into the partial
+    aggregate) and one bounded hash agg.  No window, no all-pairs."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("__qid"), F.col(vec_col).alias("q_vec")
+        ).withColumn("__qn", norm(F.col("q_vec")))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("c_vec")
+    ).withColumn("__cn", norm(F.col("c_vec")))
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")),
+        decimals,
+    )
+    return (
+        c.crossJoin(q)
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select(sim.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

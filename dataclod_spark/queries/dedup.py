@@ -869,3 +869,87 @@ def d17_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.lsh_recall_report(
         d, F.col("doc_id") < 50, jaccard_threshold=0.2
     ).orderBy("doc_id")
+
+
+@query(
+    "d18_cluster_size_profile",
+    doc="near-dup cluster-size histogram incl. singletons (the report "
+    "that catches a too-loose threshold: one giant cluster swallowing "
+    "the corpus shows up as a heavy tail here long before eyeballing "
+    "pairs would find it): components -> bounded size histogram; "
+    "singletons counted by difference, no anti-join scan",
+    oracle=rf"""
+WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+sig AS (
+  SELECT doc_id, s,
+         md5({_mh(0)} || {_mh(1)}) AS band_0,
+         md5({_mh(2)} || {_mh(3)}) AS band_1
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.s AS sh_1, b.s AS sh_2
+  FROM sig a JOIN sig b ON a.band_0 = b.band_0 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.s, b.s
+  FROM sig a JOIN sig b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_1, id_2 FROM cand
+  WHERE round(CAST(len(list_distinct(list_intersect(sh_1, sh_2))) AS DOUBLE)
+              / len(list_distinct(list_concat(sh_1, sh_2))), 4) >= 0.2
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION SELECT id_2, id_1 FROM pairs
+),
+walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, walk.lbl FROM walk JOIN edges e ON e.a = walk.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component),
+hist AS (
+  SELECT cluster_size, count(*) AS n_clusters
+  FROM sizes GROUP BY cluster_size
+  UNION ALL
+  SELECT CAST(1 AS BIGINT),
+         (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+)
+SELECT cluster_size,
+       CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * sum(n_clusters) AS BIGINT) AS n_docs
+FROM hist GROUP BY cluster_size ORDER BY cluster_size
+""",
+)
+def d18_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d7's components rolled into the job-summary histogram: cluster_size
+    -> (n_clusters, n_docs), singletons (docs in no near-dup pair) as the
+    size-1 row computed by DIFFERENCE of two count aggregates (total -
+    docs-in-components) — no anti-join over the corpus.  All stages are
+    bounded aggregates; the histogram itself is at most max-cluster-size
+    rows."""
+    d = load(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(d, jaccard_threshold=0.2)
+    comp = DD.connected_components(pairs, "id_1", "id_2")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    singles = (
+        d.agg(F.count(F.lit(1)).alias("__t"))
+        .crossJoin(comp.agg(F.count(F.lit(1)).alias("__c")))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("__t") - F.col("__c")).alias("n_clusters"),
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -1042,3 +1042,31 @@ def v14_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = SIM.knn_bruteforce(e, qv, k=3)
     approx = SIM.knn_ivf(e, qv, k=3, n_centroids=16, n_probe=2)
     return SIM.recall_report(exact, approx).orderBy("query_id")
+
+
+@query(
+    "v15_distance_profile",
+    doc="sampled pairwise cosine-similarity histogram (the threshold "
+    "calibration meter for semantic dedup's eps and the ANN candidate "
+    "cut): k sampled query vectors broadcast against one corpus scan, "
+    "pairs bucketed at 2 decimals into a bounded histogram — k*n and "
+    "linear, never all-pairs",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0
+), sims AS (
+  SELECT round({_DOT_QC} / ({_NORM_Q} * {_NORM_C}), 2) AS bucket
+  FROM q CROSS JOIN embeddings c
+  WHERE c.vec_id <> q.qid
+)
+SELECT bucket, count(*) AS n_pairs
+FROM sims GROUP BY bucket ORDER BY bucket
+""",
+)
+def v15_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.similarity.cosine_profile: the v14/d17/m8 honesty-meter
+    family applied to the raw similarity distribution itself."""
+    e = load(spark, sf_dir, "embeddings")
+    return SIM.cosine_profile(
+        e, e.filter(F.col("vec_id") % 50 == 0), decimals=2
+    ).orderBy("bucket")

@@ -376,3 +376,18 @@ def test_round9_stop_gram_guard_window_free(spark):
         plan = df._jdf.queryExecution().explainString(jmode)
         assert "Window" not in plan, fn.__name__
         assert "partial_count" in plan, fn.__name__
+
+
+def test_round9_meter_ops_plan_shapes(spark):
+    """v15: the distance profile streams k·n pairs straight into a
+    map-side partial aggregate — no window, no sort, query side
+    broadcast; x29: calibration assignment broadcasts the bounded grid
+    (its band windows live in the grid computation, which is bounded by
+    construction — the assignment itself must not window)."""
+    plan = _plan(spark, "v15_distance_profile", "simple")
+    assert "Window" not in plan
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    plan = _plan(spark, "x29_source_calibration", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "percent_rank" not in plan
