@@ -307,3 +307,76 @@ def bpe_encode_stats(
             F.col("total_tokens").cast("double") / F.col("total_chars"), 6
         ).alias("compression"),
     )
+
+
+def bpe_fertility_by(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_freq: int = 2,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Per-group tokenizer FERTILITY under the learned BPE vocabulary —
+    the vocabulary-coverage meter a multilingual mixture is tuned
+    against: a language the merges never learned encodes near 1
+    token/char (no compression), a well-covered one sits far below, and
+    mixture weights / vocab budgets move on exactly this table (the
+    XLM-R-style tokenizer-fairness diagnostic).
+
+    The merge sequence trains GLOBALLY (same contract as the x24/x26
+    gates) and replays ONCE over the |vocab|-bounded word table; the
+    encoded row re-keys by ``concat(syms)`` — merges only ever join
+    adjacent symbols, so the concatenation IS the original word — and
+    joins the per-(group, word) frequency table.  Encoding cost stays
+    |vocab|, never corpus bytes; the join is word-keyed (uniform); the
+    rollup is one partial-aggregable hash agg per group.
+
+    Returns per group: ``(group, n_words, total_freq, total_tokens,
+    total_chars, fertility, tokens_per_word)`` with ``fertility`` =
+    tokens/chars and ``tokens_per_word`` = tokens/occurrences, both
+    frequency-weighted and rounded to 6 from exact integer sums."""
+    merges = sorted(
+        bpe_train(df, text_col, n_merges, min_freq).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    enc = replay_merges(
+        word_table(df, text_col).localCheckpoint(eager=True),
+        [(r.left_sym, r.right_sym) for r in merges],
+        batch_size,
+    ).select(
+        F.concat_ws("", F.col("syms")).alias("__w"),
+        F.size("syms").alias("__nt"),
+    )
+    lw = (
+        df.select(
+            F.col(group_col).alias("__grp"),
+            F.explode(tokens(F.col(text_col))).alias("__w"),
+        )
+        .filter(F.col("__w") != "")
+        .groupBy("__grp", "__w")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+    )
+    return (
+        lw.join(enc, "__w")
+        .groupBy("__grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__freq").alias("total_freq"),
+            F.sum(F.col("__freq") * F.col("__nt")).alias("total_tokens"),
+            F.sum(F.col("__freq") * F.length("__w")).alias("total_chars"),
+        )
+        .select(
+            F.col("__grp").alias(group_col),
+            "n_words",
+            "total_freq",
+            "total_tokens",
+            "total_chars",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("total_chars"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("total_freq"), 6
+            ).alias("tokens_per_word"),
+        )
+    )

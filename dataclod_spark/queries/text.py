@@ -1568,3 +1568,64 @@ def x29_source_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentile_calibrate(scored, "source", "quality", n_buckets=20).orderBy(
         "doc_id"
     )
+
+
+_BPE_FERTILITY_ORACLE = (
+    f"""
+WITH toks AS (
+  SELECT unnest(list_filter({_TOKS}, t -> t != '')) AS word
+  FROM documents
+), w0 AS (
+  SELECT list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms,
+         count(*) AS freq
+  FROM toks GROUP BY word
+), """
+    + ",\n".join(_bpe_round_cte(r) for r in range(_BPE_N))
+    # the word string survives encoding as concat(syms) (merges only join
+    # adjacent symbols), so ONE reference to the final table re-keys it
+    # for the per-(lang, word) frequency join
+    + f"""
+, enc AS (
+  SELECT array_to_string(syms, '') AS word, len(syms) AS nt FROM w{_BPE_N}
+), lw AS (
+  SELECT lang, unnest(list_filter({_TOKS}, t -> t != '')) AS word
+  FROM documents
+), lwf AS (
+  SELECT lang, word, count(*) AS lfreq FROM lw GROUP BY lang, word
+)
+SELECT lwf.lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(lwf.lfreq) AS BIGINT) AS total_freq,
+       CAST(sum(lwf.lfreq * enc.nt) AS BIGINT) AS total_tokens,
+       CAST(sum(lwf.lfreq * len(lwf.word)) AS BIGINT) AS total_chars,
+       round(CAST(sum(lwf.lfreq * enc.nt) AS DOUBLE)
+             / sum(lwf.lfreq * len(lwf.word)), 6) AS fertility,
+       round(CAST(sum(lwf.lfreq * enc.nt) AS DOUBLE)
+             / sum(lwf.lfreq), 6) AS tokens_per_word
+FROM lwf JOIN enc USING (word)
+GROUP BY lwf.lang
+ORDER BY lwf.lang
+"""
+)
+
+
+@query(
+    "x30_bpe_fertility_by_lang",
+    doc="per-language tokenizer fertility under the globally-learned BPE "
+    "merges (the vocabulary-coverage / tokenizer-fairness meter a "
+    "multilingual mixture is tuned against): encode once over the "
+    "|vocab|-bounded word table, re-key by concat(syms) (= the original "
+    "word), join per-(lang, word) frequencies — encoding cost never "
+    "touches corpus bytes",
+    oracle=_BPE_FERTILITY_ORACLE,
+)
+def x30_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.bpe.bpe_fertility_by(group=lang): x26's corpus-level
+    compression broken out per language — the number that shows which
+    languages the vocabulary under-serves."""
+    from dataclod_spark.operators.bpe import bpe_fertility_by
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_fertility_by(d, "lang", "text", n_merges=_BPE_N, min_freq=2).orderBy(
+        "lang"
+    )

@@ -1810,3 +1810,35 @@ def test_lsh_recall_report_semantics(spark):
     assert out[2].n_true == 1 and out[2].recall == 1.0
     assert out[3].n_true == 0 and out[3].recall is None
     assert all(r.n_found <= r.n_true for r in out.values())
+
+
+def test_bpe_fertility_by_group(spark):
+    """Per-group fertility under global merges: the group whose words the
+    merges learned compresses (fertility < 1); a group of words sharing
+    no learned pair encodes char-by-char (fertility exactly 1.0).
+    Integer totals match a hand computation."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.bpe import bpe_fertility_by, bpe_train
+
+    rows = [Row(lang="aa", text="abab abab abab abab")] * 6 + [
+        Row(lang="zz", text="xyzq qzyx")
+    ]
+    df = spark.createDataFrame(rows)
+    merges = {
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(df, "text", n_merges=2, min_freq=2).collect()
+    }
+    assert ("a", "b") in merges  # the dominant pair is learned
+    out = {
+        r.lang: r
+        for r in bpe_fertility_by(df, "lang", "text", n_merges=2, min_freq=2).collect()
+    }
+    zz = out["zz"]
+    assert zz.total_tokens == zz.total_chars == 8  # char-by-char encode
+    assert zz.fertility == 1.0 and zz.n_words == 2 and zz.total_freq == 2
+    aa = out["aa"]
+    assert aa.n_words == 1          # one distinct word 'abab'
+    assert aa.total_freq == 24      # 4 words/doc x 6 docs
+    assert aa.total_chars == 96     # 24 occurrences x 4 chars
+    assert aa.fertility < 1.0       # merges compressed it
