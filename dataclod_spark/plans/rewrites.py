@@ -588,22 +588,47 @@ def _alias_bare_gq_items(select_list: str, terminals: dict[str, str]) -> str:
     a select-list item that is EXACTLY a substituted chain with no AS alias
     (``SELECT t.x, ...`` → ``SELECT __gq0, ...``) would surface as column
     ``__gq0``, but the reference engine names it after the chain's terminal
-    part (``x``).  Re-emit such items as ``__gqN AS <terminal>``.  Items
-    where the alias is embedded in a larger expression (or already carries
-    an AS) are left alone — their output name is unaffected by the
-    substitution."""
-    items = _split_top_commas(select_list)
-    fixed: list[str] = []
-    for idx, item in enumerate(items):
-        prefix, body = "", item
+    part (``x``).  Re-emit such items as ``__gqN AS <terminal>``.
+
+    Splices IN PLACE: only the matched identifier's segment is touched
+    (``seg.rstrip() + " AS x" + trailing``), never the list structure —
+    re-joining stripped items would glue code after ``--`` line comments.
+    Items where the alias is embedded in a larger expression, already
+    carries an AS, or shares its segment with a comment are left alone —
+    their output name is unaffected (or ambiguous) and conservatism is
+    free here."""
+    # top-level comma positions, code-span aware
+    cuts: list[int] = []
+    depth, i, n = 0, 0, len(select_list)
+    while i < n:
+        j = _scan_code(select_list, i)
+        if j != i:
+            i = j
+            continue
+        ch = select_list[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            cuts.append(i)
+        i += 1
+    bounds = list(zip([0] + [c + 1 for c in cuts], cuts + [n]))
+    out: list[str] = []
+    for idx, (lo, hi) in enumerate(bounds):
+        seg = select_list[lo:hi]
+        body = seg
         if idx == 0:
             m = re.match(r"(?is)^\s*DISTINCT\b", body)
             if m:
-                prefix, body = body[: m.end()] + " ", body[m.end() :].strip()
-        if body in terminals:
-            body = f"{body} AS {terminals[body]}"
-        fixed.append(prefix + body)
-    return " " + ", ".join(fixed) + " "
+                body = body[m.end() :]
+        token = body.strip()
+        if token in terminals:
+            stripped = seg.rstrip()
+            trail = seg[len(stripped) :]
+            seg = f"{stripped} AS {terminals[token]}{trail}"
+        out.append(seg)
+    return ",".join(out)
 
 
 def _has_qualified_ref(text: str) -> bool:

@@ -588,3 +588,24 @@ def test_distinct_and_derived_groups_execute(spark):
         ).collect()
     )
     assert got2 == [31, 100, 103]
+
+
+def test_join_tail_bare_item_alias_preserves_comments():
+    """The bare-item re-alias splices in place: a line comment inside the
+    select list must not swallow the following items (a strip-and-rejoin
+    implementation would glue code after the `--`)."""
+    q = (
+        "SELECT t.x, -- keep me\n sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s "
+        "FROM t JOIN u ON t.id=u.id"
+    )
+    out = rw(q)
+    assert out is not None
+    assert re.search(r"__gq0 AS x\s*,", out)   # re-aliased, comma survives
+    assert "-- keep me\n" in out               # comment intact, newline intact
+    # a comment SHARING the bare item's segment declines the re-alias
+    q2 = (
+        "SELECT t.x -- trailing\n, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s "
+        "FROM t JOIN u ON t.id=u.id"
+    )
+    out2 = rw(q2)
+    assert out2 is not None and "AS x" not in out2
