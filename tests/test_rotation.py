@@ -110,3 +110,30 @@ def test_repo_window_is_stalest_first():
     ]
     rounds = [history[n][0] for n in greens]
     assert rounds == sorted(rounds)
+
+
+def test_window_report_matches_rotation_order():
+    """window_report is the generated replacement for hand-written carry
+    notes (the r8 ledger miscount): its in_window/carried must be exactly
+    the rotation order's prefix/suffix, the carried detail classes must
+    be consistent with the history, and the freshness floor must equal
+    the oldest carried green round."""
+    from dataclod_spark.rotation import rotation_order, window_report
+
+    names = [f"q{i}" for i in range(10)]
+    history = {f"q{i}": (3 + (i % 4), i != 5) for i in range(8)}  # q8,q9 new; q5 red
+    changed = ("q7",)
+    rep = window_report(names, history, changed, window=6)
+    order = rotation_order(names, history, changed)
+    assert rep["in_window"] == order[:6]
+    assert rep["carried"] == order[6:]
+    classes = {n: c for n, c, _ in rep["carried_detail"]}
+    for n in rep["carried"]:
+        if n == "q7":
+            assert classes[n] == "changed"
+        elif n not in history:
+            assert classes[n] == "new"
+        else:
+            assert classes[n] == ("green" if history[n][1] else "red")
+    greens = [history[n][0] for n in rep["carried"] if classes.get(n) == "green"]
+    assert rep["freshness_floor_after"] == (min(greens) if greens else None)
