@@ -1415,3 +1415,94 @@ def lsh_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_span: int = 6,
+    max_doc_freq: int | None = 20,
+) -> DataFrame:
+    """EXACT shared-substring SPANS between document pairs at token
+    granularity — the distributed answer to suffix-array exact-substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): a verbatim token run of length L ≥ k shared by two
+    documents appears as L−k+1 CONSECUTIVE positions on one alignment
+    diagonal of their k-gram hash match matrix, so
+    ``span_tokens = run_len + k − 1`` exactly (modulo the ~2^-47 rolling
+    hash collision rate).  d9's winnowing pairs are the sampled
+    screening pass; this is the positional refinement that reports WHERE
+    and HOW LONG the shared text is.
+
+    Pipeline: positional k-gram hashes (``posexplode`` — zero shuffle);
+    stop-hash guard as a partial-aggregable count + kept-key join-back
+    (the round-9 guard shape — a boilerplate k-gram in 1M docs never
+    reaches the join, and the self-join is bounded to ≤ mdf² rows per
+    hash); posting self-join on the hash; per (pair, diagonal) the
+    matched positions merge into maximal consecutive runs with ONE
+    lag+cumsum window whose partition is bounded by the SHORTER
+    DOCUMENT'S k-gram count — a document-length bound, never a
+    corpus-scale key (the banned pattern is corpus-keyed partitions).
+
+    Returns ``(id_1, id_2, max_span_tokens, n_spans)`` for pairs with a
+    shared run of ≥ ``min_span`` tokens; ``n_spans`` counts maximal
+    qualifying runs."""
+    from pyspark.sql import Window
+
+    from dataclod_spark.functions.text import _kgram_hashes_from, _token_values
+
+    staged = df.select(
+        F.col(id_col).alias("__id"),
+        _token_values(F.col(text_col)).alias("__tv"),
+    ).withColumn("__wh", _kgram_hashes_from(F.col("__tv"), k))
+    pos = staged.select(
+        "__id", F.posexplode("__wh").alias("__pos", "__h")
+    )
+    if max_doc_freq is not None:
+        kept_h = (
+            pos.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("__h")
+        )
+        pos = pos.join(kept_h, "__h")
+    left = pos.select(
+        F.col("__id").alias("id_1"), F.col("__pos").alias("p1"), "__h"
+    )
+    right = pos.select(
+        F.col("__id").alias("id_2"), F.col("__pos").alias("p2"), "__h"
+    )
+    matched = (
+        left.join(right, "__h")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "p1", (F.col("p2") - F.col("p1")).alias("__diag"))
+    )
+    w = Window.partitionBy("id_1", "id_2", "__diag").orderBy("p1")
+    runs = (
+        matched.withColumn(
+            "__brk",
+            F.when(F.col("p1") - F.lag("p1").over(w) == 1, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("id_1", "id_2", "__diag", "__run")
+        .agg((F.max("p1") - F.min("p1") + k).alias("__span"))
+    )
+    return (
+        runs.groupBy("id_1", "id_2")
+        .agg(
+            F.max("__span").cast("bigint").alias("max_span_tokens"),
+            F.count(F.when(F.col("__span") >= min_span, 1))
+            .cast("bigint")
+            .alias("n_spans"),
+        )
+        .filter(F.col("max_span_tokens") >= min_span)
+    )

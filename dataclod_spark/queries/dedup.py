@@ -953,3 +953,65 @@ def d18_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "d19_shared_spans",
+    doc="EXACT shared-substring spans at token granularity (Lee et al. "
+    "2022 exact-substring dedup, distributed): a shared verbatim run of "
+    "L tokens = L-k+1 consecutive positions on one alignment diagonal "
+    "of the positional k-gram match matrix, so span = run+k-1 exactly; "
+    "d9's winnowing is the sampled screen, this reports how LONG the "
+    "shared text is — stop-hash guard groupBy+join, run-merge windows "
+    "partitioned per (pair, diagonal): document-length bounded, never "
+    "corpus-keyed",
+    oracle=rf"""
+WITH v AS (
+  SELECT doc_id, list_transform({_TOKS},
+           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS vals
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN len(vals) >= 3 THEN
+           list_transform(generate_series(1, len(vals) - 2),
+             i -> (vals[i] * 961 + vals[i+1] * 31 + vals[i+2]))
+         ELSE [] END AS hashes
+  FROM v
+), p AS (
+  SELECT doc_id, i - 1 AS pos, hashes[i] AS hv
+  FROM h CROSS JOIN unnest(generate_series(1, len(hashes))) AS t(i)
+), kept AS (
+  SELECT p.doc_id, p.pos, p.hv FROM p
+  JOIN (SELECT hv FROM p GROUP BY hv HAVING count(*) <= 20) ok ON p.hv = ok.hv
+), matched AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.pos AS p1, b.pos - a.pos AS diag
+  FROM kept a JOIN kept b ON a.hv = b.hv AND a.doc_id < b.doc_id
+), brk AS (
+  SELECT id_1, id_2, diag, p1,
+         CASE WHEN p1 - lag(p1) OVER (PARTITION BY id_1, id_2, diag ORDER BY p1) = 1
+              THEN 0 ELSE 1 END AS b
+  FROM matched
+), rid AS (
+  SELECT *, sum(b) OVER (PARTITION BY id_1, id_2, diag ORDER BY p1) AS run_id
+  FROM brk
+), spans AS (
+  SELECT id_1, id_2, max(p1) - min(p1) + 3 AS span
+  FROM rid GROUP BY id_1, id_2, diag, run_id
+)
+SELECT id_1, id_2,
+       CAST(max(span) AS BIGINT) AS max_span_tokens,
+       CAST(count(*) FILTER (WHERE span >= 6) AS BIGINT) AS n_spans
+FROM spans GROUP BY id_1, id_2
+HAVING max(span) >= 6
+ORDER BY id_1, id_2
+""",
+)
+def d19_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.dedup.shared_span_pairs (k=3, min_span=6, guard 20):
+    the positional refinement over d9's fingerprint screen — catches the
+    quoted-paragraph / mirrored-boilerplate case WITH its length, which
+    thresholded pair scores cannot distinguish from diffuse overlap."""
+    d = load(spark, sf_dir, "documents")
+    return DD.shared_span_pairs(
+        d, id_col="doc_id", text_col="text", k=3, min_span=6, max_doc_freq=20
+    ).orderBy("id_1", "id_2")

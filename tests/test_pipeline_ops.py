@@ -1842,3 +1842,30 @@ def test_bpe_fertility_by_group(spark):
     assert aa.total_freq == 24      # 4 words/doc x 6 docs
     assert aa.total_chars == 96     # 24 occurrences x 4 chars
     assert aa.fertility < 1.0       # merges compressed it
+
+
+def test_shared_span_pairs_planted_spans(spark):
+    """Planted exact substrings: one 7-token shared run reports span 7;
+    two 6-token runs split by a one-token difference report n_spans=2
+    (the diagonal run-merge must NOT bridge across the mismatch);
+    unrelated docs report nothing."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.dedup import shared_span_pairs
+
+    quote = "one two three four five six seven"
+    rows = [
+        Row(doc_id=1, text=quote + " unique1 unique2"),
+        Row(doc_id=2, text="prefix words " + quote + " trailer"),
+        Row(doc_id=3, text="a1 a2 a3 a4 a5 a6 xx b1 b2 b3 b4 b5 b6"),
+        Row(doc_id=4, text="a1 a2 a3 a4 a5 a6 yy b1 b2 b3 b4 b5 b6"),
+        Row(doc_id=5, text="totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.id_1, r.id_2): (r.max_span_tokens, r.n_spans)
+        for r in shared_span_pairs(df, min_span=6, max_doc_freq=None).collect()
+    }
+    assert out[(1, 2)] == (7, 1)
+    assert out[(3, 4)] == (6, 2)
+    assert not any(5 in p for p in out)
