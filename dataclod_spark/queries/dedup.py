@@ -1015,3 +1015,100 @@ def d19_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.shared_span_pairs(
         d, id_col="doc_id", text_col="text", k=3, min_span=6, max_doc_freq=20
     ).orderBy("id_1", "id_2")
+
+
+@query(
+    "x31_benchmark_span_overlap",
+    doc="span-level benchmark decontamination (the GPT-3-style 13-gram "
+    "overlap check, here at >=8 tokens for the gate corpus): training "
+    "docs sharing a VERBATIM token run with the doc_id%8==0 benchmark "
+    "slice, reported with the span length — position-level evidence the "
+    "gram-RATIO check (x16/st17) cannot give; d19's diagonal run-merge "
+    "restricted to doc x benchmark pairs via a disjoint re-key",
+    oracle=rf"""
+WITH corpus AS (
+  SELECT doc_id, text, doc_id % 8 = 0 AS is_bench FROM documents
+), uni AS (
+  SELECT CASE WHEN is_bench THEN doc_id + 100000000 ELSE doc_id END AS doc_id,
+         text, is_bench
+  FROM corpus
+), v AS (
+  SELECT doc_id, is_bench, list_transform({_TOKS},
+           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS vals
+  FROM uni
+), h AS (
+  SELECT doc_id, is_bench,
+         CASE WHEN len(vals) >= 3 THEN
+           list_transform(generate_series(1, len(vals) - 2),
+             i -> (vals[i] * 961 + vals[i+1] * 31 + vals[i+2]))
+         ELSE [] END AS hashes
+  FROM v
+), p AS (
+  SELECT doc_id, is_bench, i - 1 AS pos, hashes[i] AS hv
+  FROM h CROSS JOIN unnest(generate_series(1, len(hashes))) AS t(i)
+), kept AS (
+  SELECT p.doc_id, p.is_bench, p.pos, p.hv FROM p
+  JOIN (SELECT hv FROM p GROUP BY hv HAVING count(*) <= 20) ok ON p.hv = ok.hv
+), matched AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.pos AS p1, b.pos - a.pos AS diag,
+         a.is_bench AS b1, b.is_bench AS b2
+  FROM kept a JOIN kept b ON a.hv = b.hv AND a.doc_id < b.doc_id
+), cross_m AS (
+  SELECT id_1, id_2, p1, diag FROM matched WHERE b1 <> b2
+), brk AS (
+  SELECT id_1, id_2, diag, p1,
+         CASE WHEN p1 - lag(p1) OVER (PARTITION BY id_1, id_2, diag ORDER BY p1) = 1
+              THEN 0 ELSE 1 END AS b
+  FROM cross_m
+), rid AS (
+  SELECT *, sum(b) OVER (PARTITION BY id_1, id_2, diag ORDER BY p1) AS run_id
+  FROM brk
+), spans AS (
+  SELECT id_1, id_2, max(p1) - min(p1) + 3 AS span
+  FROM rid GROUP BY id_1, id_2, diag, run_id
+), pairs AS (
+  SELECT id_1, id_2,
+         CAST(max(span) AS BIGINT) AS max_span_tokens
+  FROM spans GROUP BY id_1, id_2 HAVING max(span) >= 8
+)
+SELECT CASE WHEN id_1 >= 100000000 THEN id_2 ELSE id_1 END AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bench_docs,
+       CAST(max(max_span_tokens) AS BIGINT) AS max_span_tokens
+FROM pairs
+GROUP BY 1
+ORDER BY doc_id
+""",
+)
+def x31_benchmark_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes d19's shared_span_pairs over the disjointly re-keyed
+    union of training docs and the benchmark slice, keeps only
+    cross-population pairs, and rolls up per training doc: how many
+    benchmark docs it verbatim-overlaps and the longest shared span —
+    the removal list a span-level decontamination pass acts on.  Same
+    plan economics as d19 (guarded posting join + doc-bounded diagonal
+    windows); the union adds one column and the rollup is one hash agg."""
+    d = load(spark, sf_dir, "documents")
+    OFF = 100_000_000
+    uni = d.select(
+        F.when(F.col("doc_id") % 8 == 0, F.col("doc_id") + OFF)
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        "text",
+    )
+    pairs = DD.shared_span_pairs(
+        uni, id_col="doc_id", text_col="text", k=3, min_span=8, max_doc_freq=20
+    )
+    crossed = pairs.filter(
+        ((F.col("id_1") >= OFF) & (F.col("id_2") < OFF))
+        | ((F.col("id_1") < OFF) & (F.col("id_2") >= OFF))
+    )
+    doc = F.when(F.col("id_1") >= OFF, F.col("id_2")).otherwise(F.col("id_1"))
+    return (
+        crossed.select(doc.alias("doc_id"), "max_span_tokens")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_docs"),
+            F.max("max_span_tokens").alias("max_span_tokens"),
+        )
+        .orderBy("doc_id")
+    )
