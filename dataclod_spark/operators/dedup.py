@@ -1438,9 +1438,11 @@ def shared_span_pairs(
 
     Pipeline: positional k-gram hashes (``posexplode`` — zero shuffle);
     stop-hash guard as a partial-aggregable count + kept-key join-back
-    (the round-9 guard shape — a boilerplate k-gram in 1M docs never
-    reaches the join, and the self-join is bounded to ≤ mdf² rows per
-    hash); posting self-join on the hash; per (pair, diagonal) the
+    (the round-9 guard shape; the count is the hash's total OCCURRENCE
+    count across the corpus, which upper-bounds its document frequency
+    — a boilerplate k-gram in 1M docs never reaches the join, and the
+    self-join is bounded to ≤ mdf² rows per hash); posting self-join on
+    the hash; per (pair, diagonal) the
     matched positions merge into maximal consecutive runs with ONE
     lag+cumsum window whose partition is bounded by the SHORTER
     DOCUMENT'S k-gram count — a document-length bound, never a
