@@ -960,3 +960,89 @@ def st18_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "st19_stream_span_decontamination",
+    doc="span-level decontamination at ingest: the doc_id%8==0 "
+    "benchmark's positional k-gram index built once (stop-hash guard "
+    "trained on the BENCHMARK alone — a stream has no corpus-wide df), "
+    "3 arriving micro-batches checked for verbatim >=8-token runs "
+    "against the broadcast index (d19's diagonal run-merge, idempotent "
+    "batch partitions) — drained output is batching-invariant",
+    oracle=rf"""
+WITH corpus AS (
+  SELECT doc_id, text, doc_id % 8 = 0 AS is_bench FROM documents
+), v AS (
+  SELECT doc_id, is_bench, list_transform({_TOKS_ST16},
+           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS vals
+  FROM corpus
+), h AS (
+  SELECT doc_id, is_bench,
+         CASE WHEN len(vals) >= 3 THEN
+           list_transform(generate_series(1, len(vals) - 2),
+             i -> (vals[i] * 961 + vals[i+1] * 31 + vals[i+2]))
+         ELSE [] END AS hashes
+  FROM v
+), p AS (
+  SELECT doc_id, is_bench, i - 1 AS pos, hashes[i] AS hv
+  FROM h CROSS JOIN unnest(generate_series(1, len(hashes))) AS t(i)
+), bkept AS (
+  SELECT p.doc_id AS bid, p.pos AS bpos, p.hv FROM p
+  JOIN (SELECT hv FROM p WHERE is_bench GROUP BY hv HAVING count(*) <= 20) ok
+    ON p.hv = ok.hv
+  WHERE p.is_bench
+), sp AS (
+  SELECT doc_id, pos, hv FROM p WHERE NOT is_bench
+), matched AS (
+  SELECT sp.doc_id AS id, bkept.bid, sp.pos AS p1, bkept.bpos - sp.pos AS diag
+  FROM sp JOIN bkept ON sp.hv = bkept.hv
+), brk AS (
+  SELECT id, bid, diag, p1,
+         CASE WHEN p1 - lag(p1) OVER (PARTITION BY id, bid, diag ORDER BY p1) = 1
+              THEN 0 ELSE 1 END AS b
+  FROM matched
+), rid AS (
+  SELECT *, sum(b) OVER (PARTITION BY id, bid, diag ORDER BY p1) AS run_id
+  FROM brk
+), spans AS (
+  SELECT id, bid, max(p1) - min(p1) + 3 AS span
+  FROM rid GROUP BY id, bid, diag, run_id
+), per_bench AS (
+  SELECT id, bid, max(span) AS mx FROM spans GROUP BY id, bid HAVING max(span) >= 8
+)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bench_docs,
+       CAST(max(mx) AS BIGINT) AS max_span_tokens
+FROM per_bench GROUP BY id ORDER BY doc_id
+""",
+)
+def st19_stream_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/run.streaming_span_decontamination: the benchmark index
+    trained once from the static slice, the complementary docs arrive
+    across 3 maxFilesPerTrigger=1 micro-batches; spans are per-row vs
+    the static index, so the drained result equals the batch check
+    whatever the batching."""
+    import shutil
+    import tempfile
+
+    from dataclod_spark.registry import load
+    from dataclod_spark.streaming.run import (
+        read_documents_stream_multibatch,
+        streaming_span_decontamination,
+    )
+
+    bench = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    stage = tempfile.mkdtemp(prefix="dataclod_span_stage_")
+    out = tempfile.mkdtemp(prefix="dataclod_span_out_")
+    try:
+        ds = read_documents_stream_multibatch(
+            spark, sf_dir, stage, n_files=3, pred_sql="doc_id % 8 <> 0"
+        ).select("doc_id", "text")
+        res = streaming_span_decontamination(spark, ds, bench, out)
+        return res.select(
+            "doc_id", "n_bench_docs", "max_span_tokens"
+        ).orderBy("doc_id").localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

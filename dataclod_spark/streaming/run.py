@@ -1123,3 +1123,116 @@ def streaming_calibration(
             f"streaming calibration did not finish within {timeout_sec}s"
         )
     return spark.read.parquet(res_dir)
+
+
+def streaming_span_decontamination(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_span: int = 8,
+    max_doc_freq: int | None = 20,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Span-level decontamination AT INGEST — the streaming face of the
+    x31 batch check (and the positional upgrade of
+    :func:`streaming_contamination`'s gram ratio): every arriving
+    document is checked for VERBATIM token runs shared with the static
+    benchmark, with the span length as evidence.
+
+    The benchmark's positional k-gram index is built ONCE and
+    checkpointed.  The stop-hash guard trains on the BENCHMARK
+    population alone — a stream is unbounded, so a corpus-wide document
+    frequency is undefined at ingest; guarding the static side bounds
+    every batch's join to ≤ ``max_doc_freq`` matches per hash, and a
+    benchmark-side stop hash is exactly the boilerplate the check
+    should ignore.  Each micro-batch joins its own positional hashes
+    against the index, merges matched positions per (doc, benchmark
+    doc, diagonal) into maximal runs (the d19 shape — window partitions
+    bounded by the shorter document's k-gram count), rolls up per doc,
+    and writes an idempotent ``batch_id=<n>`` partition (the st12
+    contract).  Spans depend only on the batch's rows + the static
+    index, so the drained output is batching-invariant.
+
+    Returns flagged docs: ``(id, n_bench_docs, max_span_tokens)`` with
+    a shared run of ≥ ``min_span`` tokens."""
+    import os
+
+    from pyspark.sql import Window
+
+    from dataclod_spark.functions.text import _kgram_hashes_from, _token_values
+
+    def _positions(df: DataFrame, out_id: str, out_pos: str) -> DataFrame:
+        staged = df.select(
+            F.col(id_col).alias(out_id),
+            _token_values(F.col(text_col)).alias("__tv"),
+        ).withColumn("__wh", _kgram_hashes_from(F.col("__tv"), k))
+        return staged.select(out_id, F.posexplode("__wh").alias(out_pos, "__h"))
+
+    bench_pos = _positions(benchmark, "__bid", "__bpos")
+    if max_doc_freq is not None:
+        kept_h = (
+            bench_pos.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("__h")
+        )
+        bench_pos = bench_pos.join(kept_h, "__h")
+    bidx = bench_pos.localCheckpoint(eager=True)
+    res_dir = os.path.join(out_dir, "flagged")
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        pos = _positions(batch_df, "__id", "__pos")
+        matched = pos.join(bidx, "__h").select(
+            "__id", "__bid", F.col("__pos").alias("p1"),
+            (F.col("__bpos") - F.col("__pos")).alias("__diag"),
+        )
+        w = Window.partitionBy("__id", "__bid", "__diag").orderBy("p1")
+        runs = (
+            matched.withColumn(
+                "__brk",
+                F.when(
+                    F.col("p1") - F.lag("p1").over(w) == 1, F.lit(0)
+                ).otherwise(F.lit(1)),
+            )
+            .withColumn(
+                "__run",
+                F.sum("__brk").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("__id", "__bid", "__diag", "__run")
+            .agg((F.max("p1") - F.min("p1") + k).alias("__span"))
+        )
+        per_bench = (
+            runs.groupBy("__id", "__bid")
+            .agg(F.max("__span").alias("__mx"))
+            .filter(F.col("__mx") >= min_span)
+        )
+        out = per_bench.groupBy("__id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bench_docs"),
+            F.max("__mx").cast("bigint").alias("max_span_tokens"),
+        ).select(F.col("__id").alias(id_col), "n_bench_docs", "max_span_tokens")
+        out.write.mode("overwrite").parquet(
+            os.path.join(res_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming span decontamination did not finish within {timeout_sec}s"
+        )
+    return spark.read.parquet(res_dir)
