@@ -32,23 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # list at the start of each round; entries left over from a prior round
 # only waste window slots (never produce a wrong check).
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round 9: the d6/d15 stop-gram guard rebuilt groupBy+join (gate
-    # defaults run guard-off, but the shared functions changed); the
-    # GROUPS join-wrap inliner gained bare-item re-aliasing (w9/w10 ride
-    # through the same code path); the banded samplers gained the
-    # NULL-hash fallback check (sp1/sp3 use _take_first_by_hash, sp4/sp5
-    # the token-budget band); m6 refactored onto the shared _quant_cells
-    # helper; st15's weighted-topk entry gained the weight_col guard
-    "d6_ngram_jaccard",
-    "d15_ngram_containment",
+    # round 10: v15's zero-sign bucket fix (round(...)+0.0 on both the
+    # operator and the oracle — the r9 driver-red); the GROUPS inliner's
+    # bare-item re-aliasing now strips trailing `--` comments before the
+    # terminal check (w9/w10 ride the same path); st19's per-batch span
+    # join gained the explicit broadcast hint on the benchmark index
+    "v15_distance_profile",
     "w9_groups_frame_join_sql",
     "w10_groups_frame_join_qualified_sql",
-    "sp1_stratified_sample",
-    "sp3_language_rebalance",
-    "sp4_token_budget_mixture",
-    "sp5_temperature_mixture",
-    "m6_media_near_dedup",
-    "st15_stream_weighted_topk",
+    "st19_stream_span_decontamination",
 )
 
 # The driver samples a bounded window (50 in r2-r5) of the registry in

@@ -153,7 +153,13 @@ def _take_first_by_hash(
         & (F.col("__c_null") == 0)
     )
     helpers = ["__q", "__lo", "__hi", "__c_lo", "__c_hi", "__c_null"]
-    w = Window.partitionBy(stratum).orderBy(h, F.col(key))
+    # NULLS FIRST is spelled out rather than inherited from Spark's ASC
+    # default: DuckDB's ASC default is NULLS LAST, so any oracle-paired
+    # query feeding NULL sample keys must pin NULLS FIRST in its SQL to
+    # match this contract (ADVICE r9 — cross-engine NULL-ordering caveat)
+    w = Window.partitionBy(stratum).orderBy(
+        h.asc_nulls_first(), F.col(key).asc_nulls_first()
+    )
     pre = j2.filter(ok & (h < F.col("__lo"))).drop(*helpers)
     band = (
         j2.filter(ok & (h >= F.col("__lo")) & (h < F.col("__hi")))

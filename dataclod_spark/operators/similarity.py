@@ -374,7 +374,13 @@ def cosine_profile(
     Returns ``(bucket, n_pairs)`` — ≤ 2·10^decimals + 1 rows.  Norms are
     staged per row before the join (one fold per pair, the
     knn_bruteforce shape); rounding uses the proven round-to-6-style
-    half-even double path, so the bucket edges are engine-exact.
+    half-even double path, so the bucket edges are engine-exact.  The
+    rounded bucket is sign-normalized (``+ 0.0``) before grouping:
+    pairs in (-0.005, 0) round to IEEE ``-0.0``, and while Spark's
+    GROUP BY normalizes the key to ``+0.0``, other engines (DuckDB)
+    keep a negative-zero representative — adding ``+0.0`` pins the
+    merged zero bucket's sign on BOTH engines instead of relying on
+    grouping-key normalization implicitly (VERDICT r9 #1).
 
     100 TB shape: one broadcast nested-loop over streamed rows (k·n
     pairs never materialize — they flow straight into the partial
@@ -390,7 +396,7 @@ def cosine_profile(
     sim = F.round(
         dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")),
         decimals,
-    )
+    ) + F.lit(0.0)  # IEEE: -0.0 + 0.0 = +0.0 — pin the zero bucket's sign
     return (
         c.crossJoin(q)
         .filter(F.col("__qid") != F.col("__cid"))

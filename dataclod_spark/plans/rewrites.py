@@ -593,10 +593,12 @@ def _alias_bare_gq_items(select_list: str, terminals: dict[str, str]) -> str:
     Splices IN PLACE: only the matched identifier's segment is touched
     (``seg.rstrip() + " AS x" + trailing``), never the list structure —
     re-joining stripped items would glue code after ``--`` line comments.
-    Items where the alias is embedded in a larger expression, already
-    carries an AS, or shares its segment with a comment are left alone —
-    their output name is unaffected (or ambiguous) and conservatism is
-    free here."""
+    A segment whose code part is exactly the identifier but that CARRIES
+    trailing comments (``SELECT t.x -- c``) splices the alias BEFORE the
+    comment tail (``__gq0 AS x -- c``) so the user-visible name is still
+    restored (ADVICE r9).  Items where the alias is embedded in a larger
+    expression or already carries an AS are left alone — their output
+    name is unaffected (or ambiguous) and conservatism is free here."""
     # top-level comma positions, code-span aware
     cuts: list[int] = []
     depth, i, n = 0, 0, len(select_list)
@@ -627,8 +629,45 @@ def _alias_bare_gq_items(select_list: str, terminals: dict[str, str]) -> str:
             stripped = seg.rstrip()
             trail = seg[len(stripped) :]
             seg = f"{stripped} AS {terminals[token]}{trail}"
+        else:
+            # the code part may be exactly the identifier with a trailing
+            # comment suffix — splice the alias before the comments
+            code, tail = _split_trailing_comments(body)
+            tok = code.strip()
+            if tail and tok in terminals:
+                off = len(seg) - len(body)
+                code_stripped = code.rstrip()
+                seg = (
+                    seg[:off]
+                    + code_stripped
+                    + f" AS {terminals[tok]}"
+                    + code[len(code_stripped) :]
+                    + tail
+                )
         out.append(seg)
     return ",".join(out)
+
+
+def _split_trailing_comments(seg: str) -> tuple[str, str]:
+    """Split ``seg`` into ``(code, tail)`` where ``tail`` is the longest
+    suffix made solely of ``--``/``/* */`` comments and whitespace
+    (noncode-aware, so a ``--`` inside a string literal never counts).
+    ``tail == ""`` when the segment ends in code."""
+    spans: list[tuple[int, int, str]] = []
+    i, n = 0, len(seg)
+    while i < n:
+        kind, end = scan_noncode_span(seg, i)
+        if kind:
+            spans.append((i, end, kind))
+            i = end
+        else:
+            i += 1
+    cut = n
+    for start, end, kind in reversed(spans):
+        if kind not in ("line", "block") or seg[end:cut].strip():
+            break
+        cut = start
+    return seg[:cut], seg[cut:]
 
 
 def _has_qualified_ref(text: str) -> bool:

@@ -1055,7 +1055,7 @@ def v14_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (
   SELECT vec_id AS qid, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0
 ), sims AS (
-  SELECT round({_DOT_QC} / ({_NORM_Q} * {_NORM_C}), 2) AS bucket
+  SELECT round({_DOT_QC} / ({_NORM_Q} * {_NORM_C}), 2) + 0.0 AS bucket
   FROM q CROSS JOIN embeddings c
   WHERE c.vec_id <> q.qid
 )

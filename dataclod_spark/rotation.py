@@ -99,8 +99,9 @@ def window_report(
     asked for the generator to print the real list).  Returns the
     in-window names, the queries that MISS the window despite being
     stale/new/changed (the carry), and the post-window freshness floor
-    (the oldest latest-checked round among in-window 'stale' entries —
-    i.e. what the bar becomes after the driver runs this window)."""
+    (the oldest latest-checked round among CARRIED green entries —
+    carried red/new entries have no meaningful 'last green' age — i.e.
+    what the bar becomes after the driver runs this window)."""
     order = rotation_order(names, history, changed)
     in_window = order[:window]
     carried = order[window:]
@@ -154,7 +155,8 @@ def _main() -> None:  # pragma: no cover - CLI convenience
         for n, c, r in rep["carried_detail"]:
             print(f"  {n}  {c}  r{r}")
     print("freshness floor after this window:",
-          f"r{rep['freshness_floor_after']}" if rep["freshness_floor_after"] else "none")
+          f"r{rep['freshness_floor_after']}"
+          if rep["freshness_floor_after"] is not None else "none")
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -1186,7 +1186,9 @@ def streaming_span_decontamination(
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
         pos = _positions(batch_df, "__id", "__pos")
-        matched = pos.join(bidx, "__h").select(
+        # the index is bounded by the static benchmark — broadcast it so
+        # no micro-batch ever shuffles its positional hashes (ADVICE r9)
+        matched = pos.join(F.broadcast(bidx), "__h").select(
             "__id", "__bid", F.col("__pos").alias("p1"),
             (F.col("__bpos") - F.col("__pos")).alias("__diag"),
         )

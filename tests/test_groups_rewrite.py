@@ -602,10 +602,31 @@ def test_join_tail_bare_item_alias_preserves_comments():
     assert out is not None
     assert re.search(r"__gq0 AS x\s*,", out)   # re-aliased, comma survives
     assert "-- keep me\n" in out               # comment intact, newline intact
-    # a comment SHARING the bare item's segment declines the re-alias
+    # a comment SHARING the bare item's segment splices the alias BEFORE
+    # the comment (ADVICE r9): the user-visible name is restored and the
+    # comment + newline survive in place
     q2 = (
         "SELECT t.x -- trailing\n, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s "
         "FROM t JOIN u ON t.id=u.id"
     )
     out2 = rw(q2)
-    assert out2 is not None and "AS x" not in out2
+    assert out2 is not None
+    assert re.search(r"__gq0 AS x\s*-- trailing\n", out2)
+    # block-comment tail: same splice
+    q3 = (
+        "SELECT t.x /* c */, sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s "
+        "FROM t JOIN u ON t.id=u.id"
+    )
+    out3 = rw(q3)
+    assert out3 is not None
+    assert re.search(r"__gq0 AS x\s*/\* c \*/\s*,", out3)
+    # a `--` inside a string literal is NOT a comment: the item is a larger
+    # expression, so no alias is spliced and the literal is untouched
+    q4 = (
+        "SELECT concat(t.x, '--not a comment'), "
+        "sum(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s "
+        "FROM t JOIN u ON t.id=u.id"
+    )
+    out4 = rw(q4)
+    assert out4 is not None
+    assert "'--not a comment'" in out4 and "AS x" not in out4

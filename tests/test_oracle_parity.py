@@ -17,8 +17,11 @@ _ROWS_ONLY = sorted(name for name, qd in _REGISTRY.items() if not qd.oracle)
 
 @pytest.mark.parametrize("name", _WITH_ORACLE)
 def test_oracle_parity(spark, name):
+    # strict=True is the driver-grade comparator (zero-sign-bit
+    # sensitive): the lenient mode masked v15's -0.0 driver-red in r9,
+    # so the standing gate runs at least as strict as the driver's hash
     qd = _REGISTRY[name]
-    ok, detail = compare_query(spark, SF_SMOKE, qd.fn, qd.oracle)
+    ok, detail = compare_query(spark, SF_SMOKE, qd.fn, qd.oracle, strict=True)
     assert ok, f"{name}: {detail}"
 
 

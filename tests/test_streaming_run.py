@@ -430,3 +430,63 @@ def test_streaming_calibration_unseen_source_is_null(spark, tmp_path):
         want = sum(1 for v in grid if v <= r.quality)
         assert got[r.doc_id].cal_bucket == want
         assert got[r.doc_id].calibrated == round(want / 20, 6)
+
+
+def test_streaming_span_decontamination_planted_multibatch(spark, tmp_path):
+    """Round 10 (VERDICT r9 optional #6): planted benchmark-span fixture
+    across TWO micro-batches.  Spans live inside single documents, so
+    the drained output must be batching-invariant — equal to the same
+    check run as one batch — and the planted lengths are pinned exactly
+    (span = verbatim token run length; runs below min_span vanish)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataclod_spark.streaming.run import (
+        read_documents_stream_multibatch,
+        streaming_span_decontamination,
+    )
+
+    bench_toks = [f"mark{i}" for i in range(20)]
+    bench_text = " ".join(bench_toks)
+    docs = {
+        # 10-token verbatim run (mark5..mark14) embedded in filler -> span 10
+        1: "pad one two " + " ".join(bench_toks[5:15]) + " tail filler words",
+        # 4-token run < min_span=8 -> must NOT be flagged
+        2: "other stuff " + " ".join(bench_toks[3:7]) + " more other stuff",
+        # no overlap at all
+        3: "completely unrelated text with nothing shared anywhere here",
+        # exactly min_span=8 tokens (mark0..mark7) -> span 8, flagged
+        4: "lead in " + " ".join(bench_toks[0:8]) + " trailing words",
+        # two separated runs (9 and 8 tokens, gap breaks the diagonal)
+        # -> max span 9, still one benchmark doc
+        5: " ".join(bench_toks[0:9]) + " gapword " + " ".join(bench_toks[11:19]),
+    }
+    src = tmp_path / "sf"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": [docs[i] for i in sorted(docs)],
+        }),
+        str(src / "documents.parquet"),
+    )
+    bench = spark.createDataFrame(
+        [(900, bench_text)], "doc_id long, text string"
+    )
+
+    def run(n_files: int, tag: str) -> dict[int, tuple[int, int]]:
+        ds = read_documents_stream_multibatch(
+            spark, str(src), str(tmp_path / f"stage_{tag}"),
+            n_files=n_files, pred_sql="doc_id >= 0",
+        ).select("doc_id", "text")
+        res = streaming_span_decontamination(
+            spark, ds, bench, str(tmp_path / f"out_{tag}"), timeout_sec=180
+        )
+        return {
+            r.doc_id: (r.n_bench_docs, r.max_span_tokens) for r in res.collect()
+        }
+
+    got_two = run(2, "two")
+    assert got_two == {1: (1, 10), 4: (1, 8), 5: (1, 9)}
+    # batching-invariance: one batch produces the identical flag set
+    assert run(1, "one") == got_two
