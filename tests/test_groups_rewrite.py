@@ -630,3 +630,56 @@ def test_join_tail_bare_item_alias_preserves_comments():
     out4 = rw(q4)
     assert out4 is not None
     assert "'--not a comment'" in out4 and "AS x" not in out4
+
+
+def test_split_trailing_comments_properties():
+    """_split_trailing_comments invariants on adversarial segments:
+    code + tail reconstructs the segment exactly, the tail is only
+    comments/whitespace, and quoted `--`/`/*` never start a tail."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataclod_spark.plans.rewrites import (
+        _split_trailing_comments,
+        scan_noncode_span,
+    )
+
+    def only_comments_ws(tail: str) -> bool:
+        i, n = 0, len(tail)
+        while i < n:
+            kind, end = scan_noncode_span(tail, i)
+            if kind in ("line", "block"):
+                i = end
+            elif tail[i].isspace():
+                i += 1
+            else:
+                return False
+        return True
+
+    piece = st.one_of(
+        st.sampled_from([
+            "t.x", "a + b", "'lit--not'", '"q/*s"', "f(x, y)", " ",
+            "\n", "-- line c", "/* blk */", "-- c\n", "`-- id`",
+            "0", "x--y",
+        ]),
+        st.text(alphabet="ax'-/*\n ", min_size=0, max_size=6),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(piece, min_size=0, max_size=6).map("".join))
+    def run(seg):
+        code, tail = _split_trailing_comments(seg)
+        assert code + tail == seg            # exact reconstruction
+        assert only_comments_ws(tail)        # tail is inert
+        if tail:
+            # tail starts at a genuine comment opener in code position
+            kind, _ = scan_noncode_span(tail, 0)
+            assert kind in ("line", "block")
+
+    run()
+    # the quoted-dash trap, pinned explicitly
+    from dataclod_spark.plans.rewrites import _split_trailing_comments as sp
+    assert sp("x '--in string'") == ("x '--in string'", "")
+    assert sp("x -- real\n") == ("x ", "-- real\n")
+    assert sp("x /* a */ -- b\n") == ("x ", "/* a */ -- b\n")
+    assert sp("x /* a */ y") == ("x /* a */ y", "")
