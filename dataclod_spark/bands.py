@@ -24,13 +24,11 @@ idle box; a regression reproduces, contention does not.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
-import re
 import sys
 
-_ROUND_RE = re.compile(r"BENCH_r(\d+)\.json$")
+from dataclod_spark.rotation import iter_round_files
 
 
 def _steady_block(data: dict) -> dict[str, float] | None:
@@ -47,16 +45,7 @@ def _steady_block(data: dict) -> dict[str, float] | None:
 def load_floors(repo_dir: str) -> dict[str, tuple[float, int]]:
     """query -> (best steady seconds ever recorded, round it came from)."""
     floors: dict[str, tuple[float, int]] = {}
-    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
-        m = _ROUND_RE.search(path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
-            continue
+    for rnd, data in iter_round_files(repo_dir, "BENCH"):
         steady = _steady_block(data) if isinstance(data, dict) else None
         if not steady:
             continue
@@ -92,6 +81,9 @@ def check(
 
 
 def _main() -> int:  # pragma: no cover - CLI convenience
+    # exit codes: 0 = no flags, 1 = a query flagged, 2 = unusable input.
+    # A crashed/empty bench run must land on 2, NOT 1 — a gating script
+    # reads 1 as "perf regression", and a crash is not a regression.
     repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     arg = sys.argv[1] if len(sys.argv) > 1 else "-"
     raw = sys.stdin.read() if arg == "-" else open(arg).read()
@@ -100,10 +92,15 @@ def _main() -> int:  # pragma: no cover - CLI convenience
     try:
         data = json.loads(raw)
     except ValueError:
-        data = json.loads(raw.strip().splitlines()[-1])
-    steady = _steady_block(data)
+        lines = raw.strip().splitlines()
+        try:
+            data = json.loads(lines[-1]) if lines else None
+        except ValueError:
+            data = None
+    steady = _steady_block(data) if isinstance(data, dict) else None
     if not steady:
-        print("no steady block found", file=sys.stderr)
+        print("no steady block found (empty or malformed bench output)",
+              file=sys.stderr)
         return 2
     floors = load_floors(repo_dir)
     rows = check(steady, floors)

@@ -25,7 +25,27 @@ import json
 import os
 import re
 
-_ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+_ROUND_RE = re.compile(r"_r(\d+)\.json$")
+
+
+def iter_round_files(repo_dir: str, prefix: str):
+    """Yield ``(round_number, parsed_json)`` for every readable
+    ``<prefix>_r<N>.json`` ledger file in ``repo_dir``, ascending by
+    filename.  The single scanner for per-round driver artifacts —
+    correctness history (``CORRECTNESS``) and bench floors (``BENCH``)
+    both consume it, so the file-naming/tolerance convention lives in
+    ONE place.  Unreadable or non-JSON files are skipped (the consumers
+    degrade gracefully rather than crash the driver's import)."""
+    for path in sorted(glob.glob(os.path.join(repo_dir, f"{prefix}_r*.json"))):
+        m = _ROUND_RE.search(path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        yield int(m.group(1)), data
 
 
 def load_history(repo_dir: str) -> dict[str, tuple[int, bool]]:
@@ -38,16 +58,7 @@ def load_history(repo_dir: str) -> dict[str, tuple[int, bool]]:
     rather than crashing the driver's import of ``__spark_entry__``).
     """
     hist: dict[str, tuple[int, bool]] = {}
-    for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
-        m = _ROUND_RE.search(path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
-            continue
+    for rnd, data in iter_round_files(repo_dir, "CORRECTNESS"):
         if not isinstance(data, dict):
             continue
         for name, row in data.items():

@@ -36,3 +36,42 @@ def test_steady_block_both_shapes():
     assert _steady_block({"steady": {"a": 1.0}}) == {"a": 1.0}
     assert _steady_block({"parsed": {"steady": {"a": 1.0}}}) == {"a": 1.0}
     assert _steady_block({"parsed": {"value": 3}}) is None
+
+
+def test_cli_exit_codes_distinguish_crash_from_flag(tmp_path):
+    """Exit 2 (unusable input) must be distinct from exit 1 (perf flag):
+    a gating script reads 1 as 'regression'; a crashed bench is not one."""
+    import subprocess
+    import sys
+
+    env_dir = "/root/repo"
+    r = subprocess.run(
+        [sys.executable, "-m", "dataclod_spark.bands", "-"],
+        input="", capture_output=True, text=True, cwd=env_dir,
+    )
+    assert r.returncode == 2 and "no steady block" in r.stderr
+    r2 = subprocess.run(
+        [sys.executable, "-m", "dataclod_spark.bands", "-"],
+        input="[1, 2]", capture_output=True, text=True, cwd=env_dir,
+    )
+    assert r2.returncode == 2
+    # a valid run with no history flags nothing -> exit 0
+    f = tmp_path / "b.json"
+    f.write_text('{"steady": {"zz_nonexistent_query": 1.0}}')
+    r3 = subprocess.run(
+        [sys.executable, "-m", "dataclod_spark.bands", str(f)],
+        capture_output=True, text=True, cwd=env_dir,
+    )
+    assert r3.returncode == 0 and "no history" in r3.stdout
+
+
+def test_iter_round_files_shared_scanner(tmp_path):
+    from dataclod_spark.rotation import iter_round_files
+
+    (tmp_path / "BENCH_r03.json").write_text('{"a": 1}')
+    (tmp_path / "BENCH_r11.json").write_text('{"a": 2}')
+    (tmp_path / "BENCH_rX.json").write_text('{"a": 3}')   # no round number
+    (tmp_path / "BENCH_r04.json").write_text('{oops')     # unreadable: skipped
+    got = list(iter_round_files(str(tmp_path), "BENCH"))
+    assert got == [(3, {"a": 1}), (11, {"a": 2})]
+    assert list(iter_round_files(str(tmp_path), "CORRECTNESS")) == []
