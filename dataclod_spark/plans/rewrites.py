@@ -15,24 +15,22 @@ import re
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
-    parts, depth, cur, in_str = [], 0, [], False
-    i = 0
-    while i < len(s):
-        ch = s[i]
-        if in_str:
-            cur.append(ch)
-            if ch == "'":
-                if i + 1 < len(s) and s[i + 1] == "'":
-                    cur.append(s[i + 1])
-                    i += 1
-                else:
-                    in_str = False
-            i += 1
+    """Split on top-level ``sep``, noncode-aware via
+    :func:`scan_noncode_span` — the file's single source of truth for
+    quotes/comments.  (A private doubled-quote-only scanner used to live
+    here; it diverged from ``_quoted_span`` on backslash escapes, so
+    ``'O\\'Brien'`` broke the depth tracking.)"""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        j = _scan_code(s, i)
+        if j != i:
+            cur.append(s[i:j])
+            i = j
             continue
-        if ch == "'":
-            in_str = True
-            cur.append(ch)
-        elif ch == "(":
+        ch = s[i]
+        if ch == "(":
             depth += 1
             cur.append(ch)
         elif ch == ")":
@@ -49,26 +47,26 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
 
 
 def _find_matching(s: str, start: int) -> int:
-    """Index of the ')' matching the '(' at s[start]."""
-    depth, in_str = 0, False
-    for i in range(start, len(s)):
-        ch = s[i]
-        if in_str:
-            if ch == "'":
-                in_str = False
+    """Index of the ')' matching the '(' at s[start] (noncode-aware)."""
+    depth, i, n = 0, start, len(s)
+    while i < n:
+        j = _scan_code(s, i)
+        if j != i:
+            i = j
             continue
-        if ch == "'":
-            in_str = True
-        elif ch == "(":
+        ch = s[i]
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
             if depth == 0:
                 return i
+        i += 1
     raise ValueError("unbalanced parentheses")
 
 
 _VALUES_RE = re.compile(r"\(\s*VALUES\b", re.IGNORECASE)
+_ST_CALL_RE = re.compile(r"\bst_\w+\s*\(", re.IGNORECASE)
 _ALIAS_RE = re.compile(r"\s*(?:AS\s+)?(\w+)\s*\(([^)]*)\)", re.IGNORECASE)
 _ALIAS_WORD_RE = re.compile(r"\s*(?:AS\s+)?(\w+)", re.IGNORECASE)
 _IDENT_RE = re.compile(r"[A-Za-z_]\w*$")
@@ -105,9 +103,11 @@ def rewrite_values_tables(sql: str) -> str:
     """Rewrite ``(VALUES (a,b),(c,d)) AS t(x,y)`` → UNION ALL of SELECTs.
 
     Only fires when the statement contains both VALUES and a non-foldable
-    function marker (``ST_`` prefix) — plain literal VALUES stay native.
+    function marker (an ``ST_*(`` call) — plain literal VALUES stay native.
+    The gate matches a call shape, not a bare substring: ``first_value``/
+    ``last_value`` contain ``st_`` but must not widen exposure.
     """
-    if "values" not in sql.lower() or "st_" not in sql.lower():
+    if "values" not in sql.lower() or not _ST_CALL_RE.search(sql):
         return sql
     out = sql
     while True:
@@ -280,12 +280,16 @@ def rewrite_dollar_params(sql: str) -> tuple[str, list[int]]:
     used: set[int] = set()
     i, n = 0, len(sql)
     while i < n:
+        # ALL noncode spans skip substitution — quotes, dollar-quoted
+        # strings AND comments (a `$2` inside `-- fallback for $2` must
+        # not count toward n_params, or Bind rejects a valid statement)
+        kind, end = scan_noncode_span(sql, i)
+        if kind:
+            out.append(sql[i:end])
+            i = end
+            continue
         ch = sql[i]
-        if ch in "'\"`":
-            j = _quoted_span(sql, i)
-            out.append(sql[i:j])
-            i = j
-        elif ch == "$" and i + 1 < n and sql[i + 1].isdigit():
+        if ch == "$" and i + 1 < n and sql[i + 1].isdigit():
             j = i + 1
             while j < n and sql[j].isdigit():
                 j += 1
@@ -302,6 +306,27 @@ def rewrite_dollar_params(sql: str) -> tuple[str, list[int]]:
 _PG_CATALOG_QUAL_RE = re.compile(r"\bpg_catalog\s*\.\s*(pg_\w+)", re.IGNORECASE)
 
 
+def _sub_outside_noncode(sql: str, regex: "re.Pattern[str]", repl) -> str:
+    """Apply ``regex.sub(repl, ...)`` to the CODE spans of ``sql`` only —
+    string literals, quoted identifiers and comments pass through
+    untouched.  A plain ``regex.sub`` over the whole statement corrupts
+    literals (``SELECT 'pg_catalog.pg_class'`` must return the original
+    string, not the rewritten view name)."""
+    out: list[str] = []
+    i, seg_start, n = 0, 0, len(sql)
+    while i < n:
+        kind, end = scan_noncode_span(sql, i)
+        if kind:
+            out.append(regex.sub(repl, sql[seg_start:i]))
+            out.append(sql[i:end])
+            i = end
+            seg_start = i
+        else:
+            i += 1
+    out.append(regex.sub(repl, sql[seg_start:]))
+    return "".join(out)
+
+
 def rewrite_pg_catalog_refs(sql: str) -> str:
     """``pg_catalog.pg_X`` → ``pg_catalog_pg_X``.
 
@@ -309,8 +334,11 @@ def rewrite_pg_catalog_refs(sql: str) -> str:
     schema-qualified; the reference registers them under the real
     ``pg_catalog`` schema (``catalog/mod.rs``), and pg clients (psql's
     ``\\d``, BI tools) always qualify.  The prefixed spelling is registered
-    by catalog.pg_catalog.register_pg_catalog."""
-    return _PG_CATALOG_QUAL_RE.sub(lambda m: f"pg_catalog_{m.group(1)}", sql)
+    by catalog.pg_catalog.register_pg_catalog.  Code spans only — the
+    qualified name inside a string literal is data, not a reference."""
+    return _sub_outside_noncode(
+        sql, _PG_CATALOG_QUAL_RE, lambda m: f"pg_catalog_{m.group(1)}"
+    )
 
 
 _INFO_SCHEMA_QUAL_RE = re.compile(
@@ -321,9 +349,9 @@ _INFO_SCHEMA_QUAL_RE = re.compile(
 def rewrite_information_schema_refs(sql: str) -> str:
     """``information_schema.X`` → ``information_schema_X`` temp views
     (rebuilt on use by EngineSession.sql; reference enables DataFusion's
-    information_schema at context.rs:33)."""
-    return _INFO_SCHEMA_QUAL_RE.sub(
-        lambda m: f"information_schema_{m.group(1).lower()}", sql
+    information_schema at context.rs:33).  Code spans only."""
+    return _sub_outside_noncode(
+        sql, _INFO_SCHEMA_QUAL_RE, lambda m: f"information_schema_{m.group(1).lower()}"
     )
 
 

@@ -208,7 +208,9 @@ def _text_encode(v) -> Optional[bytes]:
                 parts.append(b"NULL")
             else:
                 s = t.decode("utf-8", "replace")
-                if any(c in s for c in ',{}" \\') or s == "":
+                # a real string "NULL" must be quoted or every PG client
+                # reads it back as SQL NULL (PG quotes it for this reason)
+                if any(c in s for c in ',{}" \\') or s == "" or s.upper() == "NULL":
                     s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
                 parts.append(s.encode())
         return b"{" + b",".join(parts) + b"}"
@@ -321,6 +323,28 @@ def _binary_encode(v, oid: int) -> Optional[bytes]:
     raise ValueError(f"no binary result encoding for oid {oid}")
 
 
+def _has_code(s: str) -> bool:
+    """True when ``s`` contains any CODE (non-whitespace outside
+    comments).  A quoted literal counts as code (executing it yields the
+    same parse error PG gives); a comment-only segment does not — PG
+    ignores a trailing comment after the last semicolon rather than
+    executing it as a statement."""
+    from dataclod_spark.plans.rewrites import scan_noncode_span
+
+    i, n = 0, len(s)
+    while i < n:
+        kind, end = scan_noncode_span(s, i)
+        if kind in ("line", "block"):
+            i = end
+        elif kind is not None:
+            return True
+        elif not s[i].isspace():
+            return True
+        else:
+            i += 1
+    return False
+
+
 def md5_password_hash(user: str, password: str, salt: bytes) -> str:
     """``md5`` + hex(md5(md5(password+user) + salt)) — the exchange hashed
     on both ends (pgwire ``hash_md5_password``, used by auth.rs:111)."""
@@ -349,11 +373,19 @@ class _Proto:
 
     def read_startup(self) -> tuple[int, bytes]:
         ln = struct.unpack("!i", self._recv_exact(4))[0]
+        if ln < 4:
+            # a negative body length would negative-slice the buffer and
+            # desync framing for the rest of the connection — fail HERE
+            raise ConnectionError(f"invalid startup message length {ln}")
         return ln, self._recv_exact(ln - 4)
 
     def read_message(self) -> tuple[bytes, bytes]:
         tag = self._recv_exact(1)
         ln = struct.unpack("!i", self._recv_exact(4))[0]
+        if ln < 4:
+            raise ConnectionError(
+                f"invalid message length {ln} for tag {tag!r}"
+            )
         return tag, self._recv_exact(ln - 4)
 
     def send(self, tag: bytes, payload: bytes = b"") -> None:
@@ -583,14 +615,29 @@ class _Connection:
             buf.append(ch)
             i += 1
         out.append("".join(buf))
-        return [s for s in (p.strip() for p in out) if s]
+        # a segment with no CODE at all ("-- done", "/* tag */", "") is
+        # not a statement: PG ignores trailing comments after the last
+        # semicolon rather than executing them (and Parse must not count
+        # one as a second command)
+        return [
+            s for s in (p.strip() for p in out)
+            if s and _has_code(s)
+        ]
 
     def handle_simple(self, sql: str) -> None:
         # PG simple protocol: execute every ';'-separated statement in
         # order with one CommandComplete each; an error aborts the rest of
         # the query string; a single ReadyForQuery closes the exchange
         # (reference handler.rs processes the same way via pgwire-rs).
-        for stmt in self._split_statements(sql) or [""]:
+        statements = self._split_statements(sql)
+        if not statements:
+            # empty query string (or only ';'/comments): PG answers
+            # EmptyQueryResponse, NOT CommandComplete — libpq drivers
+            # branch on PGRES_EMPTY_QUERY
+            self.p.send(b"I")
+            self.p.send_ready()
+            return
+        for stmt in statements:
             try:
                 df, tag = self._run_sql(stmt)
                 if df is None:
@@ -1124,6 +1171,38 @@ def _typed_empty_array(elem_oid: int):
     return SqlFragmentParam(f"CAST(array() AS array<{spark_elem}>)")
 
 
+def _array_fragment(values: list, elem_oid: int):
+    """An array parameter containing NULL elements has no
+    ``spark.sql(args=...)`` representation either (Spark rejects a list
+    with None as an invalid arg) — render it as a typed server-generated
+    ``array(...)`` fragment.  Elements are DECODED typed values, and
+    string elements are escaped (backslash + quote), so the spliced text
+    is not client-controlled SQL."""
+    from dataclod_spark.plans.rewrites import SqlFragmentParam
+
+    spark_elem = _SPARK_TYPE_OF_OID.get(elem_oid)
+    if spark_elem is None:
+        raise ValueError(
+            f"array parameter with unsupported element oid {elem_oid}"
+        )
+    parts = []
+    for v in values:
+        if v is None:
+            parts.append(f"CAST(NULL AS {spark_elem})")
+        elif isinstance(v, (bytes, bytearray)):
+            parts.append(f"CAST(X'{bytes(v).hex()}' AS {spark_elem})")
+        else:
+            if isinstance(v, datetime):
+                s = v.isoformat(sep=" ")
+            elif isinstance(v, float):
+                s = repr(v)  # full precision round-trip
+            else:
+                s = str(v)
+            lit = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            parts.append(f"CAST({lit} AS {spark_elem})")
+    return SqlFragmentParam(f"array({', '.join(parts)})")
+
+
 def _numeric_binary_decode(raw: bytes) -> Decimal:
     """Inverse of :func:`_numeric_binary` (PG NUMERIC wire format)."""
     ndigits, weight, sign, dscale = struct.unpack("!hhHh", raw[:8])
@@ -1198,6 +1277,8 @@ def _decode_param(raw: bytes, fmt: int, oid: int):
                 else:
                     out.append(_decode_param(raw[off : off + ln], 1, elem_oid))
                     off += ln
+            if any(e is None for e in out):
+                return _array_fragment(out, elem_oid)
             return out
         if oid == _OID_TEXT:
             return raw.decode()
@@ -1215,7 +1296,63 @@ def _decode_param(raw: bytes, fmt: int, oid: int):
         return date.fromisoformat(text)
     if oid == _OID_TIMESTAMP:
         return datetime.fromisoformat(text)
+    if oid in _ELEM_OF:
+        # TEXT-format array (psycopg3's default): '{1,2,NULL,"a,b"}' —
+        # without this branch an array param silently binds as the raw
+        # string and the query compares against '{1,2,3}' instead of an
+        # array
+        return _parse_text_array(text, _ELEM_OF[oid])
     return text
+
+
+def _parse_text_array(text: str, elem_oid: int):
+    """Parse a 1-D PG text-format array literal: ``{}`` empty, elements
+    comma-separated, double-quoted with backslash escapes, unquoted
+    ``NULL`` is SQL NULL.  Elements decode through the scalar text matrix
+    for ``elem_oid``.  Multi-dim arrays raise a clean protocol error."""
+    s = text.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        raise ValueError(f"malformed array literal {text!r}")
+    body = s[1:-1]
+    if body.strip() == "":
+        return _typed_empty_array(elem_oid)
+    out: list = []
+    i, n = 0, len(body)
+    while True:
+        while i < n and body[i] == " ":
+            i += 1
+        if i < n and body[i] == "{":
+            raise ValueError("only 1-D text array parameters are supported")
+        if i < n and body[i] == '"':
+            i += 1
+            buf: list[str] = []
+            while i < n and body[i] != '"':
+                if body[i] == "\\" and i + 1 < n:
+                    i += 1
+                buf.append(body[i])
+                i += 1
+            if i >= n:
+                raise ValueError(f"unterminated quoted element in {text!r}")
+            i += 1  # past the closing quote
+            out.append(_decode_param("".join(buf).encode(), 0, elem_oid))
+        else:
+            j = body.find(",", i)
+            j = n if j < 0 else j
+            tok = body[i:j].strip()
+            out.append(
+                None if tok.upper() == "NULL"
+                else _decode_param(tok.encode(), 0, elem_oid)
+            )
+            i = j
+        while i < n and body[i] == " ":
+            i += 1
+        if i >= n:
+            if any(e is None for e in out):
+                return _array_fragment(out, elem_oid)
+            return out
+        if body[i] != ",":
+            raise ValueError(f"malformed array literal {text!r}")
+        i += 1
 
 
 # -- server -------------------------------------------------------------------

@@ -343,6 +343,12 @@ class EngineSession:
         if m:
             key, value = m.group(1), m.group(2).strip().strip("'\"")
             if key.lower().startswith(_ENGINE_SET_NAMESPACES):
+                # Deliberate reference parity, NOT per-connection PG SET
+                # semantics: the reference shares ONE QueryContext across
+                # all pgwire connections (server.rs:19-22) and applies
+                # datafusion./dataclod. SETs to it (context.rs:112-118),
+                # so an engine-namespace SET is visible to every
+                # connection there too.  Our shared SparkSession matches.
                 self.spark.conf.set(key, value)
             else:
                 # pg-client compat: swallow unknown SET (context.rs:117-122)
@@ -429,21 +435,30 @@ class EngineSession:
         Scale note: the write is a distributed ``df.write`` — ``path``
         becomes a directory of one part-file per partition, which is the
         only COPY that makes sense at 100 TB (a single-file COPY would
-        serialize the cluster through one writer).
+        serialize the cluster through one writer).  The row count for the
+        COPY tag comes from an ``observe`` metric attached to the write —
+        ONE execution of the source plan, not a ``count()`` pre-pass that
+        would double the cost (and could disagree with the written rows
+        under a nondeterministic source).
         """
         from pyspark.sql import functions as F
+        from pyspark.sql import Observation
 
         src = m.group("src").strip()
         fmt = (m.group("fmt") or m.group("fmt2") or "parquet").lower()
         if fmt not in _EXT_FORMATS:
             raise ValueError(f"COPY: unsupported format {fmt!r}")
         df = self.sql(src[1:-1]) if src.startswith("(") else self.spark.table(src)
-        n = df.count()
-        writer = df.write.mode("overwrite").format(_EXT_FORMATS[fmt])
+        obs = Observation()
+        writer = (
+            df.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .format(_EXT_FORMATS[fmt])
+        )
         if fmt == "csv" and (m.group("hdr") or "").lower() not in ("false", "0"):
             writer = writer.option("header", "true")
         writer.save(m.group("path"))
-        return self.spark.range(1).select(F.lit(n).alias("count"))
+        return self.spark.range(1).select(F.lit(obs.get["n"]).alias("count"))
 
     def _create_external_table(self, m: "re.Match[str]") -> DataFrame:
         """``CREATE EXTERNAL TABLE t [(cols)] STORED AS fmt [WITH HEADER

@@ -1379,3 +1379,121 @@ def test_groups_frame_through_wire(client):
     )
     assert cols == ["k", "s"]
     assert rows == [[b"1", b"30"], [b"1", b"30"], [b"2", b"35"]]
+
+
+# ---------- round 10: protocol review fixes ----------------------------------
+
+
+def test_empty_query_gets_empty_query_response(client):
+    """PG protocol: an empty query string answers EmptyQueryResponse
+    ('I'), not CommandComplete SET — libpq drivers branch on
+    PGRES_EMPTY_QUERY."""
+    for q in ("", ";", " ; ", "-- only a comment", "; -- done"):
+        client.send(b"Q", q.encode() + b"\x00")
+        seen = []
+        while True:
+            t, _ = client.read_message()
+            seen.append(t)
+            if t == b"Z":
+                break
+        assert seen == [b"I", b"Z"], (q, seen)
+
+
+def test_trailing_comment_after_semicolon_not_executed(client):
+    """'SELECT 1; -- done': PG ignores the comment-only tail; executing
+    it as a statement raised a spurious parse error before r10."""
+    tags, rows, errs = _raw_exchange(client, "SELECT 1 AS a; -- done")
+    assert tags == ["SELECT 1"] and len(rows) == 1 and not errs
+
+
+def test_parse_single_statement_with_trailing_comment(client):
+    """Extended Parse of 'SELECT 1;\\n-- audit' is ONE command — the
+    comment-only segment must not trip the multi-command 42601."""
+    rows, tag = client.extended("SELECT 1 AS x;\n-- audit tag", [], [])
+    assert rows == [[b"1"]] and tag == "SELECT 1"
+
+
+def test_dollar_param_inside_comment_not_counted(client):
+    """$2 inside a comment is not a parameter: Bind of ONE param must
+    succeed (before r10 n_params counted the $2 and Bind failed)."""
+    rows, _ = client.extended(
+        "SELECT $1 + 0 AS v -- fallback for $2", [b"5"], [23]
+    )
+    assert rows == [[b"5"]]
+
+
+def test_text_format_array_param(client):
+    """psycopg3's default TEXT format for an int4[] param: '{1,2,3}'
+    with OID 1007 must bind as a real array, not the raw string."""
+    rows, _ = client.extended(
+        "SELECT array_contains($1, 2) AS c, size($1) AS n",
+        [b"{1,2,3}"], [1007],
+    )
+    assert rows == [[b"t", b"3"]]
+
+
+def test_text_format_array_param_quoted_and_null(client):
+    """Text arrays with quoted elements (escapes, commas) and NULL."""
+    rows, _ = client.extended(
+        "SELECT element_at($1, 2) AS two, element_at($1, 1) AS one, "
+        "element_at($1, 3) AS three, size($1) AS n",
+        [b'{"a,b",NULL,"c\\"d"}'], [1009],
+    )
+    assert rows == [[None, b"a,b", b'c"d', b"3"]]
+
+
+def test_text_format_empty_array_param(client):
+    rows, _ = client.extended("SELECT size($1) AS n", [b"{}"], [1007])
+    assert rows == [[b"0"]]
+
+
+def test_array_result_quotes_null_string(client):
+    """A real string 'NULL' in an array result must be quoted on the
+    wire or clients read it back as SQL NULL."""
+    _, rows, _ = client.query("SELECT array('NULL', 'x') AS a")
+    assert rows[0][0] == b'{"NULL",x}'
+
+
+def test_invalid_message_length_closes_cleanly(server):
+    """A header with length < 4 must fail the connection at the framing
+    layer instead of negative-slicing the buffer and desyncing."""
+    c = MiniPgClient(server.port)
+    try:
+        c.login()
+        # tag 'Q' with impossible length 3
+        c.sock.sendall(b"Q" + struct.pack("!i", 3))
+        # server should drop the connection (no garbage parsing)
+        c.sock.settimeout(10)
+        try:
+            data = c.sock.recv(65536)
+        except (ConnectionError, OSError):
+            data = b""
+        assert data == b""  # clean close, no further frames
+    finally:
+        c.close()
+
+
+def test_binary_array_param_with_null_element(client):
+    """A binary int4[] whose middle element is NULL (-1 length) binds via
+    the typed-fragment path — Spark's args validator rejects a Python
+    list containing None, so before r10 this raised INVALID_SQL_ARG."""
+    arr = struct.pack("!iiiii", 1, 1, 23, 3, 1)
+    arr += struct.pack("!i", 4) + struct.pack("!i", 7)
+    arr += struct.pack("!i", -1)  # NULL element
+    arr += struct.pack("!i", 4) + struct.pack("!i", 9)
+    rows, _ = client.extended(
+        "SELECT element_at($1, 2) AS mid, size($1) AS n, $1 AS a",
+        [arr], [1007], param_formats=[1],
+    )
+    assert rows == [[None, b"3", b"{7,NULL,9}"]]
+
+
+def test_text_array_param_string_escaping_not_injectable(client):
+    """String elements in the NULL-carrying fragment path are escaped:
+    a quote-bearing element must come back verbatim, not break the
+    statement."""
+    rows, _ = client.extended(
+        "SELECT element_at($1, 1) AS s, element_at($1, 2) AS t",
+        [b"{\"it's'); DROP--\",NULL}"], [1009],
+    )
+    assert rows == [[b"it's'); DROP--", None]]

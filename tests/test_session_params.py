@@ -101,3 +101,64 @@ def test_splice_named_params_scanner():
     )
     # backslashes in fragments pass through verbatim (no regex templates)
     assert splice_named_params("SELECT :f", {"f": r"'a\g<0>b'"}) == r"SELECT ('a\g<0>b')"
+
+
+# ---------- round 10: noncode-aware rewrites (review findings) ---------------
+
+
+def test_dollar_params_in_comments_not_counted():
+    from dataclod_spark.plans.rewrites import rewrite_dollar_params
+
+    out, used = rewrite_dollar_params("SELECT $1 -- fallback for $2")
+    assert used == [1]
+    assert ":__p1" in out and "$2" in out  # comment text untouched
+    out2, used2 = rewrite_dollar_params("SELECT $1 /* uses $3 */ + $2")
+    assert used2 == [1, 2] and "$3" in out2
+    # dollar-quoted strings shield $n too
+    out3, used3 = rewrite_dollar_params("SELECT $q$cost: $1$q$, $1")
+    assert used3 == [1] and out3.count(":__p1") == 1
+
+
+def test_pg_catalog_rewrite_leaves_literals_alone():
+    from dataclod_spark.plans.rewrites import (
+        rewrite_information_schema_refs,
+        rewrite_pg_catalog_refs,
+    )
+
+    q = "SELECT 'pg_catalog.pg_class' AS n FROM pg_catalog.pg_class"
+    out = rewrite_pg_catalog_refs(q)
+    assert "'pg_catalog.pg_class'" in out          # literal is data
+    assert "FROM pg_catalog_pg_class" in out        # reference is rewritten
+    q2 = "SELECT c FROM t WHERE c = 'information_schema.tables' -- information_schema.columns"
+    out2 = rewrite_information_schema_refs(q2)
+    assert "'information_schema.tables'" in out2
+    assert "-- information_schema.columns" in out2  # comment untouched
+
+
+def test_values_rewrite_handles_escaped_quotes(engine):
+    """Backslash-escaped quote inside a VALUES row: the old private
+    scanner lost string state at the escape and raised 'unbalanced
+    parentheses' for valid SQL."""
+    got = engine.sql(
+        "SELECT n, ST_X(g) AS x FROM "
+        "(VALUES (ST_MakePoint(1.0, 2.0), 'O\\'Brien'), "
+        "(ST_MakePoint(3.0, 4.0), 'plain')) AS t(g, n) ORDER BY x"
+    ).collect()
+    assert [(r.n, r.x) for r in got] == [("O'Brien", 1.0), ("plain", 3.0)]
+
+
+def test_values_gate_ignores_first_value():
+    """first_value/last_value contain 'st_' but are not ST_* calls — the
+    VALUES rewrite must not fire (plain literal VALUES stay native)."""
+    from dataclod_spark.plans.rewrites import rewrite_values_tables
+
+    q = ("SELECT first_value(x) OVER (ORDER BY x) FROM "
+         "(VALUES (1), (2)) AS t(x)")
+    assert rewrite_values_tables(q) == q  # untouched
+    # a real ST_ call still fires (single row -> one SELECT, no UNION)
+    q2 = "SELECT * FROM (VALUES (ST_MakePoint(1.0, 2.0))) AS t(g)"
+    out2 = rewrite_values_tables(q2)
+    assert out2 != q2 and "SELECT ST_MakePoint(1.0, 2.0) AS g" in out2
+    q3 = ("SELECT * FROM (VALUES (ST_MakePoint(1.0, 2.0)), "
+          "(ST_MakePoint(3.0, 4.0))) AS t(g)")
+    assert "UNION ALL" in rewrite_values_tables(q3).upper()
