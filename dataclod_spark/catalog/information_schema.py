@@ -35,23 +35,41 @@ _SCHEMATA_SCHEMA = (
 def register_information_schema(spark: SparkSession) -> None:
     """(Re)build information_schema_{tables,columns,schemata} temp views
     from the live catalog state (DataFusion column layout)."""
+    from dataclod_spark.catalog.pg_catalog import PG_CATALOG_TABLE_NAMES
+
     cat = "datafusion"  # the reference's default catalog name
     tables = []
     columns = []
     for t in spark.catalog.listTables():
-        schema = t.database or "public"
         ttype = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "BASE TABLE"
         name = t.name
         if name.startswith("information_schema_") or name.startswith("__"):
             continue
-        tables.append((cat, schema, name, ttype))
+        if name.startswith("pg_catalog_"):
+            # our implementation spelling of a pg_catalog view (Spark temp
+            # views can't be schema-qualified): surface it the way the
+            # reference does — under table_schema='pg_catalog' with the
+            # real name.  The bare pg_* alias below stays under 'public'
+            # (the reference registers both, catalog mod.rs:22-48).
+            bare = name[len("pg_catalog_"):]
+            if bare in PG_CATALOG_TABLE_NAMES:
+                schema, listed = "pg_catalog", bare
+            else:
+                schema, listed = t.database or "public", name
+        else:
+            schema = t.database or "public"
+            if schema == "default":
+                # Spark's default database: PG clients expect 'public'
+                schema = "public"
+            listed = name
+        tables.append((cat, schema, listed, ttype))
         try:
             for i, c in enumerate(spark.catalog.listColumns(name), start=1):
                 columns.append(
                     (
                         cat,
                         schema,
-                        name,
+                        listed,
                         c.name,
                         i,
                         None,
@@ -61,11 +79,12 @@ def register_information_schema(spark: SparkSession) -> None:
                 )
         except Exception:
             continue  # view with unresolvable deps — still listed in tables
-    schemata = [
-        (cat, "public", None),
-        (cat, "information_schema", None),
-        (cat, "pg_catalog", None),
-    ]
+    # every schema a table row references must exist in schemata, or a
+    # tables-to-schemata join drops rows in BI tools
+    schemata_names = {"public", "information_schema", "pg_catalog"} | {
+        s for _, s, _, _ in tables
+    }
+    schemata = [(cat, s, None) for s in sorted(schemata_names)]
     spark.createDataFrame(tables, _TABLES_SCHEMA).createOrReplaceTempView(
         "information_schema_tables"
     )

@@ -106,11 +106,19 @@ PG_DESCRIPTION_SCHEMA = T.StructType(
 )
 
 
+PG_CATALOG_TABLE_NAMES = (
+    "pg_type",
+    "pg_namespace",
+    "pg_database",
+    "pg_class",
+    "pg_description",
+)
+
+
 def register_pg_catalog(spark: SparkSession) -> None:
     """Register the pg_catalog tables as temp views (both alias spellings)."""
     if getattr(spark, "_dataclod_pg_catalog_registered", False):
         return
-    spark._dataclod_pg_catalog_registered = True
     tables = [
         ("pg_type", PG_TYPE_ROWS, PG_TYPE_SCHEMA),
         ("pg_namespace", PG_NAMESPACE_ROWS, PG_NAMESPACE_SCHEMA),
@@ -122,3 +130,5 @@ def register_pg_catalog(spark: SparkSession) -> None:
         df = spark.createDataFrame(rows, schema)
         df.createOrReplaceTempView(name)
         df.createOrReplaceTempView(f"pg_catalog_{name}")
+    # flag AFTER success so a failed registration retries next session
+    spark._dataclod_pg_catalog_registered = True

@@ -87,14 +87,16 @@ def array_upper(arr, dim: Optional[int]):
     if arr is None or dim is None:
         return None
     if dim == 1:
-        return len(arr)
+        # PG: array_upper('{}'::int[], 1) IS NULL — an empty array has no
+        # dimensions, and `array_upper(a,1) IS NULL` is the idiomatic
+        # emptiness guard (returning 0 broke it)
+        return len(arr) if len(arr) else None
     return None
 
 
 def register_pgcompat_functions(spark: SparkSession) -> None:
     if getattr(spark, "_dataclod_pgcompat_registered", False):
         return
-    spark._dataclod_pgcompat_registered = True
     spark.udf.register("array_upper", array_upper, T.IntegerType())
     spark.udf.register("format_type", format_type, T.StringType())
     spark.udf.register("dataclod_version", lambda: DATACLOD_VERSION, T.StringType())
@@ -105,10 +107,23 @@ def register_pgcompat_functions(spark: SparkSession) -> None:
         else None,
         T.ArrayType(T.StringType()),
     )
-    spark.udf.register("pg_get_expr", lambda *args: "", T.StringType())
-    spark.udf.register("pg_get_partkeydef", lambda oid: "", T.StringType())
+    # pg clients qualify function calls (`pg_catalog.pg_get_expr(...)`),
+    # and the catalog rewrite maps pg_catalog.pg_X → pg_catalog_pg_X —
+    # register the pg_-prefixed functions under BOTH spellings so the
+    # qualified form resolves after the rewrite
+    for fname, fn in (
+        ("pg_get_expr", lambda *args: ""),
+        ("pg_get_partkeydef", lambda oid: ""),
+    ):
+        spark.udf.register(fname, fn, T.StringType())
+        spark.udf.register(f"pg_catalog_{fname}", fn, T.StringType())
     # current_schema() exists natively in Spark 3.4+ (returns 'default');
     # the reference returns the constant 'public' (current_schema.rs:37-41) —
     # expose the pg-compat spelling under a distinct name to avoid clobbering
-    # the builtin.
+    # the builtin.  Bare version()/current_schema() calls are mapped to
+    # these by plans.rewrites.rewrite_pgcompat_calls (the builtin wins the
+    # resolution race otherwise, returning Spark's version string that
+    # breaks client probes like SQLAlchemy's 'PostgreSQL X.Y' regex).
     spark.udf.register("pg_current_schema", lambda: "public", T.StringType())
+    # flag AFTER success so a failed registration retries next session
+    spark._dataclod_pgcompat_registered = True

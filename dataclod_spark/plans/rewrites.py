@@ -303,7 +303,7 @@ def rewrite_dollar_params(sql: str) -> tuple[str, list[int]]:
     return "".join(out), sorted(used)
 
 
-_PG_CATALOG_QUAL_RE = re.compile(r"\bpg_catalog\s*\.\s*(pg_\w+)", re.IGNORECASE)
+_PG_CATALOG_QUAL_RE = re.compile(r"\bpg_catalog\s*\.\s*(\w+)", re.IGNORECASE)
 
 
 def _sub_outside_noncode(sql: str, regex: "re.Pattern[str]", repl) -> str:
@@ -328,16 +328,51 @@ def _sub_outside_noncode(sql: str, regex: "re.Pattern[str]", repl) -> str:
 
 
 def rewrite_pg_catalog_refs(sql: str) -> str:
-    """``pg_catalog.pg_X`` → ``pg_catalog_pg_X``.
+    """``pg_catalog.pg_X`` → ``pg_catalog_pg_X``; ``pg_catalog.other`` →
+    bare ``other``.
 
     The pg_catalog tables are Spark temp views, which cannot be
     schema-qualified; the reference registers them under the real
     ``pg_catalog`` schema (``catalog/mod.rs``), and pg clients (psql's
-    ``\\d``, BI tools) always qualify.  The prefixed spelling is registered
-    by catalog.pg_catalog.register_pg_catalog.  Code spans only — the
-    qualified name inside a string literal is data, not a reference."""
+    ``\\d``, BI tools) always qualify — TABLES and FUNCTIONS alike
+    (``pg_catalog.format_type(...)``, ``pg_catalog.version()``).  The
+    ``pg_``-prefixed names map to their registered ``pg_catalog_``
+    spellings (views AND the pg_* compat UDFs, which pgcompat registers
+    under both names); everything else de-qualifies to the bare name
+    (format_type, array_upper, current_schemas, version, current_schema —
+    no view shares those names).  Code spans only — the qualified name
+    inside a string literal is data, not a reference."""
+
+    def repl(m: "re.Match[str]") -> str:
+        name = m.group(1)
+        if name.lower().startswith("pg_"):
+            return f"pg_catalog_{name}"
+        return name
+
+    return _sub_outside_noncode(sql, _PG_CATALOG_QUAL_RE, repl)
+
+
+# bare zero-arg calls that must resolve to the pg-compat UDFs instead of
+# Spark's builtins (the builtin wins name resolution, so registering a UDF
+# named `version` would be dead code): version() → 'PostgreSQL 14.10 on
+# dataclod' (version.rs:9 — client probes regex-parse this), and
+# current_schema() → 'public' (current_schema.rs:37-41; Spark's builtin says
+# 'default').  The lookbehind rejects dotted/suffixed spellings so only the
+# bare builtin-colliding call is rewritten.
+_PGCOMPAT_CALL_RE = re.compile(
+    r"(?<![\w.])(version|current_schema)\s*\(\s*\)", re.IGNORECASE
+)
+_PGCOMPAT_CALL_MAP = {"version": "dataclod_version", "current_schema": "pg_current_schema"}
+
+
+def rewrite_pgcompat_calls(sql: str) -> str:
+    """Map bare ``version()`` / ``current_schema()`` calls to the pg-compat
+    UDF spellings (code spans only).  Runs AFTER rewrite_pg_catalog_refs,
+    so ``pg_catalog.version()`` de-qualifies first and lands here."""
     return _sub_outside_noncode(
-        sql, _PG_CATALOG_QUAL_RE, lambda m: f"pg_catalog_{m.group(1)}"
+        sql,
+        _PGCOMPAT_CALL_RE,
+        lambda m: f"{_PGCOMPAT_CALL_MAP[m.group(1).lower()]}()",
     )
 
 

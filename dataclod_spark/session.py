@@ -358,6 +358,7 @@ class EngineSession:
             rewrite_groups_frames,
             rewrite_information_schema_refs,
             rewrite_pg_catalog_refs,
+            rewrite_pgcompat_calls,
             rewrite_values_tables,
         )
         from dataclod_spark.plans.spatial_dispatch import (
@@ -368,7 +369,9 @@ class EngineSession:
             try_spatial_filter_pushdown,
         )
 
-        query = rewrite_pg_catalog_refs(rewrite_values_tables(query))
+        query = rewrite_pgcompat_calls(
+            rewrite_pg_catalog_refs(rewrite_values_tables(query))
+        )
         # GROUPS window frames (DataFusion default surface; Spark lacks
         # them) → the proven dense_rank+RANGE emulation (w5 recipe).  Out
         # -of-scope shapes return None and keep today's parse error.

@@ -33,6 +33,14 @@ def _quote_ident(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+def _duckdb_qualified(database: str, table: str) -> str:
+    """Qualified, identifier-safe table reference (shared by the API scan
+    and the UDTF analyze/eval — one quoting rule, no copy drift)."""
+    if database not in ("", "main"):
+        return f"{_quote_ident(database)}.{_quote_ident(table)}"
+    return _quote_ident(table)
+
+
 def scan_duckdb(
     spark: SparkSession, db_path: str, database: str = "main", table: str = ""
 ) -> DataFrame:
@@ -41,12 +49,9 @@ def scan_duckdb(
 
     con = duckdb.connect(db_path, read_only=True)
     try:
-        qualified = (
-            f"{_quote_ident(database)}.{_quote_ident(table)}"
-            if database not in ("", "main")
-            else _quote_ident(table)
-        )
-        tbl = con.execute(f"SELECT * FROM {qualified}").fetch_arrow_table()
+        tbl = con.execute(
+            f"SELECT * FROM {_duckdb_qualified(database, table)}"
+        ).fetch_arrow_table()
     finally:
         con.close()
     # hand Arrow straight to Spark — avoids the pandas round-trip that
@@ -58,17 +63,32 @@ def scan_duckdb(
 
 
 def scan_sqlite(spark: SparkSession, db_path: str, table: str) -> DataFrame:
-    """Mount a table of a SQLite database file as a DataFrame."""
+    """Mount a table of a SQLite database file as a DataFrame.
+
+    Types come from SQLite's DECLARED column types (the same mapping the
+    UDTF uses), not pandas inference — inference widened INTEGER-with-
+    NULL columns to double (3 → 3.0), diverged from ``sqlite_scan`` on
+    the same table, and crashed on empty tables."""
     import sqlite3
 
-    import pandas as pd
+    from pyspark.sql.types import StructType
 
     con = sqlite3.connect(db_path)
     try:
-        pdf = pd.read_sql_query(f"SELECT * FROM {_quote_ident(table)}", con)
+        info = con.execute(f"PRAGMA table_info({_quote_ident(table)})").fetchall()
+        if not info:
+            raise ValueError(f"scan_sqlite: no such table {table!r}")
+        types = [_sqlite_spark_type(r[2]) for r in info]
+        schema = StructType()
+        for (_cid, name, decl, _nn, _dflt, _pk), t in zip(info, types):
+            schema = schema.add(name, t)
+        rows = [
+            tuple(_sqlite_coerce(v, t) for v, t in zip(row, types))
+            for row in con.execute(f"SELECT * FROM {_quote_ident(table)}")
+        ]
     finally:
         con.close()
-    return spark.createDataFrame(pdf)
+    return spark.createDataFrame(rows, schema)
 
 
 def _jdbc_scan(
@@ -83,11 +103,19 @@ def _jdbc_scan(
 ) -> DataFrame:
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # a silent default range would put every row outside it into
+            # ONE partition — e.g. ids 1..500M under a 0..1M default read
+            # 99.8% of the table serially, defeating the partitioned scan
+            raise ValueError(
+                "partition_column requires explicit lower_bound/upper_bound "
+                "(probe them first: SELECT min(col), max(col) FROM table)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
-            .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
         )
     for k, v in options.items():
         reader = reader.option(k, v)
@@ -100,20 +128,36 @@ def _jdbc_scan(
         ) from exc
 
 
+def _jdbc_url(dsn: str, database: str, scheme: str) -> str:
+    """Normalize a DSN to a JDBC URL.  Accepts a ready ``jdbc:`` URL, a
+    URI DSN (``postgresql://user:pw@host:port[/db]`` — the form the
+    reference's scans take; ``postgres://`` is normalized), or a bare
+    ``host:port``.  ``database`` is appended only when the DSN doesn't
+    already carry a path — naive prefixing used to produce
+    ``jdbc:postgresql://postgresql://...``."""
+    if dsn.startswith("jdbc:"):
+        return dsn
+    if "://" in dsn:
+        got_scheme, rest = dsn.split("://", 1)
+        got_scheme = {"postgres": "postgresql"}.get(got_scheme, got_scheme)
+        if "/" in rest:  # DSN already names a database path
+            return f"jdbc:{got_scheme}://{rest}"
+        return f"jdbc:{got_scheme}://{rest}/{database}"
+    return f"jdbc:{scheme}://{dsn}/{database}"
+
+
 def scan_postgres(
     spark: SparkSession, dsn: str, database: str, table: str, **options: str
 ) -> DataFrame:
     """Mount a PostgreSQL table via Spark's JDBC source (partitionable)."""
-    url = dsn if dsn.startswith("jdbc:") else f"jdbc:postgresql://{dsn}/{database}"
-    return _jdbc_scan(spark, url, table, **options)
+    return _jdbc_scan(spark, _jdbc_url(dsn, database, "postgresql"), table, **options)
 
 
 def scan_mysql(
     spark: SparkSession, dsn: str, database: str, table: str, **options: str
 ) -> DataFrame:
     """Mount a MySQL table via Spark's JDBC source (partitionable)."""
-    url = dsn if dsn.startswith("jdbc:") else f"jdbc:mysql://{dsn}/{database}"
-    return _jdbc_scan(spark, url, table, **options)
+    return _jdbc_scan(spark, _jdbc_url(dsn, database, "mysql"), table, **options)
 
 
 # -- SQL table functions ------------------------------------------------------
@@ -144,11 +188,7 @@ class _DuckdbScanUDTF:
 
         con = duckdb.connect(db_path.value, read_only=True)
         try:
-            qualified = (
-                f"{_quote_ident(database.value)}.{_quote_ident(table.value)}"
-                if database.value not in ("", "main")
-                else _quote_ident(table.value)
-            )
+            qualified = _duckdb_qualified(database.value, table.value)
             empty = con.execute(f"SELECT * FROM {qualified} LIMIT 0").fetch_arrow_table()
         finally:
             con.close()
@@ -159,17 +199,16 @@ class _DuckdbScanUDTF:
 
         con = duckdb.connect(db_path, read_only=True)
         try:
-            qualified = (
-                f"{_quote_ident(database)}.{_quote_ident(table)}"
-                if database not in ("", "main")
-                else _quote_ident(table)
-            )
-            tbl = con.execute(f"SELECT * FROM {qualified}").fetch_arrow_table()
+            # stream Arrow record batches — holding the whole table as a
+            # list-of-dicts tripled memory and delayed the first row
+            reader = con.execute(
+                f"SELECT * FROM {_duckdb_qualified(database, table)}"
+            ).fetch_record_batch(65536)
+            for batch in reader:
+                cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+                yield from zip(*cols)
         finally:
             con.close()
-        names = tbl.schema.names
-        for rec in tbl.to_pylist():
-            yield tuple(rec[n] for n in names)
 
 
 _SQLITE_TYPE_MAP = [
@@ -193,6 +232,26 @@ def _sqlite_spark_type(declared: str) -> str:
         if frag in up:
             return spark_t
     return "string"  # SQLite dynamic typing fallback (TEXT affinity)
+
+
+def _sqlite_coerce(v, t: str):
+    """Coerce one SQLite storage value to its DECLARED Spark type.
+
+    SQLite stores BOOLEAN/NUMERIC/DECIMAL columns as INTEGER and is
+    dynamically typed throughout — yielding the raw int for a boolean/
+    double column makes Spark's row conversion NULL it silently.  Strings
+    likewise: a column declared TEXT can store an int."""
+    if v is None:
+        return None
+    if t == "string":
+        return v if isinstance(v, str) else str(v)
+    if t == "boolean":
+        return bool(v)
+    if t == "double":
+        return float(v)
+    if t == "long" and isinstance(v, float):
+        return int(v) if v.is_integer() else v  # lossy int() would corrupt
+    return v
 
 
 class _SqliteScanUDTF:
@@ -225,10 +284,7 @@ class _SqliteScanUDTF:
             info = con.execute(f"PRAGMA table_info({_quote_ident(table)})").fetchall()
             types = [_sqlite_spark_type(r[2]) for r in info]
             for row in con.execute(f"SELECT * FROM {_quote_ident(table)}"):
-                yield tuple(
-                    (str(v) if t == "string" and v is not None else v)
-                    for v, t in zip(row, types)
-                )
+                yield tuple(_sqlite_coerce(v, t) for v, t in zip(row, types))
         finally:
             con.close()
 
@@ -240,8 +296,10 @@ def register_scan_udtfs(spark: SparkSession) -> None:
     would defeat Spark's partitioned JDBC reads."""
     if getattr(spark, "_dataclod_scan_udtfs_registered", False):
         return
-    spark._dataclod_scan_udtfs_registered = True
     from pyspark.sql.functions import udtf
 
     spark.udtf.register("duckdb_scan", udtf(_DuckdbScanUDTF))
     spark.udtf.register("sqlite_scan", udtf(_SqliteScanUDTF))
+    # flag AFTER success: a failed registration must be retried on the
+    # next EngineSession, not permanently skipped
+    spark._dataclod_scan_udtfs_registered = True
