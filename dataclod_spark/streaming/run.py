@@ -133,6 +133,13 @@ def sessionize_stream(
     at ``last_event + gap`` — when the watermark passes it, the session is
     final and flushes.  Epoch-second outputs keep the comparison
     timezone-free.
+
+    Out-of-order events (cross-batch, above the watermark) that precede
+    the open session merge into it when within the gap (extending
+    ``session_start`` downward) or emit as their own earlier session(s)
+    otherwise; an emitted backfill session could in principle still have
+    merged with yet-earlier future events — the same watermark trade-off
+    every single-pass sessionizer makes.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -160,18 +167,48 @@ def sessionize_stream(
         else:
             start, last, n = int(ts[0]), int(ts[0]), 0
         out_start, out_end, out_n = [], [], []
-        for t in ts:
-            t = int(t)
+
+        def emit(s: int, e: int, k: int) -> None:
+            out_start.append(s // 1_000_000)
+            out_end.append(e // 1_000_000)
+            out_n.append(k)
+
+        # Out-of-order events from a LATER micro-batch can precede the
+        # open session.  Events within gap of session_start merge in
+        # (extending session_start downward — batch semantics); events
+        # more than a gap earlier form their own EARLIER session(s),
+        # sessionized among themselves and emitted (or chained into the
+        # open session when the chain reaches within gap of it).  The old
+        # folding counted them into the open session without touching its
+        # bounds — an internally inconsistent row.
+        early = [int(t) for t in ts if n and int(t) < start - gap_us]
+        rest = [int(t) for t in ts if not (n and int(t) < start - gap_us)]
+        if early:
+            e_start = e_last = early[0]
+            e_n = 1
+            for t in early[1:]:
+                if t - e_last > gap_us:
+                    emit(e_start, e_last, e_n)
+                    e_start = e_last = t
+                    e_n = 1
+                else:
+                    e_last = t
+                    e_n += 1
+            if start - e_last <= gap_us:
+                start, n = e_start, n + e_n  # chain merges into the open one
+            else:
+                emit(e_start, e_last, e_n)
+        for t in rest:
             if n and t - last > gap_us:
-                out_start.append(start // 1_000_000)
-                out_end.append(last // 1_000_000)
-                out_n.append(n)
+                emit(start, last, n)
                 start, last, n = t, t, 1
             else:
-                last = max(last, t)
                 n += 1
                 if n == 1:
-                    start = t
+                    start = last = t
+                else:
+                    start = min(start, t)
+                    last = max(last, t)
         state.update((start, last, n))
         # event-time timeout: fires when watermark > last + gap
         state.setTimeoutTimestamp((last + gap_us) // 1000)
@@ -204,23 +241,9 @@ def tumbling_stream(
     watermark_sec: int = WATERMARK_SEC,
 ) -> DataFrame:
     """Watermarked tumbling-window count/sum in append mode (only finalized
-    windows are emitted)."""
-    return (
-        events.withWatermark("ts", f"{watermark_sec} seconds")
-        .groupBy(F.window("ts", window).alias("win"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
-                "total_value"
-            ),
-        )
-        .select(
-            F.unix_timestamp(F.col("win.start")).alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
+    windows are emitted).  A tumbling window IS the slide == window special
+    case — delegate so the agg/rounding discipline lives once."""
+    return sliding_stream(events, window, window, watermark_sec)
 
 
 def sliding_stream(
@@ -340,7 +363,12 @@ def asof_join_stream(
             batch["ts_us"], batch["kind"], batch["event_id"], batch["value"]
         ):
             if kind == 0:
-                c_ts, c_id, c_val = int(ts_us), int(event_id), float(value)
+                # monotone state: an out-of-order click from a LATER
+                # micro-batch must not regress the "latest click" — only a
+                # newer click (or same-ts higher event_id, the batch
+                # operator's tie rule) replaces the state
+                if int(ts_us) > c_ts or (int(ts_us) == c_ts and int(event_id) > c_id):
+                    c_ts, c_id, c_val = int(ts_us), int(event_id), float(value)
             else:
                 # lower bound matters in a live stream: a click with a LARGER
                 # event time can land in an earlier micro-batch (out-of-order
@@ -525,6 +553,7 @@ def streaming_cdc_apply(
     spark: SparkSession,
     events: DataFrame,
     snapshot_dir: str,
+    timeout_sec: int = 300,
 ) -> DataFrame:
     """Streaming MERGE INTO: maintain a per-user snapshot table from an
     event stream via ``foreachBatch`` + :func:`operators.cdc.apply_changes`
@@ -619,7 +648,15 @@ def streaming_cdc_apply(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # same drain contract as every other foreachBatch helper: a hung
+    # micro-batch surfaces as TimeoutError instead of wedging the caller
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(f"streaming CDC apply did not finish within {timeout_sec}s")
     cur = os.path.join(snapshot_dir, "current")
     if not os.path.exists(cur):  # zero micro-batches ran
         return spark.createDataFrame([], snap_schema).filter(~F.col("__deleted"))
@@ -638,6 +675,38 @@ def read_documents_stream_multibatch(
     return _stage_multibatch(
         spark, f"{sf_dir}/documents.parquet", stage_dir, "doc_id", n_files, pred_sql
     )
+
+
+def _drain_sink(spark, q, res_dir, timeout_sec, what, empty_df_fn):
+    """Await an ``availableNow`` foreachBatch drain, then read the sink.
+
+    The one shared tail for every foreachBatch helper (the block used to
+    be copy-pasted per helper, and two of the three contract pieces had
+    drifted out of some copies):
+
+    * try/await/finally-stop with a ``TimeoutError`` — a hung micro-batch
+      must surface after ``timeout_sec``, not wedge the caller;
+    * zero-micro-batch guard — an empty source runs no batches, so the
+      sink directory never exists; return ``empty_df_fn()`` (the per-batch
+      transform applied to an empty typed frame) instead of raising
+      ``PATH_NOT_FOUND``;
+    * drop ``batch_id`` — it is a partition-discovery column of the sink
+      layout, not a label; leaving it in made the documented
+      "drained output is batching-invariant" contract false (the same
+      corpus under a different batching carries different batch_ids).
+    """
+    import os
+
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(f"{what} did not finish within {timeout_sec}s")
+    if not os.path.exists(res_dir):  # zero micro-batches ran
+        return empty_df_fn()
+    return spark.read.parquet(res_dir).drop("batch_id")
 
 
 def streaming_incremental_dedup(
@@ -687,23 +756,12 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
-    if not finished:
-        raise TimeoutError(
-            f"streaming incremental dedup did not finish within {timeout_sec}s"
-        )
-    if not os.path.exists(res_dir):  # zero micro-batches ran
-        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in docs_stream.schema.fields)
-        return spark.createDataFrame([], schema).withColumn(
+    return _drain_sink(
+        spark, q, res_dir, timeout_sec, "streaming incremental dedup",
+        lambda: spark.createDataFrame([], docs_stream.schema).withColumn(
             "drop_reason", F.lit(None).cast("string")
-        )
-    # batch_id is a partition-discovery column of the sink layout, not a
-    # label — drop it
-    return spark.read.parquet(res_dir).drop("batch_id")
+        ),
+    )
 
 
 def streaming_media_dedup(
@@ -736,14 +794,17 @@ def streaming_media_dedup(
     )
     res_dir = os.path.join(out_dir, "labeled")
 
-    def screen(batch_df: DataFrame, batch_id: int) -> None:
-        (
+    def _label(batch_df: DataFrame) -> DataFrame:
+        return (
             batch_df.withColumn("digest", F.md5(F.col(content_col)))
             .join(digests, F.col("digest") == F.col("__dg"), "left")
             .withColumn("is_duplicate", F.col("__hit").isNotNull())
             .drop("__dg", "__hit")
-            .write.mode("overwrite")
-            .parquet(os.path.join(res_dir, f"batch_id={batch_id}"))
+        )
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        _label(batch_df).write.mode("overwrite").parquet(
+            os.path.join(res_dir, f"batch_id={batch_id}")
         )
 
     q = (
@@ -752,14 +813,10 @@ def streaming_media_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
-    if not finished:
-        raise TimeoutError(f"streaming media dedup did not finish within {timeout_sec}s")
-    return spark.read.parquet(res_dir)
+    return _drain_sink(
+        spark, q, res_dir, timeout_sec, "streaming media dedup",
+        lambda: _label(spark.createDataFrame([], media_stream.schema)),
+    )
 
 
 def streaming_dsir_score(
@@ -811,14 +868,13 @@ def streaming_dsir_score(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
-    if not finished:
-        raise TimeoutError(f"streaming DSIR scoring did not finish within {timeout_sec}s")
-    return spark.read.parquet(res_dir)
+    return _drain_sink(
+        spark, q, res_dir, timeout_sec, "streaming DSIR scoring",
+        lambda: dsir_score(
+            spark.createDataFrame([], docs_stream.schema),
+            wtab, text_col=text_col, n_buckets=n_buckets,
+        ),
+    )
 
 
 def streaming_weighted_topk(
@@ -826,7 +882,7 @@ def streaming_weighted_topk(
     docs_stream: DataFrame,
     out_dir: str,
     key: str = "doc_id",
-    weight_col: str | None = None,
+    weight_col: "Column | str | None" = None,
     k: int = 100,
     timeout_sec: int = 300,
 ) -> DataFrame:
@@ -858,6 +914,12 @@ def streaming_weighted_topk(
             "Efraimidis-Spirakis key is weight-derived; there is no "
             "unweighted default)"
         )
+    if isinstance(weight_col, str):
+        # the signature advertises a column NAME; weighted_sample needs a
+        # Column (it calls .isNotNull()/.cast on it) — wrap here so the
+        # advertised type actually works instead of AttributeError'ing
+        # inside the first micro-batch
+        weight_col = F.col(weight_col)
     state_root = os.path.join(out_dir, "topk_state")
     last = {"id": -1}
 
@@ -1000,12 +1062,12 @@ def streaming_contamination(
     )
     res_dir = os.path.join(out_dir, "flagged")
 
-    def score(batch_df: DataFrame, batch_id: int) -> None:
+    def _flag(batch_df: DataFrame) -> DataFrame:
         ex = batch_df.select(
             F.col(id_col).alias("__id"),
             F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
         )
-        out = (
+        return (
             ex.join(F.broadcast(bg), "__g", "left")
             .groupBy("__id")
             .agg(
@@ -1019,7 +1081,9 @@ def streaming_contamination(
             .filter(F.col("n_hits") / F.col("n_grams").cast("double") >= threshold)
             .select(F.col("__id").alias(id_col), "n_grams", "n_hits", "contamination")
         )
-        out.write.mode("overwrite").parquet(
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        _flag(batch_df).write.mode("overwrite").parquet(
             os.path.join(res_dir, f"batch_id={batch_id}")
         )
 
@@ -1029,16 +1093,10 @@ def streaming_contamination(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
-    if not finished:
-        raise TimeoutError(
-            f"streaming contamination did not finish within {timeout_sec}s"
-        )
-    return spark.read.parquet(res_dir)
+    return _drain_sink(
+        spark, q, res_dir, timeout_sec, "streaming contamination",
+        lambda: _flag(spark.createDataFrame([], docs_stream.schema)),
+    )
 
 
 def streaming_calibration(
@@ -1088,7 +1146,7 @@ def streaming_calibration(
     )
     res_dir = os.path.join(out_dir, "calibrated")
 
-    def score(batch_df: DataFrame, batch_id: int) -> None:
+    def _calibrate(batch_df: DataFrame) -> DataFrame:
         b = batch_df.withColumn("quality", quality_score(F.col(text_col)))
         j = b.join(F.broadcast(garr), group, "left")
         x = F.col("quality")
@@ -1096,14 +1154,16 @@ def streaming_calibration(
             x.isNotNull() & F.col("__grid").isNotNull(),
             F.size(F.filter(F.col("__grid"), lambda v: v <= x)),
         ).cast("int")
-        out = j.select(
+        return j.select(
             F.col(id_col),
             F.col(group),
             "quality",
             bucket.alias("cal_bucket"),
             F.round(bucket / F.lit(float(n_buckets)), 6).alias("calibrated"),
         )
-        out.write.mode("overwrite").parquet(
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        _calibrate(batch_df).write.mode("overwrite").parquet(
             os.path.join(res_dir, f"batch_id={batch_id}")
         )
 
@@ -1113,16 +1173,10 @@ def streaming_calibration(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
-    if not finished:
-        raise TimeoutError(
-            f"streaming calibration did not finish within {timeout_sec}s"
-        )
-    return spark.read.parquet(res_dir)
+    return _drain_sink(
+        spark, q, res_dir, timeout_sec, "streaming calibration",
+        lambda: _calibrate(spark.createDataFrame([], docs_stream.schema)),
+    )
 
 
 def streaming_span_decontamination(
@@ -1184,7 +1238,7 @@ def streaming_span_decontamination(
     bidx = bench_pos.localCheckpoint(eager=True)
     res_dir = os.path.join(out_dir, "flagged")
 
-    def score(batch_df: DataFrame, batch_id: int) -> None:
+    def _spans(batch_df: DataFrame) -> DataFrame:
         pos = _positions(batch_df, "__id", "__pos")
         # the index is bounded by the static benchmark — broadcast it so
         # no micro-batch ever shuffles its positional hashes (ADVICE r9)
@@ -1214,11 +1268,13 @@ def streaming_span_decontamination(
             .agg(F.max("__span").alias("__mx"))
             .filter(F.col("__mx") >= min_span)
         )
-        out = per_bench.groupBy("__id").agg(
+        return per_bench.groupBy("__id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bench_docs"),
             F.max("__mx").cast("bigint").alias("max_span_tokens"),
         ).select(F.col("__id").alias(id_col), "n_bench_docs", "max_span_tokens")
-        out.write.mode("overwrite").parquet(
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        _spans(batch_df).write.mode("overwrite").parquet(
             os.path.join(res_dir, f"batch_id={batch_id}")
         )
 
@@ -1228,13 +1284,9 @@ def streaming_span_decontamination(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
-    if not finished:
-        raise TimeoutError(
-            f"streaming span decontamination did not finish within {timeout_sec}s"
-        )
-    return spark.read.parquet(res_dir)
+    return _drain_sink(
+        spark, q, res_dir, timeout_sec, "streaming span decontamination",
+        lambda: _spans(
+            spark.createDataFrame([], docs_stream.select(id_col, text_col).schema)
+        ),
+    )

@@ -490,3 +490,146 @@ def test_streaming_span_decontamination_planted_multibatch(spark, tmp_path):
     assert got_two == {1: (1, 10), 4: (1, 8), 5: (1, 9)}
     # batching-invariance: one batch produces the identical flag set
     assert run(1, "one") == got_two
+
+
+# ---------- round 10: out-of-order robustness & drain-contract fixes ---------
+
+
+def test_asof_state_ignores_out_of_order_older_click(spark, tmp_path):
+    """A click from a LATER micro-batch with an OLDER timestamp must not
+    regress the 'latest click' state (before r10 it overwrote it and
+    mis-annotated subsequent purchases)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataclod_spark.streaming.run import asof_join_stream, run_to_memory
+
+    d = tmp_path / "ev"
+    d.mkdir()
+
+    def write(fname, rows):
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": [r[3] for r in rows],
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }),
+            str(d / fname),
+        )
+
+    # batch 1: click A (ts=100); batch 2: older click B (ts=50), then
+    # purchase P (ts=120) -> P must match A, not B
+    write("b0.parquet", [(1, 100, 7, "click", 1.0)])
+    write("b1.parquet", [(2, 50, 7, "click", 2.0), (3, 120, 7, "purchase", 9.0)])
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = run_to_memory(asof_join_stream(src), spark)
+    rows = {r.purchase_id: r for r in out.collect()}
+    assert rows[3].click_id == 1 and rows[3].click_us == 100 * 1_000_000
+
+
+def test_sessionize_out_of_order_events_stay_consistent(spark, tmp_path):
+    """Cross-batch out-of-order events: within-gap earlier events extend
+    session_start downward; an event more than a gap earlier emits as
+    its own session — never an inconsistent row whose n_events counts
+    events outside [session_start, session_end]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataclod_spark.streaming.run import run_to_memory, sessionize_stream
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = 1_700_000_000
+
+    def write(fname, ts_list):
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(list(range(len(ts_list))), pa.int64()),
+                "ts": pa.array(
+                    [(base + t) * 1_000_000 for t in ts_list], pa.timestamp("us")
+                ),
+                "user_id": pa.array([5] * len(ts_list), pa.int64()),
+                "event_type": ["click"] * len(ts_list),
+                "value": pa.array([1.0] * len(ts_list), pa.float64()),
+            }),
+            str(d / fname),
+        )
+
+    # gap = 600s default.  batch 1 opens session at t=10000 (2 events);
+    # batch 2 delivers t=9800 (within gap BEFORE start -> merges, start
+    # moves down) and t=2000 (more than a gap earlier -> own session);
+    # t=20000 closes the open session by gap and starts a new one.
+    write("b0.parquet", [10000, 10100])
+    write("b1.parquet", [2000, 9800, 20000])
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = run_to_memory(sessionize_stream(src), spark)
+    got = sorted(
+        (r.session_start - base, r.session_end - base, r.n_events)
+        for r in out.collect()
+    )
+    # closed sessions: the backfill singleton at 2000 and the merged
+    # [9800, 10100] session with 3 events (the t=20000 session stays
+    # open in state -- not emitted without a later watermark push)
+    assert (2000, 2000, 1) in got
+    assert (9800, 10100, 3) in got
+    for s, e, n in got:
+        assert s <= e  # internally consistent bounds
+
+
+def test_streaming_helpers_empty_source_and_no_batch_id(spark, tmp_path):
+    """Zero micro-batches: the sink directory never exists — helpers must
+    return a typed EMPTY frame (not PATH_NOT_FOUND); and a drained run
+    must not leak the batch_id partition-discovery column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataclod_spark.streaming.run import (
+        read_documents_stream_multibatch,
+        streaming_contamination,
+    )
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["alpha beta gamma delta", "epsilon zeta eta theta",
+                     "alpha beta gamma delta"],
+        }),
+        str(src / "documents.parquet"),
+    )
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    # empty stream: predicate matches nothing
+    ds0 = read_documents_stream_multibatch(
+        spark, str(src), str(tmp_path / "st0"), n_files=2, pred_sql="doc_id < 0"
+    ).select("doc_id", "text")
+    out0 = streaming_contamination(
+        spark, ds0, bench, str(tmp_path / "o0"), threshold=0.01, timeout_sec=120
+    )
+    assert out0.count() == 0
+    assert set(out0.columns) == {"doc_id", "n_grams", "n_hits", "contamination"}
+    # non-empty drain: batch_id must NOT appear in the output
+    ds1 = read_documents_stream_multibatch(
+        spark, str(src), str(tmp_path / "st1"), n_files=2, pred_sql="doc_id >= 0"
+    ).select("doc_id", "text")
+    out1 = streaming_contamination(
+        spark, ds1, bench, str(tmp_path / "o1"), threshold=0.01, timeout_sec=120
+    )
+    assert "batch_id" not in out1.columns
+    assert {r.doc_id for r in out1.collect()} == {1, 3}
