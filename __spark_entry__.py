@@ -32,15 +32,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # list at the start of each round; entries left over from a prior round
 # only waste window slots (never produce a wrong check).
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round 10: v15's zero-sign bucket fix (round(...)+0.0 on both the
-    # operator and the oracle — the r9 driver-red); the GROUPS inliner's
-    # bare-item re-aliasing now strips trailing `--` comments before the
-    # terminal check (w9/w10 ride the same path); st19's per-batch span
-    # join gained the explicit broadcast hint on the benchmark index
+    # round 10 (hygiene + review fixes): v15's zero-sign bucket fix
+    # (round(...)+0.0 on both sides — the r9 driver-red); the GROUPS
+    # inliner's comment-tail re-alias (w9/w10); st19's broadcast hint +
+    # the shared _drain_sink tail (st12/st13/st14/st16/st17/st18 ride
+    # it too); the EXACT integer quantile rank (a8 — a latent red whose
+    # oracle was already exact — and x29/st18 whose oracles moved to
+    # (i*n+19)//20); as-of NULL-timestamp semantics (e4/e10/st7); the
+    # media feature pass id typing + feats reuse (m6/m7/m8); scd2_enrich
+    # key dedup (u6)
     "v15_distance_profile",
+    "a8_exact_group_quantiles",
+    "x29_source_calibration",
+    "st18_stream_calibration",
+    "e4_asof_join",
+    "e10_asof_tolerance",
+    "st7_stream_asof_join",
+    "u6_scd2_enrich",
+    "m6_media_near_dedup",
+    "m7_media_probe_pairs",
+    "m8_media_recall",
     "w9_groups_frame_join_sql",
     "w10_groups_frame_join_qualified_sql",
+    "st12_stream_incremental_dedup",
+    "st13_stream_media_dedup",
+    "st14_stream_dsir_score",
+    "st16_stream_source_drift",
+    "st17_stream_contamination",
     "st19_stream_span_decontamination",
+    # sessionize out-of-order rewrite (st1), tumbling->sliding delegate
+    # (st2), weighted-topk arg wrap (st15), cdc_apply drain contract
+    # (st9/st11)
+    "st1_stream_sessionization",
+    "st2_stream_tumbling",
+    "st15_stream_weighted_topk",
+    "st9_stream_cdc_upsert",
+    "st11_stream_cdc_multibatch",
 )
 
 # The driver samples a bounded window (50 in r2-r5) of the registry in

@@ -98,7 +98,11 @@ def asof_join(
         )
         .alias("__r"),
     )
-    ru = right.select(
+    # NULL-timestamp semantics match merge_asof / SQL ASOF: a right row
+    # with no event time can never be "the closest at-or-before/after"
+    # (it would otherwise sort NULLS FIRST asc / LAST desc and be carried
+    # by last(ignorenulls) onto real rows as a spurious match)
+    ru = right.filter(F.col(r_on).isNotNull()).select(
         *[F.col(c) for c in by],
         F.col(r_on).alias("__t"),
         F.lit(0).alias("__is_left"),
@@ -128,9 +132,21 @@ def asof_join(
         order = [F.col("__t").desc(), F.col("__is_left").asc(), F.col("__tb").asc()]
         frame = (W.unboundedPreceding, W.currentRow)
 
+    # NOTE keyless scale hazard: an empty `by` makes this ONE window
+    # partition — a single-task sort of both sides (the scale-killer
+    # shape this repo bans elsewhere).  Keyless as-of joins of large
+    # frames should pre-bucket by a coarse time range instead.
     w = W.partitionBy(*[F.col(c) for c in by]).orderBy(*order).rowsBetween(*frame)
     matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
         F.col("__is_left") == 1
+    )
+    # a left row with no event time likewise matches nothing (its frame
+    # position under NULLS FIRST/LAST ordering is an artifact, not a time)
+    matched = matched.withColumn(
+        "__m",
+        F.when(F.col("__t").isNotNull(), F.col("__m")).otherwise(
+            F.lit(None).cast(matched.schema["__m"].dataType)
+        ),
     )
 
     if tolerance_sec is not None:

@@ -98,7 +98,14 @@ def sample_frames(
 ) -> DataFrame:
     """Frame-sampling plumbing: explode each media row into frame rows
     (frame_no, frame_content).  The frame extraction itself is the stub —
-    frames are byte-slices of the content keyed deterministically."""
+    frames are byte-slices of the content keyed deterministically.
+    NULL-content rows are preserved with NULL frame columns (the
+    decode_media contract — silently dropping them shrank row counts
+    with no signal)."""
+    if every_n <= 0:
+        # fail in the DRIVER, not as a range() error inside an executor
+        # after tasks have already run
+        raise ValueError(f"sample_frames: every_n must be positive, got {every_n}")
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -113,14 +120,19 @@ def sample_frames(
             # touches each row once for the stub codec call only, never per
             # output cell
             counts: list[int] = []
-            frame_nos: list[int] = []
-            frame_blobs: list[bytes] = []
+            frame_nos: list = []
+            frame_blobs: list = []
             for content in pdf[content_col].to_numpy(dtype=object):
+                if content is None:
+                    # keep the row, NULL frame columns
+                    counts.append(1)
+                    frame_nos.append(None)
+                    frame_blobs.append(None)
+                    continue
                 n = fake_decode(content)["n_frames"] or 0
-                nos = range(0, n, every_n)
-                blob = bytes(content) if content is not None else b""
+                blob = bytes(content)
                 k = 0
-                for f in nos:
+                for f in range(0, n, every_n):
                     frame_nos.append(f)
                     frame_blobs.append(
                         hashlib.md5(blob + f.to_bytes(4, "little")).digest()
@@ -128,7 +140,7 @@ def sample_frames(
                     k += 1
                 counts.append(k)
             out = pdf.loc[pdf.index.repeat(counts)].reset_index(drop=True)
-            out["frame_no"] = pd.Series(frame_nos, dtype="int32")
+            out["frame_no"] = pd.Series(frame_nos, dtype="Int32")
             out["frame_content"] = pd.Series(frame_blobs, dtype=object)
             yield out
 
@@ -150,8 +162,12 @@ def byte_histogram_features(
     """
     import numpy as np
 
+    # the id keeps ITS OWN type: hardcoding `long` crashed the whole
+    # near-dup family for string/UUID media ids (Arrow conversion error
+    # inside every executor)
+    id_type = media.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} long, b0 long, b1 long, b2 long, b3 long, byte_sum long"
+        f"{id_col} {id_type}, b0 long, b1 long, b2 long, b3 long, byte_sum long"
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -293,16 +309,20 @@ def media_dedup(
 
 
 def _quant_cells(
-    media: DataFrame, id_col: str, content_col: str, quant: int
+    media: DataFrame, id_col: str, content_col: str, quant: int,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Quantized byte-histogram cell per blob: ``(id, q0..q3)`` with
     ``q_i = (b_i · quant) div total`` (pure integer arithmetic — the
     engine-exact grid shared by :func:`media_near_dedup` and
     :func:`media_near_dup_pairs`).  Empty/NULL blobs get the reserved
-    all ``-1`` cell (real cells have every coordinate in [0, quant])."""
+    all ``-1`` cell (real cells have every coordinate in [0, quant]).
+    ``feats`` lets a caller that already ran the feature pass reuse it —
+    the blob histogramming is the dominant cost of this family."""
     from pyspark.sql import functions as F
 
-    feats = byte_histogram_features(media, id_col, content_col)
+    if feats is None:
+        feats = byte_histogram_features(media, id_col, content_col)
     total = F.col("b0") + F.col("b1") + F.col("b2") + F.col("b3")
     qcols = []
     for c in ("b0", "b1", "b2", "b3"):
@@ -374,6 +394,7 @@ def media_near_dup_pairs(
     content_col: str = "content",
     quant: int = 16,
     probe_adjacent: bool = False,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate media PAIRS from the quantized
     byte-histogram grid — the pair-emitting face of
@@ -407,7 +428,7 @@ def media_near_dup_pairs(
     :func:`media_recall_report`."""
     from pyspark.sql import functions as F
 
-    sig = _quant_cells(media, id_col, content_col, quant)
+    sig = _quant_cells(media, id_col, content_col, quant, feats=feats)
     right = sig.select(
         F.col(id_col).alias("id_2"),
         F.col("q0").alias("e0"),
@@ -528,7 +549,12 @@ def media_recall_report(
 
     if tol_den is None:
         tol_den = 2 * quant
-    feats = byte_histogram_features(media, id_col, content_col)
+    # ONE corpus feature pass, shared by truth AND the index under test —
+    # blob histogramming dominates at corpus scale, and the pairs call
+    # used to re-run it via _quant_cells
+    feats = byte_histogram_features(media, id_col, content_col).localCheckpoint(
+        eager=True
+    )
     tot = F.col("b0") + F.col("b1") + F.col("b2") + F.col("b3")
     prof = feats.filter(tot > 0).select(
         F.col(id_col), "b0", "b1", "b2", "b3", tot.alias("__t")
@@ -556,7 +582,8 @@ def media_recall_report(
         .select("__qid", F.col(id_col).alias("__oid"))
     )
     pairs = media_near_dup_pairs(
-        media, id_col, content_col, quant=quant, probe_adjacent=probe_adjacent
+        media, id_col, content_col, quant=quant,
+        probe_adjacent=probe_adjacent, feats=feats,
     )
     found = (
         pairs.select(F.col("id_1").alias("__qid"), F.col("id_2").alias("__oid"))

@@ -53,19 +53,42 @@ def group_quantiles_exact(
     for q in qs:
         pcts += [max(0.0, q - slack), min(1.0, q + slack)]
     c = F.col(col)
-    base = df.filter(c.isNotNull()).select(group, col)
+    # checkpoint the NARROW filtered projection once: the result is a
+    # union of 2·len(qs) branches (band + fallback per quantile), and
+    # without this every branch re-scans the source — 40 full input
+    # scans for the calibrate grid's 20 quantiles.  One 2-column
+    # materialization + cached reads beats that at any scale; the
+    # downstream joins stay broadcast (cheap to repeat per branch).
+    base = (
+        df.filter(c.isNotNull()).select(group, col).localCheckpoint(eager=True)
+    )
     stats = base.groupBy(group).agg(
         F.count(F.lit(1)).alias("__n"),
         F.percentile_approx(col, pcts, _PCT_ACC).alias("__pa"),
     )
+    from fractions import Fraction
+
     sel = [F.col(group), F.col("__n")]
     for i, q in enumerate(qs):
         sel.append(F.col("__pa")[2 * i].alias(f"__lo{i}"))
         sel.append(F.col("__pa")[2 * i + 1].alias(f"__hi{i}"))
+        # the rank ceil(q·n) must be computed in EXACT integer arithmetic:
+        # double ceil overshoots by one whenever q·n is an exact integer
+        # and q's double is above the decimal (q=0.9, n=10: double 0.9·10
+        # = 9.000000000000002 → ceil 10, exact rank is 9; q=0.55, n=100 →
+        # 56 vs 55).  Recover q's intended rational (limit_denominator
+        # inverts the float of any q = a/b with b ≤ 10^6) and take
+        # ceil(a·n/b) = (a·n + b − 1) div b in bigint.
+        fr = Fraction(q).limit_denominator(1_000_000)
+        a, b = fr.numerator, fr.denominator
         sel.append(
-            F.greatest(F.ceil(F.lit(q) * F.col("__n")).cast("bigint"), F.lit(1)).alias(
-                f"__r{i}"
-            )
+            F.greatest(
+                F.expr(
+                    f"(CAST({a} AS BIGINT) * __n + CAST({b - 1} AS BIGINT)) "
+                    f"DIV CAST({b} AS BIGINT)"
+                ),
+                F.lit(1),
+            ).alias(f"__r{i}")
         )
     thr = stats.select(*sel).localCheckpoint(eager=True)
     j = _join_stratum(base, thr, group)

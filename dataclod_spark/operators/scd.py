@@ -94,7 +94,11 @@ def scd2_enrich(
         & (facts[fact_ts] >= hist[valid_from])
         & (hist[valid_to].isNull() | (facts[fact_ts] < hist[valid_to]))
     )
-    return facts.join(hist, cond, how)
+    # the history key is redundant with the fact key after the equi join;
+    # keeping it produced a DUPLICATE column name whenever
+    # fact_key == hist_key (every later select of the key raised
+    # AMBIGUOUS_REFERENCE)
+    return facts.join(hist, cond, how).drop(hist[hist_key])
 
 
 __all__.append("scd2_enrich")

@@ -916,7 +916,7 @@ WITH scored AS (
 ), grid AS (
   SELECT source, x AS v
   FROM r CROSS JOIN (SELECT unnest(range(1, 21)) AS i) t
-  WHERE rn = greatest(CAST(ceil((i / 20.0) * n) AS BIGINT), 1)
+  WHERE rn = greatest((i * n + 19) // 20, 1)
 ), stream AS (
   SELECT * FROM scored WHERE doc_id % 3 <> 0
 )

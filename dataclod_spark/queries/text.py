@@ -1541,7 +1541,7 @@ WITH scored AS (
 ), grid AS (
   SELECT source, x AS v
   FROM r CROSS JOIN (SELECT unnest(range(1, 21)) AS i) t
-  WHERE rn = greatest(CAST(ceil((i / 20.0) * n) AS BIGINT), 1)
+  WHERE rn = greatest((i * n + 19) // 20, 1)
 )
 SELECT s.doc_id, s.source, s.quality,
        CASE WHEN s.quality IS NULL THEN NULL
@@ -1557,8 +1557,10 @@ ORDER BY s.doc_id
 )
 def x29_source_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators.quantiles.percentile_calibrate(group=source) over x2's
-    bit-identical integer-ratio quality score; grid ranks use the same
-    double ``ceil(q*n)`` on both engines (q = i/20 as an IEEE double)."""
+    bit-identical integer-ratio quality score; grid ranks are EXACT
+    integer ``(i*n + 19) div 20`` on both engines (r10: the earlier
+    double ``ceil((i/20.0)*n)`` overshot by one wherever i·n/20 was an
+    exact integer with i/20 binary-inexact, e.g. i=11, n=100)."""
     from dataclod_spark.operators.quantiles import percentile_calibrate
 
     d = load(spark, sf_dir, "documents")

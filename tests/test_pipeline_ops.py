@@ -1869,3 +1869,107 @@ def test_shared_span_pairs_planted_spans(spark):
     assert out[(1, 2)] == (7, 1)
     assert out[(3, 4)] == (6, 2)
     assert not any(5 in p for p in out)
+
+
+# ---------- round 10: operator review fixes ----------------------------------
+
+
+def test_group_quantiles_exact_rank_is_rational(spark):
+    """ceil(q·n) must be computed in exact integer arithmetic: the double
+    path overshot by one whenever q·n was an exact integer with q's
+    double above the decimal (q=0.9·n=10 → 10 not 9; q=0.55·n=100 → 56
+    not 55).  DuckDB's percentile_disc is exact, so this was a latent
+    driver-red for any group size divisible by the q denominator."""
+    from dataclod_spark.operators.quantiles import group_quantiles_exact
+
+    df10 = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 11)], "grp string, v double"
+    )
+    got10 = {r.q: r.value for r in group_quantiles_exact(df10, "grp", "v", [0.9, 0.5]).collect()}
+    assert got10[0.9] == 9.0 and got10[0.5] == 5.0
+    df100 = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 101)], "grp string, v double"
+    )
+    got100 = {
+        r.q: r.value
+        for r in group_quantiles_exact(df100, "grp", "v", [0.55, 0.99, 1.0]).collect()
+    }
+    assert got100[0.55] == 55.0 and got100[0.99] == 99.0 and got100[1.0] == 100.0
+
+
+def test_asof_join_null_timestamps_match_nothing(spark):
+    """merge_asof/ASOF semantics: a right row with NULL event time is
+    never 'the closest', and a left row with NULL time matches nothing
+    (the old code let NULLS FIRST/LAST ordering turn both into spurious
+    matches)."""
+    from dataclod_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, None)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999), (1, 5, 111)], "k int, t int, val int"
+    )
+    out = {
+        (r.k, r.t): r.val
+        for r in asof_join(left, right, on="t", by="k").collect()
+    }
+    assert out[(1, 10)] == 111       # the real t=5 click, not the NULL row
+    assert out[(1, None)] is None    # NULL left time matches nothing
+    # forward direction: NULL left time must not match the next right row
+    outf = {
+        (r.k, r.t): r.val
+        for r in asof_join(left, right, on="t", by="k", direction="forward").collect()
+    }
+    assert outf[(1, None)] is None
+
+
+def test_byte_histogram_respects_id_type(spark):
+    """String media ids must survive the feature pass (the schema used to
+    hardcode `long`, crashing Arrow conversion for every non-long id)."""
+    from dataclod_spark.operators.multimodal import (
+        byte_histogram_features,
+        media_near_dedup,
+    )
+
+    m = spark.createDataFrame(
+        [("a", bytearray(b"\x00" * 4)), ("b", bytearray(b"\xff" * 4))],
+        "media_id string, content binary",
+    )
+    rows = {r.media_id: r for r in byte_histogram_features(m).collect()}
+    assert rows["a"].b0 == 4 and rows["b"].b3 == 4
+    # the whole near-dup family rides the same schema
+    assert media_near_dedup(m).count() == 2
+
+
+def test_scd2_enrich_no_duplicate_key_column(spark):
+    """fact_key == hist_key must not produce an ambiguous duplicate
+    output column."""
+    from dataclod_spark.operators.scd import scd2_enrich
+
+    facts = spark.createDataFrame([(1, 100)], "cid int, ts int")
+    hist = spark.createDataFrame(
+        [(1, 50, None, "gold")], "cid int, valid_from int, valid_to int, tier string"
+    )
+    out = scd2_enrich(facts, hist, "cid", "ts", "cid")
+    assert out.columns.count("cid") == 1
+    r = out.select("cid", "tier").collect()[0]  # would raise AMBIGUOUS_REFERENCE before
+    assert (r.cid, r.tier) == (1, "gold")
+
+
+def test_sample_frames_preserves_null_content_and_validates(spark):
+    from dataclod_spark.operators.multimodal import sample_frames
+    import pytest as _pytest
+
+    m = spark.createDataFrame(
+        [(1, bytearray(b"abcd")), (2, None)], "media_id long, content binary"
+    )
+    out = sample_frames(m, every_n=2)
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r.media_id, []).append(r)
+    assert 2 in by_id                       # NULL-content row survives
+    assert by_id[2][0].frame_no is None and by_id[2][0].frame_content is None
+    assert all(r.frame_no is not None for r in by_id[1])
+    with _pytest.raises(ValueError, match="every_n"):
+        sample_frames(m, every_n=0)
