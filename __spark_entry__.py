@@ -68,6 +68,28 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "st15_stream_weighted_topk",
     "st9_stream_cdc_upsert",
     "st11_stream_cdc_multibatch",
+    # sixth pass: row_hash DECIMAL widening (every sp gate + st14; oracles
+    # moved in lockstep), knn zero-norm guards (v1-v4, v14; v15 again),
+    # dim_sign F.get (d4/d8), kmeans NULL-element gate (v7, d13),
+    # scalar_quantize NULL codes (v6), contamination NULL pred (x16),
+    # exact_dedup id_col (d1)
+    "sp1_stratified_sample",
+    "sp2_hash_sample",
+    "sp6_hash_split",
+    "sp9_weighted_sample",
+    "st14_stream_dsir_score",
+    "v1_knn_bruteforce",
+    "v2_knn_lsh",
+    "v3_knn_multiprobe",
+    "v4_knn_ivf",
+    "v6_scalar_quantize",
+    "v7_kmeans_clusters",
+    "v14_ann_recall",
+    "d1_exact_dedup",
+    "d4_simhash",
+    "d8_embedding_sign_lsh",
+    "d13_semantic_dedup",
+    "x16_contamination_check",
 )
 
 # The driver samples a bounded window (50 in r2-r5) of the registry in

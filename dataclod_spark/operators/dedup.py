@@ -133,6 +133,11 @@ def with_lsh_bands(
     """Add band_0..band_{k/r-1} columns: hash of concatenated band rows
     (md5 hex for oracle parity, xxhash64 for production)."""
     n_bands = k // rows_per_band
+    if n_bands < 1:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} exceeds k={k}: at least one "
+            "band is required (k // rows_per_band >= 1)"
+        )
     out = df
     for b in range(n_bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -166,6 +171,11 @@ def lsh_candidate_pairs(
     per-candidate verify join, whose left side is the (small) pair set.
     """
     n_bands = k // rows_per_band
+    if n_bands < 1:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} exceeds k={k}: at least one "
+            "band is required (k // rows_per_band >= 1)"
+        )
     sig = with_lsh_bands(
         with_minhash_signature(df.select(id_col, text_col), text_col, k, hash_fn),
         k, rows_per_band, hash_fn,
@@ -276,10 +286,12 @@ def simhash64(col: Column) -> Column:
     return out
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Exact dedup: keep the lowest-id row per normalized-text fingerprint.
 
-    One shuffle total: ``min_by(struct(*), doc_id)`` aggregates the full
+    One shuffle total: ``min_by(struct(*), id_col)`` aggregates the full
     keeper row per fingerprint in a single partial+final hash aggregate —
     no re-join of the input against the winners (at 100 TB the fingerprint
     is the widest shuffle key; paying it twice doubles the dominant cost).
@@ -289,7 +301,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     cols = df.columns
     h = df.withColumn("__fp", fingerprint(F.col(text_col)))
     kept = h.groupBy("__fp").agg(
-        F.min_by(F.struct(*[F.col(c) for c in cols]), F.col("doc_id")).alias("__row")
+        F.min_by(F.struct(*[F.col(c) for c in cols]), F.col(id_col)).alias("__row")
     )
     return kept.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
@@ -703,7 +715,10 @@ def dim_sign_signature(emb: Column, n_bits: int = 16) -> Column:
     """
     code = F.lit(0).cast("bigint")
     for i in range(1, n_bits + 1):
-        bit = F.when(F.element_at(emb, i) > 0, F.lit(1)).otherwise(F.lit(0))
+        # F.get, not element_at: a vector shorter than n_bits must yield
+        # bit 0, not an ANSI INVALID_ARRAY_INDEX job abort (the same trap
+        # embeddings.py documents at its own F.get call sites)
+        bit = F.when(F.get(emb, i - 1) > 0, F.lit(1)).otherwise(F.lit(0))
         code = code + bit.cast("bigint") * F.lit(2 ** (i - 1)).cast("bigint")
     return code
 
@@ -807,7 +822,14 @@ def contamination_check(
     # would otherwise each re-scan and re-tokenize (branch specialization
     # defeats ReuseExchange — SCALE.md pitfall #6, same fix as x11/x15)
     grams = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), benchmark_pred.alias("__is_bench"))
+        # coalesce: a NULL predicate (e.g. NULL source under `source ==
+        # 'mmlu'`) must land on the TRAINING side and be screened — a raw
+        # boolean filter drops such rows from BOTH branches silently
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+            F.coalesce(benchmark_pred, F.lit(False)).alias("__is_bench"),
+        )
         .withColumn("__toks", _ngram_tokens(F.col("__t")))
         .withColumn("__grams", _word_ngrams_from(F.col("__toks"), n))
         .select("__id", "__is_bench", "__grams", F.size("__grams").alias("__n_grams"))

@@ -198,7 +198,12 @@ def scalar_quantize(df: DataFrame, vec: str, dim: int) -> DataFrame:
     packed = F.arrays_zip(x.alias("x"), F.col("__mins").alias("mn"), F.col("__scales").alias("sc"))
     codes = F.transform(
         packed,
-        lambda p: F.when(p["sc"] == 0, F.lit(0)).otherwise(
+        # a NULL element must stay NULL: greatest(0, NULL) skips NULLs and
+        # would fabricate code 0 (reconstructing to the dimension minimum —
+        # a value the vector never had)
+        lambda p: F.when(p["x"].isNull(), F.lit(None).cast("int"))
+        .when(p["sc"] == 0, F.lit(0))
+        .otherwise(
             F.least(
                 F.lit(255),
                 F.greatest(F.lit(0), F.round((p["x"] - p["mn"]) / p["sc"], 0).cast("int")),
@@ -385,8 +390,13 @@ def _kmeans_base(df: DataFrame, vec: str, dim: int, id_col: str) -> DataFrame:
     length contract, and a cleaning pass owns deciding what to do with
     malformed rows, not the clusterer."""
     v = F.transform(F.col(vec), lambda x: x.cast("double"))
+    # a right-sized vector with a NULL ELEMENT is malformed too: it
+    # passes the isNotNull+size gate but crashes the driver-side seed
+    # collection (float(None)) or NULLs the DECIMAL centroid sums
     return df.filter(
-        F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
+        F.col(vec).isNotNull()
+        & (F.size(F.col(vec)) == dim)
+        & ~F.exists(F.col(vec), lambda x: x.isNull())
     ).select(F.col(id_col).alias("__id"), v.alias("__v"))
 
 

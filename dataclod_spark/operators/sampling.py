@@ -60,8 +60,17 @@ _PCT_SLACK = 4.0 / _PCT_ACC
 
 
 def row_hash(key: Column) -> Column:
-    """Deterministic pseudo-random BIGINT in [0, 2^32) from an integer key."""
-    return (key.cast("bigint") * F.lit(_KNUTH)) % F.lit(_MOD)
+    """Deterministic pseudo-random BIGINT in [0, 2^32) from an integer key.
+
+    The multiply runs in DECIMAL(38,0): bigint arithmetic overflowed
+    (ANSI: job abort) for keys above ~3.47e9 — routine 64-bit ids at
+    100 TB — and ``pmod`` keeps negative keys in [0, 2^32) (plain ``%``
+    went negative, which made ``hash_sample`` keep negative-key rows at
+    ANY rate and silently starved them in ``weighted_sample``).  For
+    keys in [0, 2^31) the result is bit-identical to the old bigint
+    formula, so every oracle mirror stays valid."""
+    prod = key.cast("decimal(38,0)") * F.lit(_KNUTH)
+    return F.pmod(prod, F.lit(_MOD)).cast("bigint")
 
 
 def hash_sample(df: DataFrame, key: str, rate_pct: int) -> DataFrame:
@@ -217,7 +226,7 @@ def _budget_expr(stratum: str, budgets: int | dict) -> Column:
     mixture is a closed list) or one integer for every stratum."""
     if isinstance(budgets, dict):
         budget = F.lit(0).cast("bigint")
-        for s, b in sorted(budgets.items()):
+        for s, b in sorted(budgets.items(), key=lambda kv: (kv[0] is not None, kv[0])):
             budget = F.when(
                 F.col(stratum) == s, F.lit(int(b)).cast("bigint")
             ).otherwise(budget)
@@ -385,21 +394,25 @@ def temperature_budgets(
         .agg(F.sum(tok).alias("__n"))
         .collect()
     }
-    import math
-
     weight = (
         (lambda n: math.sqrt(float(n)))
         if alpha == 0.5
         else (lambda n: float(n) ** alpha)
     )
+    import math
+
+    # NULL strata are in-contract module-wide (_join_stratum is
+    # eqNullSafe); sorted() over a dict with a None key raises TypeError,
+    # so order NULL first explicitly
+    _skey = lambda x: (x is not None, x)
     den = 0.0
     ws = {}
-    for s in sorted(totals):
+    for s in sorted(totals, key=_skey):
         ws[s] = weight(totals[s])
         den += ws[s]
     if den == 0.0:
         return {s: 0 for s in totals}
-    return {s: math.floor(total_budget * ws[s] / den) for s in sorted(totals)}
+    return {s: math.floor(total_budget * ws[s] / den) for s in sorted(totals, key=_skey)}
 
 
 def temperature_mixture(

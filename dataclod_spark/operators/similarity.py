@@ -65,6 +65,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _drop_zero_norm(df: DataFrame, vec_col: str) -> "DataFrame":
+    """Exclude zero-norm vectors: they have no cosine direction, and the
+    norm-product division ANSI-aborts the whole job on them (the same
+    contract as semantic_dedup's __n > 0 singleton rule)."""
+    return df.filter(norm(F.col(vec_col)) > 0)
+
+
 def sign_bucket(emb: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: concatenated sign bits."""
     bits = []
@@ -93,11 +100,17 @@ def knn_bruteforce(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        ).withColumn("__qn", norm(F.col("q_vec")))
+        )
+        .withColumn("__qn", norm(F.col("q_vec")))
+        .filter(F.col("__qn") > 0)  # zero-norm: no direction, and /0 ANSI-aborts
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("__cn", norm(F.col("c_vec")))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn("__cn", norm(F.col("c_vec")))
+        .filter(F.col("__cn") > 0)
+    )
     sim = F.round(
         dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 6
     )
@@ -120,19 +133,34 @@ def _probe_buckets(bucket: Column, n_planes: int, hamming: int) -> Column:
     recovers most of the recall lost to boundary effects without extra
     tables — the probe expansion happens on the (small, broadcast) query
     side only, so the corpus is still touched once."""
+    if hamming > 2:
+        # the probe set grows C(n_planes, d) per distance — supported up
+        # to 2; silently capping (the pre-r10 behavior for d=2) let a
+        # caller chase a recall target with a knob that did nothing
+        raise ValueError(
+            f"probe_hamming > 2 is not implemented (got {hamming}); "
+            "raise n_tables instead"
+        )
+
+    def flip(b: Column, positions: tuple[int, ...]) -> Column:
+        out = b
+        for p in positions:
+            ch = F.when(F.substring(out, p, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            )
+            out = F.concat(
+                F.substring(out, 1, p - 1), ch, F.substring(out, p + 1, n_planes)
+            )
+        return out
+
     probes = [bucket]
     if hamming >= 1:
         for i in range(1, n_planes + 1):
-            flipped = F.when(F.substring(bucket, i, 1) == "1", F.lit("0")).otherwise(
-                F.lit("1")
-            )
-            probes.append(
-                F.concat(
-                    F.substring(bucket, 1, i - 1),
-                    flipped,
-                    F.substring(bucket, i + 1, n_planes),
-                )
-            )
+            probes.append(flip(bucket, (i,)))
+    if hamming >= 2:
+        for i in range(1, n_planes + 1):
+            for j in range(i + 1, n_planes + 1):
+                probes.append(flip(bucket, (i, j)))
     return F.array(*probes)
 
 
@@ -166,6 +194,8 @@ def knn_ann(
     candidate set.  Recall grows with n_tables × probes; cost grows only
     with the candidate union size.
     """
+    corpus = _drop_zero_norm(corpus, vec_col)
+    queries = _drop_zero_norm(queries, vec_col)
     tables = [hyperplane_weights(n_planes, seed=t) for t in range(n_tables)]
     c_entries = F.explode(
         F.array(
@@ -231,6 +261,8 @@ def knn_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket."""
     planes = planes or hyperplane_weights()
+    corpus = _drop_zero_norm(corpus, vec_col)
+    queries = _drop_zero_norm(queries, vec_col)
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -279,6 +311,8 @@ def knn_ivf(
       * candidates = corpus rows in probed cells (bucket equi-join), exact
         cosine + per-query top-k window over candidates only.
     """
+    corpus = _drop_zero_norm(corpus, vec_col)
+    queries = _drop_zero_norm(queries, vec_col)
     cents = [
         (int(r[0]), [float(v) for v in r[1]])
         for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
@@ -388,11 +422,17 @@ def cosine_profile(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("__qid"), F.col(vec_col).alias("q_vec")
-        ).withColumn("__qn", norm(F.col("q_vec")))
+        )
+        .withColumn("__qn", norm(F.col("q_vec")))
+        .filter(F.col("__qn") > 0)  # zero-norm: no direction, /0 ANSI-aborts
     )
-    c = corpus.select(
-        F.col(id_col).alias("__cid"), F.col(vec_col).alias("c_vec")
-    ).withColumn("__cn", norm(F.col("c_vec")))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("__cid"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn("__cn", norm(F.col("c_vec")))
+        .filter(F.col("__cn") > 0)
+    )
     sim = F.round(
         dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")),
         decimals,

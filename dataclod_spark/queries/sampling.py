@@ -10,7 +10,11 @@ from dataclod_spark.queries.text import _NTOK  # shared DuckDB token-count macro
 from dataclod_spark.queries.text import _TOKS as _TOKS_SP7  # shared tokenizer macro
 from dataclod_spark.registry import load, query
 
-_H = "(doc_id * 2654435761) % 4294967296"
+# DECIMAL(38,0) multiply + positive pmod mirrors operators.sampling.row_hash
+# (r10: bigint overflow/negative-key fix) — identical values for keys in
+# [0, 2^31), which covers every gate table
+_H = ("CAST(((CAST(doc_id AS DECIMAL(38,0)) * 2654435761) % 4294967296\n"
+      "      + 4294967296) % 4294967296 AS BIGINT)")
 
 
 @query(

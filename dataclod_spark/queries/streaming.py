@@ -711,7 +711,8 @@ def st14_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (
   SELECT doc_id, lang, n_chars,
-         CAST(round(ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+         CAST(round(ln(((CAST(((CAST(doc_id AS DECIMAL(38,0)) * 2654435761) % 4294967296
+                         + 4294967296) % 4294967296 AS BIGINT)) + 0.5)
                        / 4294967296.0) / n_chars, 6)
               AS DECIMAL(18,6)) AS es_key
   FROM documents
