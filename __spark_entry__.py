@@ -77,7 +77,6 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "sp2_hash_sample",
     "sp6_hash_split",
     "sp9_weighted_sample",
-    "st14_stream_dsir_score",
     "v1_knn_bruteforce",
     "v2_knn_lsh",
     "v3_knn_multiprobe",
