@@ -227,8 +227,12 @@ def _budget_expr(stratum: str, budgets: int | dict) -> Column:
     if isinstance(budgets, dict):
         budget = F.lit(0).cast("bigint")
         for s, b in sorted(budgets.items(), key=lambda kv: (kv[0] is not None, kv[0])):
+            # eqNullSafe, not ==: a None key (NULL stratum — in-contract
+            # module-wide, and produced by temperature_budgets) compares
+            # SQL NULL under ==, so the when-branch never fired and
+            # NULL-stratum rows silently got the default 0 budget
             budget = F.when(
-                F.col(stratum) == s, F.lit(int(b)).cast("bigint")
+                F.col(stratum).eqNullSafe(F.lit(s)), F.lit(int(b)).cast("bigint")
             ).otherwise(budget)
         return budget
     return F.lit(int(budgets)).cast("bigint")

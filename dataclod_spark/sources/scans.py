@@ -82,8 +82,9 @@ def scan_sqlite(spark: SparkSession, db_path: str, table: str) -> DataFrame:
         schema = StructType()
         for (_cid, name, decl, _nn, _dflt, _pk), t in zip(info, types):
             schema = schema.add(name, t)
+        names = [r[1] for r in info]
         rows = [
-            tuple(_sqlite_coerce(v, t) for v, t in zip(row, types))
+            tuple(_sqlite_coerce(v, t, n) for v, t, n in zip(row, types, names))
             for row in con.execute(f"SELECT * FROM {_quote_ident(table)}")
         ]
     finally:
@@ -128,36 +129,55 @@ def _jdbc_scan(
         ) from exc
 
 
-def _jdbc_url(dsn: str, database: str, scheme: str) -> str:
-    """Normalize a DSN to a JDBC URL.  Accepts a ready ``jdbc:`` URL, a
-    URI DSN (``postgresql://user:pw@host:port[/db]`` — the form the
-    reference's scans take; ``postgres://`` is normalized), or a bare
-    ``host:port``.  ``database`` is appended only when the DSN doesn't
-    already carry a path — naive prefixing used to produce
-    ``jdbc:postgresql://postgresql://...``."""
+def _jdbc_url(dsn: str, database: str, scheme: str) -> tuple[str, dict]:
+    """Normalize a DSN to ``(jdbc_url, credential_options)``.  Accepts a
+    ready ``jdbc:`` URL, a URI DSN (``postgresql://user:pw@host:port[/db]``
+    — the form the reference's scans take; ``postgres://`` is normalized),
+    or a bare ``host:port``.  ``database`` is appended only when the DSN
+    doesn't already carry a path — naive prefixing used to produce
+    ``jdbc:postgresql://postgresql://...``.
+
+    Inline ``user:pw@`` credentials are PARSED OUT and returned as JDBC
+    ``user``/``password`` options: the PostgreSQL/MySQL JDBC drivers do
+    not accept userinfo in the authority, so leaving them in the URL
+    produced a connect-time failure.  Percent-encoded characters in the
+    userinfo are decoded (the URI form requires encoding ``@``/``:``/``/``
+    inside credentials)."""
     if dsn.startswith("jdbc:"):
-        return dsn
+        return dsn, {}
+    creds: dict = {}
     if "://" in dsn:
         got_scheme, rest = dsn.split("://", 1)
         got_scheme = {"postgres": "postgresql"}.get(got_scheme, got_scheme)
+        if "@" in rest:
+            from urllib.parse import unquote
+
+            userinfo, rest = rest.rsplit("@", 1)
+            user, _, pw = userinfo.partition(":")
+            if user:
+                creds["user"] = unquote(user)
+            if pw:
+                creds["password"] = unquote(pw)
         if "/" in rest:  # DSN already names a database path
-            return f"jdbc:{got_scheme}://{rest}"
-        return f"jdbc:{got_scheme}://{rest}/{database}"
-    return f"jdbc:{scheme}://{dsn}/{database}"
+            return f"jdbc:{got_scheme}://{rest}", creds
+        return f"jdbc:{got_scheme}://{rest}/{database}", creds
+    return f"jdbc:{scheme}://{dsn}/{database}", creds
 
 
 def scan_postgres(
     spark: SparkSession, dsn: str, database: str, table: str, **options: str
 ) -> DataFrame:
     """Mount a PostgreSQL table via Spark's JDBC source (partitionable)."""
-    return _jdbc_scan(spark, _jdbc_url(dsn, database, "postgresql"), table, **options)
+    url, creds = _jdbc_url(dsn, database, "postgresql")
+    return _jdbc_scan(spark, url, table, **{**creds, **options})
 
 
 def scan_mysql(
     spark: SparkSession, dsn: str, database: str, table: str, **options: str
 ) -> DataFrame:
     """Mount a MySQL table via Spark's JDBC source (partitionable)."""
-    return _jdbc_scan(spark, _jdbc_url(dsn, database, "mysql"), table, **options)
+    url, creds = _jdbc_url(dsn, database, "mysql")
+    return _jdbc_scan(spark, url, table, **{**creds, **options})
 
 
 # -- SQL table functions ------------------------------------------------------
@@ -234,13 +254,19 @@ def _sqlite_spark_type(declared: str) -> str:
     return "string"  # SQLite dynamic typing fallback (TEXT affinity)
 
 
-def _sqlite_coerce(v, t: str):
+def _sqlite_coerce(v, t: str, name: str = "?"):
     """Coerce one SQLite storage value to its DECLARED Spark type.
 
     SQLite stores BOOLEAN/NUMERIC/DECIMAL columns as INTEGER and is
     dynamically typed throughout — yielding the raw int for a boolean/
     double column makes Spark's row conversion NULL it silently.  Strings
-    likewise: a column declared TEXT can store an int."""
+    likewise: a column declared TEXT can store an int.
+
+    A NON-integral float in a column declared INTEGER is unrepresentable
+    under the declared schema (lossy ``int()`` would corrupt it; passing
+    the float through made Spark's row verifier throw an opaque
+    TypeError) — raise a clear error naming the column so the user can
+    fix the declaration or the data."""
     if v is None:
         return None
     if t == "string":
@@ -250,7 +276,13 @@ def _sqlite_coerce(v, t: str):
     if t == "double":
         return float(v)
     if t == "long" and isinstance(v, float):
-        return int(v) if v.is_integer() else v  # lossy int() would corrupt
+        if v.is_integer():
+            return int(v)
+        raise ValueError(
+            f"scan_sqlite: column {name!r} is declared INTEGER but stores "
+            f"non-integral float {v!r} (SQLite dynamic typing) — declare the "
+            "column REAL/NUMERIC or clean the stored value"
+        )
     return v
 
 
@@ -283,8 +315,11 @@ class _SqliteScanUDTF:
         try:
             info = con.execute(f"PRAGMA table_info({_quote_ident(table)})").fetchall()
             types = [_sqlite_spark_type(r[2]) for r in info]
+            names = [r[1] for r in info]
             for row in con.execute(f"SELECT * FROM {_quote_ident(table)}"):
-                yield tuple(_sqlite_coerce(v, t) for v, t in zip(row, types))
+                yield tuple(
+                    _sqlite_coerce(v, t, n) for v, t, n in zip(row, types, names)
+                )
         finally:
             con.close()
 

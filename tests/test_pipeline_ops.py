@@ -2125,3 +2125,46 @@ def test_exact_dedup_custom_id_col(spark):
     )
     kept = {r.my_id for r in exact_dedup(df, id_col="my_id").collect()}
     assert kept == {2, 9}
+
+
+def test_temperature_mixture_keeps_null_stratum(spark):
+    """A NULL stratum is in-contract module-wide: temperature_budgets
+    emits a None-keyed budget for it, and _budget_expr must match it
+    null-safely — under == the when-branch never fired, NULL-stratum rows
+    got the default 0 budget, and the mixture silently dropped them
+    despite their allocation (ADVICE r10 medium)."""
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.sampling import (
+        temperature_budgets,
+        temperature_mixture,
+        token_budget_sample,
+    )
+
+    rows = (
+        [Row(doc_id=i, src="en", tok=100) for i in range(20)]
+        + [Row(doc_id=100 + i, src=None, tok=100) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows)
+
+    budgets = temperature_budgets(df, "src", F.col("tok"), 2_000, alpha=1.0)
+    assert budgets == {None: 1000, "en": 1000}
+
+    out = temperature_mixture(df, "doc_id", "src", F.col("tok"), 2_000, alpha=1.0)
+    got = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # greedy fill: 1000-token budget over 100-token docs -> 10 docs each,
+    # for the NULL stratum exactly as for the named one
+    assert got == {None: 10, "en": 10}
+
+    # the direct dict-spec path matches too
+    out2 = token_budget_sample(
+        df, "doc_id", "src", F.col("tok"), {None: 500, "en": 300}
+    )
+    got2 = {
+        r["src"]: r["n"]
+        for r in out2.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got2 == {None: 5, "en": 3}

@@ -127,19 +127,42 @@ def test_jdbc_url_normalization():
 
     # ready JDBC URL passes through
     assert _jdbc_url("jdbc:postgresql://h:5432/db", "x", "postgresql") == (
-        "jdbc:postgresql://h:5432/db"
+        "jdbc:postgresql://h:5432/db",
+        {},
     )
     # URI DSN (the reference's form) gets the jdbc: prefix, db appended
-    # only when the DSN carries no path
+    # only when the DSN carries no path; inline credentials move to JDBC
+    # options (the JDBC drivers reject userinfo in the authority)
     assert _jdbc_url("postgresql://u:p@h:5432", "db", "postgresql") == (
-        "jdbc:postgresql://u:p@h:5432/db"
+        "jdbc:postgresql://h:5432/db",
+        {"user": "u", "password": "p"},
     )
     assert _jdbc_url("postgresql://u:p@h:5432/mydb", "ignored", "postgresql") == (
-        "jdbc:postgresql://u:p@h:5432/mydb"
+        "jdbc:postgresql://h:5432/mydb",
+        {"user": "u", "password": "p"},
     )
-    assert _jdbc_url("postgres://h", "db", "postgresql") == "jdbc:postgresql://h/db"
+    assert _jdbc_url("postgres://h", "db", "postgresql") == (
+        "jdbc:postgresql://h/db",
+        {},
+    )
     # bare host:port keeps the old behavior
-    assert _jdbc_url("h:5432", "db", "mysql") == "jdbc:mysql://h:5432/db"
+    assert _jdbc_url("h:5432", "db", "mysql") == ("jdbc:mysql://h:5432/db", {})
+
+
+def test_jdbc_url_credential_edge_cases():
+    from dataclod_spark.sources.scans import _jdbc_url
+
+    # user with no password
+    assert _jdbc_url("postgresql://alice@h/db", "x", "postgresql") == (
+        "jdbc:postgresql://h/db",
+        {"user": "alice"},
+    )
+    # percent-encoded special characters decode (URI form requires
+    # encoding @ : / inside credentials)
+    assert _jdbc_url("postgresql://u%40corp:p%3Aw@h:5432/db", "x", "postgresql") == (
+        "jdbc:postgresql://h:5432/db",
+        {"user": "u@corp", "password": "p:w"},
+    )
 
 
 def test_jdbc_partition_bounds_required(spark):
@@ -149,3 +172,24 @@ def test_jdbc_partition_bounds_required(spark):
         scan_postgres(
             spark, "h:5432", "db", "t", partition_column="id"
         )
+
+
+def test_scan_sqlite_nonintegral_float_in_integer_column(spark):
+    """A column declared INTEGER storing a non-integral float (SQLite
+    dynamic typing) is unrepresentable under the declared schema — the
+    scan must raise a clear error naming the column, not let Spark's row
+    verifier throw an opaque TypeError (ADVICE r10)."""
+    from dataclod_spark.sources.scans import _sqlite_coerce, scan_sqlite
+
+    path = os.path.join(tempfile.gettempdir(), "udtf_scan_badfloat.sqlite")
+    if os.path.exists(path):
+        os.remove(path)
+    sc = sqlite3.connect(path)
+    sc.execute("CREATE TABLE bad (id INTEGER, v INTEGER)")
+    sc.execute("INSERT INTO bad VALUES (1, 2.5)")
+    sc.commit()
+    sc.close()
+    with pytest.raises(ValueError, match="column 'v'.*non-integral float 2.5"):
+        scan_sqlite(spark, path, "bad")
+    # integral floats still narrow losslessly
+    assert _sqlite_coerce(3.0, "long", "v") == 3
