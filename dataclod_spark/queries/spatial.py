@@ -1198,51 +1198,60 @@ def g22_tile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "core/border classification, clusters as connected components of the "
     "core graph (operators/spatial_join.dbscan_clusters)",
     oracle="""
+-- POSITION-SPACE form (round 11).  The point-space original walked
+-- reachable (id,label) pairs over ~33k points: Sum |C|^2 blew up at
+-- sf0.1 (audit-tooling limitation, r10).  Coordinates derive from
+-- id % 89 / id % 43, so there are <= 89*43 = 3827 DISTINCT positions,
+-- core-ness depends only on position (neighbor counts are position
+-- sums), points at one position are mutually distance-0, and the core
+-- graph's components equal the core-POSITION graph's components — the
+-- same walk over positions is bounded by 3827^2 pairs at ANY scale.
+-- Verified row-identical to the point-space form at sf0.001/sf0.01.
 WITH RECURSIVE pts AS (
   SELECT event_id AS pid,
          CAST(event_id % 89 AS DOUBLE) AS px, CAST(user_id % 43 AS DOUBLE) AS py
   FROM events WHERE event_id % 3 = 0
-), pairs AS (
-  SELECT a.pid AS a_id, b.pid AS b_id
-  FROM pts a JOIN pts b
+), pos AS (
+  SELECT px, py, count(*) AS cnt, min(pid) AS min_pid, sum(pid) AS sum_pid
+  FROM pts GROUP BY px, py
+), padj AS (
+  SELECT a.px AS ax, a.py AS ay, b.px AS bx, b.py AS by, b.cnt AS bcnt
+  FROM pos a JOIN pos b
     ON (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 1.0
-), counts AS (
-  SELECT a_id, count(*) AS n FROM pairs GROUP BY a_id
-), core AS (
-  SELECT a_id AS cid FROM counts WHERE n >= 6
-), ce AS (
-  SELECT p.a_id, p.b_id FROM pairs p
-  JOIN core c1 ON c1.cid = p.a_id
-  JOIN core c2 ON c2.cid = p.b_id
-  WHERE p.a_id < p.b_id
-), edges AS (
-  SELECT a_id AS a, b_id AS b FROM ce UNION SELECT b_id, a_id FROM ce
-), walk(id, lbl) AS (
-  SELECT a, a FROM edges
+), ncount AS (
+  SELECT ax AS px, ay AS py, sum(bcnt) AS n FROM padj GROUP BY ax, ay
+), core_pos AS (
+  SELECT p.px, p.py, p.cnt, p.min_pid, p.sum_pid
+  FROM pos p JOIN ncount n ON n.px = p.px AND n.py = p.py
+  WHERE n.n >= 6
+), cpe AS (
+  SELECT a.px AS ax, a.py AS ay, b.px AS bx, b.py AS by
+  FROM core_pos a JOIN core_pos b
+    ON (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 1.0
+), walk(x, y, lbl) AS (
+  SELECT px, py, min_pid FROM core_pos
   UNION
-  SELECT e.b, walk.lbl FROM walk JOIN edges e ON e.a = walk.id
+  SELECT e.bx, e.by, walk.lbl FROM walk JOIN cpe e ON e.ax = walk.x AND e.ay = walk.y
 ), comp AS (
-  SELECT id, min(lbl) AS component FROM walk GROUP BY id
-), core_labels AS (
-  SELECT c.cid AS id, coalesce(mp.component, c.cid) AS cluster
-  FROM core c LEFT JOIN comp mp ON mp.id = c.cid
+  SELECT x, y, min(lbl) AS cluster FROM walk GROUP BY x, y
 ), border AS (
-  SELECT p.a_id AS id, min(cl.cluster) AS cluster
-  FROM pairs p JOIN core_labels cl ON cl.id = p.b_id
-  WHERE p.a_id NOT IN (SELECT cid FROM core)
-  GROUP BY p.a_id
+  SELECT p.ax AS px, p.ay AS py, min(c.cluster) AS cluster
+  FROM padj p
+  JOIN comp c ON c.x = p.bx AND c.y = p.by
+  WHERE NOT EXISTS (SELECT 1 FROM core_pos cp WHERE cp.px = p.ax AND cp.py = p.ay)
+  GROUP BY p.ax, p.ay
 ), allp AS (
-  SELECT id, cluster, 1 AS is_core FROM core_labels
+  SELECT c.cluster, cp.cnt AS n_core_c, 0 AS n_border_c, cp.sum_pid AS id_s
+  FROM core_pos cp JOIN comp c ON c.x = cp.px AND c.y = cp.py
   UNION ALL
-  SELECT id, cluster, 0 AS is_core FROM border
+  SELECT b.cluster, 0, p.cnt, p.sum_pid
+  FROM border b JOIN pos p ON p.px = b.px AND p.py = b.py
 )
 SELECT cluster,
-       CAST(sum(is_core) AS BIGINT) AS n_core,
-       CAST(sum(1 - is_core) AS BIGINT) AS n_border,
-       CAST(sum(id) AS BIGINT) AS id_sum
-FROM allp
-GROUP BY cluster
-ORDER BY cluster
+       CAST(sum(n_core_c) AS BIGINT) AS n_core,
+       CAST(sum(n_border_c) AS BIGINT) AS n_border,
+       CAST(sum(id_s) AS BIGINT) AS id_sum
+FROM allp GROUP BY cluster ORDER BY cluster
 """,
 )
 def g23_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
