@@ -62,15 +62,28 @@ _PCT_SLACK = 4.0 / _PCT_ACC
 def row_hash(key: Column) -> Column:
     """Deterministic pseudo-random BIGINT in [0, 2^32) from an integer key.
 
-    The multiply runs in DECIMAL(38,0): bigint arithmetic overflowed
-    (ANSI: job abort) for keys above ~3.47e9 — routine 64-bit ids at
-    100 TB — and ``pmod`` keeps negative keys in [0, 2^32) (plain ``%``
-    went negative, which made ``hash_sample`` keep negative-key rows at
-    ANY rate and silently starved them in ``weighted_sample``).  For
-    keys in [0, 2^31) the result is bit-identical to the old bigint
-    formula, so every oracle mirror stays valid."""
-    prod = key.cast("decimal(38,0)") * F.lit(_KNUTH)
-    return F.pmod(prod, F.lit(_MOD)).cast("bigint")
+    Split-multiply bigint form (r11): ``(key·K) mod 2³²`` computed in
+    exact mod-2³² algebra over 16-bit halves — ``k = key mod 2³²``
+    (pmod: negative keys land in [0, 2³²); plain ``%`` went negative,
+    which made ``hash_sample`` keep negative-key rows at ANY rate and
+    silently starved them in ``weighted_sample``), then with
+    ``k = hi·2¹⁶ + lo``:
+
+        (k·K) mod 2³² = ((hi·K mod 2¹⁶)·2¹⁶ + lo·K) mod 2³²
+
+    Every intermediate is < 2⁴⁹, so nothing overflows bigint for ANY
+    64-bit key (the r10 straight multiply ANSI-aborted above ~3.47e9 and
+    its DECIMAL(38,0) fix cost 1.1–1.3× in every sp-gate/st14 hot path —
+    measured r11, SCALE.md).  Bit-identical to the DECIMAL(38,0) form on
+    the full bigint domain (property-tested incl. ±2⁶³ edges), so every
+    oracle mirror moved in lockstep with no value change."""
+    k = F.pmod(key.cast("bigint"), F.lit(_MOD))
+    hi = F.shiftright(k, 16)
+    lo = k.bitwiseAND(F.lit(0xFFFF))
+    return (
+        F.shiftleft((hi * F.lit(_KNUTH)).bitwiseAND(F.lit(0xFFFF)), 16)
+        + lo * F.lit(_KNUTH)
+    ).bitwiseAND(F.lit(0xFFFFFFFF))
 
 
 def hash_sample(df: DataFrame, key: str, rate_pct: int) -> DataFrame:

@@ -10,11 +10,14 @@ from dataclod_spark.queries.text import _NTOK  # shared DuckDB token-count macro
 from dataclod_spark.queries.text import _TOKS as _TOKS_SP7  # shared tokenizer macro
 from dataclod_spark.registry import load, query
 
-# DECIMAL(38,0) multiply + positive pmod mirrors operators.sampling.row_hash
-# (r10: bigint overflow/negative-key fix) — identical values for keys in
-# [0, 2^31), which covers every gate table
-_H = ("CAST(((CAST(doc_id AS DECIMAL(38,0)) * 2654435761) % 4294967296\n"
-      "      + 4294967296) % 4294967296 AS BIGINT)")
+# Split-multiply bigint mirror of operators.sampling.row_hash (r11):
+# k = key mod 2^32 (positive), then (k*K) mod 2^32 computed over 16-bit
+# halves so no intermediate exceeds 2^49 — overflow-free plain BIGINT on
+# both engines, bit-identical to the r10 DECIMAL(38,0) form on the full
+# bigint domain (property-tested)
+_HK = "(((doc_id % 4294967296) + 4294967296) % 4294967296)"
+_H = (f"(((({_HK} // 65536) * 2654435761) % 65536) * 65536\n"
+      f"      + ({_HK} % 65536) * 2654435761) % 4294967296")
 
 
 @query(

@@ -709,14 +709,18 @@ def st14_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "safe per-batch state dirs) — drained state equals the batch sp9 "
     "operator on the union of the batches",
     oracle="""
-WITH w AS (
+WITH hk AS (
   SELECT doc_id, lang, n_chars,
-         CAST(round(ln(((CAST(((CAST(doc_id AS DECIMAL(38,0)) * 2654435761) % 4294967296
-                         + 4294967296) % 4294967296 AS BIGINT)) + 0.5)
-                       / 4294967296.0) / n_chars, 6)
-              AS DECIMAL(18,6)) AS es_key
+         (((doc_id % 4294967296) + 4294967296) % 4294967296) AS k
   FROM documents
   WHERE n_chars IS NOT NULL AND n_chars > 0
+), w AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(round(ln((((((k // 65536) * 2654435761) % 65536) * 65536
+                         + (k % 65536) * 2654435761) % 4294967296 + 0.5)
+                       / 4294967296.0) / n_chars, 6)
+              AS DECIMAL(18,6)) AS es_key
+  FROM hk
 )
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
        CAST(es_key AS DOUBLE) AS es_key

@@ -616,3 +616,32 @@ def test_percentile_calibrate_plan_broadcasts_grid(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "percent_rank" not in plan
+
+
+def test_row_hash_split_multiply_matches_decimal_form(spark):
+    """r11: row_hash moved from DECIMAL(38,0) (1.1-1.3x slower in every
+    sp-gate/st14 hot path — SCALE.md r11) to the split-multiply bigint
+    form ((hi*K mod 2^16)*2^16 + lo*K) mod 2^32.  Prove bit-identity to
+    the DECIMAL form AND the exact Python reference on the full bigint
+    domain, edges included — no overflow, no sign leak."""
+    import random as _random
+
+    edges = [
+        0, 1, -1, -7, 123, 65535, 65536, 2**31 - 1, 2**31, 2**32 - 1,
+        2**32, 2**32 + 1, 3_470_000_000, 5_000_000_000, 2**48, 2**62,
+        2**63 - 1, -(2**63), -(2**63) + 1, -5_000_000_000,
+    ]
+    rng = _random.Random(11)
+    keys = edges + [rng.randrange(-(2**63), 2**63) for _ in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    dec = (
+        F.pmod(F.col("k").cast("decimal(38,0)") * F.lit(_K), F.lit(_MOD))
+        .cast("bigint")
+        .alias("dec")
+    )
+    out = df.select(
+        "k", SMP.row_hash(F.col("k")).alias("split"), dec
+    ).collect()
+    for r in out:
+        want = (r.k * _K) % _MOD  # Python ints: exact, nonneg %
+        assert r.split == want == r.dec, (r.k, r.split, r.dec, want)
