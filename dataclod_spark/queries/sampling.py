@@ -223,9 +223,14 @@ def sp5_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = F.greatest(F.coalesce(tokc.cast("bigint"), F.lit(0)), F.lit(0))
     # per-source corpus totals (same clamp as the operator)
     corpus = d.groupBy("source").agg(F.sum(tok).alias("corpus_tokens"))
+    # null-safe like the operator's _budget_expr: temperature_budgets may
+    # return a None key on a corpus with NULL sources (not these tables,
+    # but the report must not crash or zero that stratum's display)
     bud = F.lit(0).cast("bigint")
-    for src, b in sorted(budgets.items()):
-        bud = F.when(F.col("source") == src, F.lit(int(b)).cast("bigint")).otherwise(bud)
+    for src, b in sorted(budgets.items(), key=lambda kv: (kv[0] is not None, kv[0])):
+        bud = F.when(
+            F.col("source").eqNullSafe(F.lit(src)), F.lit(int(b)).cast("bigint")
+        ).otherwise(bud)
     return (
         s.groupBy("source")
         .agg(
