@@ -47,7 +47,7 @@ FROM documents
 def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataclod_spark.functions.text import fingerprint
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     fp = fingerprint(F.col("text"))
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -309,7 +309,7 @@ ORDER BY bucket
 """,
 )
 def d8_embedding_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=False)
     sig = e.select(
         "vec_id", "label", DD.dim_sign_signature(F.col("embedding")).alias("bucket")
     )

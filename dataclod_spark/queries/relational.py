@@ -64,7 +64,11 @@ ORDER BY l_returnflag, l_linestatus
 """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load(spark, sf_dir, "lineitem")
+    # spread=True: Q1 is one narrow scan+partial-agg over the widest fact
+    # table — spreading the unsplittable local scan measured 1.36 → 1.05 s
+    # steady (all other relational queries shuffle/broadcast right after
+    # the scan and measured a LOSS from spreading; they stay default-off)
+    l = load(spark, sf_dir, "lineitem", spread=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
@@ -641,27 +645,36 @@ ORDER BY o_totalprice DESC, o_orderkey
 """,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-scan form (optimization guide §1.2 step 1: don't compute things
+    # you throw away).  The final GROUP BY includes o_orderkey, and every
+    # other group key (c_name, c_custkey, orderdate, o_totalprice) is
+    # functionally determined by it, so the group's sum(l_quantity) IS the
+    # per-order total the HAVING subquery already computed — the r10 form
+    # scanned lineitem twice (once for the subquery, once to re-aggregate
+    # the same sum after a semi-join).  dsum is exact DECIMAL accumulation,
+    # so the single-pass value is bit-identical to the re-aggregated one
+    # (proven against the unchanged oracle, strict, sf0.001/0.01/0.1).
+    # spread=True: like q1, the surviving shape is one narrow scan +
+    # partial-agg over the widest fact table before its only exchange.
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    l = load(spark, sf_dir, "lineitem")
+    l = load(spark, sf_dir, "lineitem", spread=True)
     big = (
         l.groupBy("l_orderkey")
-        .agg(dsum(F.col("l_quantity")).alias("tot_qty"))
-        .filter(F.col("tot_qty") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(dsum(F.col("l_quantity")).alias("__tot_qty"))
+        .filter(F.col("__tot_qty") > 150)
     )
     return (
-        l.join(big, l.l_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(o, l.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.to_date("o_orderdate").alias("orderdate"),
             "o_totalprice",
+            F.round(F.col("__tot_qty"), 2).alias("sum_qty"),
         )
-        .agg(F.round(dsum(F.col("l_quantity")), 2).alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
 

@@ -42,7 +42,7 @@ ORDER BY lang
 """,
 )
 def sp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     s = SMP.stratified_sample(d, key="doc_id", stratum="lang", rate_pct=20)
     return (
         s.groupBy("lang")
@@ -65,7 +65,7 @@ WHERE ({_H}) % 100 < 15
 """,
 )
 def sp2_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     s = SMP.hash_sample(d, key="doc_id", rate_pct=15)
     return s.agg(
         F.count(F.lit(1)).alias("n_sampled"),
@@ -97,7 +97,7 @@ ORDER BY lang
 """,
 )
 def sp3_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     r = SMP.rebalance_to_min(d, key="doc_id", stratum="lang")
     return (
         r.groupBy("lang")
@@ -142,7 +142,7 @@ def sp4_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     unspecified strata contribute nothing)."""
     from dataclod_spark.functions import text as TX
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     s = SMP.token_budget_sample(
         d, key="doc_id", stratum="lang",
         token_col=TX.token_count(F.col("text")),
@@ -211,7 +211,7 @@ def sp5_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     the report shows each source's corpus tokens vs its granted budget."""
     from dataclod_spark.functions import text as TX
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     tokc = TX.token_count(F.col("text"))
     budgets = SMP.temperature_budgets(
         d, stratum="source", token_col=tokc, total_budget=50_000, alpha=0.5
@@ -278,7 +278,7 @@ def sp6_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators.sampling.hash_split: a zero-shuffle projection; the
     report is one small groupBy.  Band order is the dict's declaration
     order, mirrored by the oracle's CASE chain."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     s = SMP.hash_split(d, key="doc_id", splits={"train": 80, "val": 10, "test": 10})
     return (
         s.groupBy("split", "lang")
@@ -328,7 +328,7 @@ def sp7_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice as the target domain.  Plan: one explode feeding two uniform
     hash-keyed aggregates (bucket profile, doc×bucket counts), the
     256-row weight table broadcast back, decimal-exact doc rollup."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     return SMP.dsir_weights(d, target=F.col("lang") == "en").orderBy("doc_id")
 
 
@@ -379,7 +379,7 @@ def sp8_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates plus a percentile-banded exact rank (the window sees only
     the verified score-boundary band, never a whole language); per-doc
     output (no cross-doc double sums, which would be FP-order-dependent)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     wts = SMP.dsir_weights(d, target=F.col("lang") == "en")
     return (
         SMP.dsir_select(d, wts, stratum="lang", top_pct=25)
@@ -416,7 +416,7 @@ def sp9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks as round(ln(u)/w, 6) DECIMAL(18,6) with doc_id tiebreak (the
     sp7 ln-ULP discipline) so the selected set is engine-identical.
     TakeOrderedAndProject plan — no shuffle, no window."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     s = SMP.weighted_sample(d, key="doc_id", weight_col=F.col("n_chars"), k=200)
     return s.select(
         "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
@@ -473,7 +473,7 @@ def x27_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact per-source sum.  No window, no driver state."""
     from dataclod_spark.operators.sampling import source_drift
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     return source_drift(d).orderBy("source")
 
 

@@ -178,7 +178,7 @@ ORDER BY query_id, rank
 """,
 )
 def v3_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=False)
     out = SIM.knn_ann(
         e, e.filter(F.col("vec_id") < 10), k=3, n_tables=2, probe_hamming=1
     )
@@ -296,7 +296,7 @@ def v5_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join, one rollup — the corpus never shuffles."""
     from dataclod_spark.operators.embeddings import cosine_to_centroid
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=False)
     withcos = cosine_to_centroid(e, "label", "embedding", _DIM)
     return (
         withcos.groupBy("label")
@@ -445,7 +445,7 @@ def v7_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines produce bit-identical centroids, assignments, and inertia."""
     from dataclod_spark.operators.embeddings import kmeans_clusters
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=False)
     return kmeans_clusters(e, "embedding", _DIM, k=8, iters=2)
 
 

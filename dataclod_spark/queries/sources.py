@@ -90,7 +90,7 @@ ORDER BY doc_id
 def m1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataclod_spark.operators.multimodal import decode_media
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("content"),
@@ -143,7 +143,7 @@ ORDER BY doc_id, frame_no
 def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataclod_spark.operators.multimodal import sample_frames
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("content"),
@@ -183,7 +183,7 @@ def m3_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 on both sides."""
     from dataclod_spark.operators.multimodal import byte_histogram_features
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     media = d.filter(F.octet_length("text") == F.char_length("text")).select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("content"),
@@ -226,7 +226,7 @@ def m4_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dims."""
     from dataclod_spark.operators.multimodal import resize_media
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("content"),
@@ -394,7 +394,7 @@ def m5_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skips decode entirely at 100 TB."""
     from dataclod_spark.operators.multimodal import media_dedup
 
-    d = load(spark, sf_dir, "documents").select(
+    d = load(spark, sf_dir, "documents", spread=False).select(
         "doc_id", "source", F.col("text").cast("binary").alias("content")
     )
     dups = d.filter(F.col("doc_id") % 7 == 0).withColumn(
@@ -462,7 +462,7 @@ def m6_media_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back equivalent (windows don't scale, joins AQE-split)."""
     from dataclod_spark.operators.multimodal import media_near_dedup
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     media = d.filter(F.octet_length("text") == F.char_length("text")).select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("content"),

@@ -479,7 +479,7 @@ def x13_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final aggregate over one scan (the oracle spells it as four
     scans for clarity; Catalyst computes ours in a single pass), then a
     zero-shuffle unpivot to rows."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     cols = ["doc_id", "lang", "source", "n_chars"]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
@@ -613,7 +613,7 @@ def x15_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
       and the corpus total N is a 1-row broadcast crossJoin instead of a
       driver-side count() action.  Downstream exchanges move only the
       pruned (doc_id, token) index, never the corpus."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     min_support = 50
     base = d.filter(F.length(TX.normalize_text(F.col("text"))) > 0)
     toks = base.select(
@@ -1467,7 +1467,7 @@ def x24_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     with DuckDB's reduce() spelling the identical greedy fold."""
     from dataclod_spark.operators.bpe import bpe_train
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     return bpe_train(d, "text", n_merges=_BPE_N, min_freq=2).orderBy("merge_rank")
 
 
@@ -1627,7 +1627,7 @@ def x30_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages the vocabulary under-serves."""
     from dataclod_spark.operators.bpe import bpe_fertility_by
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=False)
     return bpe_fertility_by(d, "lang", "text", n_merges=_BPE_N, min_freq=2).orderBy(
         "lang"
     )

@@ -89,4 +89,7 @@ def test_zorder_plan_pure_codegen(spark):
     )
     keyed = e.select(zorder_key(F.col("px"), F.col("py"), (0.0, 0.0, 100.0, 50.0)))
     plan = keyed._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan and "Exchange" not in plan
+    # load's scan-spread round-robin exchange is allowed (absent at scale)
+    assert "Python" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
