@@ -597,6 +597,16 @@ def ngram_jaccard_pairs(
         .withColumn("__n_grams", F.size("__grams"))
     )
     inv = grams.select("__id", "__n_grams", F.explode("__grams").alias("__g"))
+    # materialize the (narrow: id, gram-count, gram) inverted index ONCE —
+    # same fix as lsh_candidate_pairs' band table: without it the self-join
+    # build side recomputes the whole tokenize→gram→explode subtree, and the
+    # optimizer pushes the `isnotnull(__g)` join-key filter below the
+    # Generate as a fully-inlined copy of the gram chain evaluated per
+    # SOURCE row (measured at sf0.1: the corpus gram pass ran ~6×; d6
+    # 12.6 s → the checkpointed form's one pass).  The stop-gram guard's
+    # count+join-back then also reads the checkpoint instead of two more
+    # gram passes.
+    inv = inv.localCheckpoint(eager=True)
     if max_doc_freq is not None:
         inv = _stop_gram_filter(inv, max_doc_freq)
     left = inv.select(
@@ -661,6 +671,10 @@ def ngram_containment_pairs(
         .withColumn("__n_grams", F.size("__grams"))
     )
     inv = grams.select("__id", "__n_grams", F.explode("__grams").alias("__g"))
+    # one materialization of the narrow inverted index — see
+    # ngram_jaccard_pairs for why (self-join recompute + Generate-pushdown
+    # inlining of the gram chain otherwise multiply the corpus gram pass)
+    inv = inv.localCheckpoint(eager=True)
     guarded = max_doc_freq is not None
     if guarded:
         inv = _stop_gram_filter(inv, max_doc_freq)
@@ -1337,6 +1351,11 @@ def ngram_novelty(
         F.col(id_col).alias("__id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
     )
+    # the exploded gram table feeds BOTH the document-frequency aggregate
+    # and the join back onto it — materialize the narrow (id, gram) pass
+    # once instead of running the tokenize→gram corpus pass twice (same
+    # pattern as lsh_candidate_pairs / ngram_jaccard_pairs)
+    grams = grams.localCheckpoint(eager=True)
     gdf = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     per_doc = (
         grams.join(gdf, "__g")
@@ -1484,6 +1503,11 @@ def shared_span_pairs(
     pos = staged.select(
         "__id", F.posexplode("__wh").alias("__pos", "__h")
     )
+    # one materialization of the narrow (id, pos, hash) table: it feeds the
+    # stop-hash count, the kept-key join-back AND both self-join sides —
+    # without it the tokenize→k-gram-hash corpus pass re-runs per branch
+    # (same fix as lsh_candidate_pairs / ngram_jaccard_pairs)
+    pos = pos.localCheckpoint(eager=True)
     if max_doc_freq is not None:
         kept_h = (
             pos.groupBy("__h")
