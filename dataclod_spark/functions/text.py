@@ -29,6 +29,43 @@ LANG_PRIORITY = ("en", "de", "es", "fr")
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
+def explode_nonnull(df, keep: list, arr: Column, alias: str):
+    """``explode`` an EXPENSIVE array without Catalyst's inferred-filter tax.
+
+    ``InferFiltersFromGenerate`` rewrites ``explode(e)`` into
+    ``Filter(size(e) > 0 AND isnotnull(e)) → Generate`` — and that filter
+    is then pushed below the projection chain with the whole array
+    expression INLINED TWICE, re-evaluated per source row (and, when the
+    scan is being spread, *below* the repartition exchange, i.e. on the
+    unsplit scan's task count).  Measured on d6's gram pass at sf0.1: the
+    tokenize→gram chain ran 3× per row, ~2× of it serial — the inferred
+    filter cost more than the whole rest of the query.
+
+    The rule skips OUTER generates, so ``explode_outer`` + an explicit
+    ``isnotnull`` on the generator OUTPUT (unpushable by construction)
+    keeps the chain evaluated exactly once.  Equivalent to ``explode``
+    ONLY when the array's elements are provably non-null (hashes,
+    ``concat_ws``, structs) — a null ELEMENT would survive ``explode``
+    but be dropped here; use :func:`posexplode_nonnull` when element
+    nullability is not provable.
+    """
+    return df.select(*keep, F.explode_outer(arr).alias(alias)).filter(
+        F.col(alias).isNotNull()
+    )
+
+
+def posexplode_nonnull(df, keep: list, arr: Column, pos_alias: str, alias: str):
+    """``posexplode`` variant of :func:`explode_nonnull`.
+
+    Filters on the POSITION output instead of the value, so it is exactly
+    ``posexplode``-equivalent even for arrays containing null elements
+    (the position is null only for the outer-emitted empty/null-array
+    row, never for a real element)."""
+    return df.select(
+        *keep, F.posexplode_outer(arr).alias(pos_alias, alias)
+    ).filter(F.col(pos_alias).isNotNull())
+
+
 def normalize_text(col: Column) -> Column:
     """lower + whitespace-collapse + trim. SQL: lower(trim(regexp_replace(x,'\\s+',' ','g')))."""
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
@@ -333,9 +370,10 @@ def winnow_fingerprint_rows(
     staged = df.withColumn("__tv", _token_values(F.col(text_col))).withColumn(
         "__wh", _kgram_hashes_from(F.col("__tv"), k)
     )
-    return staged.select(
-        F.col(id_col).alias("id"),
-        F.explode(_window_mins(F.col("__wh"), w)).alias("fp"),
+    # explode_nonnull (fp elements are xxhash64 bigints, never null): plain
+    # explode's inferred pre-filter would inline the window-min chain 2×
+    return explode_nonnull(
+        staged, [F.col(id_col).alias("id")], _window_mins(F.col("__wh"), w), "fp"
     )
 
 

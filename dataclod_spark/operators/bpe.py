@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dataclod_spark.functions.text import tokens
+from dataclod_spark.functions.text import explode_nonnull, tokens
 
 __all__ = [
     "batch_merge_sequence",
@@ -156,8 +156,11 @@ def bpe_train(
                 F.element_at(F.col("syms"), i + 1).alias("b"),
             ),
         )
+        # explode_nonnull (struct elements, never null): the inferred
+        # pre-filter would inline the adjacent-pair transform 2× per word
+        # row on EVERY merge iteration
         top = (
-            cur.select(F.explode(prs).alias("pr"), "freq")
+            explode_nonnull(cur, ["freq"], prs, "pr")
             .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
@@ -196,7 +199,9 @@ def word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, F.lit(1))
     )
     return (
-        df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        # explode_outer: the inferred pre-filter of a plain explode inlines
+        # the tokenize chain 2×; the ``!= ''`` filter drops the null row
+        df.select(F.explode_outer(tokens(F.col(text_col))).alias("__w"))
         .filter(w != "")
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -349,9 +354,11 @@ def bpe_fertility_by(
         F.size("syms").alias("__nt"),
     )
     lw = (
+        # explode_outer: see word_freqs (inferred-filter duplication; the
+        # ``!= ''`` filter drops the outer-emitted null row)
         df.select(
             F.col(group_col).alias("__grp"),
-            F.explode(tokens(F.col(text_col))).alias("__w"),
+            F.explode_outer(tokens(F.col(text_col))).alias("__w"),
         )
         .filter(F.col("__w") != "")
         .groupBy("__grp", "__w")

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dataclod_spark.functions.text import normalize_text, tokens
+from dataclod_spark.functions.text import (
+    explode_nonnull,
+    normalize_text,
+    posexplode_nonnull,
+    tokens,
+)
 
 SHINGLE_SIZE = 8
 MINHASH_K = 4  # number of md5 "permutations"; mh_0..mh_{k-1} columns
@@ -596,7 +601,10 @@ def ngram_jaccard_pairs(
         .withColumn("__grams", _word_ngrams_from(F.col("__toks"), n))
         .withColumn("__n_grams", F.size("__grams"))
     )
-    inv = grams.select("__id", "__n_grams", F.explode("__grams").alias("__g"))
+    # explode_nonnull: gram elements are concat_ws output (never null);
+    # plain explode's inferred pre-filter would inline the gram chain 2×
+    # below the scan-spread exchange (see functions.text.explode_nonnull)
+    inv = explode_nonnull(grams, ["__id", "__n_grams"], F.col("__grams"), "__g")
     # materialize the (narrow: id, gram-count, gram) inverted index ONCE —
     # same fix as lsh_candidate_pairs' band table: without it the self-join
     # build side recomputes the whole tokenize→gram→explode subtree, and the
@@ -670,7 +678,9 @@ def ngram_containment_pairs(
         .withColumn("__grams", _word_ngrams_from(F.col("__toks"), n))
         .withColumn("__n_grams", F.size("__grams"))
     )
-    inv = grams.select("__id", "__n_grams", F.explode("__grams").alias("__g"))
+    # explode_nonnull: see ngram_jaccard_pairs (kills the inferred-filter
+    # duplication of the gram chain)
+    inv = explode_nonnull(grams, ["__id", "__n_grams"], F.col("__grams"), "__g")
     # one materialization of the narrow inverted index — see
     # ngram_jaccard_pairs for why (self-join recompute + Generate-pushdown
     # inlining of the gram chain otherwise multiply the corpus gram pass)
@@ -785,7 +795,9 @@ def winnow_pairs(
             ),
         )
     )
-    pairs = bounded.select(F.explode(pair_lists).alias("__p")).select(
+    # explode_nonnull: elements are structs (never null); plain explode's
+    # inferred pre-filter would inline the nested pair-list transform 2×
+    pairs = explode_nonnull(bounded, [], pair_lists, "__p").select(
         F.col("__p.id_1"), F.col("__p.id_2")
     )
     return (
@@ -1238,9 +1250,11 @@ def line_dedup_report(
             ).alias("fp"),
         ),
     )
-    ex = df.select(F.col(id_col).alias("__id"), F.explode(lines).alias("__l")).select(
-        "__id", F.col("__l.line_idx").alias("__idx"), F.col("__l.fp").alias("__fp")
-    )
+    # explode_nonnull: elements are structs (never null); plain explode's
+    # inferred pre-filter would inline the md5-per-line transform chain 2×
+    ex = explode_nonnull(
+        df, [F.col(id_col).alias("__id")], lines, "__l"
+    ).select("__id", F.col("__l.line_idx").alias("__idx"), F.col("__l.fp").alias("__fp"))
     first = ex.groupBy("__fp").agg(
         F.min(F.struct(F.col("__id").alias("i"), F.col("__idx").alias("x"))).alias("__first")
     )
@@ -1347,9 +1361,10 @@ def ngram_novelty(
     1:1 per gram occurrence), then a per-doc rollup and a doc-keyed join
     back onto the corpus ids.  Four shuffles total (two gram-keyed, two
     doc-keyed), each linear in its input — no stage is all-pairs."""
-    grams = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
+    # explode_nonnull: gram elements are concat_ws output (never null);
+    # plain explode's inferred pre-filter would inline the gram chain 2×
+    grams = explode_nonnull(
+        df, [F.col(id_col).alias("__id")], word_ngrams(F.col(text_col), n), "__g"
     )
     # the exploded gram table feeds BOTH the document-frequency aggregate
     # and the join back onto it — materialize the narrow (id, gram) pass
@@ -1500,9 +1515,9 @@ def shared_span_pairs(
         F.col(id_col).alias("__id"),
         _token_values(F.col(text_col)).alias("__tv"),
     ).withColumn("__wh", _kgram_hashes_from(F.col("__tv"), k))
-    pos = staged.select(
-        "__id", F.posexplode("__wh").alias("__pos", "__h")
-    )
+    # posexplode_nonnull: kills the inferred pre-filter that would inline
+    # the tokenize→k-gram-hash chain 2× below the scan-spread exchange
+    pos = posexplode_nonnull(staged, ["__id"], F.col("__wh"), "__pos", "__h")
     # one materialization of the narrow (id, pos, hash) table: it feeds the
     # stop-hash count, the kept-key join-back AND both self-join sides —
     # without it the tokenize→k-gram-hash corpus pass re-runs per branch

@@ -81,7 +81,13 @@ def _exploded_positions(df: DataFrame, vec: str, dim: int, *keep: str) -> DataFr
     padded = F.slice(
         F.concat(F.coalesce(x, F.array().cast("array<double>")), pad), 1, dim
     )
-    return df.select(*keep, F.posexplode(padded).alias("__pos", "__x"))
+    # posexplode_nonnull: padded always has exactly ``dim`` elements, so the
+    # inferred ``size>0`` pre-filter of a plain posexplode is pure waste —
+    # and it inlines the pad/truncate transform chain 2× per source row;
+    # the pos-filter keeps genuine NULL elements exactly like posexplode
+    from dataclod_spark.functions.text import posexplode_nonnull
+
+    return posexplode_nonnull(df, list(keep), padded, "__pos", "__x")
 
 
 def l2_normalize(vec: Column) -> Column:

@@ -545,8 +545,12 @@ def _dsir_bucket(tok: Column, n_buckets: int) -> Column:
 def _dsir_tokens(df: DataFrame, text_col: str, extra: list[Column]) -> DataFrame:
     from dataclod_spark.functions.text import tokens
 
+    # explode_outer: the inferred pre-filter of a plain explode inlines the
+    # tokenize chain 2× per source row (functions.text.explode_nonnull);
+    # the existing ``__t != ''`` filter already drops the null row an
+    # empty/null token array emits under the OUTER generate
     return df.select(
-        "doc_id", *extra, F.explode(tokens(F.col(text_col))).alias("__t")
+        "doc_id", *extra, F.explode_outer(tokens(F.col(text_col))).alias("__t")
     ).filter(F.col("__t") != "")
 
 
@@ -779,9 +783,11 @@ def source_bucket_counts(
     the streaming monitor's bounded state."""
     from dataclod_spark.functions.text import tokens
 
+    # explode_outer: see _dsir_tokens (inferred-filter duplication; the
+    # ``__t != ''`` filter drops the outer-emitted null row)
     toks = df.select(
         F.col(group_col).alias("__g"),
-        F.explode(tokens(F.col(text_col))).alias("__t"),
+        F.explode_outer(tokens(F.col(text_col))).alias("__t"),
     ).filter(F.col("__t") != "")
     return (
         toks.select("__g", _dsir_bucket(F.col("__t"), n_buckets).alias("__b"))

@@ -348,9 +348,13 @@ LIMIT 15
 )
 def x9_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    tok = (
-        d.filter(F.length(TX.normalize_text(F.col("text"))) > 0)
-        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    # explode_nonnull: token elements are split output (never null); a
+    # plain explode's inferred pre-filter inlines the tokenize chain 2×
+    tok = TX.explode_nonnull(
+        d.filter(F.length(TX.normalize_text(F.col("text"))) > 0),
+        ["doc_id"],
+        TX.tokens(F.col("text")),
+        "term",
     )
     return (
         tok.groupBy("term")
@@ -435,7 +439,8 @@ def x11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     and n_docs (1 row) broadcast back onto the checkpointed tf."""
     d = load(spark, sf_dir, "documents")
     base = d.filter(F.length(TX.normalize_text(F.col("text"))) > 0)
-    tok = base.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    # explode_nonnull: see x9 (inferred-filter duplication of the chain)
+    tok = TX.explode_nonnull(base, ["doc_id"], TX.tokens(F.col("text")), "term")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -616,8 +621,9 @@ def x15_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", spread=False)
     min_support = 50
     base = d.filter(F.length(TX.normalize_text(F.col("text"))) > 0)
-    toks = base.select(
-        "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok")
+    # explode_nonnull: see x9 (inferred-filter duplication of the chain)
+    toks = TX.explode_nonnull(
+        base, ["doc_id"], F.array_distinct(TX.tokens(F.col("text"))), "tok"
     ).localCheckpoint()
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
     total = toks.agg(F.countDistinct("doc_id").alias("n"))
@@ -987,8 +993,10 @@ def _lm_familiarity(d: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         *extra,
         F.concat(F.lit(" "), TX.normalize_text(F.col("text")), F.lit(" ")).alias("__p"),
     )
-    tri = padded.select(
-        "doc_id", *extra, F.explode(TX._char_trigrams_from(F.col("__p"))).alias("g")
+    # explode_nonnull: trigram elements are substrings (never null); kills
+    # the inferred pre-filter's 2× inline of the trigram chain
+    tri = TX.explode_nonnull(
+        padded, ["doc_id", *extra], TX._char_trigrams_from(F.col("__p")), "g"
     )
     per = (
         tri.groupBy("doc_id", *extra, "g")

@@ -1052,10 +1052,13 @@ def streaming_contamination(
 
     from dataclod_spark.operators.dedup import word_ngrams
 
+    from dataclod_spark.functions.text import explode_nonnull
+
+    # explode_nonnull (grams are concat_ws output, never null): a plain
+    # explode's inferred pre-filter inlines the gram chain 2× per row —
+    # in _flag below that tax would recur EVERY micro-batch
     bg = (
-        benchmark.select(
-            F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
-        )
+        explode_nonnull(benchmark, [], word_ngrams(F.col(text_col), n), "__g")
         .distinct()
         .withColumn("__b", F.lit(1))
         .localCheckpoint(eager=True)
@@ -1063,9 +1066,11 @@ def streaming_contamination(
     res_dir = os.path.join(out_dir, "flagged")
 
     def _flag(batch_df: DataFrame) -> DataFrame:
-        ex = batch_df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
+        ex = explode_nonnull(
+            batch_df,
+            [F.col(id_col).alias("__id")],
+            word_ngrams(F.col(text_col), n),
+            "__g",
         )
         return (
             ex.join(F.broadcast(bg), "__g", "left")
@@ -1224,7 +1229,12 @@ def streaming_span_decontamination(
             F.col(id_col).alias(out_id),
             _token_values(F.col(text_col)).alias("__tv"),
         ).withColumn("__wh", _kgram_hashes_from(F.col("__tv"), k))
-        return staged.select(out_id, F.posexplode("__wh").alias(out_pos, "__h"))
+        # posexplode_nonnull: kills the inferred pre-filter that would
+        # inline the tokenize→k-gram-hash chain 2× (per micro-batch on
+        # the stream side)
+        from dataclod_spark.functions.text import posexplode_nonnull
+
+        return posexplode_nonnull(staged, [out_id], F.col("__wh"), out_pos, "__h")
 
     bench_pos = _positions(benchmark, "__bid", "__bpos")
     if max_doc_freq is not None:
