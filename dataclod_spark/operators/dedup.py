@@ -220,9 +220,18 @@ def lsh_candidate_pairs(
     sh = with_shingles(df.select(id_col, text_col), text_col, out="__sh").select(
         F.col(id_col).alias("__sh_id"), "__sh"
     ).localCheckpoint(eager=True)
+    # SHUFFLE_HASH with the pair side as build: the planner otherwise
+    # broadcasts the shingle table (its row COUNT is small but each row
+    # carries a document-sized array — two HashedRelation builds of the
+    # whole corpus' shingles; measured d3 7.5 → 5.0 s best-of-3 at sf0.1,
+    # and at scale a corpus-side broadcast is exactly the wrong side).
+    # Shuffling by id moves each shingle set once; the per-partition hash
+    # table is built over bare (id_1, id_2) pairs.
+    cand = cand.hint("shuffle_hash")
     cand = (
         cand.join(sh, cand["id_1"] == sh["__sh_id"])
         .select("id_1", "id_2", F.col("__sh").alias("sh_1"))
+        .hint("shuffle_hash")
         .join(sh, F.col("id_2") == sh["__sh_id"])
         .select("id_1", "id_2", "sh_1", F.col("__sh").alias("sh_2"))
     )
