@@ -1069,8 +1069,15 @@ def incremental_dedup(
 
     nsh = _shingle_table(new, "__nsh_id", "__nsh", id_col, text_col)
     osh = index["shingles"]
+    # SHUFFLE_HASH with the candidate-pair side as build (same fix as
+    # lsh_candidate_pairs' verify step): the planner otherwise broadcasts
+    # the shingle tables — few ROWS but document-sized arrays each, and
+    # the old side is the whole CORPUS' shingles, re-broadcast per
+    # micro-batch in the streaming twin.  Shuffling by id moves each
+    # shingle set once; hash tables are built over the bounded pair side.
     verified = (
-        cand.join(nsh, cand["__nid"] == nsh["__nsh_id"])
+        cand.hint("shuffle_hash").join(nsh, cand["__nid"] == nsh["__nsh_id"])
+        .hint("shuffle_hash")
         .join(osh, cand["__oid"] == osh["__osh_id"])
         .withColumn(
             "__j",
