@@ -98,31 +98,63 @@ def group_quantiles_exact(
         aggs.append(F.count(F.when(c <= F.col(f"__hi{i}"), 1)).alias(f"__cle{i}"))
     chk = j.groupBy(group).agg(*aggs).localCheckpoint(eager=True)
     j2 = _join_stratum(j, chk, group)
-    outs = []
-    for i, q in enumerate(qs):
-        lo, hi = F.col(f"__lo{i}"), F.col(f"__hi{i}")
-        clt, cle, r = F.col(f"__clt{i}"), F.col(f"__cle{i}"), F.col(f"__r{i}")
-        ok = (clt < r) & (cle >= r)
-        w = Window.partitionBy(group).orderBy(c)
-        band = (
-            j2.filter(ok & (c >= lo) & (c <= hi))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(clt + F.col("__rn") == r)
+    # ONE explode + ONE window replace the former 2·len(qs) union branches
+    # (band + fallback per quantile): each row lists the quantile indexes
+    # it may serve — its band's rows when the band verified, every group
+    # row when it did not — and a single (group, __qi) window ranks them.
+    # The union scheduled ~40 near-empty window jobs for the calibrate
+    # grid; the fused shape ranks the IDENTICAL row sets (band windows
+    # stay band-rows-only, only a failed band's group pays a full-group
+    # rank), and the value at the target rank is tie-independent as
+    # before.  explode_nonnull: the match-index elements are non-null by
+    # construction and a plain explode's inferred pre-filter would inline
+    # the whole match array twice per row.
+    from dataclod_spark.functions.text import explode_nonnull
+
+    oks = [
+        (F.col(f"__clt{i}") < F.col(f"__r{i}"))
+        & (F.col(f"__cle{i}") >= F.col(f"__r{i}"))
+        for i in range(len(qs))
+    ]
+    matched = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.when(
+                        oks[i], (c >= F.col(f"__lo{i}")) & (c <= F.col(f"__hi{i}"))
+                    ).otherwise(F.lit(True)),
+                    F.lit(i),
+                )
+                for i in range(len(qs))
+            ]
         )
-        fb = (
-            j2.filter(~ok)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == r)
-        )
-        outs.append(
-            band.unionByName(fb).select(
-                F.col(group), F.lit(q).alias("q"), c.alias("value")
+    )
+    # per-quantile target rank within the ranked row set: band rows start
+    # at global rank __clt+1, so the in-band target is __r−__clt; the
+    # whole-group fallback targets __r directly
+    targets = F.array(
+        *[
+            F.when(oks[i], F.col(f"__r{i}") - F.col(f"__clt{i}")).otherwise(
+                F.col(f"__r{i}")
             )
+            for i in range(len(qs))
+        ]
+    )
+    staged = j2.select(
+        F.col(group), c.alias("__v"), targets.alias("__tg"), matched.alias("__m")
+    )
+    ex = explode_nonnull(staged, [group, "__v", "__tg"], F.col("__m"), "__qi")
+    w = Window.partitionBy(group, "__qi").orderBy(F.col("__v"))
+    qlits = F.array(*[F.lit(q) for q in qs])
+    return (
+        ex.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == F.element_at(F.col("__tg"), F.col("__qi") + 1))
+        .select(
+            F.col(group),
+            F.element_at(qlits, F.col("__qi") + 1).alias("q"),
+            F.col("__v").alias("value"),
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+    )
 
 
 def percentile_calibrate(
