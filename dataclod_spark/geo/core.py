@@ -320,15 +320,17 @@ def _wkb_write_geom(out: bytearray, g: Geometry, srid: int) -> None:
             for p in g.data:
                 _wkb_write_geom(out, Geometry(POINT, p), 0)
         else:
+            # bulk-pack the coordinate run (one struct call per part, not
+            # per point) — byte-identical to the per-point loop
             out += struct.pack("<I", len(g.data))
-            for p in g.data:
-                out += struct.pack("<dd", *p)
+            out += struct.pack(
+                f"<{2 * len(g.data)}d", *[v for p in g.data for v in p]
+            )
     elif g.kind == POLYGON:
         out += struct.pack("<I", len(g.data))
         for ring in g.data:
             out += struct.pack("<I", len(ring))
-            for p in ring:
-                out += struct.pack("<dd", *p)
+            out += struct.pack(f"<{2 * len(ring)}d", *[v for p in ring for v in p])
     elif g.kind == MULTILINESTRING:
         out += struct.pack("<I", len(g.data))
         for line in g.data:
@@ -355,8 +357,52 @@ class _Reader:
         return vals
 
 
+_PT2 = struct.Struct("<dd")
+
+
 def wkb_parse(buf: bytes) -> Geometry:
-    return _wkb_read_geom(_Reader(bytes(buf)))
+    b = bytes(buf)
+    # fast path for the dominant shape: little-endian, plain 2-D codes
+    # 1/2/3 with no SRID/Z/M flags (exactly what wkb_write emits for
+    # srid-0 geometries).  Coordinates are read with ONE bulk unpack per
+    # part instead of a Reader + per-coordinate format-string unpack —
+    # same values, same Geometry; anything else (flags, big-endian,
+    # multi/collection, truncated buffers) falls through to the general
+    # reader unchanged.
+    if len(b) >= 5 and b[0] == 1:
+        code = int.from_bytes(b[1:5], "little")
+        if code == 1 and len(b) == 21:
+            x, y = _PT2.unpack_from(b, 5)
+            if x != x and y != y:  # NaN/NaN marker = POINT EMPTY
+                return Geometry(POINT, None, 0)
+            return Geometry(POINT, (x, y), 0)
+        if code == 2 and len(b) >= 9:
+            n = int.from_bytes(b[5:9], "little")
+            if len(b) >= 9 + 16 * n:
+                flat = struct.unpack_from(f"<{2 * n}d", b, 9)
+                return Geometry(
+                    LINESTRING, list(zip(flat[0::2], flat[1::2])), 0
+                )
+        if code == 3 and len(b) >= 9:
+            nr = int.from_bytes(b[5:9], "little")
+            pos = 9
+            rings = []
+            ok = True
+            for _ in range(nr):
+                if len(b) < pos + 4:
+                    ok = False
+                    break
+                m = int.from_bytes(b[pos : pos + 4], "little")
+                pos += 4
+                if len(b) < pos + 16 * m:
+                    ok = False
+                    break
+                flat = struct.unpack_from(f"<{2 * m}d", b, pos)
+                pos += 16 * m
+                rings.append(list(zip(flat[0::2], flat[1::2])))
+            if ok:
+                return Geometry(POLYGON, rings, 0)
+    return _wkb_read_geom(_Reader(b))
 
 
 def _wkb_read_geom(r: _Reader) -> Geometry:
