@@ -194,9 +194,11 @@ def knn_ann(
     candidate set.  Recall grows with n_tables × probes; cost grows only
     with the candidate union size.
     """
-    corpus = _drop_zero_norm(corpus, vec_col)
-    queries = _drop_zero_norm(queries, vec_col)
     tables = [hyperplane_weights(n_planes, seed=t) for t in range(n_tables)]
+    # stage each side's norm ONCE (the knn_bruteforce discipline): the
+    # per-candidate cosine otherwise re-runs two interpreted norm folds
+    # per pair, and the zero-norm gate a third — identical fold, identical
+    # operand order, so the staged value is bit-identical
     c_entries = F.explode(
         F.array(
             *[
@@ -212,8 +214,10 @@ def knn_ann(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         )
-        .select("neighbor_id", "c_vec", c_entries)
-        .select("neighbor_id", "c_vec", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
+        .withColumn("__cn", norm(F.col("c_vec")))
+        .filter(F.col("__cn") > 0)
+        .select("neighbor_id", "c_vec", "__cn", c_entries)
+        .select("neighbor_id", "c_vec", "__cn", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
     )
     q_entries = F.explode(
         F.array(
@@ -230,15 +234,20 @@ def knn_ann(
     ).alias("e")
     qb = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .select("query_id", "q_vec", q_entries)
+        .withColumn("__qn", norm(F.col("q_vec")))
+        .filter(F.col("__qn") > 0)
+        .select("query_id", "q_vec", "__qn", q_entries)
         .select(
             "query_id",
             "q_vec",
+            "__qn",
             F.col("e.tbl").alias("tbl"),
             F.explode(F.col("e.probes")).alias("bucket"),
         )
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 6
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
@@ -261,19 +270,22 @@ def knn_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket."""
     planes = planes or hyperplane_weights()
-    corpus = _drop_zero_norm(corpus, vec_col)
-    queries = _drop_zero_norm(queries, vec_col)
+    # norms staged once per side (bit-identical fold), not re-run per pair
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+        norm(F.col(vec_col)).alias("__qn"),
+    ).filter(F.col("__qn") > 0)
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("__cn"),
+    ).filter(F.col("__cn") > 0)
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 6
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         cb.join(F.broadcast(qb), "bucket")
@@ -311,36 +323,83 @@ def knn_ivf(
       * candidates = corpus rows in probed cells (bucket equi-join), exact
         cosine + per-query top-k window over candidates only.
     """
-    corpus = _drop_zero_norm(corpus, vec_col)
-    queries = _drop_zero_norm(queries, vec_col)
+    # the zero-norm gate reuses the staged norm column (one fold per row,
+    # not _drop_zero_norm's separate one); centroid collection sees the
+    # same filtered set as before
+    cstage = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn("__cn", norm(F.col("c_vec")))
+        .filter(F.col("__cn") > 0)
+    )
+    qstage = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("__qn", norm(F.col("q_vec")))
+        .filter(F.col("__qn") > 0)
+    )
     cents = [
         (int(r[0]), [float(v) for v in r[1]])
-        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+        for r in cstage.select("neighbor_id", "c_vec")
+        .orderBy("neighbor_id")
+        .limit(n_centroids)
+        .collect()
     ]
 
-    def cos_structs(vec: Column) -> Column:
+    # centroid norms are CONSTANTS: fold them in Python with the same
+    # left-to-right IEEE-double accumulation as the JVM aggregate (norm()
+    # = sqrt of acc += x*x in index order), so the literal is bit-identical
+    # to the fold it replaces — the assignment otherwise re-runs
+    # n_centroids literal-array norm folds per corpus row.  The row's own
+    # norm is staged once per side and reused by every centroid cosine
+    # and the final candidate similarity (operand order preserved:
+    # dot / (row_norm * centroid_norm)).
+    import math
+
+    def _pynorm(vals: list[float]) -> float:
+        acc = 0.0
+        for v in vals:
+            acc += v * v
+        return math.sqrt(acc)
+
+    def cos_structs(vec: Column, n: Column) -> Column:
         entries = []
         for cid, cvec in cents:
             cv = F.array(*[F.lit(v) for v in cvec])
             entries.append(
-                F.struct(cosine(vec, cv).alias("cos"), F.lit(-cid).alias("ncid"))
+                F.struct(
+                    (dot(vec, cv) / (n * F.lit(_pynorm(cvec)))).alias("cos"),
+                    F.lit(-cid).alias("ncid"),
+                )
             )
         return F.array(*entries)
 
-    bucket = F.array_max(cos_structs(F.col("c_vec")))["ncid"] * -1
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("bucket", bucket)
+    cb = cstage.withColumn(
+        "bucket",
+        F.array_max(cos_structs(F.col("c_vec"), F.col("__cn")))["ncid"] * -1,
+    )
 
-    probes = F.transform(
-        F.slice(F.sort_array(cos_structs(F.col("q_vec")), asc=False), 1, n_probe),
-        lambda s: -s["ncid"],
-    )
     qb = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("bucket", F.explode(probes))
+        qstage
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            cos_structs(F.col("q_vec"), F.col("__qn")), asc=False
+                        ),
+                        1,
+                        n_probe,
+                    ),
+                    lambda s: -s["ncid"],
+                )
+            ),
+        )
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 6
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         cb.join(F.broadcast(qb), "bucket")
