@@ -194,12 +194,23 @@ def knn_ann(
     candidate set.  Recall grows with n_tables × probes; cost grows only
     with the candidate union size.
     """
+    from dataclod_spark.functions.text import explode_nonnull
+
     tables = [hyperplane_weights(n_planes, seed=t) for t in range(n_tables)]
     # stage each side's norm ONCE (the knn_bruteforce discipline): the
     # per-candidate cosine otherwise re-runs two interpreted norm folds
     # per pair, and the zero-norm gate a third — identical fold, identical
-    # operand order, so the staged value is bit-identical
-    c_entries = F.explode(
+    # operand order, so the staged value is bit-identical.
+    # explode_nonnull (struct/bucket-string elements, never null): a plain
+    # explode's inferred pre-filter would inline the n_tables × n_planes
+    # interpreted dot chain 2× more per corpus row
+    cb = explode_nonnull(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn("__cn", norm(F.col("c_vec")))
+        .filter(F.col("__cn") > 0),
+        ["neighbor_id", "c_vec", "__cn"],
         F.array(
             *[
                 F.struct(
@@ -208,18 +219,17 @@ def knn_ann(
                 )
                 for t, planes in enumerate(tables)
             ]
-        )
-    ).alias("e")
-    cb = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-        )
-        .withColumn("__cn", norm(F.col("c_vec")))
-        .filter(F.col("__cn") > 0)
-        .select("neighbor_id", "c_vec", "__cn", c_entries)
-        .select("neighbor_id", "c_vec", "__cn", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
+        ),
+        "e",
+    ).select(
+        "neighbor_id", "c_vec", "__cn",
+        F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"),
     )
-    q_entries = F.explode(
+    q_tbl = explode_nonnull(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("__qn", norm(F.col("q_vec")))
+        .filter(F.col("__qn") > 0),
+        ["query_id", "q_vec", "__qn"],
         F.array(
             *[
                 F.struct(
@@ -230,20 +240,11 @@ def knn_ann(
                 )
                 for t, planes in enumerate(tables)
             ]
-        )
-    ).alias("e")
-    qb = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("__qn", norm(F.col("q_vec")))
-        .filter(F.col("__qn") > 0)
-        .select("query_id", "q_vec", "__qn", q_entries)
-        .select(
-            "query_id",
-            "q_vec",
-            "__qn",
-            F.col("e.tbl").alias("tbl"),
-            F.explode(F.col("e.probes")).alias("bucket"),
-        )
+        ),
+        "e",
+    ).select("query_id", "q_vec", "__qn", F.col("e.tbl").alias("tbl"), F.col("e.probes").alias("probes"))
+    qb = explode_nonnull(
+        q_tbl, ["query_id", "q_vec", "__qn", "tbl"], F.col("probes"), "bucket"
     )
     sim = F.round(
         dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 6
@@ -379,23 +380,22 @@ def knn_ivf(
         F.array_max(cos_structs(F.col("c_vec"), F.col("__cn")))["ncid"] * -1,
     )
 
-    qb = (
-        qstage
-        .withColumn(
-            "bucket",
-            F.explode(
-                F.transform(
-                    F.slice(
-                        F.sort_array(
-                            cos_structs(F.col("q_vec"), F.col("__qn")), asc=False
-                        ),
-                        1,
-                        n_probe,
-                    ),
-                    lambda s: -s["ncid"],
-                )
+    from dataclod_spark.functions.text import explode_nonnull
+
+    # explode_nonnull (probe cell ids, never null): a plain explode's
+    # inferred pre-filter would inline the n_centroids-dot sort chain 2×
+    qb = explode_nonnull(
+        qstage,
+        ["query_id", "q_vec", "__qn"],
+        F.transform(
+            F.slice(
+                F.sort_array(cos_structs(F.col("q_vec"), F.col("__qn")), asc=False),
+                1,
+                n_probe,
             ),
-        )
+            lambda s: -s["ncid"],
+        ),
+        "bucket",
     )
     sim = F.round(
         dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 6
