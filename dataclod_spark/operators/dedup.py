@@ -1476,15 +1476,52 @@ def lsh_recall_report(
         sh.join(ids.filter(F.col("__is_q")).select(id_col), sh["__cid"] == F.col(id_col))
         .select(F.col("__cid").alias("__qid"), F.col("__sh").alias("__qsh"))
     )
-    inter = F.size(F.array_intersect(F.col("__qsh"), F.col("__sh")))
-    union = F.size(F.array_union(F.col("__qsh"), F.col("__sh")))
-    truth = (
-        sh.crossJoin(F.broadcast(q))
-        .filter(F.col("__cid") != F.col("__qid"))
-        .withColumn("__jac", F.round(inter.cast("double") / union, 4))
-        .filter(F.col("__jac") >= jaccard_threshold)
-        .select("__qid", F.col("__cid").alias("__oid"))
-    )
+    if jaccard_threshold > 0:
+        # Inverted-index truth pass: |A∩B| by equi-joining the exploded
+        # distinct shingles (query side broadcast — k sampled docs), then
+        # |A∪B| = |A| + |B| − |A∩B|.  Same integers as the array-pair form
+        # (shingle arrays are array_distinct by construction), so the
+        # rounded jaccard is bit-identical — but the per-pair
+        # array_intersect/array_union evaluation inside the
+        # BroadcastNestedLoopJoin condition is gone (it cost ~3 ms per
+        # pair and degraded further in long-lived JVMs).  Zero-overlap
+        # pairs never surface in the equi-join, which is exact for any
+        # positive threshold (their jaccard is 0 or NULL in the pair
+        # form); the crossJoin branch below keeps threshold <= 0 exact.
+        c_ex = sh.select(
+            "__cid", F.size("__sh").alias("__cn"),
+            F.explode("__sh").alias("__g"),
+        )
+        q_ex = q.select(
+            "__qid", F.size("__qsh").alias("__qn"),
+            F.explode("__qsh").alias("__g"),
+        )
+        truth = (
+            c_ex.join(F.broadcast(q_ex), "__g")
+            .filter(F.col("__cid") != F.col("__qid"))
+            .groupBy("__qid", "__cid", "__qn", "__cn")
+            .agg(F.count(F.lit(1)).alias("__i"))
+            .withColumn(
+                "__jac",
+                F.round(
+                    F.col("__i").cast("int").cast("double")
+                    / (F.col("__qn") + F.col("__cn") - F.col("__i").cast("int")),
+                    4,
+                ),
+            )
+            .filter(F.col("__jac") >= jaccard_threshold)
+            .select("__qid", F.col("__cid").alias("__oid"))
+        )
+    else:
+        inter = F.size(F.array_intersect(F.col("__qsh"), F.col("__sh")))
+        union = F.size(F.array_union(F.col("__qsh"), F.col("__sh")))
+        truth = (
+            sh.crossJoin(F.broadcast(q))
+            .filter(F.col("__cid") != F.col("__qid"))
+            .withColumn("__jac", F.round(inter.cast("double") / union, 4))
+            .filter(F.col("__jac") >= jaccard_threshold)
+            .select("__qid", F.col("__cid").alias("__oid"))
+        )
     pairs = lsh_candidate_pairs(
         df, id_col=id_col, text_col=text_col, jaccard_threshold=jaccard_threshold
     )

@@ -1812,6 +1812,47 @@ def test_lsh_recall_report_semantics(spark):
     assert all(r.n_found <= r.n_true for r in out.values())
 
 
+def test_lsh_recall_truth_matches_set_arithmetic(spark):
+    """The inverted-index truth pass (equi-join on exploded shingles,
+    |A∪B| = |A|+|B|−|A∩B|) must reproduce exactly the n_true a direct
+    Python set computation gives — including a doc pair that straddles
+    the threshold only after round(·, 4) — and its plan must carry no
+    BroadcastNestedLoopJoin (the per-pair array_intersect evaluation the
+    rewrite removed)."""
+    from dataclod_spark.functions.text import normalize_text as _  # noqa: F401
+    from dataclod_spark.operators.dedup import (
+        SHINGLE_SIZE,
+        lsh_recall_report,
+    )
+
+    texts = {1: BASE, 2: NEAR, 3: OTHER, 4: BASE + " tail tweak"}
+    df = _docs(spark, sorted(texts.items()))
+    thr = 0.2
+    rep = lsh_recall_report(df, F.col("doc_id") <= 2, jaccard_threshold=thr)
+    assert "BroadcastNestedLoopJoin" not in rep._jdf.queryExecution().executedPlan().toString()
+
+    import re
+
+    def shingles(t):
+        n = re.sub(r"\s+", " ", t.strip().lower())
+        if len(n) < SHINGLE_SIZE:
+            return {n}
+        return {n[i : i + SHINGLE_SIZE] for i in range(len(n) - SHINGLE_SIZE + 1)}
+
+    sets = {k: shingles(v) for k, v in texts.items()}
+    expect = {
+        q: sum(
+            1
+            for c in sets
+            if c != q
+            and round(len(sets[q] & sets[c]) / len(sets[q] | sets[c]), 4) >= thr
+        )
+        for q in (1, 2)
+    }
+    got = {r.doc_id: r.n_true for r in rep.collect()}
+    assert got == expect
+
+
 def test_bpe_fertility_by_group(spark):
     """Per-group fertility under global merges: the group whose words the
     merges learned compresses (fertility < 1); a group of words sharing
