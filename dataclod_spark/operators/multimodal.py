@@ -575,12 +575,91 @@ def media_recall_report(
         close = close & (
             diff * F.lit(tol_den) <= dec("__qt") * dec("__t")
         )
-    truth = (
-        prof.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("__qid"))
-        .filter(close)
-        .select("__qid", F.col(id_col).alias("__oid"))
-    )
+    if tol_den >= 2 * quant:
+        # Grid-candidate truth pass: a tolerance of at most half a cell
+        # width (1/tol_den <= 1/(2*quant)) means every truth pair's cells
+        # differ by <= 1 per coordinate (|quant*rA - quant*rB| <= 1/2 ⟹
+        # floors differ by <= 1), so probing the SAMPLE side's 3^4
+        # adjacent cells against one corpus cell pass yields a PROVABLE
+        # superset of truth — the docstring's recall-1.0-by-construction
+        # argument, run in reverse.  Exact-verifying the DECIMAL
+        # predicate on that bounded candidate set replaces the k·n
+        # crossJoin whose predicate Catalyst fused into a
+        # BroadcastNestedLoopJoin condition (evaluated per pair outside
+        # whole-stage codegen — the d17 finding, ~3 ms/pair).  Only the
+        # k sampled rows explode ×81; the corpus is touched once.
+        sig = _quant_cells(media, id_col, content_col, quant, feats=feats)
+        qsig = sig.join(qids, id_col).select(
+            F.col(id_col).alias("__qid"), "q0", "q1", "q2", "q3"
+        )
+        offs = [
+            (a, b, c, d)
+            for a in (-1, 0, 1)
+            for b in (-1, 0, 1)
+            for c in (-1, 0, 1)
+            for d in (-1, 0, 1)
+        ]
+        probe_arr = F.array(
+            *[
+                F.struct(
+                    (F.col("q0") + F.lit(a)).alias("p0"),
+                    (F.col("q1") + F.lit(b)).alias("p1"),
+                    (F.col("q2") + F.lit(c)).alias("p2"),
+                    (F.col("q3") + F.lit(d)).alias("p3"),
+                )
+                for (a, b, c, d) in offs
+            ]
+        )
+        in_range = lambda p: (
+            (p["p0"] >= 0) & (p["p0"] <= quant)
+            & (p["p1"] >= 0) & (p["p1"] <= quant)
+            & (p["p2"] >= 0) & (p["p2"] <= quant)
+            & (p["p3"] >= 0) & (p["p3"] <= quant)
+        )
+        q_probe = F.broadcast(
+            qsig.select(
+                "__qid", F.explode(F.filter(probe_arr, in_range)).alias("__p")
+            ).select("__qid", "__p.*")
+        )
+        cand = (
+            sig.select(
+                F.col(id_col).alias("__oid"),
+                F.col("q0").alias("e0"),
+                F.col("q1").alias("e1"),
+                F.col("q2").alias("e2"),
+                F.col("q3").alias("e3"),
+            )
+            .join(
+                q_probe,
+                (F.col("p0") == F.col("e0"))
+                & (F.col("p1") == F.col("e1"))
+                & (F.col("p2") == F.col("e2"))
+                & (F.col("p3") == F.col("e3")),
+            )
+            .filter(F.col("__oid") != F.col("__qid"))
+            .select("__qid", "__oid")
+        )
+        truth = (
+            cand.join(F.broadcast(q), "__qid")
+            .join(
+                prof.select(
+                    F.col(id_col).alias("__oid"),
+                    "b0", "b1", "b2", "b3", "__t",
+                ),
+                "__oid",
+            )
+            .filter(close)
+            .select("__qid", "__oid")
+        )
+    else:
+        # looser-than-half-cell tolerance: adjacent cells no longer cover
+        # the ball, so keep the exact k·n pair scan
+        truth = (
+            prof.crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col("__qid"))
+            .filter(close)
+            .select("__qid", F.col(id_col).alias("__oid"))
+        )
     pairs = media_near_dup_pairs(
         media, id_col, content_col, quant=quant,
         probe_adjacent=probe_adjacent, feats=feats,

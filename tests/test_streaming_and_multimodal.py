@@ -271,3 +271,55 @@ def test_media_recall_report_shows_probe_gain(spark):
     (rp,), (rn,) = probed, plain
     assert rp.n_true == 1 and rp.n_found == 1 and rp.recall == 1.0
     assert rn.n_true == 1 and rn.n_found == 0 and rn.recall == 0.0
+
+
+def test_media_recall_grid_truth_matches_exact_arithmetic(spark):
+    """The half-cell-tolerance truth pass (grid candidates + exact
+    DECIMAL verify) must reproduce the n_true a direct Python integer
+    cross-multiplication gives on a fixture with boundary-straddling and
+    just-outside pairs, and its plan must carry no
+    BroadcastNestedLoopJoin (the crossJoin form it replaced)."""
+    from fractions import Fraction
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from dataclod_spark.operators.multimodal import media_recall_report
+
+    blobs = {
+        1: b" " * 8 + b"a" * 8,        # b1=8, b3=8, t=16
+        2: b" " * 129 + b"a" * 127,    # ratios within 1/32 of blob 1
+        3: b" " * 9 + b"a" * 7,        # 1/16 off — outside half-cell tol
+        4: b"\x01" * 16,               # far away
+        5: b" " * 8 + b"a" * 8,        # identical ratios to 1
+    }
+    df = spark.createDataFrame(
+        [Row(media_id=k, content=v) for k, v in sorted(blobs.items())],
+        "media_id long, content binary",
+    )
+    quant = 16  # default tol_den = 32 = 2*quant -> grid path
+    rep = media_recall_report(
+        df, F.col("media_id") <= 2, quant=quant, probe_adjacent=True
+    )
+    assert "BroadcastNestedLoopJoin" not in rep._jdf.queryExecution().executedPlan().toString()
+
+    def hist(b):
+        cnt = [0, 0, 0, 0]
+        for c in b:
+            cnt[min(c // 32, 3)] += 1
+        return cnt, len(b)
+
+    def close(a, b):
+        (ha, ta), (hb, tb) = hist(a), hist(b)
+        return all(
+            abs(Fraction(ha[i], ta) - Fraction(hb[i], tb)) <= Fraction(1, 2 * quant)
+            for i in range(4)
+        )
+
+    expect = {
+        q: sum(1 for c in blobs if c != q and close(blobs[q], blobs[c]))
+        for q in (1, 2)
+    }
+    got = {r.media_id: r.n_true for r in rep.collect()}
+    assert got == expect
+    assert expect[1] >= 2  # fixture sanity: 1 is near 2 and 5
