@@ -225,6 +225,13 @@ def knn_ann(
         "neighbor_id", "c_vec", "__cn",
         F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"),
     )
+    # stage the bucket STRING as a real column before expanding probes:
+    # _probe_buckets references its input ~3x per flip x (n_planes +
+    # C(n_planes,2)) probes, and handing it the raw sign_bucket expression
+    # inlines the n_planes x n_dims fold chain into every reference — the
+    # generated code grew to ~1.7 MB task binaries and the FIRST run of
+    # v3 burned 46 s of JIT compilation alone.  Probing a staged column
+    # produces the identical probe strings from a plan a few KB large.
     q_tbl = explode_nonnull(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         .withColumn("__qn", norm(F.col("q_vec")))
@@ -234,15 +241,17 @@ def knn_ann(
             *[
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    _probe_buckets(
-                        sign_bucket(F.col("q_vec"), planes), n_planes, probe_hamming
-                    ).alias("probes"),
+                    sign_bucket(F.col("q_vec"), planes).alias("bucket"),
                 )
                 for t, planes in enumerate(tables)
             ]
         ),
         "e",
-    ).select("query_id", "q_vec", "__qn", F.col("e.tbl").alias("tbl"), F.col("e.probes").alias("probes"))
+    ).select(
+        "query_id", "q_vec", "__qn",
+        F.col("e.tbl").alias("tbl"),
+        _probe_buckets(F.col("e.bucket"), n_planes, probe_hamming).alias("probes"),
+    )
     qb = explode_nonnull(
         q_tbl, ["query_id", "q_vec", "__qn", "tbl"], F.col("probes"), "bucket"
     )
