@@ -1012,33 +1012,99 @@ def dbscan_clusters(
         F.col(x_col).cast("double").alias("px"),
         F.col(y_col).cast("double").alias("py"),
     )
-    a = p.select(F.col("pid").alias("a_id"), F.col("px").alias("ax"), F.col("py").alias("ay"))
-    b = p.select(F.col("pid").alias("b_id"), F.col("px").alias("bx"), F.col("py").alias("by"))
-    # the pair set feeds five consumers (counts, both core-edge joins,
-    # border, and the final union via core_labels) — materialize it once
-    # or each branch re-executes the grid join (SCALE.md pitfall #6)
+    # POSITION-SPACE evaluation (exact, any input): exactly-coincident
+    # points are mutually distance-0, so core-ness depends only on the
+    # position (neighbor counts are sums of position multiplicities), all
+    # points at one position share a label, and the core graph's
+    # components equal the core-POSITION graph's components with each
+    # position represented by its minimum point id.  The eps-join,
+    # counts, components and border attachment therefore run over
+    # DISTINCT POSITIONS — the pair stage is bounded by position pairs,
+    # not point pairs, which is what blows up on duplicate-heavy clouds
+    # (the Sum |C|^2 trap: 1.4M point pairs vs 19k position pairs on the
+    # g23 grid cloud).  Unique-position inputs pay one extra narrow
+    # hash-agg + one final attach join.  NULL/NaN coordinates never
+    # satisfy the distance predicate (no self-pair either), so those
+    # points are noise on both forms.  Verified row-identical to the
+    # point-space form by the g23 oracle at sf0.001/0.01/0.1 and the
+    # coincident/NULL operator tests.
+    pos = (
+        p.groupBy("px", "py")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.min("pid").alias("__mpid"))
+        .localCheckpoint(eager=True)  # feeds both join sides + label attach
+    )
+    # eps-pairs via a 3x3 CELL-HASH equi-join instead of the generic grid
+    # spatial_join: point-dwithin needs no polygon refinement, and the
+    # grid machinery's fixed costs (bbox sample collect + equi-depth grid
+    # build — separate Spark jobs) dominate position-sized inputs
+    # (measured 1.8 s of 6.2 on g23's 3,827 positions).  Any pair within
+    # eps has cell coordinates differing by <= 1 per axis, so exploding
+    # one side to its 3x3 cell neighborhood and equi-joining on the cell
+    # is a provable superset; the exact squared-distance filter keeps the
+    # identical pair set.  Each b-row owns ONE cell, so a qualifying pair
+    # matches in exactly one exploded cell — no dedup pass.  Exactness
+    # never depends on the cell key (floor saturates on +-9e18 extremes
+    # and maps NaN to 0): the distance filter alone decides membership,
+    # so NULL/NaN coordinates drop exactly as before.  Self-pairs are
+    # included (distance 0 <= eps), so the neighbor count is DBSCAN's
+    # |N_eps(p)| with self.  The pair set feeds three consumers (counts,
+    # core edges, border) — materialize it once (SCALE.md pitfall #6).
+    a = pos.select(
+        F.col("px").alias("ax"), F.col("py").alias("ay"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.floor(F.col("px") / eps) + dx).cast("double").alias("cx"),
+                        (F.floor(F.col("py") / eps) + dy).cast("double").alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("__c"),
+    ).select("ax", "ay", F.col("__c.cx").alias("cx"), F.col("__c.cy").alias("cy"))
+    b = pos.select(
+        F.col("px").alias("bx"), F.col("py").alias("by"),
+        F.col("__cnt").alias("__bcnt"), F.col("__mpid").alias("__bmpid"),
+        F.floor(F.col("px") / eps).cast("double").alias("cx"),
+        F.floor(F.col("py") / eps).cast("double").alias("cy"),
+    )
+    dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
     pairs = (
-        spatial_join(
-            a,
-            b,
-            "dwithin",
-            distance=eps,
-            left_bbox=("ax", "ay", "ax", "ay"),
-            right_bbox=("bx", "by", "bx", "by"),
-            refine="none",
-        )
-        .select("a_id", "b_id")
+        a.join(b, ["cx", "cy"])
+        .filter(dist2 <= F.lit(float(eps) * float(eps)))
+        .select("ax", "ay", "bx", "by", "__bcnt", "__bmpid")
         .localCheckpoint(eager=True)
     )
-    # self-pairs are included by the join (distance 0 <= eps), so the
-    # neighbor count is DBSCAN's |N_eps(p)| with self
-    counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("__n"))
-    core = counts.filter(F.col("__n") >= min_pts).select(F.col("a_id").alias("cid"))
+    counts = pairs.groupBy("ax", "ay").agg(F.sum("__bcnt").alias("__n"))
+    core_pos = (
+        counts.filter(F.col("__n") >= min_pts)
+        .join(
+            pos,
+            (F.col("ax") == F.col("px")) & (F.col("ay") == F.col("py")),
+        )
+        .select("px", "py", "__mpid")
+        .localCheckpoint(eager=True)  # feeds core edges (x2), border, labels
+    )
     core_edges = (
-        pairs.join(core.select(F.col("cid").alias("a_id")), "a_id")
-        .join(core.select(F.col("cid").alias("b_id")), "b_id")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(F.col("a_id").alias("id_1"), F.col("b_id").alias("id_2"))
+        pairs.join(
+            core_pos.select(
+                F.col("px").alias("ax"), F.col("py").alias("ay"),
+                F.col("__mpid").alias("__ampid"),
+            ),
+            ["ax", "ay"],
+        )
+        .join(
+            core_pos.select(
+                F.col("px").alias("bx"), F.col("py").alias("by")
+            ),
+            ["bx", "by"],
+        )
+        .filter(F.col("__ampid") < F.col("__bmpid"))
+        .select(F.col("__ampid").alias("id_1"), F.col("__bmpid").alias("id_2"))
     )
     from dataclod_spark.operators.dedup import connected_components
 
@@ -1050,20 +1116,37 @@ def dbscan_clusters(
     comp = connected_components(
         core_edges, "id_1", "id_2", max_iter=128, driver_edge_limit=5_000_000
     )
-    # isolated cores (no core neighbor) form their own singleton cluster
+    # isolated core positions (no core neighbor) form their own
+    # singleton cluster labeled by their minimum point id
     core_labels = (
-        core.join(comp, core["cid"] == comp["id"], "left")
+        core_pos.join(comp, core_pos["__mpid"] == comp["id"], "left")
         .select(
-            F.col("cid").alias("id"),
-            F.coalesce(F.col("component"), F.col("cid")).alias("cluster"),
+            "px", "py",
+            F.coalesce(F.col("component"), F.col("__mpid")).alias("cluster"),
         )
         .localCheckpoint(eager=True)  # consumed by border + the final union
     )
     border = (
-        pairs.join(core_labels.select(F.col("id").alias("b_id"), "cluster"), "b_id")
-        .join(core_labels.select(F.col("id").alias("a_id")), "a_id", "left_anti")
-        .groupBy(F.col("a_id").alias("id"))
+        pairs.join(
+            core_labels.select(
+                F.col("px").alias("bx"), F.col("py").alias("by"), "cluster"
+            ),
+            ["bx", "by"],
+        )
+        .join(
+            core_pos.select(
+                F.col("px").alias("ax"), F.col("py").alias("ay")
+            ),
+            ["ax", "ay"],
+            "left_anti",
+        )
+        .groupBy(F.col("ax").alias("px"), F.col("ay").alias("py"))
         .agg(F.min("cluster").alias("cluster"))
         .withColumn("is_core", F.lit(False))
     )
-    return core_labels.withColumn("is_core", F.lit(True)).unionByName(border)
+    labels = core_labels.withColumn("is_core", F.lit(True)).unionByName(border)
+    # attach per-point: every point at a labeled position gets that
+    # position's (cluster, is_core); noise positions drop in the inner join
+    return p.join(labels, ["px", "py"]).select(
+        F.col("pid").alias("id"), "cluster", "is_core"
+    )

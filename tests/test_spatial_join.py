@@ -354,6 +354,28 @@ def test_dbscan_planted_blobs(spark):
         assert out[pid] == (10, True)
 
 
+def test_dbscan_coincident_points_and_nulls(spark):
+    """Position-space internals: exactly-coincident points contribute
+    their multiplicity to every neighbor count (distance 0), every point
+    at a core position is core, and NULL coordinates are noise (the
+    distance predicate never fires, not even the self-pair)."""
+    from dataclod_spark.operators.spatial_join import dbscan_clusters
+
+    rows = [(i, 0.0, 0.0) for i in range(5)]          # 5 coincident at A
+    rows += [(5 + i, 1.0, 0.0) for i in range(4)]     # 4 coincident at B
+    rows.append((20, 2.0, 0.0))   # border: n = 1 + 4 = 5 < 9, adj. core B
+    rows.append((30, 10.0, 10.0))  # noise
+    rows.append((40, None, 5.0))   # NULL x -> noise
+    df = spark.createDataFrame(rows, "pid long, px double, py double")
+    out = {r["id"]: (r["cluster"], r["is_core"]) for r in
+           dbscan_clusters(df, "pid", "px", "py", eps=1.0, min_pts=9).collect()}
+    # A: n = 5 + 4 = 9 core; B: n = 4 + 5 = 9 core; one component, label 0
+    assert len(out) == 10                      # 30 and 40 dropped
+    for pid in range(9):
+        assert out[pid] == (0, True)
+    assert out[20] == (0, False)
+
+
 def test_extra_condition_outer_semantics(spark, data):
     """extra_condition is ON-clause semantics: it filters candidate PAIRS
     before outer completion, so a left row whose only matches fail the
