@@ -388,6 +388,26 @@ def media_near_dedup(
     )
 
 
+def _offsets_81():
+    """Constant 81-element (3^4 Chebyshev-1 neighborhood) offset array —
+    exploded once per row; probe cells are computed from the GENERATED
+    offset attributes so the cell expressions are never inlined 81x."""
+    from pyspark.sql import functions as F
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("o0"), F.lit(b).alias("o1"),
+                F.lit(c).alias("o2"), F.lit(d).alias("o3"),
+            )
+            for a in (-1, 0, 1)
+            for b in (-1, 0, 1)
+            for c in (-1, 0, 1)
+            for d in (-1, 0, 1)
+        ]
+    )
+
+
 def media_near_dup_pairs(
     media: DataFrame,
     id_col: str = "media_id",
@@ -429,6 +449,18 @@ def media_near_dup_pairs(
     from pyspark.sql import functions as F
 
     sig = _quant_cells(media, id_col, content_col, quant, feats=feats)
+    if probe_adjacent:
+        # stage the NARROW (id, 4-int cell) table before the probe
+        # expansion: q0..q3 are when/div EXPRESSIONS over the feature
+        # pass, and projection collapse inlines each one into all 324
+        # probe-struct fields plus the generate's inferred filter — a
+        # generated method far past the JIT's HugeMethodLimit (m7 ran
+        # interpreted: 8-22 s for 5k rows, drifting with JIT state).
+        # Checkpointing makes the cells real attributes (probe structs
+        # become attr+lit), and the one histogram pass feeds both join
+        # sides instead of running twice.  Same discipline as the LSH
+        # band-table checkpoint.
+        sig = sig.localCheckpoint(eager=True)
     right = sig.select(
         F.col(id_col).alias("id_2"),
         F.col("q0").alias("e0"),
@@ -449,46 +481,46 @@ def media_near_dup_pairs(
             .filter(F.col("id_1") < F.col("id_2"))
             .select("id_1", "id_2", F.lit(0).cast("int").alias("cell_dist"))
         )
-    offs = [
-        (a, b, c, d)
-        for a in (-1, 0, 1)
-        for b in (-1, 0, 1)
-        for c in (-1, 0, 1)
-        for d in (-1, 0, 1)
-    ]
-    probe_arr = F.array(
-        *[
-            F.struct(
-                (F.col("q0") + F.lit(a)).alias("p0"),
-                (F.col("q1") + F.lit(b)).alias("p1"),
-                (F.col("q2") + F.lit(c)).alias("p2"),
-                (F.col("q3") + F.lit(d)).alias("p3"),
-            )
-            for (a, b, c, d) in offs
-        ]
-    )
-    in_range = lambda p: (
-        (p["p0"] >= 0) & (p["p0"] <= quant)
-        & (p["p1"] >= 0) & (p["p1"] <= quant)
-        & (p["p2"] >= 0) & (p["p2"] <= quant)
-        & (p["p3"] >= 0) & (p["p3"] <= quant)
-    )
-    self_cell = F.array(
-        F.struct(
-            F.col("q0").alias("p0"),
-            F.col("q1").alias("p1"),
-            F.col("q2").alias("p2"),
-            F.col("q3").alias("p3"),
+    # probe construction: explode a CONSTANT 81-offset array and compute
+    # p_i = q_i + o_i AFTER the generate, instead of building an
+    # 81-struct per-row array over the cell columns — the per-row array
+    # form inlined the cell expressions into all 324 struct fields plus
+    # the higher-order in_range lambda, and the generated method's size
+    # made the explode alone cost 3.3 s for 5k rows (vs 1.0 s for this
+    # form, bit-identical output).  A pair still matches on exactly one
+    # offset (cell(B) − cell(A)); the post-generate filter reproduces the
+    # original element filter exactly: the reserved all -1 cell keeps
+    # only the zero offset (probes nothing but its own cell), real cells
+    # keep in-range probes.
+    left = (
+        sig.select(
+            F.col(id_col).alias("id_1"),
+            "q0", "q1", "q2", "q3",
+            F.explode(_offsets_81()).alias("__o"),
         )
+        .select(
+            "id_1", "q0", "q1", "q2", "q3",
+            (F.col("q0") + F.col("__o.o0")).alias("p0"),
+            (F.col("q1") + F.col("__o.o1")).alias("p1"),
+            (F.col("q2") + F.col("__o.o2")).alias("p2"),
+            (F.col("q3") + F.col("__o.o3")).alias("p3"),
+            F.col("__o.o0").alias("__z0"), F.col("__o.o1").alias("__z1"),
+            F.col("__o.o2").alias("__z2"), F.col("__o.o3").alias("__z3"),
+        )
+        .filter(
+            F.when(
+                F.col("q0") == -1,
+                (F.col("__z0") == 0) & (F.col("__z1") == 0)
+                & (F.col("__z2") == 0) & (F.col("__z3") == 0),
+            ).otherwise(
+                (F.col("p0") >= 0) & (F.col("p0") <= quant)
+                & (F.col("p1") >= 0) & (F.col("p1") <= quant)
+                & (F.col("p2") >= 0) & (F.col("p2") <= quant)
+                & (F.col("p3") >= 0) & (F.col("p3") <= quant)
+            )
+        )
+        .select("id_1", "q0", "q1", "q2", "q3", "p0", "p1", "p2", "p3")
     )
-    probes = F.when(F.col("q0") == -1, self_cell).otherwise(
-        F.filter(probe_arr, in_range)
-    )
-    left = sig.select(
-        F.col(id_col).alias("id_1"),
-        "q0", "q1", "q2", "q3",
-        F.explode(probes).alias("__p"),
-    ).select("id_1", "q0", "q1", "q2", "q3", "__p.*")
     return (
         left.join(
             right,
@@ -588,38 +620,40 @@ def media_recall_report(
         # BroadcastNestedLoopJoin condition (evaluated per pair outside
         # whole-stage codegen — the d17 finding, ~3 ms/pair).  Only the
         # k sampled rows explode ×81; the corpus is touched once.
-        sig = _quant_cells(media, id_col, content_col, quant, feats=feats)
+        # narrow (id, cell) checkpoint for the same reason as the pairs
+        # path: the 81-struct probe array otherwise inlines the when/div
+        # cell expressions 324x (plus the inferred-filter copy) and the
+        # generated method blows past the JIT size limit
+        sig = _quant_cells(media, id_col, content_col, quant, feats=feats).localCheckpoint(
+            eager=True
+        )
         qsig = sig.join(qids, id_col).select(
             F.col(id_col).alias("__qid"), "q0", "q1", "q2", "q3"
         )
-        offs = [
-            (a, b, c, d)
-            for a in (-1, 0, 1)
-            for b in (-1, 0, 1)
-            for c in (-1, 0, 1)
-            for d in (-1, 0, 1)
-        ]
-        probe_arr = F.array(
-            *[
-                F.struct(
-                    (F.col("q0") + F.lit(a)).alias("p0"),
-                    (F.col("q1") + F.lit(b)).alias("p1"),
-                    (F.col("q2") + F.lit(c)).alias("p2"),
-                    (F.col("q3") + F.lit(d)).alias("p3"),
-                )
-                for (a, b, c, d) in offs
-            ]
-        )
-        in_range = lambda p: (
-            (p["p0"] >= 0) & (p["p0"] <= quant)
-            & (p["p1"] >= 0) & (p["p1"] <= quant)
-            & (p["p2"] >= 0) & (p["p2"] <= quant)
-            & (p["p3"] >= 0) & (p["p3"] <= quant)
-        )
+        # constant-offset explode + post-generate arithmetic/filter (the
+        # media_near_dup_pairs probe form — bit-identical probe set; the
+        # original per-row 81-struct array inlined the cell expressions
+        # into every struct field and the in_range lambda).  No reserved
+        # -1 special case here, mirroring the original: an empty-blob
+        # sample row's only in-range probe is the all-zeros cell via the
+        # +1 offsets, and the truth verify join (q is total>0-filtered)
+        # drops it exactly as before.
         q_probe = F.broadcast(
-            qsig.select(
-                "__qid", F.explode(F.filter(probe_arr, in_range)).alias("__p")
-            ).select("__qid", "__p.*")
+            qsig.select("__qid", "q0", "q1", "q2", "q3",
+                        F.explode(_offsets_81()).alias("__o"))
+            .select(
+                "__qid",
+                (F.col("q0") + F.col("__o.o0")).alias("p0"),
+                (F.col("q1") + F.col("__o.o1")).alias("p1"),
+                (F.col("q2") + F.col("__o.o2")).alias("p2"),
+                (F.col("q3") + F.col("__o.o3")).alias("p3"),
+            )
+            .filter(
+                (F.col("p0") >= 0) & (F.col("p0") <= quant)
+                & (F.col("p1") >= 0) & (F.col("p1") <= quant)
+                & (F.col("p2") >= 0) & (F.col("p2") <= quant)
+                & (F.col("p3") >= 0) & (F.col("p3") <= quant)
+            )
         )
         cand = (
             sig.select(
