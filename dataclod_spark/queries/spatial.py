@@ -22,9 +22,17 @@ def _spatial(spark: SparkSession) -> None:
     register_all(spark)
 
 
-def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer point cloud derived from events: (event_id%100, user_id%50)."""
-    e = load(spark, sf_dir, "events")
+def _pts(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """Integer point cloud derived from events: (event_id%100, user_id%50).
+
+    spread=True default: most consumers (g2/g5/g13) run a chained ST_*
+    Arrow-UDF pipeline straight off the scan — the narrow payload shape
+    that wins by the core count (interleaved best-of-3: g13 5.9 -> 1.7,
+    g4 4.3 -> 1.4, g2 1.8 -> 1.6 s; the single-row-group events file
+    otherwise runs the whole Python chain on one core).  g1 (one cheap
+    UDF then agg: 1.6 -> 2.0) and g21 (shuffles immediately: 0.7 -> 1.3)
+    measured losses and opt out."""
+    e = load(spark, sf_dir, "events", spread=spread)
     return e.select(
         "event_id",
         (F.col("event_id") % 100).cast("double").alias("px"),
@@ -44,7 +52,7 @@ WHERE (event_id % 100) BETWEEN 10 AND 70
 )
 def g1_covers_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spatial(spark)
-    p = _pts(spark, sf_dir)
+    p = _pts(spark, sf_dir, spread=False)
     p.createOrReplaceTempView("g1_points")
     return spark.sql(
         """
@@ -88,7 +96,8 @@ FROM events
 )
 def g3_envelope_area_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spatial(spark)
-    e = load(spark, sf_dir, "events")
+    # spread: chained ST_* Arrow-UDF pipeline off the scan (see _pts)
+    e = load(spark, sf_dir, "events", spread=True)
     e.select(
         (F.col("event_id") % 100).cast("double").alias("x"),
         (F.col("user_id") % 50).cast("double").alias("y"),
@@ -118,7 +127,8 @@ ORDER BY new_xmin, new_ymax
 )
 def g4_translate_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spatial(spark)
-    e = load(spark, sf_dir, "events")
+    # spread: chained ST_* Arrow-UDF pipeline off the scan (see _pts)
+    e = load(spark, sf_dir, "events", spread=True)
     e.select(
         (F.col("event_id") % 100).cast("double").alias("x"),
         (F.col("user_id") % 50).cast("double").alias("y"),
@@ -1120,7 +1130,7 @@ def g21_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle for the key."""
     from dataclod_spark.operators.layout import zorder_key
 
-    p = _pts(spark, sf_dir)
+    p = _pts(spark, sf_dir, spread=False)
     keyed = p.select(
         "px", "py", zorder_key(F.col("px"), F.col("py"), (0.0, 0.0, 100.0, 50.0)).alias("zkey")
     )
