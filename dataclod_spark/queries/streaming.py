@@ -100,7 +100,8 @@ def st1_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_events_stream(spark, sf_dir)
-    out = run_to_memory(sessionize_stream(ev), spark)
+    # adaptive_width=False: the pandas state function is the cost; see run_to_memory
+    out = run_to_memory(sessionize_stream(ev), spark, adaptive_width=False)
     return out.orderBy("user_id", "session_start")
 
 
@@ -328,7 +329,8 @@ def st7_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_events_stream(spark, sf_dir)
-    out = run_to_memory(asof_join_stream(ev), spark)
+    # adaptive_width=False: the pandas state function is the cost; see run_to_memory
+    out = run_to_memory(asof_join_stream(ev), spark, adaptive_width=False)
     return out.select(
         "user_id",
         "purchase_id",

@@ -54,9 +54,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors registry.load's TIMESTAMP(NANOS) handling: read ``ts`` as long
     nanos (``legacy.parquet.nanosAsLong``), convert to micros timestamps.
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    try:
+        _record_stream_source_bytes(spark, os.path.getsize(path))
+    except OSError:
+        pass
     # the file source wants a directory; glob-filter to the events file
     df = (
         spark.readStream.schema(schema)
@@ -95,11 +102,24 @@ def _stage_multibatch(
     pattern that exercises cross-batch state carry-over and out-of-order
     guards for real (single-file sources collapse to one batch and prove
     neither).  Shared by the events and documents multibatch readers."""
+    import os
+
     src = spark.read.parquet(src_path)
     if pred_sql is not None:
         src = src.where(pred_sql)
     src.repartition(n_files, key_col).write.mode("overwrite").parquet(stage_dir)
     schema = spark.read.parquet(stage_dir).schema
+    try:
+        _record_stream_source_bytes(
+            spark,
+            sum(
+                e.stat().st_size
+                for e in os.scandir(stage_dir)
+                if e.is_file() and e.name.endswith(".parquet")
+            ),
+        )
+    except OSError:
+        pass
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -402,22 +422,83 @@ def asof_join_stream(
     )
 
 
-def run_to_memory(df: DataFrame, spark: SparkSession, timeout_sec: int = 300) -> DataFrame:
-    """Execute a streaming frame to completion (availableNow) into a memory
-    sink; returns the sink contents as a batch DataFrame."""
-    name = f"__stream_result_{next(_memory_sink_counter)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+_SRC_BYTES_CONF = "spark.dataclod.streamSourceBytes"
+_STREAM_TARGET_BYTES = 32 << 20  # ~32 MB of source per state partition
+
+
+def _record_stream_source_bytes(spark: SparkSession, n_bytes: int) -> None:
+    """Stash the stream source's size for :func:`run_to_memory`'s
+    scale-adaptive width (a session conf, set fresh by every reader)."""
+    spark.conf.set(_SRC_BYTES_CONF, str(int(n_bytes)))
+
+
+def _adaptive_stream_width(spark: SparkSession) -> int | None:
+    """Scale-adaptive shuffle/state-partition width for a bounded stream.
+
+    Every stateful operator (stream-stream join, window agg,
+    dropDuplicates, applyInPandasWithState) creates one state store PER
+    SHUFFLE PARTITION, and each store pays per-micro-batch snapshot/
+    delta/commit I/O regardless of rows — at the session's 32-partition
+    default a 10 MB interval join spent 10.7 s where 4 partitions take
+    2.8 s (pure fixed cost, measured).  Width = ceil(source bytes /
+    32 MB) clamped to [2, session default]: production-sized sources
+    keep the session default (the conf stays the scaling knob), and the
+    driver's low-core bench keeps its own default — this only SHRINKS
+    the width when the bounded source is demonstrably small.  Returns
+    None (leave the conf alone) when no reader recorded a source size.
+    """
+    import math
+
     try:
-        finished = q.awaitTermination(timeout_sec)
+        raw = spark.conf.get(_SRC_BYTES_CONF, None)
+    except Exception:
+        raw = None
+    if not raw:
+        return None
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    width = max(2, math.ceil(int(raw) / _STREAM_TARGET_BYTES))
+    return min(cur, width)
+
+
+def run_to_memory(
+    df: DataFrame,
+    spark: SparkSession,
+    timeout_sec: int = 300,
+    adaptive_width: bool = True,
+) -> DataFrame:
+    """Execute a streaming frame to completion (availableNow) into a memory
+    sink; returns the sink contents as a batch DataFrame.
+
+    The stream starts under the scale-adaptive shuffle width (state
+    partition count binds at first start — see
+    :func:`_adaptive_stream_width`); the session conf is restored after
+    the drain, so batch queries in the same session are untouched.
+    ``adaptive_width=False`` keeps the session width: streams whose state
+    function does REAL per-row Python work (applyInPandasWithState
+    sessionize/asof) lose more to the narrower Python-worker parallelism
+    than they save in state-store fixed cost (measured st1 4.1 -> 6.2 s,
+    st7 1.8 -> 3.1 s under width 2 vs 32)."""
+    name = f"__stream_result_{next(_memory_sink_counter)}"
+    width = _adaptive_stream_width(spark) if adaptive_width else None
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if width is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        if width is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if not finished:
         # a truncated memory sink (missing later micro-batches) would flow
         # into downstream snapshot logic as silently-wrong data — the

@@ -633,3 +633,43 @@ def test_streaming_helpers_empty_source_and_no_batch_id(spark, tmp_path):
     )
     assert "batch_id" not in out1.columns
     assert {r.doc_id for r in out1.collect()} == {1, 3}
+
+
+def test_adaptive_stream_width_clamps_and_restores(spark):
+    """The scale-adaptive stream width shrinks only for demonstrably small
+    sources (ceil(bytes/32MB) clamped to [2, session default]), leaves the
+    conf alone when no reader recorded a size, and run_to_memory restores
+    the session conf after the drain."""
+    from dataclod_spark.streaming.run import (
+        _SRC_BYTES_CONF,
+        _adaptive_stream_width,
+        _record_stream_source_bytes,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.unset(_SRC_BYTES_CONF)
+        assert _adaptive_stream_width(spark) is None  # no reader ran
+        _record_stream_source_bytes(spark, 10 << 20)  # 10 MB -> floor
+        assert _adaptive_stream_width(spark) == 2
+        _record_stream_source_bytes(spark, 100 << 20)  # 100 MB -> 4
+        assert _adaptive_stream_width(spark) == 4
+        _record_stream_source_bytes(spark, 1 << 40)  # 1 TB -> session cap
+        assert _adaptive_stream_width(spark) == 32
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.unset(_SRC_BYTES_CONF)
+
+
+def test_run_to_memory_restores_shuffle_conf(spark, crafted_stream):
+    from dataclod_spark.streaming.run import (
+        _record_stream_source_bytes,
+        run_to_memory,
+        sessionize_stream,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    _record_stream_source_bytes(spark, 1 << 20)
+    run_to_memory(sessionize_stream(crafted_stream), spark, timeout_sec=120)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
