@@ -1068,7 +1068,6 @@ def incremental_dedup(
     )
 
     # --- near-dup pass: asymmetric band join new → old ------------------
-    nb = _band_table(new, "__nid", id_col, text_col, k, rows_per_band, hash_fn)
     ob = index["bands"]
 
     # one (band#, hash) equi-join over long-form band tables instead of a
@@ -1090,14 +1089,47 @@ def incremental_dedup(
             ).alias("e"),
         ).select(idc, "e.__bno", "e.__bh")
 
+    # NEW side: no checkpoint — unlike the index side (built once, reused
+    # across every delta/micro-batch), each piece of the new side feeds
+    # exactly ONE join, and in the streaming twin the two eager
+    # checkpoint jobs were pure per-micro-batch fixed cost (~1 s/batch of
+    # st12's ~3 s batches).  The long-form band explode is staged with
+    # explode_nonnull (struct elements are provably non-null), so the
+    # minhash md5 chain is never inlined into a pushed filter; a NULL
+    # band hash (empty doc) still rides the struct and drops in the
+    # equi-join exactly as before.
+    from dataclod_spark.functions.text import explode_nonnull
+
+    nsig = with_lsh_bands(
+        with_minhash_signature(
+            new.select(id_col, text_col), text_col, k, hash_fn
+        ),
+        k, rows_per_band, hash_fn,
+    ).select(F.col(id_col).alias("__nid"), *[f"band_{b}" for b in range(n_bands)])
+    nlong = explode_nonnull(
+        nsig,
+        ["__nid"],
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("__bno"), F.col(f"band_{b}").alias("__bh")
+                )
+                for b in range(n_bands)
+            ]
+        ),
+        "e",
+    ).select("__nid", "e.__bno", "e.__bh")
+
     cand = (
-        _long(nb, "__nid")
+        nlong
         .join(_long(ob, "__oid"), ["__bno", "__bh"])
         .select("__nid", "__oid")
         .dropDuplicates(["__nid", "__oid"])
     )
 
-    nsh = _shingle_table(new, "__nsh_id", "__nsh", id_col, text_col)
+    nsh = with_shingles(new.select(id_col, text_col), text_col, out="__nsh").select(
+        F.col(id_col).alias("__nsh_id"), "__nsh"
+    )
     osh = index["shingles"]
     # SHUFFLE_HASH with the candidate-pair side as build (same fix as
     # lsh_candidate_pairs' verify step): the planner otherwise broadcasts
