@@ -32,17 +32,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # list at the start of each round; entries left over from a prior round
 # only waste window slots (never produce a wrong check).
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round 11 (rotation-and-measurement round; r10's 45 entries banked
-    # green in CORRECTNESS_r10 and are reset per the contract above):
-    # g23's ORACLE moved to the position-space walk (row-identical at
-    # sf0.001/sf0.01 by direct DuckDB comparison, but the text changed,
-    # so a fresh driver row should prove the new oracle).  The r11
-    # ADVICE fixes (_budget_expr NULL-stratum eqNullSafe, _jdbc_url
-    # credential parsing, _sqlite_coerce error) change NO registry
-    # values — sf test data has zero NULL lang/source strata — so they
-    # consume no window slots; the freed window drains the r5-stale
-    # backlog (d2, d3, d5, d11, e3, st10, x2-x6) the r10 verdict flagged.
-    "g23_dbscan_clusters",
+    # round 12: the r11 optimization round rewrote the computation path of
+    # ~60 queries but (r11 verdict, "What's wrong" #1) never declared them
+    # here, so the r11 driver window sampled a disjoint set.  These are the
+    # r11-rewritten queries with NO post-change driver row (r11 rewrite set
+    # minus the names already green in CORRECTNESS_r11) — they must jump to
+    # the front of the r12 window so the driver re-proves them.  r12's own
+    # rewrites are appended below as they land.
+    "q18_large_volume_customer",
+    "a8_exact_group_quantiles",
+    "x29_source_calibration",
+    "d6_ngram_jaccard",
+    "d15_ngram_containment",
+    "d17_lsh_recall",
+    "d19_shared_spans",
+    "x28_ngram_novelty",
+    "x31_benchmark_span_overlap",
+    "v2_knn_lsh",
+    "v3_knn_multiprobe",
+    "v4_knn_ivf",
+    "v14_ann_recall",
+    "m7_media_probe_pairs",
+    "m8_media_recall",
+    "st4_stream_interval_join",
+    "st12_stream_incremental_dedup",
+    "st17_stream_contamination",
+    "st18_stream_calibration",
+    "x24_bpe_merges",
+    "x26_bpe_encode_stats",
+    "x30_bpe_fertility_by_lang",
+    "g2_dwithin_count",
+    "g3_envelope_area_sum",
+    "st2_stream_tumbling",
+    "st3_stream_sliding",
+    "st5_stream_dedup",
+    "st8_stream_heavy_hitters",
 )
 
 # The driver samples a bounded window (50 in r2-r5) of the registry in
