@@ -654,11 +654,14 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same sum after a semi-join).  dsum is exact DECIMAL accumulation,
     # so the single-pass value is bit-identical to the re-aggregated one
     # (proven against the unchanged oracle, strict, sf0.001/0.01/0.1).
-    # spread=True: like q1, the surviving shape is one narrow scan +
-    # partial-agg over the widest fact table before its only exchange.
+    # No spread opt-in (r12): unlike q1, the groupBy(l_orderkey) shuffles
+    # the scan output immediately, so the round-robin exchange was pure
+    # overhead — measured cold one-shot (fresh JVM, driver protocol)
+    # 2.42-2.75 s spread vs 1.62-1.79 s unspread AND steady best-of-3
+    # 1.55 vs 1.23 s; the r11 opt-in predated the single-scan rewrite.
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    l = load(spark, sf_dir, "lineitem", spread=True)
+    l = load(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
         .agg(dsum(F.col("l_quantity")).alias("__tot_qty"))

@@ -77,7 +77,11 @@ ORDER BY doc_id
 """,
 )
 def x1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # spread=False (r12): the plan is scan→project→sort — the spread
+    # exchange added a node to a query with no narrow compute to feed
+    # (r11 A/B logged the loss; cold one-shot 0.60-1.38 s spread vs
+    # 0.56-0.65 s unspread, and the driver's headline is the cold path).
+    d = load(spark, sf_dir, "documents", spread=False)
     return (
         d.select(
             "doc_id",
