@@ -67,6 +67,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "st3_stream_sliding",
     "st5_stream_dedup",
     "st8_stream_heavy_hitters",
+    # r12 rewrites (fused PQ/coarse Lloyd training — bit-identical by
+    # pin test, but the computation path changed):
+    "v11_product_quantize",
+    "v12_pq_adc_topk",
+    "v13_ivf_adc_search",
 )
 
 # The driver samples a bounded window (50 in r2-r5) of the registry in

@@ -38,6 +38,7 @@ __all__ = [
     "cosine_to_centroid",
     "scalar_quantize",
     "kmeans_fit",
+    "pq_fit_spans",
     "kmeans_clusters",
     "dim_stats",
     "route_centroids",
@@ -475,6 +476,119 @@ def kmeans_fit(
                 for r in rows
             )
     return cents
+
+
+def pq_fit_spans(
+    df: DataFrame,
+    vec: str,
+    spans: list[tuple[int, int]],
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[float]]]]:
+    """Train one Lloyd codebook per vector span — ALL spans in the same
+    bounded Spark jobs (optimization guide §1.2: don't run 2-3 separate
+    kmeans_fit pipelines over the same corpus when one pass carries them
+    all).  ``spans`` are 1-based inclusive ``(lo, hi)`` slices; they may
+    overlap (v13 trains the full-width coarse quantizer alongside the two
+    PQ subspaces).  Returns codebooks aligned with ``spans``, each in
+    :func:`kmeans_fit`'s ``[(cid, centroid), ...]`` format.
+
+    Bit-identical to calling ``kmeans_fit(df.select(id, slice), ...)`` per
+    span (pinned by tests/test_embeddings_ops.py):
+
+    * seeds — ONE ``orderBy(id).limit(k)`` collect of the full vectors,
+      sliced driver-side (``cast(float as double)`` is exact elementwise,
+      so slicing before or after the cast/collect is the same floats);
+    * each round's assignment uses the same ``_argmin_cid`` fold over the
+      same sliced expression;
+    * the update is ONE explode+aggregate job for every span: each row
+      contributes a ``(span, cid_of_that_span, local_pos, x)`` struct per
+      span element, and ``groupBy(span, cid, pos)`` accumulates the same
+      DECIMAL-exact sums / counts kmeans_fit's wide path does (sums are
+      order-independent, so fusing the spans into one aggregate cannot
+      move a bit).
+
+    Job count: ``1 + (iters - 1)`` corpus jobs total, vs ``len(spans) *
+    iters`` for separate fits (v13: 6 -> 2).  The shuffle stays bounded —
+    the aggregate is partial-aggregated to ``len(spans) * k * span_dim``
+    rows regardless of corpus size.
+
+    PRECONDITION (callers enforce, v11-v13 do): rows are pre-validated —
+    vector non-null, full width, no null elements — i.e. each span slice
+    would pass ``_kmeans_base``'s gate.  (A null ELEMENT would otherwise
+    drop the row from the affected span's fit only; the fused form does
+    not reproduce that per-span row set and the DuckDB oracles are
+    undefined on such data anyway.)
+    """
+    full = F.transform(F.col(vec), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("__id"), full.alias("__v"))
+    seed_rows = base.orderBy("__id").limit(k).collect()
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (i, [float(x) for x in r["__v"][lo - 1 : hi]])
+            for i, r in enumerate(seed_rows)
+        ]
+        for lo, hi in spans
+    ]
+    for _ in range(iters - 1):
+        # per-span nearest-centroid cid, over the same sliced fold as the
+        # per-span fit (slice of the staged double vector)
+        cids = [
+            _argmin_cid(F.slice(F.col("__v"), lo, hi - lo + 1), books[s]).getField(
+                "cid"
+            )
+            for s, (lo, hi) in enumerate(spans)
+        ]
+        # one struct per (span, element): explode once, aggregate once
+        # (bind the span index via a closure factory — a default argument
+        # would read as a third lambda parameter to F.transform)
+        def _contrib(s: int):
+            return lambda x, i: F.struct(
+                F.lit(s).alias("sp"),
+                cids[s].alias("cid"),
+                i.alias("pos"),
+                x.alias("x"),
+            )
+
+        contribs = F.flatten(
+            F.array(
+                *[
+                    F.transform(F.slice(F.col("__v"), lo, hi - lo + 1), _contrib(s))
+                    for s, (lo, hi) in enumerate(spans)
+                ]
+            )
+        )
+        from dataclod_spark.functions.text import explode_nonnull
+
+        ex = explode_nonnull(base.select(contribs.alias("__cs")), [], F.col("__cs"), "__c")
+        rows = (
+            ex.groupBy(
+                F.col("__c.sp").alias("__sp"),
+                F.col("__c.cid").alias("__cid"),
+                F.col("__c.pos").alias("__pos"),
+            )
+            .agg(
+                F.sum(F.col("__c.x").cast(_ACC)).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .collect()
+        )
+        new_books: list[list[tuple[int, list[float]]]] = []
+        for s, (lo, hi) in enumerate(spans):
+            span_dim = hi - lo + 1
+            acc: dict[int, list] = {}
+            counts: dict[int, int] = {}
+            for r in rows:
+                if int(r["__sp"]) != s:
+                    continue
+                acc.setdefault(int(r["__cid"]), [None] * span_dim)[int(r["__pos"])] = r["__s"]
+                counts[int(r["__cid"])] = r["__n"]  # fixed-width: same per pos
+            new_books.append(
+                sorted((cid, [float(x) / counts[cid] for x in acc[cid]]) for cid in acc)
+            )
+        books = new_books
+    return books
 
 
 def kmeans_clusters(

@@ -1041,7 +1041,14 @@ def dbscan_clusters(
     # eps has cell coordinates differing by <= 1 per axis, so exploding
     # one side to its 3x3 cell neighborhood and equi-joining on the cell
     # is a provable superset; the exact squared-distance filter keeps the
-    # identical pair set.  Each b-row owns ONE cell, so a qualifying pair
+    # identical pair set.  (The <=1-cell claim holds in exact arithmetic;
+    # for |coord/eps| approaching 2^53 the FP division's rounding could
+    # make floors differ by 2 and silently drop a within-eps pair — the
+    # cell key is load-bearing for RECALL, unlike the filter.  Domain
+    # assumption: coordinate magnitudes stay far below eps*2^52, which
+    # every geographic/projected CRS satisfies by ~15 orders of
+    # magnitude; the saturation note below is about exactness of the
+    # VALUES, this note is about completeness of the CANDIDATES.)  Each b-row owns ONE cell, so a qualifying pair
     # matches in exactly one exploded cell — no dedup pass.  Exactness
     # never depends on the cell key (floor saturates on +-9e18 extremes
     # and maps NaN to 0): the distance filter alone decides membership,

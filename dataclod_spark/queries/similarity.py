@@ -704,27 +704,20 @@ ORDER BY a0.vec_id
 """,
 )
 def v11_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """operators.embeddings.kmeans_fit per subspace (shared Lloyd
-    machinery; codebooks ride into the assignment as array literals),
-    then codes + error as ONE zero-shuffle projection over the corpus —
-    the m·k codebook rows are the only driver state.  The error sum is
-    spelled subspace-0-then-1 on both engines so the doubles are
-    bit-identical."""
-    from dataclod_spark.operators.embeddings import _argmin_cid, kmeans_fit
+    """operators.embeddings.pq_fit_spans (shared Lloyd machinery;
+    codebooks ride into the assignment as array literals), then codes +
+    error as ONE zero-shuffle projection over the corpus — the m·k
+    codebook rows are the only driver state.  The error sum is spelled
+    subspace-0-then-1 on both engines so the doubles are bit-identical.
+    Both subspace codebooks train in the SAME two bounded jobs (r12,
+    guide §1.2): bit-identical to the per-span kmeans_fit calls this
+    replaced (see pq_fit_spans), at half the corpus-job count."""
+    from dataclod_spark.operators.embeddings import _argmin_cid, pq_fit_spans
 
     e = load(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     )
-    spans = [(1, 32), (33, 64)]
-    subs = []
-    for lo, hi in spans:
-        sliced = e.select(
-            "vec_id",
-            F.transform(
-                F.slice("embedding", lo, hi - lo + 1), lambda x: x.cast("double")
-            ).alias("__sub"),
-        )
-        subs.append(kmeans_fit(sliced, vec="__sub", dim=hi - lo + 1, k=4, iters=2))
+    subs = pq_fit_spans(e, "embedding", [(1, 32), (33, 64)], k=4, iters=2)
     a0 = _argmin_cid(
         F.transform(F.slice("embedding", 1, 32), lambda x: x.cast("double")), subs[0]
     )
@@ -799,22 +792,15 @@ def v12_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned code — so the scan is one zero-shuffle projection and the
     top-k is TakeOrderedAndProject, never a full sort.  100 TB shape:
     the LUT is m·k constants in the plan (no join, no broadcast), the
-    corpus scan reads codes only."""
-    from dataclod_spark.operators.embeddings import _argmin_cid, _sq_l2, kmeans_fit
+    corpus scan reads codes only.  Both subspace codebooks train in the
+    SAME two bounded jobs (r12, guide §1.2, bit-identical — see
+    pq_fit_spans)."""
+    from dataclod_spark.operators.embeddings import _argmin_cid, _sq_l2, pq_fit_spans
 
     e = load(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     )
-    spans = [(1, 32), (33, 64)]
-    subs = []
-    for lo, hi in spans:
-        sliced = e.select(
-            "vec_id",
-            F.transform(
-                F.slice("embedding", lo, hi - lo + 1), lambda x: x.cast("double")
-            ).alias("__sub"),
-        )
-        subs.append(kmeans_fit(sliced, vec="__sub", dim=hi - lo + 1, k=4, iters=2))
+    subs = pq_fit_spans(e, "embedding", [(1, 32), (33, 64)], k=4, iters=2)
 
     def lut_dist(cid_col: F.Column, cents, lo: int, hi: int) -> F.Column:
         qsub = F.lit([_adc_q(i) for i in range(lo, hi + 1)])
@@ -898,30 +884,25 @@ def v13_ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-dimension distance.  100 TB shape: the coarse cell is the
     partition/cluster key of a real deployment, so the filter is
     partition PRUNING, not a scan-and-drop; codes + cell ids are the
-    only columns read."""
-    from dataclod_spark.operators.embeddings import _argmin_cid, _sq_l2, kmeans_fit
+    only columns read.  The coarse quantizer and BOTH subspace codebooks
+    train in the SAME two bounded jobs (r12, guide §1.2: the three
+    kmeans_fit pipelines ran 6 corpus jobs for identical results — see
+    pq_fit_spans; the coarse k=4 seeds are the same 4 lowest-id rows the
+    subspace seeds slice)."""
+    from dataclod_spark.operators.embeddings import _argmin_cid, _sq_l2, pq_fit_spans
 
     e = load(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     )
-    coarse = kmeans_fit(e, vec="embedding", dim=64, k=4, iters=2)
+    coarse, *subs = pq_fit_spans(
+        e, "embedding", [(1, 64), (1, 32), (33, 64)], k=4, iters=2
+    )
     qfull = [_adc_q(i) for i in range(1, 65)]
     probe_cells = sorted(
         (sum((a - b) * (a - b) for a, b in zip(qfull, cv)), cid)
         for cid, cv in coarse
     )[:2]
     keep = [cid for _, cid in probe_cells]
-
-    spans = [(1, 32), (33, 64)]
-    subs = []
-    for lo, hi in spans:
-        sliced = e.select(
-            "vec_id",
-            F.transform(
-                F.slice("embedding", lo, hi - lo + 1), lambda x: x.cast("double")
-            ).alias("__sub"),
-        )
-        subs.append(kmeans_fit(sliced, vec="__sub", dim=hi - lo + 1, k=4, iters=2))
 
     def lut_dist(cid_col, cents, lo: int, hi: int):
         qsub = F.lit([_adc_q(i) for i in range(lo, hi + 1)])

@@ -61,7 +61,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     try:
-        _record_stream_source_bytes(spark, os.path.getsize(path))
+        if os.path.isdir(path):
+            # a directory-shaped parquet table: os.path.getsize would read
+            # the directory inode (~4 KB) and clamp the adaptive width to 2
+            size = sum(
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.is_file() and e.name.endswith(".parquet")
+            )
+        else:
+            size = os.path.getsize(path)
+        _record_stream_source_bytes(spark, size)
     except OSError:
         pass
     # the file source wants a directory; glob-filter to the events file
@@ -477,7 +487,15 @@ def run_to_memory(
     function does REAL per-row Python work (applyInPandasWithState
     sessionize/asof) lose more to the narrower Python-worker parallelism
     than they save in state-store fixed cost (measured st1 4.1 -> 6.2 s,
-    st7 1.8 -> 3.1 s under width 2 vs 32)."""
+    st7 1.8 -> 3.1 s under width 2 vs 32).
+
+    SINGLE-THREADED-SESSION assumption: the adaptive width is applied by
+    mutating the session-global ``spark.sql.shuffle.partitions`` for the
+    duration of the drain (state partition count binds at stream start;
+    there is no per-stream conf for it), so a concurrent batch query
+    planned on the same session inside that window would silently inherit
+    the narrowed width.  The registry gates run one query at a time; a
+    concurrent caller must pass ``adaptive_width=False``."""
     name = f"__stream_result_{next(_memory_sink_counter)}"
     width = _adaptive_stream_width(spark) if adaptive_width else None
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -499,6 +517,13 @@ def run_to_memory(
     finally:
         if width is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        # the recorded source size is consumed by THIS drain — clear it so
+        # a later run_to_memory on a stream not built through the engine's
+        # readers cannot inherit a stale adaptive width
+        try:
+            spark.conf.unset(_SRC_BYTES_CONF)
+        except Exception:
+            pass
     if not finished:
         # a truncated memory sink (missing later micro-batches) would flow
         # into downstream snapshot logic as silently-wrong data — the

@@ -404,6 +404,38 @@ def test_product_quantize_planted_subspace_blobs(spark):
     assert by_right[True].isdisjoint(by_right[False])
 
 
+def test_pq_fit_spans_bit_identical_to_per_span_kmeans(spark):
+    """pq_fit_spans fuses all spans' Lloyd fits into one seed collect +
+    one update aggregate per round; the codebooks must be BIT-identical
+    to independent per-span kmeans_fit calls (the v11-v13 oracles depend
+    on exact doubles), including an overlapping full-width span (v13's
+    coarse quantizer) and a span with an empty cluster."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dataclod_spark.operators.embeddings import kmeans_fit, pq_fit_spans
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-3, 3) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    spans = [(1, 8), (1, 4), (5, 8)]
+    for iters in (1, 2, 3):
+        fused = pq_fit_spans(df, "embedding", spans, k=3, iters=iters)
+        for (lo, hi), book in zip(spans, fused):
+            sliced = df.select(
+                "vec_id",
+                F.transform(
+                    F.slice("embedding", lo, hi - lo + 1), lambda x: x.cast("double")
+                ).alias("__sub"),
+            )
+            ref = kmeans_fit(sliced, vec="__sub", dim=hi - lo + 1, k=3, iters=iters)
+            assert book == ref, (iters, lo, hi)
+
+
 def test_routed_argmin_single_group_is_exact(spark):
     """n_groups=1 routes everything into one group whose inner argmin is
     the full exact argmin — bit-identical struct output."""
