@@ -509,6 +509,28 @@ class _Grid:
             expr = expr + F.when(coord >= float(b), 1).otherwise(0)
         return expr
 
+    @staticmethod
+    def _bucket_expr(bounds: list[float], coord_sql: str) -> Column:
+        """:meth:`_bucket` built as ONE parsed SQL string (the identical
+        CASE-sum Catalyst tree the dispatch path's ``_bucket_sql`` emits).
+        The per-term Column build costs ~4 py4j round trips per boundary ×
+        8 bucket chains per join — measured 0.35 s of g6's ~1.0 s plan
+        CONSTRUCTION per run (driver-side, guide §5); one ``F.expr`` parse
+        replaces all of it.  Falls back to the Column build when a boundary
+        is non-finite (repr round-trips only finite doubles through the
+        SQL parser)."""
+        if not bounds:
+            return F.lit(0)
+        if all(math.isfinite(b) for b in bounds):
+            return F.expr(
+                "(" + " + ".join(
+                    f"(CASE WHEN {coord_sql} >= CAST({float(b)!r} AS DOUBLE) "
+                    "THEN 1 ELSE 0 END)"
+                    for b in bounds
+                ) + ")"
+            )
+        return _Grid._bucket(bounds, F.expr(coord_sql))
+
     def explode_cells(self, df: DataFrame, prefix: str, expand: float) -> DataFrame:
         """Add ``__cell`` rows for every grid cell the (expanded) bbox
         intersects: two plain ``explode(sequence(lo, hi))`` generators (x
@@ -520,10 +542,11 @@ class _Grid:
         function is monotone, hence bucket(max(a, b)) = max(bucket(a),
         bucket(b)) — the O(#boundaries) bucket scan runs once per input row
         here, never per candidate pair."""
-        ix0 = self._bucket(self.xb, F.col(f"{prefix}xmin") - expand)
-        ix1 = self._bucket(self.xb, F.col(f"{prefix}xmax") + expand)
-        iy0 = self._bucket(self.yb, F.col(f"{prefix}ymin") - expand)
-        iy1 = self._bucket(self.yb, F.col(f"{prefix}ymax") + expand)
+        ex = float(expand)
+        ix0 = self._bucket_expr(self.xb, f"(`{prefix}xmin` - CAST({ex!r} AS DOUBLE))")
+        ix1 = self._bucket_expr(self.xb, f"(`{prefix}xmax` + CAST({ex!r} AS DOUBLE))")
+        iy0 = self._bucket_expr(self.yb, f"(`{prefix}ymin` - CAST({ex!r} AS DOUBLE))")
+        iy1 = self._bucket_expr(self.yb, f"(`{prefix}ymax` + CAST({ex!r} AS DOUBLE))")
         return (
             df.withColumn(f"__{prefix}ix0", ix0)
             .withColumn(f"__{prefix}iy0", iy0)
