@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import SF_SMOKE
+from conftest import SF_CORRECT, SF_SMOKE
 
 from dataclod_spark.registry import _parse_bytes, load
 
@@ -71,3 +71,38 @@ def test_spread_values_unchanged(spark):
         )
     finally:
         spark.conf.unset("spark.dataclod.spreadSmallScans")
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_measured_opt_outs_stay_unspread(spark):
+    """Negative pins for the r11/r12 MEASURED spread decisions (r11 verdict
+    item 9): a future blanket change to the spread default must not
+    silently re-regress the call sites that measured a LOSS.  g1 (one
+    cheap UDF then agg), g21 (shuffles immediately), x1 (scan→project→
+    sort), q18 (groupBy shuffles the scan output immediately — r12 cold
+    one-shot A/B) must stay free of the round-robin scan spread; q1 is
+    the positive control (its opt-in measured a 1.4× steady win)."""
+    cores = spark.sparkContext.defaultParallelism
+    if cores <= 1:
+        pytest.skip("single-core session: spread intentionally disabled")
+    from dataclod_spark.registry import load_all_queries
+
+    reg = load_all_queries()
+    # sf0.01: row counts clear the >= 4 rows/core guard, so an unwanted
+    # spread WOULD fire here if the opt-out regressed (at sf0.001 the
+    # guard alone suppresses it and the pin would be vacuous)
+    sf = SF_CORRECT
+    for name in (
+        "g1_covers_count",
+        "g21_zorder_layout",
+        "x1_token_stats",
+        "q18_large_volume_customer",
+    ):
+        plan = _physical_plan(reg[name].fn(spark, sf))
+        assert "roundrobinpartitioning" not in plan.lower(), name
+    assert "roundrobinpartitioning" in _physical_plan(
+        reg["q1_pricing_summary"].fn(spark, sf)
+    ).lower()

@@ -673,3 +673,30 @@ def test_run_to_memory_restores_shuffle_conf(spark, crafted_stream):
     _record_stream_source_bytes(spark, 1 << 20)
     run_to_memory(sessionize_stream(crafted_stream), spark, timeout_sec=120)
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_st1_st7_keep_session_width(spark, monkeypatch):
+    """Negative pins for the r11 state-width opt-outs (r11 verdict item
+    9): st1/st7's applyInPandasWithState functions do real per-row Python
+    work and MEASURED a loss under the narrowed adaptive width (st1
+    4.1 -> 6.2 s, st7 1.8 -> 3.1 s), so their drains must keep passing
+    adaptive_width=False — a blanket change to run_to_memory's default
+    must not silently re-opt them in."""
+    import dataclod_spark.streaming.run as R
+    from conftest import SF_SMOKE
+
+    from dataclod_spark.registry import load_all_queries
+
+    seen = {}
+    orig = R.run_to_memory
+
+    def capture(df, spark_, timeout_sec=300, adaptive_width=True):
+        seen[len(seen)] = adaptive_width
+        return orig(df, spark_, timeout_sec=timeout_sec, adaptive_width=adaptive_width)
+
+    monkeypatch.setattr(R, "run_to_memory", capture)
+    reg = load_all_queries()
+    for name in ("st1_stream_sessionization", "st7_stream_asof_join"):
+        seen.clear()
+        reg[name].fn(spark, SF_SMOKE).collect()
+        assert seen and all(v is False for v in seen.values()), (name, seen)
