@@ -1666,19 +1666,14 @@ def shared_span_pairs(
         .select("id_1", "id_2", "p1", (F.col("p2") - F.col("p1")).alias("__diag"))
     )
     w = Window.partitionBy("id_1", "id_2", "__diag").orderBy("p1")
+    # gaps-and-islands with ONE window function: p1 is unique within the
+    # partition, so p1 - row_number() is constant exactly on maximal runs
+    # of consecutive positions — the same island partition the previous
+    # lag + running-sum pair produced with two frame evaluations per row
+    # (the island LABELS differ, but labels only group; the min/max span
+    # per island is identical)
     runs = (
-        matched.withColumn(
-            "__brk",
-            F.when(F.col("p1") - F.lag("p1").over(w) == 1, F.lit(0)).otherwise(
-                F.lit(1)
-            ),
-        )
-        .withColumn(
-            "__run",
-            F.sum("__brk").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
+        matched.withColumn("__run", F.col("p1") - F.row_number().over(w))
         .groupBy("id_1", "id_2", "__diag", "__run")
         .agg((F.max("p1") - F.min("p1") + k).alias("__span"))
     )

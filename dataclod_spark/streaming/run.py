@@ -1386,19 +1386,11 @@ def streaming_span_decontamination(
             (F.col("__bpos") - F.col("__pos")).alias("__diag"),
         )
         w = Window.partitionBy("__id", "__bid", "__diag").orderBy("p1")
+        # one-window gaps-and-islands (see operators.dedup.shared_span_pairs:
+        # p1 unique per partition ⇒ p1 - row_number() labels maximal
+        # consecutive runs; identical islands, half the frame evaluations)
         runs = (
-            matched.withColumn(
-                "__brk",
-                F.when(
-                    F.col("p1") - F.lag("p1").over(w) == 1, F.lit(0)
-                ).otherwise(F.lit(1)),
-            )
-            .withColumn(
-                "__run",
-                F.sum("__brk").over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ),
-            )
+            matched.withColumn("__run", F.col("p1") - F.row_number().over(w))
             .groupBy("__id", "__bid", "__diag", "__run")
             .agg((F.max("p1") - F.min("p1") + k).alias("__span"))
         )
