@@ -398,40 +398,47 @@ def connected_components(
     spatial/src/join/prepare.rs — bounded passes regardless of data
     shape.
     """
-    # one materialization of the (possibly very expensive) edge pipeline —
-    # checkpoint the UNDIRECTED edges; the reversed union for the
-    # distributed loop derives cheaply from the materialization, and the
-    # driver limit/collect then count each edge once, not twice
+    # ONE bounded probe decides the path AND (in the common small case)
+    # delivers the whole edge set: limit(driver_edge_limit + 1) executes
+    # the (possibly very expensive) edge pipeline exactly once with
+    # CollectLimit's early termination and transfers at most limit+1 rows
+    # regardless of the true edge count — the r11 form's eager checkpoint
+    # + count + collect ran one full pipeline job just to materialize,
+    # then two more reads, and pinned the blocks in executor storage with
+    # no lineage fallback (r11 verdict #5).  Only the distributed path,
+    # whose loop genuinely re-reads the edges, still checkpoints them.
     ee = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).localCheckpoint(eager=True)
+    )
+    probe = ee.limit(driver_edge_limit + 1)
+    import numpy as np
+    import pyarrow.compute as pc
 
-    n_edges = ee.count()  # free: reads the checkpointed materialization
+    try:
+        tbl = probe.toArrow()
+        n_edges = tbl.num_rows
+        col_a, col_b = tbl.column("a"), tbl.column("b")
+    except AttributeError:  # pre-4.0 fallback: Rows keep longs exact
+        import pyarrow as pa
+
+        rows_ab = probe.collect()
+        n_edges = len(rows_ab)
+        # chunked_array: the pc.filter/drop_null results below are
+        # combine_chunks()'d, which plain Arrays don't implement
+        col_a = pa.chunked_array([pa.array([r["a"] for r in rows_ab], type=pa.int64())])
+        col_b = pa.chunked_array([pa.array([r["b"] for r in rows_ab], type=pa.int64())])
+
     if n_edges <= driver_edge_limit:
         if stats is not None:
             stats["path"], stats["rounds"] = "driver", 0
         spark = edges.sparkSession
-        # one Arrow transfer (bounded by driver_edge_limit) — Arrow keeps
-        # nullable int64 columns EXACT (pandas would coerce a column with
-        # one null to float64, silently rounding ids above 2^53).  The
-        # union-find runs over the numpy int64 buffers directly: no
-        # to_pylist(), so the working set is the ~16 B/edge columnar data
-        # plus one int64 parent array per node, not hundreds of MB of
-        # boxed Python ints.
-        import numpy as np
-        import pyarrow.compute as pc
-
-        try:
-            tbl = ee.toArrow()
-            col_a, col_b = tbl.column("a"), tbl.column("b")
-        except AttributeError:  # pre-4.0 fallback: Rows keep longs exact
-            import pyarrow as pa
-
-            rows_ab = ee.collect()
-            # chunked_array: the pc.filter/drop_null results below are
-            # combine_chunks()'d, which plain Arrays don't implement
-            col_a = pa.chunked_array([pa.array([r["a"] for r in rows_ab], type=pa.int64())])
-            col_b = pa.chunked_array([pa.array([r["b"] for r in rows_ab], type=pa.int64())])
+        # the probe WAS the whole edge set (n_edges <= limit) — Arrow
+        # keeps nullable int64 columns EXACT (pandas would coerce a
+        # column with one null to float64, silently rounding ids above
+        # 2^53).  The union-find runs over the numpy int64 buffers
+        # directly: no to_pylist(), so the working set is the ~16 B/edge
+        # columnar data plus one int64 parent array per node, not
+        # hundreds of MB of boxed Python ints.
         # null endpoints never join (equi-join semantics), but a node
         # paired only with a null is still a singleton component
         both = pc.and_(pc.is_valid(col_a), pc.is_valid(col_b))
@@ -478,7 +485,10 @@ def connected_components(
     # ---- distributed path: alternating large-star / small-star ----
     # contract (both paths): null endpoints are ignored for connectivity
     # (equi-join semantics) but a node paired only with a null still
-    # appears as its own singleton component
+    # appears as its own singleton component.
+    # Here (and only here) the edge pipeline is materialized once: the
+    # node set and the loop's canonical edges both derive from it.
+    ee = ee.localCheckpoint(eager=True)
     all_nodes = (
         ee.select(F.col("a").alias("id"))
         .unionAll(ee.select(F.col("b").alias("id")))
