@@ -67,11 +67,26 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "st3_stream_sliding",
     "st5_stream_dedup",
     "st8_stream_heavy_hitters",
-    # r12 rewrites (fused PQ/coarse Lloyd training — bit-identical by
-    # pin test, but the computation path changed):
+    # r12 rewrites (all value-identical by pin tests + strict sweeps, but
+    # the computation path changed): fused PQ/coarse Lloyd training
+    # (v11-v13), combined LSH index checkpoint + limit-probe connected
+    # components (d3/d7/d11/d12/d14/d16/d18/g23; d17/st12 listed above),
+    # one-window span labeling (st19; d19/x31 listed above), and the
+    # q1/q18/x1 scan-spread re-decisions (q18 listed above).
     "v11_product_quantize",
     "v12_pq_adc_topk",
     "v13_ivf_adc_search",
+    "d3_lsh_pairs",
+    "d7_dedup_clusters",
+    "d11_dedup_reduction_report",
+    "d12_incremental_dedup",
+    "d14_line_dedup",
+    "d16_dedup_keep_best",
+    "d18_cluster_size_profile",
+    "g23_dbscan_clusters",
+    "st19_stream_span_decontamination",
+    "q1_pricing_summary",
+    "x1_token_stats",
 )
 
 # The driver samples a bounded window (50 in r2-r5) of the registry in
